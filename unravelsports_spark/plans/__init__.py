@@ -1,0 +1,4 @@
+"""Query plans: the SURVEY §2 operator inventory expressed as native Spark
+DataFrame plans over the synthetic star schema, each with a DuckDB oracle."""
+
+from .relational import QUERIES, ORACLE_SQL  # noqa: F401

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on local[N]; the config below is chosen so the same code
+is correct and fast on a real multi-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting)
+- Arrow on (every model kernel is an Arrow grouped-map pandas UDF)
+- shuffle partitions sized for the local test harness; on a cluster AQE
+  re-plans the number at runtime from map-output statistics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "unravelsports-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Parquet scan of one synthetic table; Catalyst handles predicate
+    pushdown + column pruning from whatever plan is built on top.
+
+    The events table stores TIMESTAMP(NANOS) which Spark 4 refuses to read
+    natively; we read nanos as long and rebuild a microsecond timestamp with
+    integer division (`div`, no double round-trip → no precision loss).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
