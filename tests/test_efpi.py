@@ -1,0 +1,141 @@
+"""EFPI on Spark: template matching correctness (planted formations), frame /
+possession / period / duration segmentation, substitution drop, hysteresis.
+Mirrors the reference's behavioral assertions (tests/test_soccer.py:1336-1604)
+on synthetic data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from unravelsports_spark.datasets.synthetic import AWAY, HOME, synthetic_tracking_df
+from unravelsports_spark.models.efpi import EFPI, _assign_formation
+from unravelsports_spark.models.formations import Formations, formation_template
+from unravelsports_spark.schema import TRACKING_SCHEMA
+from unravelsports_spark.settings import DefaultSettings
+
+
+@pytest.fixture(scope="module")
+def settings():
+    return DefaultSettings(home_team_id=HOME, away_team_id=AWAY)
+
+
+def planted_tracking(spark, formation_home="442", formation_away="433", n_frames=6):
+    """Players standing exactly on formation template coordinates."""
+    home_xy, _ = formation_template(formation_home, 105.0, 68.0)
+    away_xy, _ = formation_template(formation_away, 105.0, 68.0)
+    rows = []
+    for f in range(n_frames):
+        owning = HOME if f < n_frames // 2 else AWAY
+        for t, (team, xy) in enumerate(((HOME, home_xy), (AWAY, away_xy))):
+            sign = 1.0 if team == HOME else -1.0  # home attacks LTR
+            for i, (x, y) in enumerate(xy):
+                rows.append(
+                    (
+                        "g1", 1, f, f * 40, f"{team}_p{i:02d}", team, "CB",
+                        sign * x, sign * y, 0.0, 0.0, 0.0, 0.0, 0.0,
+                        0.0, 0.0, 0.0, 0.0, "alive", owning, False, 0, f"g1-{f}",
+                    )
+                )
+            rows.append(
+                ("g1", 1, f, f * 40, f"{team}_gk", team, "GK",
+                 sign * -50.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                 0.0, 0.0, 0.0, 0.0, "alive", owning, False, 0, f"g1-{f}")
+            )
+        rows.append(
+            ("g1", 1, f, f * 40, "ball", "ball", None, 0.0, 0.0, 0.1,
+             0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, "alive", owning, False, 0, f"g1-{f}")
+        )
+    pdf = pd.DataFrame(rows, columns=[fld.name for fld in TRACKING_SCHEMA.fields])
+    return spark.createDataFrame(pdf, schema=TRACKING_SCHEMA)
+
+
+def test_assign_formation_recovers_planted():
+    forms = Formations(105.0, 68.0, None)
+    for name in ("442", "433", "3232", "4141"):
+        coords, labels = formation_template(name, 105.0, 68.0)
+        res = _assign_formation(coords, forms.positions("ltr"), forms.labels())
+        got_labels, got_name, cost = res
+        assert got_name == name
+        assert cost < 1e-9
+        assert list(got_labels) == list(labels)
+
+
+def test_frame_mode_detects_planted(spark, settings):
+    df = planted_tracking(spark)
+    model = EFPI(df, settings).fit(every="frame")
+    out = model.output.toPandas()
+    assert set(out.columns) >= {
+        "game_id", "period_id", "frame_id", "id", "team_id",
+        "position", "formation", "is_attacking",
+    }
+    f0 = out[out.frame_id == 0]
+    assert len(f0) == 23
+    home_rows = f0[f0.team_id == HOME]
+    away_rows = f0[f0.team_id == AWAY]
+    assert set(home_rows.formation) == {"442"}
+    assert set(away_rows.formation) == {"433"}
+    # GKs always labeled GK (reference tests/test_soccer.py:1336-1414)
+    assert set(f0[f0.id.str.endswith("_gk")].position) == {"GK"}
+    ball = f0[f0.team_id == "ball"]
+    assert ball.position.iloc[0] == "ball" and pd.isna(ball.is_attacking.iloc[0])
+    # attacking flags
+    assert home_rows.is_attacking.all()
+    assert (~away_rows.is_attacking).all()
+
+
+def test_possession_mode_segments(spark, settings):
+    df = planted_tracking(spark, n_frames=8)
+    model = EFPI(df, settings).fit(every="possession")
+    segs = model.segments.toPandas()
+    assert len(segs) == 2  # one possession flip at frame 4
+    assert segs.n_frames.sum() > 0
+    out = model.output.toPandas()
+    assert "possession_id" in out.columns
+    assert set(out[out.team_id == HOME].formation) == {"442"}
+
+
+def test_period_and_duration_modes(spark, settings):
+    df = planted_tracking(spark, n_frames=8)
+    per = EFPI(df, settings).fit(every="period")
+    assert per.output.count() > 0
+    dur = EFPI(df, settings).fit(every="1s")
+    out = dur.output.toPandas()
+    assert "1s_id" in out.columns
+    # 8 frames at 40ms → single 1s bucket per possession side
+    assert set(out["1s_id"]) == {0}
+
+
+def test_substitution_drop(spark, settings):
+    base = synthetic_tracking_df(spark, n_frames=20, seed=5)
+    # fake a 12th home outfielder appearing mid-window → must be dropped
+    sub = base.filter("id = 'h_p05' and frame_id >= 18").withColumn(
+        "id", F.lit("h_p99")
+    )
+    df = base.unionByName(sub)
+    model = EFPI(df, DefaultSettings(home_team_id=HOME, away_team_id=AWAY)).fit(every="period")
+    out = model.output.toPandas()
+    assert "h_p99" not in set(out.id)
+
+
+def test_hysteresis_threshold(spark, settings):
+    df = planted_tracking(spark, n_frames=6)
+    model = EFPI(df, settings).fit(
+        every="frame", change_threshold=1e9, change_after_possession=False
+    )
+    out = model.output.toPandas()
+    # impossible threshold → formation never updates after first detection
+    assert set(out[out.team_id == HOME].formation) == {"442"}
+
+
+def test_validation_errors(spark, settings):
+    df = planted_tracking(spark)
+    with pytest.raises(ValueError):
+        EFPI(df, settings).fit(every="5x")
+    with pytest.raises(ValueError):
+        EFPI(df, settings).fit(substitutions="bogus")
+    with pytest.raises(NotImplementedError):
+        EFPI(df, settings).fit(substitutions="merge")
+    with pytest.raises(ValueError):
+        EFPI(df, settings).fit(start_time=1, end_time=None, period_id=None)
