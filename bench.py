@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice: a warm-up collect (JIT/codegen, file listing)
+is NOT counted; the timed run reflects steady-state execution. Model-kernel
+benches run the Pressing Intensity and graph-conversion pipelines on a
+synthetic tracking table sized to the scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from unravelsports_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j5_enrich_revenue",
+    "j2_agg_back_join",
+    "a4_argmin_in_group",
+    "w4_sessionize",
+    "w5_tumbling_window",
+    "o9_explode_tokens",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    name = os.path.basename(d.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def time_df(make_df, warmup: bool = True) -> float:
+    if warmup:
+        make_df().write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    make_df().write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from unravelsports_spark.datasets.synthetic import AWAY, HOME, synthetic_tracking_df
+    from unravelsports_spark.models.graph_converter import SoccerGraphConverter
+    from unravelsports_spark.models.pressing_intensity import PressingIntensity
+    from unravelsports_spark.plans import QUERIES
+    from unravelsports_spark.settings import DefaultSettings, GraphSettings
+
+    spark = get_spark("unravelsports-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_from_dir(SF_DIR)
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        timings[name] = round(time_df(lambda: QUERIES[name](spark, SF_DIR)), 4)
+
+    # model kernels on synthetic tracking sized to sf (sf0.1 → 2,000 frames,
+    # 46k rows), cached so kernel time dominates, not fixture generation
+    n_frames = max(200, int(20_000 * sf))
+    tracking = synthetic_tracking_df(spark, n_frames=n_frames, seed=1).cache()
+    tracking.count()
+    settings = DefaultSettings(home_team_id=HOME, away_team_id=AWAY)
+    gsettings = GraphSettings(home_team_id=HOME, away_team_id=AWAY)
+
+    timings["model_pressing_intensity"] = round(
+        time_df(
+            lambda: PressingIntensity(tracking, settings)
+            .fit(method="teams", ball_method="max", orient="home_away", speed_threshold=2)
+            .output
+        ),
+        4,
+    )
+    timings["model_graph_convert"] = round(
+        time_df(lambda: SoccerGraphConverter(tracking, gsettings).to_graph_frames()),
+        4,
+    )
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,11 @@ def get_spark(app_name: str = "unravelsports-spark", shuffle_partitions: int | N
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local test files are ~10 MB — split them so scans parallelize across
+        # cores; on a real cluster with many files this setting is harmless
+        # (AQE coalesces small partitions back together)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
