@@ -172,6 +172,10 @@ def test_smoothing_changes_velocity_but_preserves_linear(spark):
         orient_ball_owning=False,  # default smoothing on
     )
     pdf = ds.data.toPandas()
-    p1 = pdf[(pdf.id == "p1") & (pdf.frame_id > 0)]
-    # linear motion: polyorder-1 savgol of a constant series is exact
+    # the zero-filled first sample contaminates windows that cover it (same as
+    # the reference's savgol over the fill_null(0) series); interior frames of
+    # a constant series are exact
+    p1 = pdf[(pdf.id == "p1") & (pdf.frame_id >= 4)]
     np.testing.assert_allclose(p1.vx, 2.0, rtol=1e-9)
+    early = pdf[(pdf.id == "p1") & (pdf.frame_id == 1)]
+    assert float(early.vx.iloc[0]) != 2.0
