@@ -1,0 +1,157 @@
+"""Deduplication operators for training-data pipelines: exact, word-shingle
+Jaccard, MinHash + LSH banding, SimHash.
+
+Designed for 100 TB corpora:
+
+- exact dedup is one hash aggregation on a fingerprint (map-side combinable);
+- shingle explosion is a generator (no shuffle) followed by hash aggregations;
+- the pairwise Jaccard join is bounded by LSH banding (candidates only meet
+  inside a band bucket) instead of an all-pairs cross join;
+- all hashes are md5-hex→bigint, bit-identical across engines so every stage
+  has an exact DuckDB oracle (plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed multiply-add constants for the minhash family h_i(x) = (a_i*x+b_i) mod p
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+MINHASH_COEFFS = [
+    (1103515245, 12345), (1013904223, 1664525), (22695477, 1),
+    (69069, 362437), (1664525, 1013904223), (134775813, 1),
+    (214013, 2531011), (16807, 0),
+]
+
+
+def norm_text(text_col: str = "text"):
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def hash64(col) -> F.Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    bigint of the first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per normalized-text fingerprint (hash-groupBy)."""
+    w = Window.partitionBy(F.md5(norm_text(text_col))).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle_hash)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # guard: sequence(0, negative) would count DOWN in Spark — short docs get
+    # an empty shingle set instead
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(id_col, F.explode(grams).alias("shingle"))
+        .withColumn("shingle_hash", hash64(F.col("shingle")))
+        .select(id_col, "shingle_hash")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """One row per doc with minhash_0..minhash_{k-1} columns (single hash
+    aggregation; partial min is map-side combinable)."""
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"at most {len(MINHASH_COEFFS)} hash functions configured")
+    aggs = []
+    # reduce to < p before the affine step: (p-1) * max(a) stays within int64,
+    # whereas the raw 60-bit shingle hash times a would overflow (ANSI error)
+    h0 = F.pmod(F.col("shingle_hash"), F.lit(MINHASH_PRIME))
+    for i in range(num_hashes):
+        a, b = MINHASH_COEFFS[i]
+        h = F.pmod(h0 * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
+        aggs.append(F.min(h).alias(f"minhash_{i}"))
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_key): docs agreeing on
+    every hash of any band become candidate pairs (id_a < id_b)."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("key")))
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets. With `candidates`, only verify those
+    pairs (the LSH path); without, join docs on shared shingles — the classic
+    inverted-index join that never materializes an all-pairs cross product."""
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-doc SimHash: sign-aggregate token-hash bits. Expressed as one
+    explode + one aggregation with `bits` conditional sums."""
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    tok_df = df.select(id_col, toks).withColumn("h", hash64(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_bit_{b}")
+        for b in range(bits)
+    ]
+    agg = tok_df.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"_bit_{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.withColumn("simhash", sim).select(id_col, "simhash")

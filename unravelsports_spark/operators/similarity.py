@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline. The dot
+  product is a JVM-side `aggregate`/`zip_with` fold (no Python), the top-k is
+  TakeOrderedAndProject (no global sort).
+- `lsh_ann_topk`: random-hyperplane LSH bucketing — the scale path. Signatures
+  are computed once per corpus; queries probe matching buckets (and optional
+  multi-probe neighbors) so each query touches a small candidate set instead
+  of the full corpus. Hyperplanes are seeded NumPy, broadcast into the plan
+  as literals.
+- `ivf_topk`: inverted-file variant — k-means-lite centroids (seeded, fit on
+  a driver sample), assignment via the same JVM-side fold, query probes the
+  n_probe nearest cells. At 100 TB the centroid table is a broadcast dim and
+  the corpus is scanned once at build time.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec_lit(vec: Sequence[float]):
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(df: DataFrame, query_vec, emb_col: str = "embedding", out: str = "cosine"):
+    q = _vec_lit(query_vec) if not isinstance(query_vec, F.Column) else query_vec
+    c = F.col(emb_col)
+    return df.withColumn(out, F.round(_dot(c, q) / (_norm(c) * _norm(q)), 6))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Exact brute-force cosine top-k (deterministic tie-break on id)."""
+    return (
+        with_cosine(df, query_vec, emb_col)
+        .select(id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
+    return np.random.default_rng(seed).normal(size=(n_planes, dim))
+
+
+def _signature(emb_col, planes: np.ndarray):
+    bits = []
+    for i, plane in enumerate(planes):
+        bits.append(F.when(_dot(F.col(emb_col), _vec_lit(plane)) >= 0, F.lit(1 << i)).otherwise(0))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def with_lsh_bucket(df: DataFrame, planes: np.ndarray, emb_col: str = "embedding", out: str = "bucket"):
+    return df.withColumn(out, _signature(emb_col, planes))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    `multiprobe` Hamming distance (flip ≤ that many signature bits)."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    bucketed = with_lsh_bucket(df, planes, emb_col)
+    q = np.asarray(query_vec, dtype=float)
+    qsig = sum((1 << i) for i, p in enumerate(planes) if float(p @ q) >= 0)
+    probes = {qsig}
+    if multiprobe >= 1:
+        probes |= {qsig ^ (1 << i) for i in range(n_planes)}
+    if multiprobe >= 2:
+        probes |= {
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    candidates = bucketed.filter(F.col("bucket").isin(*[int(p) for p in probes]))
+    return cosine_topk(candidates, query_vec, k, id_col, emb_col)
+
+
+def kmeans_centroids(
+    df: DataFrame, n_cells: int = 16, emb_col: str = "embedding",
+    seed: int = 29, iters: int = 5, sample_limit: int = 20_000,
+) -> np.ndarray:
+    """Seeded k-means on a driver-side sample (the IVF coarse quantizer is
+    always trained on a sample, not the corpus)."""
+    sample = np.asarray(
+        df.select(emb_col).limit(sample_limit).toPandas()[emb_col].tolist(), dtype=float
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        d = np.linalg.norm(sample[:, None, :] - centroids[None, :, :], axis=-1)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def with_ivf_cell(df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding", out: str = "cell"):
+    """Assign each vector to its nearest centroid, JVM-side: argmin over an
+    array of squared distances built from centroid literals."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(F.col(emb_col), _vec_lit(c), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return df.withColumn(out, F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    q = np.asarray(query_vec, dtype=float)
+    order = np.argsort(np.linalg.norm(centroids - q, axis=1))
+    cells = [int(c) for c in order[:n_probe]]
+    candidates = with_ivf_cell(df, centroids, emb_col).filter(F.col("cell").isin(cells))
+    return cosine_topk(candidates, query_vec, k, id_col, emb_col)

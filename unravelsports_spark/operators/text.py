@@ -1,0 +1,87 @@
+"""Text-analysis operators for large-scale training-data pipelines: token
+counting, quality scoring, n-gram/stopword language ID, document
+fingerprinting. All pure Catalyst expressions (whole-stage codegen, no
+Python in the hot path); every operator has an exact DuckDB oracle in
+plans/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column as SqlCol
+from pyspark.sql import functions as F
+
+#: small stopword sets per language for the voting heuristic (public common
+#: stopwords; ordered dict → deterministic tie-break priority)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "un", "que", "pour", "dans", "est"],
+    "es": ["el", "los", "que", "de", "y", "en", "por", "con", "para", "una"],
+    "it": ["il", "di", "che", "e", "un", "per", "non", "sono", "con", "della"],
+}
+
+
+def tokens(text_col) -> SqlCol:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), r"\s+")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(text_col)))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/alpha/mean-word-length quality signals plus a
+    composite [0,1] score — the usual cheap pre-filters for LLM corpora."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    df = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("alpha_ratio", F.round(n_alpha / n_chars, 6))
+        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
+        .withColumn("mean_word_len", F.round(n_chars / n_tokens, 6))
+    )
+    score = (
+        F.when(F.col("n_tokens") >= 10, 0.4).otherwise(0.0)
+        + F.when(F.col("alpha_ratio") > 0.6, 0.4).otherwise(0.0)
+        + F.when(F.col("punct_ratio") < 0.1, 0.2).otherwise(0.0)
+    )
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_scores(text_col: str = "text") -> dict[str, SqlCol]:
+    toks = tokens(F.lower(F.col(text_col)))
+    out = {}
+    for lang, stops in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in stops])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "predicted_lang") -> DataFrame:
+    """Stopword-voting language ID; ties resolve in LANG_STOPWORDS order."""
+    scores = lang_scores(text_col)
+    langs = list(scores.keys())
+    for lang in langs:
+        df = df.withColumn(f"_s_{lang}", scores[lang])
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            c = F.col(f"_s_{lang}") >= F.col(f"_s_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    df = df.withColumn(out, expr)
+    return df.drop(*[f"_s_{lang}" for lang in langs])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercased text (md5 is bit-identical across engines)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out, F.md5(norm))

@@ -2,3 +2,4 @@
 DataFrame plans over the synthetic star schema, each with a DuckDB oracle."""
 
 from .relational import QUERIES, ORACLE_SQL  # noqa: F401
+from . import pipeline  # noqa: F401  (registers pipeline queries)

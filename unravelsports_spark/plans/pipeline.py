@@ -1,0 +1,305 @@
+"""Training-data-pipeline operator queries over documents/embeddings, plus the
+as-of join — each with an exact DuckDB oracle. MinHash/SimHash SQL is
+generated from the same constants as the Spark operators, and every hash is
+md5-hex→bigint (bit-identical across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    doc_shingles,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    norm_text,
+    simhash,
+)
+from ..operators.similarity import cosine_topk
+from ..operators.text import (
+    LANG_STOPWORDS,
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_count,
+)
+from ..session import read_table
+from .relational import ORACLE_SQL, QUERIES, dec, ms, query
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_token_stats",
+    oracle=r"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           MIN(len(string_split_regex(trim(text), '\s+'))) AS min_tokens,
+           MAX(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def t_token_stats(spark, sf_dir):
+    d = with_token_count(read_table(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+@query(
+    "t_quality_by_source",
+    oracle=r"""
+    WITH q AS (
+      SELECT source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+             ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio
+      FROM documents),
+    s AS (
+      SELECT source, n_tokens, alpha_ratio, punct_ratio,
+             ROUND(CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN alpha_ratio > 0.6 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN punct_ratio < 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+      FROM q)
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+           CAST(SUM(CASE WHEN quality_score >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+    FROM s GROUP BY source
+    """,
+)
+def t_quality_by_source(spark, sf_dir):
+    d = with_quality(read_table(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum(dec("quality_score", 6)).cast("double") / F.count("*"), 6).alias("avg_quality"),
+        F.sum(F.when(F.col("quality_score") >= 0.8, 1).otherwise(0)).alias("n_high_quality"),
+    )
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang, stops in LANG_STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{s}'" for s in stops) + "]"
+        score_exprs.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains({arr}, t))) AS s_{lang}"
+        )
+    langs = list(LANG_STOPWORDS.keys())
+    cases = []
+    for lang in langs:
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""
+    WITH scores AS (SELECT lang, {', '.join(score_exprs)} FROM documents)
+    SELECT lang, CASE {' '.join(cases)} END AS predicted_lang, COUNT(*) AS n
+    FROM scores GROUP BY 1, 2
+    """
+
+
+@query("t_langid_confusion", oracle=_langid_sql())
+def t_langid_confusion(spark, sf_dir):
+    d = with_lang_id(read_table(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n"))
+
+
+@query(
+    "t_fingerprint",
+    oracle=r"""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    return with_fingerprint(read_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d_exact_dedup_stats",
+    oracle=r"""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_dupes
+    FROM documents GROUP BY source
+    """,
+)
+def d_exact_dedup_stats(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents").withColumn("fp", F.md5(norm_text()))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_dupes"),
+    )
+
+
+_SHINGLE_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(t) - 2),
+                                   i -> array_to_string(t[i + 1 : i + 3], ' '))) AS shingle
+      FROM toks),
+    shingled AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle_hash
+      FROM grams)
+"""
+
+
+@query(
+    "d_jaccard_top_pairs",
+    oracle=_SHINGLE_SQL
+    + r"""
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b
+        ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           ROUND(n_common * 1.0 / (na.n + nb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def d_jaccard_top_pairs(spark, sf_dir):
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    return (
+        jaccard_pairs(shingled)
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    exprs = []
+    for i in range(num_hashes):
+        a, b = MINHASH_COEFFS[i]
+        exprs.append(
+            f"MIN(((shingle_hash % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME}) AS minhash_{i}"
+        )
+    return _SHINGLE_SQL + f"SELECT doc_id, {', '.join(exprs)} FROM shingled GROUP BY doc_id"
+
+
+@query("d_minhash_signatures", oracle=_minhash_sql())
+def d_minhash_signatures(spark, sf_dir):
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    return minhash_signatures(shingled, num_hashes=8)
+
+
+def _lsh_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    sig = _minhash_sql(bands * rows_per_band)
+    band_selects = []
+    for b in range(bands):
+        cols = [f"minhash_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(f"SELECT doc_id, {b} AS band, {concat} AS key FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH sig AS ({sig}), banded AS ({banded}) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM banded a JOIN banded b "
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    )
+
+
+@query("d_lsh_candidate_pairs", oracle=_lsh_sql())
+def d_lsh_candidate_pairs(spark, sf_dir):
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(shingled, num_hashes=8)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}" for b in range(bits)
+    )
+    recompose = " + ".join(f"CASE WHEN bit_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("d_simhash", oracle=_simhash_sql())
+def d_simhash(spark, sf_dir):
+    return simhash(read_table(spark, sf_dir, "documents"), bits=16)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s_ann_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def s_ann_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb, [float(v) for v in qvec], k=10)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (J8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j8_asof_join",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,
+           v.view_event_id AS view_event_id
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j8_asof_join(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(purchases, views, on="ts", by=["user_id"], value_cols=["view_event_id"])
+    return joined.select(
+        "event_id", "user_id", ms("ts").alias("purchase_ms"),
+        F.col("view_event_id_right").alias("view_event_id"),
+    )
