@@ -111,6 +111,7 @@ class AmericanFootballGraphSettings(DefaultSettings):
     )
     ball_id: str = "football"
     qb_id: str = "QB"
+    attacking_non_qb_node_value: float = 0.1
     max_height: float = 225.0  # cm
     min_height: float = 150.0
     max_weight: float = 200.0  # kg
