@@ -65,10 +65,12 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(time_df(lambda: QUERIES[name](spark, SF_DIR)), 4)
 
-    # model kernels on synthetic tracking sized to sf (sf0.1 → 2,000 frames,
-    # 46k rows), cached so kernel time dominates, not fixture generation
-    n_frames = max(200, int(20_000 * sf))
-    tracking = synthetic_tracking_df(spark, n_frames=n_frames, seed=1).cache()
+    # model kernels on synthetic tracking sized to sf (sf0.1 → 2,000 frames /
+    # 46k rows spread over 8 games — the many-match shape the engine
+    # parallelizes over), cached so kernel time dominates, not generation
+    n_games = 8
+    n_frames = max(50, int(20_000 * sf) // n_games)
+    tracking = synthetic_tracking_df(spark, n_frames=n_frames, n_games=n_games, seed=1).cache()
     tracking.count()
     settings = DefaultSettings(home_team_id=HOME, away_team_id=AWAY)
     gsettings = GraphSettings(home_team_id=HOME, away_team_id=AWAY)

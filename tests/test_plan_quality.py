@@ -1,0 +1,60 @@
+"""Physical-plan quality guards: these fail if a future change breaks
+predicate pushdown, column pruning, broadcast joins, or partial aggregation
+— the properties that make the same plans viable at 100 TB."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from unravelsports_spark.plans import QUERIES
+
+from .conftest import SF_CORRECT
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # scan reads only the 6 needed columns of 11
+    assert "l_orderkey" not in plan
+
+
+def test_j1_broadcast_dims(spark):
+    plan = plan_of(spark, "j1_dim_join")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_j5_broadcast_enrichment(spark):
+    plan = plan_of(spark, "j5_enrich_revenue")
+    assert plan.count("BroadcastHashJoin") == 2
+    # part filter pushed to the dimension scan
+    assert "PushedFilters: [IsNotNull(p_size), LessThanOrEqual(p_size,10)" in plan
+
+
+def test_o5_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "o5_top_k_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_semi_join(spark):
+    plan = plan_of(spark, "j3_semi_join")
+    # lineitem side of the semi join must not read prices
+    assert "l_extendedprice" not in plan
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_single_shuffle_for_model_kernel(spark):
+    from unravelsports_spark.datasets.synthetic import synthetic_tracking_df
+    from unravelsports_spark.models.pressing_intensity import PressingIntensity
+    from unravelsports_spark.settings import DefaultSettings
+
+    df = synthetic_tracking_df(spark, n_frames=4, seed=1)
+    out = PressingIntensity(df, DefaultSettings(home_team_id="home_team")).fit().output
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange: the groupBy on (game, period, chunk)
+    assert plan.count("Exchange") == 1

@@ -105,9 +105,9 @@ class AmericanFootballGraphConverter:
                         "game_id": str(m["game_id"]),
                         "period_id": int(m["period_id"]),
                         "frame_id": int(frame_ids[s]),
-                        "a": adj.astype(float).tolist(),
-                        "e": edge.tolist(),
-                        "x": node.tolist(),
+                        "a": list(adj.astype(float)),
+                        "e": list(edge),
+                        "x": list(node),
                         "a_shape_0": adj.shape[0], "a_shape_1": adj.shape[1],
                         "e_shape_0": edge.shape[0], "e_shape_1": edge.shape[1],
                         "x_shape_0": node.shape[0], "x_shape_1": node.shape[1],

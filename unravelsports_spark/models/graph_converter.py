@@ -270,9 +270,11 @@ class SoccerGraphConverter:
                         Column.GAME_ID: m[Column.GAME_ID],
                         Column.PERIOD_ID: m[Column.PERIOD_ID],
                         "frame_id": int(frame_ids[s]),
-                        "a": adj.astype(float).tolist(),
-                        "e": edge.tolist(),
-                        "x": node.tolist(),
+                        # list-of-rows (ndarray) cells: Arrow consumes these
+                        # without a per-element Python round-trip
+                        "a": list(adj.astype(float)),
+                        "e": list(edge),
+                        "x": list(node),
                         "a_shape_0": adj.shape[0],
                         "a_shape_1": adj.shape[1],
                         "e_shape_0": edge.shape[0],

@@ -255,8 +255,8 @@ class PressingIntensity:
                         Column.PERIOD_ID: m[Column.PERIOD_ID],
                         Column.FRAME_ID: m[Column.FRAME_ID],
                         Column.TIMESTAMP: m[Column.TIMESTAMP],
-                        "time_to_intercept": tti.tolist(),
-                        "probability_to_intercept": pti.tolist(),
+                        "time_to_intercept": list(tti),
+                        "probability_to_intercept": list(pti),
                         "columns": list(cols),
                         "rows": list(rows),
                     }
