@@ -111,3 +111,38 @@ def split_by_graph_id(
         "test": df.filter((bucket >= train) & (bucket < train + test)),
         "val": df.filter(bucket >= train + test),
     }
+
+
+def split_by_graph_id_stratified(
+    df: DataFrame,
+    graph_id_col: str = Column.GRAPH_ID,
+    label_col: str = Column.LABEL,
+    train: float = 0.8,
+    test: float = 0.1,
+    val: float = 0.1,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Leakage-safe split with per-label exact fractions (the reference's
+    label-ratio rebalancing, graph_dataset.py:240-384): rank each label
+    stratum's graphs by seeded hash, cut at the fraction boundaries, join the
+    assignment back. Two shuffles over the distinct-graph table only."""
+    from pyspark.sql import Window
+
+    if abs(train + test + val - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    graphs = df.select(graph_id_col, label_col).distinct()
+    w = Window.partitionBy(label_col).orderBy(
+        F.xxhash64(F.col(graph_id_col), F.lit(seed)), F.col(graph_id_col)
+    )
+    ranked = graphs.withColumn("_pr", F.percent_rank().over(w))
+    assign = ranked.withColumn(
+        "_split",
+        F.when(F.col("_pr") < train, "train")
+        .when(F.col("_pr") < train + test, "test")
+        .otherwise("val"),
+    ).select(graph_id_col, "_split")
+    joined = df.join(assign, on=graph_id_col, how="left")
+    return {
+        name: joined.filter(F.col("_split") == name).drop("_split")
+        for name in ("train", "test", "val")
+    }

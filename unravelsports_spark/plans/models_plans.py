@@ -1,0 +1,65 @@
+"""Model-pipeline queries for the driver's rows-only checks.
+
+The three model families are grouped-map matrix pipelines — not expressible
+in ANSI SQL, so (per the driver contract) they carry no oracle_sql entry and
+get the weaker rows/schema check. Inputs are the deterministic synthetic
+tracking fixture (seeded; independent of sf_dir scale), so results are stable
+across runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..datasets.synthetic import AWAY, HOME, synthetic_tracking_df
+from ..models.efpi import EFPI
+from ..models.graph_converter import SoccerGraphConverter
+from ..models.pressing_intensity import PressingIntensity
+from ..settings import DefaultSettings, GraphSettings
+from .relational import query
+
+_N_FRAMES = 100
+_SEED = 17
+
+
+def _tracking(spark):
+    return synthetic_tracking_df(spark, n_frames=_N_FRAMES, seed=_SEED)
+
+
+def _settings():
+    return DefaultSettings(home_team_id=HOME, away_team_id=AWAY)
+
+
+@query("m_pressing_intensity")
+def m_pressing_intensity(spark, sf_dir):
+    out = (
+        PressingIntensity(_tracking(spark), _settings())
+        .fit(method="teams", ball_method="max", orient="home_away", speed_threshold=2)
+        .output
+    )
+    # flatten matrices to scalars for a stable rows-only signature
+    return out.select(
+        "game_id", "period_id", "frame_id",
+        F.round(F.col("time_to_intercept")[0][0], 6).alias("tti_00"),
+        F.round(F.col("probability_to_intercept")[0][0], 6).alias("pti_00"),
+        F.size("rows").alias("n_rows"),
+        F.size("columns").alias("n_cols"),
+    )
+
+
+@query("m_graph_convert")
+def m_graph_convert(spark, sf_dir):
+    gs = GraphSettings(home_team_id=HOME, away_team_id=AWAY)
+    out = SoccerGraphConverter(_tracking(spark), gs).to_graph_frames()
+    return out.select(
+        "game_id", "period_id", "frame_id", "graph_id", "label",
+        "a_shape_0", "e_shape_0", "e_shape_1", "x_shape_0", "x_shape_1",
+        F.round(F.col("x")[0][0], 6).alias("x_00"),
+    )
+
+
+@query("m_efpi_possession")
+def m_efpi_possession(spark, sf_dir):
+    out = EFPI(_tracking(spark), _settings()).fit(every="possession").output
+    return out.select(
+        "game_id", "period_id", "possession_id", "id", "team_id", "position", "formation"
+    )

@@ -778,6 +778,41 @@ def f3_math_ops(spark, sf_dir):
 
 
 @query(
+    "w7_row_index",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rn
+    FROM supplier
+    """,
+)
+def w7_row_index(spark, sf_dir):
+    """W7 row index (utils.py:59-65) with a deterministic global ordering."""
+    s = read_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return s.select("s_suppkey", "s_name", F.row_number().over(w).cast("long").alias("rn"))
+
+
+@query(
+    "f6_array_ops",
+    oracle="""
+    SELECT vec_id, len(embedding) AS dim,
+           ROUND(embedding[1]::DOUBLE, 6) AS first_val,
+           ROUND(list_max(embedding::DOUBLE[]), 6) AS max_val
+    FROM embeddings
+    """,
+)
+def f6_array_ops(spark, sf_dir):
+    """F6 list/array element access (kloppy_polars.py:601-606)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_val"),
+        F.round(F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 6).alias("max_val"),
+    )
+
+
+@query(
     "f4_null_handling",
     oracle="""
     SELECT event_type,
