@@ -153,3 +153,30 @@ def test_graph_sink_roundtrip(spark, tmpdir):
     assert g["x"].shape[0] == 23
     assert g["e"].shape[1] == 6
     assert len(g["object_ids"]) == 23
+
+
+def test_media_staging_and_nearest_frame(spark):
+    from unravelsports_spark.sources.media import collect_frame, nearest_frame, plot_frame
+
+    tracking = synthetic_tracking_df(spark, n_frames=10, seed=4)
+    staged = collect_frame(tracking, "game_0", 3)
+    assert len(staged["id"]) == 23
+    assert nearest_frame(tracking, "game_0", 3 * 40 + 5) == 3
+    with pytest.raises((ImportError, NotImplementedError)):
+        plot_frame(tracking, "game_0", 3)
+    with pytest.raises(ValueError):
+        collect_frame(tracking, "game_0", 999)
+
+
+def test_gnn_loader_batches(spark):
+    from unravelsports_spark.models.gnn import build_crystal_gnn, graph_loader
+
+    tracking = synthetic_tracking_df(spark, n_frames=7, seed=5)
+    gdf = SoccerGraphConverter(
+        tracking, GraphSettings(home_team_id=HOME, away_team_id=AWAY)
+    ).to_graph_frames()
+    batches = list(graph_loader(gdf, batch_size=3))
+    assert [len(b) for b in batches] == [3, 3, 1]
+    assert batches[0][0]["x"].shape[1] == 15
+    with pytest.raises(ImportError):
+        build_crystal_gnn(15, 6)

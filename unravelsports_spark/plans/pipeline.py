@@ -270,6 +270,83 @@ def s_ann_bruteforce(spark, sf_dir):
     return cosine_topk(emb, [float(v) for v in qvec], k=10)
 
 
+@query(
+    "s_ann_top_pairs",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 100)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def s_ann_top_pairs(spark, sf_dir):
+    """Pairwise near-duplicate detection over embeddings (the embedding-cosine
+    near-dup path): exact top-20 most-similar pairs in a bounded subset."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    sub = emb.select("vec_id", e.alias("e"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                dot(F.col("a.e"), F.col("b.e"))
+                / (F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@query(
+    "f9_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def f9_json_extract(spark, sf_dir):
+    """JSON scalar extraction from the props column (beyond the reference's
+    surface — JSON only appears as a test fixture there)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "o12_row_synthesis",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_rows, CAST(SUM(i) AS BIGINT) AS sum_i
+    FROM nation, LATERAL unnest(generate_series(1, n_nationkey % 5 + 1)) AS t(i)
+    GROUP BY n_name
+    """,
+)
+def o12_row_synthesis(spark, sf_dir):
+    """O12 padding-style row synthesis: per-key sequence/explode generation
+    (the scalable form of the reference's padding loop,
+    graph_converter.py:240-440)."""
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        n.withColumn("i", F.explode(F.sequence(F.lit(1), F.col("n_nationkey") % 5 + 1)))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_rows"), F.sum("i").alias("sum_i"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of join (J8)
 # ---------------------------------------------------------------------------
