@@ -27,7 +27,7 @@ from ..operators.text import (
     with_token_count,
 )
 from ..session import read_table
-from .relational import ORACLE_SQL, QUERIES, dec, ms, query
+from .relational import ORACLE_SQL, QUERIES, dec, dsum, ms, query
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -308,6 +308,165 @@ def s_ann_top_pairs(spark, sf_dir):
     )
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _dot_col(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _cos_col(a, b):
+    return _dot_col(a, b) / (F.sqrt(_dot_col(a, a)) * F.sqrt(_dot_col(b, b)))
+
+
+def _emb(spark, sf_dir, extra_cols=()):
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select("vec_id", *extra_cols, e.alias("v"))
+
+
+@query(
+    "d_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT b.vec_id AS b_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= 0.4),
+    removed AS (SELECT DISTINCT b_id FROM pairs)
+    SELECT e.label, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN r.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM e LEFT JOIN removed r ON e.vec_id = r.b_id
+    GROUP BY e.label
+    """,
+)
+def d_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate removal: a vector is dropped when any
+    lower-id vector is within cosine >= 0.4; per-label survivor stats. The
+    all-pairs join here is the exact small-N oracle path — at corpus scale the
+    candidate set is pruned first by an LSH sign-bucket (see s_ann_lsh /
+    operators/similarity.py) so only same-bucket pairs meet the cosine."""
+    e = _emb(spark, sf_dir, extra_cols=("label",))
+    a, b = e.alias("a"), e.alias("b")
+    removed = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(_cos_col(F.col("a.v"), F.col("b.v")) >= 0.4)
+        .select(F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    return (
+        e.join(removed, e.vec_id == removed.b_id, "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("b_id").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+
+
+@query(
+    "s_ann_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v AS p FROM e WHERE vec_id BETWEEN 1 AND 4),
+    buckets AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+                           THEN 1 << (p.plane_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+    be AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id),
+    q AS (SELECT bucket AS qbucket, v AS qv FROM be WHERE vec_id = 0)
+    SELECT be.vec_id, ROUND({_cos_sql('be.v', 'q.qv')}, 6) AS cosine
+    FROM be, q WHERE be.bucket = q.qbucket
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def s_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path for similarity search): 4 hyperplanes
+    (here drawn from the data itself so the oracle is expressible in SQL) give
+    a 16-way sign bucket; the query probes only its own bucket, so the cosine
+    is evaluated on ~1/16 of the corpus. Planes and the single query row are
+    broadcast; the corpus side is never shuffled."""
+    e = _emb(spark, sf_dir)
+    planes = e.filter(F.col("vec_id").between(1, 4)).select(
+        F.col("vec_id").alias("plane_id"), F.col("v").alias("p")
+    )
+    buckets = (
+        e.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(_dot_col(F.col("v"), F.col("p")) > 0,
+                       F.expr("shiftleft(1, cast(plane_id as int) - 1)")).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+    be = e.join(buckets, "vec_id")
+    q = be.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
+    )
+    return (
+        be.crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", F.round(_cos_col(F.col("v"), F.col("qv")), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "s_ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+      FROM e CROSS JOIN c),
+    cells AS (SELECT vec_id, v, cid AS cell FROM scored WHERE rn = 1),
+    q AS (SELECT cell AS qcell, v AS qv FROM cells WHERE vec_id = 7)
+    SELECT cells.vec_id, ROUND({_cos_sql('cells.v', 'q.qv')}, 6) AS cosine
+    FROM cells, q WHERE cells.cell = q.qcell
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def s_ann_ivf(spark, sf_dir):
+    """IVF ANN: a small deterministic centroid set (every 50th vector — the
+    k-means fit lives in operators/similarity.py; fixed seeds here keep the
+    oracle expressible) partitions the corpus into cells via a broadcast
+    nearest-centroid argmax; the query scans only its own cell."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    c = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        _cos_col(F.col("v"), F.col("cv")).desc(), F.col("cid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    q = cells.filter(F.col("vec_id") == 7).select(
+        F.col("cell").alias("qcell"), F.col("v").alias("qv")
+    )
+    return (
+        cells.crossJoin(F.broadcast(q))
+        .filter(F.col("cell") == F.col("qcell"))
+        .select("vec_id", F.round(_cos_col(F.col("v"), F.col("qv")), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @query(
     "f9_json_extract",
     oracle="""
@@ -379,4 +538,111 @@ def j8_asof_join(spark, sf_dir):
     return joined.select(
         "event_id", "user_id", ms("ts").alias("purchase_ms"),
         F.col("view_event_id_right").alias("view_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-semantics windows over the events table (SURVEY §2.9) — the same
+# F.window / F.session_window expressions run unchanged under readStream
+# (streaming/windows.py); here they are batch queries with exact oracles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_sliding_window",
+    oracle="""
+    WITH w AS (
+      SELECT CAST((FLOOR(epoch(ts) / 300) - k) * 300000 AS BIGINT) AS win_start_ms, value
+      FROM events, LATERAL unnest([0, 1]) AS t(k))
+    SELECT win_start_ms, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY win_start_ms
+    """,
+)
+def st_sliding_window(spark, sf_dir):
+    """Sliding window (10 min, slide 5 min): each event lands in exactly two
+    epoch-aligned windows. Spark's F.window generator is the streaming-native
+    form; the oracle enumerates the same windows with epoch arithmetic."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"), "n_events", "sum_value"
+        )
+    )
+
+
+@query(
+    "st_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 60 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st_session_window(spark, sf_dir):
+    """Gap-based session window (60 min) per user — Spark's F.session_window
+    in batch mode; identical semantics to the reference's lag+cumsum
+    sessionization (efpi.py:553-571) when the gap predicate replaces the
+    value-change predicate. The oracle is exactly that formulation."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "60 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 label join (utils.py:41-70): per-group labels joined back. The
+# reference's labels are seeded-random; ours are a deterministic 60-bit hash
+# (same md5 scheme as dedup) so the oracle is exact while the join shape —
+# distinct keys → labels → broadcast join back — is identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j6_label_join",
+    oracle="""
+    WITH labels AS (
+      SELECT c_custkey,
+             CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS label
+      FROM customer)
+    SELECT l.label, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN labels l ON o.o_custkey = l.c_custkey
+    GROUP BY l.label
+    """,
+)
+def j6_label_join(spark, sf_dir):
+    from ..operators.dedup import hash64
+
+    cust = read_table(spark, sf_dir, "customer")
+    labels = cust.select(
+        "c_custkey", (hash64(F.col("c_custkey").cast("string")) % 2).alias("label")
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(labels), orders.o_custkey == labels.c_custkey)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )
