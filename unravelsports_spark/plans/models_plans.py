@@ -63,3 +63,40 @@ def m_efpi_possession(spark, sf_dir):
     return out.select(
         "game_id", "period_id", "possession_id", "id", "team_id", "position", "formation"
     )
+
+
+@query("m_savgol_events")
+def m_savgol_events(spark, sf_dir):
+    """W6 Savitzky–Golay smoothing (kloppy_polars.py:313-380) applied as a
+    grouped Arrow kernel to each user's value series over the events table —
+    a polynomial fit per centered window, not expressible as a SQL frame
+    aggregate, hence rows-only. Partition key = user_id: at 100 TB this is
+    the same one-shuffle-then-embarrassingly-parallel shape as kinematics."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..functions.savgol import savgol_filter
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value_smooth", T.DoubleType()),
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value_smooth": savgol_filter(pdf["value"].to_numpy(), 7, 1).round(6),
+            }
+        )
+
+    from ..session import read_table
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return events.groupBy("user_id").applyInPandas(smooth, schema)

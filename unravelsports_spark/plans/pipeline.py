@@ -542,6 +542,48 @@ def j8_asof_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# multimodal plumbing (operators/multimodal.py): binary payload columns
+# decoded via Arrow-batched mapInPandas. The deterministic hash pseudo-decoder
+# makes even this path oracle-checkable: DuckDB recomputes the same md5-derived
+# metadata from the payload bytes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode_stats",
+    oracle="""
+    WITH m AS (SELECT source, md5(text) AS h FROM documents),
+    d AS (SELECT source,
+                 64 + CAST(('0x' || substring(h, 1, 2)) AS INT) % 64 AS w,
+                 64 + CAST(('0x' || substring(h, 3, 2)) AS INT) % 64 AS ht
+          FROM m)
+    SELECT source, COUNT(*) AS n_images,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(ht) AS BIGINT) AS sum_height,
+           MIN(w) AS min_width, MAX(ht) AS max_height
+    FROM d GROUP BY source
+    """,
+)
+def mm_decode_stats(spark, sf_dir):
+    """Multimodal decode pipeline end-to-end: text bytes stand in for image
+    payloads (binary column), mapInPandas fake-decode derives (width, height)
+    from the payload hash, and the aggregate never touches the blob column
+    after decode. A real codec slots into the same plumbing unchanged."""
+    from ..operators.multimodal import decode_images
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select("source", F.encode("text", "UTF-8").alias("payload"))
+    decoded = decode_images(media, fake=True)
+    return decoded.groupBy("source").agg(
+        F.count("*").alias("n_images"),
+        F.sum("dec_width").alias("sum_width"),
+        F.sum("dec_height").alias("sum_height"),
+        F.min("dec_width").alias("min_width"),
+        F.max("dec_height").alias("max_height"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming-semantics windows over the events table (SURVEY §2.9) — the same
 # F.window / F.session_window expressions run unchanged under readStream
 # (streaming/windows.py); here they are batch queries with exact oracles.

@@ -102,6 +102,74 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p1_p2_project_filter",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name AS name,
+             NULLIF(p_size % 7, 0) AS size_bucket,
+             NULLIF(p_partkey % 5, 0) AS key_bucket
+      FROM part)
+    SELECT p_partkey, name, size_bucket, key_bucket
+    FROM p WHERE NOT (size_bucket IS NULL AND key_bucket IS NULL)
+    """,
+)
+def p1_p2_project_filter(spark, sf_dir):
+    """P1 select/rename/drop + P2 both-null-predicate row drop (the
+    kloppy_polars.py:893-894 pattern: drop temp cols, then drop rows whose
+    coordinates are all null). Nulls are synthesized via NULLIF since the
+    star tables are dense."""
+    p = read_table(spark, sf_dir, "part")
+    proj = p.select(
+        "p_partkey",
+        F.col("p_name").alias("name"),
+        F.nullif(F.col("p_size") % 7, F.lit(0)).alias("size_bucket"),
+        F.nullif(F.col("p_partkey") % 5, F.lit(0)).alias("key_bucket"),
+    )
+    return proj.filter(~(F.col("size_bucket").isNull() & F.col("key_bucket").isNull()))
+
+
+@query(
+    "f7_f8_conditional_literals",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN
+                       CASE WHEN c_mktsegment = 'BUILDING' THEN 'mid_building' ELSE 'mid' END
+                  ELSE 'high' END AS tier,
+             CAST(NULL AS DOUBLE) AS missing,
+             c_acctbal
+      FROM customer)
+    SELECT tier, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           MAX(missing) AS max_missing
+    FROM t GROUP BY tier
+    """,
+)
+def f7_f8_conditional_literals(spark, sf_dir):
+    """F7 nested 3-branch CASE WHEN (the is_qb shape,
+    american_football/graphs/features/node_features.py:100-108) + F8 typed
+    null literal (lit(None).cast, kloppy_polars.py:548-552)."""
+    c = read_table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(
+            F.col("c_acctbal") < 5000,
+            F.when(F.col("c_mktsegment") == "BUILDING", "mid_building").otherwise("mid"),
+        )
+        .otherwise("high")
+    )
+    return (
+        c.select(tier.alias("tier"), F.lit(None).cast("double").alias("missing"), "c_acctbal")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("sum_bal"),
+            F.max("missing").alias("max_missing"),
+        )
+    )
+
+
+@query(
     "p3_filter_eq",
     oracle="""
     SELECT l_linestatus, COUNT(*) AS cnt,

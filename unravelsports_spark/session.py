@@ -26,6 +26,10 @@ def get_spark(app_name: str = "unravelsports-spark", shuffle_partitions: int | N
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the target advisory size rather than keeping max
+        # parallelism — fewer, fuller reducers (recommended production
+        # setting; also trims task-scheduling overhead on local[N])
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
