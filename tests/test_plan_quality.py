@@ -58,3 +58,43 @@ def test_single_shuffle_for_model_kernel(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # exactly one exchange: the groupBy on (game, period, chunk)
     assert plan.count("Exchange") == 1
+
+
+def test_ann_lsh_broadcasts_planes_and_query(spark):
+    plan = plan_of(spark, "s_ann_lsh")
+    # planes and the single query row ship as broadcasts; the corpus side is
+    # never the build side of a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_ivf_broadcasts_centroids(spark):
+    plan = plan_of(spark, "s_ann_ivf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_label_join_broadcast(spark):
+    plan = plan_of(spark, "j6_label_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_p1_p2_column_pruning(spark):
+    plan = plan_of(spark, "p1_p2_project_filter")
+    # only p_partkey, p_name, p_size of part's 9 columns reach the scan
+    assert "p_retailprice" not in plan
+    assert "p_comment" not in plan
+
+
+def test_multimodal_scan_pruning(spark):
+    plan = plan_of(spark, "mm_decode_stats")
+    # decode pipeline reads only (source, text); doc metadata never scanned
+    assert "n_chars" not in plan
+    assert "doc_id" not in plan
+
+
+def test_sliding_window_partial_agg(spark):
+    plan = plan_of(spark, "st_sliding_window")
+    # window generation must not break map-side combine
+    assert "partial_count" in plan or "partial_sum" in plan
