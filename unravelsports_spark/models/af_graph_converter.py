@@ -23,6 +23,7 @@ from ..functions.af_kernels import (
     compute_af_edge_features,
     compute_af_node_features,
 )
+from ..session import repartition_for_kernel
 from ..settings import AmericanFootballGraphSettings
 from .graph_converter import graph_frames_schema
 
@@ -120,10 +121,14 @@ class AmericanFootballGraphConverter:
             return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
         chunk = (F.col("frame_id") / self.frames_per_batch).cast("long")
-        return (
+        keys = ["game_id", "period_id", "_chunk"]
+        staged = (
             df.select(*kernel_cols)
             .withColumn("_sort_key", sort_key)
             .withColumn("_chunk", chunk)
-            .groupBy("game_id", "period_id", "_chunk")
+        )
+        return (
+            repartition_for_kernel(staged, keys)
+            .groupBy(*keys)
             .applyInPandas(run_batch, schema=schema)
         )

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 from ..functions.assignment import linear_sum_assignment
 from ..schema import BALL, Column, Group
+from ..session import repartition_for_kernel
 from ..settings import DefaultSettings
 from .formations import Formations
 
@@ -329,7 +330,11 @@ class EFPI:
         cols = [Column.GAME_ID, Column.PERIOD_ID, Column.FRAME_ID, Column.X, Column.Y,
                 Column.TEAM_ID, Column.BALL_OWNING_TEAM_ID, Column.OBJECT_ID,
                 Column.POSITION_NAME]
-        return df.select(*cols).groupBy(Column.GAME_ID).applyInPandas(kernel, schema)
+        return (
+            repartition_for_kernel(df.select(*cols), [Column.GAME_ID])
+            .groupBy(Column.GAME_ID)
+            .applyInPandas(kernel, schema)
+        )
 
     def _fit_segments(self, seg_df: DataFrame, forms_cfg, state_cfg, seg_col) -> DataFrame:
         pitch = self.settings.pitch_dimensions
@@ -376,4 +381,8 @@ class EFPI:
                     out.append(tuple(row))
             return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
-        return seg_df.groupBy(Column.GAME_ID).applyInPandas(kernel, schema)
+        return (
+            repartition_for_kernel(seg_df, [Column.GAME_ID])
+            .groupBy(Column.GAME_ID)
+            .applyInPandas(kernel, schema)
+        )

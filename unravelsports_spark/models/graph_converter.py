@@ -43,6 +43,7 @@ from ..functions.graph_features import (
     verify_feature_funcs,
 )
 from ..schema import BALL, Column, Group
+from ..session import repartition_for_kernel
 from ..settings import GraphSettings
 
 MATRIX = T.ArrayType(T.ArrayType(T.DoubleType()))
@@ -290,10 +291,14 @@ class SoccerGraphConverter:
             return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
         chunk = (F.col(Column.FRAME_ID) / self.frames_per_batch).cast("long")
-        return (
+        keys = [Column.GAME_ID, Column.PERIOD_ID, "_chunk"]
+        staged = (
             df.select(*kernel_cols)
             .withColumn("_sort_key", sort_key)
             .withColumn("_chunk", chunk)
-            .groupBy(Column.GAME_ID, Column.PERIOD_ID, "_chunk")
+        )
+        return (
+            repartition_for_kernel(staged, keys)
+            .groupBy(*keys)
             .applyInPandas(run_batch, schema=schema)
         )

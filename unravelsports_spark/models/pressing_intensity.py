@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.intercept import probability_to_intercept, time_to_intercept
 from ..schema import BALL, Column, Group
+from ..session import repartition_for_kernel
 from ..settings import DefaultSettings
 
 _RESULT_SCHEMA = T.StructType(
@@ -264,11 +265,15 @@ class PressingIntensity:
             return pd.DataFrame(out, columns=[f.name for f in _RESULT_SCHEMA.fields])
 
         chunk = (F.col(Column.FRAME_ID) / self.frames_per_batch).cast("long")
-        self.output = (
+        keys = [Column.GAME_ID, Column.PERIOD_ID, "_chunk"]
+        staged = (
             df.select(*_KERNEL_COLS)
             .withColumn("_orient_key", key)
             .withColumn("_chunk", chunk)
-            .groupBy(Column.GAME_ID, Column.PERIOD_ID, "_chunk")
+        )
+        self.output = (
+            repartition_for_kernel(staged, keys)
+            .groupBy(*keys)
             .applyInPandas(run_batch, schema=_RESULT_SCHEMA)
         )
         return self

@@ -64,3 +64,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(table_path(sf_dir, name))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def repartition_for_kernel(df, keys):
+    """Pin an explicit hash partitioning on the grouped-map kernel keys.
+
+    Python kernel stages are CPU-bound per group, not byte-bound; AQE's
+    byte-based partition coalescing would happily pack a few-MB shuffle into
+    one task and serialize all kernel work. An explicit numPartitions is
+    exempt from AQE coalescing, and hash-partitioning on exactly the groupBy
+    keys means the following groupBy reuses the exchange (no second shuffle).
+    On a cluster defaultParallelism is the executor-core total, so the same
+    call scales out unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *[F.col(k) for k in keys])
