@@ -80,9 +80,23 @@ def compute_adjacency_matrix(settings, **kw) -> np.ndarray:
     elif atype == "split_by_team":
         adj = (team[:, None] == team[None, :]).astype(np.int32)
     elif atype == "delaunay":
-        # Matches the reference's Polars path: not implemented there either
-        # (adjacency_matrix_pl.py:32-33). Needs scipy.spatial, absent here.
-        raise NotImplementedError("Delaunay adjacency not implemented (parity with reference)")
+        # K3 (reference legacy API adjacency_matrix.py:60-125; the Polars
+        # path raises NotImplementedError). Triangulate valid player
+        # positions; ball connectivity is applied by the shared ctype block
+        # below; no player self-loops, ball self-loop per settings.
+        from .delaunay import delaunay_edges
+
+        pts = np.stack((kw["x"], kw["y"]), axis=-1)
+        player = team != ball_id
+        valid = player & ~np.isnan(pts).any(axis=1)
+        idx = np.where(valid)[0]
+        adj = np.zeros((n, n), dtype=np.int32)
+        if len(idx) >= 2:
+            edges = delaunay_edges(pts[idx])
+            if len(edges):
+                src, dst = idx[edges[:, 0]], idx[edges[:, 1]]
+                adj[src, dst] = 1
+                adj[dst, src] = 1
     else:
         raise NotImplementedError(f"unknown adjacency_matrix_type {atype!r}")
 
@@ -96,6 +110,12 @@ def compute_adjacency_matrix(settings, **kw) -> np.ndarray:
             if bc is not None:
                 adj[bc, ball_mask[bc, :]] = 1
                 adj[ball_mask[:, bc], bc] = 1
+    if atype == "delaunay":
+        # reference delaunay path: ball self-loop is opt-in (b =
+        # self_loop_ball, adjacency_matrix.py:122-124), overriding whatever
+        # the connect block wrote on the diagonal
+        ball_rows = np.where(team == ball_id)[0]
+        adj[ball_rows, ball_rows] = 1 if getattr(settings, "self_loop_ball", False) else 0
     return adj
 
 
