@@ -100,3 +100,19 @@ def m_savgol_events(spark, sf_dir):
 
     events = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     return events.groupBy("user_id").applyInPandas(smooth, schema)
+
+
+@query("m_graph_convert_delaunay")
+def m_graph_convert_delaunay(spark, sf_dir):
+    """K3 Delaunay adjacency through the full graph pipeline (pure-NumPy
+    Bowyer-Watson inside the grouped kernel; functions/delaunay.py)."""
+    gs = GraphSettings(
+        home_team_id=HOME, away_team_id=AWAY,
+        adjacency_matrix_type="delaunay", adjacency_matrix_connect_type="ball",
+    )
+    out = SoccerGraphConverter(_tracking(spark), gs).to_graph_frames()
+    return out.select(
+        "game_id", "period_id", "frame_id",
+        "a_shape_0", "e_shape_0", "e_shape_1", "x_shape_0", "x_shape_1",
+        F.round(F.col("x")[0][0], 6).alias("x_00"),
+    )
