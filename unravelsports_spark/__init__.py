@@ -19,4 +19,34 @@ file:line citations in docstrings identify the *behavior* being matched.
 
 __version__ = "0.1.0"
 
-from .session import get_spark  # noqa: F401
+# Flat public API mirroring the reference's `from unravel import *` surface
+# (/root/reference/unravel/__init__.py:1): a reference user finds the same
+# entry points at the same altitude.
+from .datasets.bdb import BigDataBowlDataset  # noqa: F401
+from .datasets.sportec import load_sportec  # noqa: F401
+from .datasets.synthetic import synthetic_tracking_df  # noqa: F401
+from .datasets.tracking import (  # noqa: F401
+    TrackingDataset,
+    split_by_graph_id,
+    split_by_graph_id_stratified,
+)
+from .models.af_graph_converter import AmericanFootballGraphConverter  # noqa: F401
+from .models.efpi import EFPI  # noqa: F401
+from .models.formations import Formations  # noqa: F401
+from .models.graph_converter import SoccerGraphConverter, graph_frames_schema  # noqa: F401
+from .models.pressing_intensity import PressingIntensity, duration  # noqa: F401
+from .session import get_spark, read_table, repartition_for_kernel  # noqa: F401
+from .settings import (  # noqa: F401
+    AmericanFootballGraphSettings,
+    AmericanFootballPitchDimensions,
+    DefaultSettings,
+    GraphSettings,
+    PitchDimensions,
+)
+from .sources.graph_sink import (  # noqa: F401
+    read_graph_frames,
+    to_pyg_data_iter,
+    to_spektral_graph_iter,
+    write_graph_frames,
+)
+from .functions.graph_features import graph_feature  # noqa: F401

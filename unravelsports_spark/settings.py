@@ -87,6 +87,14 @@ class GraphSettings(DefaultSettings):
     defending_team_node_value: float = 0.1
     non_potential_receiver_node_value: float = 0.1
 
+    def __post_init__(self):
+        # reference clamps to [0, 1] (graph_settings.py:48-52); same for the
+        # defending-team value which shares the 0..1 feature range
+        self.non_potential_receiver_node_value = min(
+            1.0, max(0.0, self.non_potential_receiver_node_value)
+        )
+        self.defending_team_node_value = min(1.0, max(0.0, self.defending_team_node_value))
+
     @property
     def max_distance(self) -> float:
         p = self.pitch_dimensions
