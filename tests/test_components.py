@@ -1,0 +1,59 @@
+"""Connected components (large-star/small-star) vs driver-side union-find."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from unravelsports_spark.operators.components import connected_components
+
+
+def _union_find(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    comp = {}
+    for v in range(n):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 30, 25), (2, 60, 80)])
+def test_connected_components_random(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expect = _union_find(n, edges)
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    # non-isolated nodes must match union-find exactly
+    touched = {v for e in edges for v in e}
+    for v in touched:
+        want = expect[v]
+        if want == v and all(expect[u] != v for u in touched if u != v):
+            continue  # singleton after self-loop removal
+        assert got.get(v, v) == want, (v, got.get(v), want)
+
+
+def test_connected_components_chain(spark):
+    # worst case for naive propagation: one long path (log-round convergence)
+    edges = [(i, i + 1) for i in range(16)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert all(got[v] == 0 for v in range(1, 17))

@@ -1,0 +1,73 @@
+"""Connected components over candidate-pair edges, in pure DataFrame ops.
+
+The missing piece between near-duplicate *pairs* (dedup.py / similarity.py)
+and dedup *decisions*: duplicate pairs form clusters, and each cluster keeps
+one canonical document (its minimum id). This is the GraphX-connected-
+components use case expressed Spark-DataFrame-first (GraphX is JVM/RDD-only
+and not reachable from PySpark).
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014). Each round is two
+hash-shuffles on the node id; rounds converge in O(log² n) — in practice a
+handful — and every step is a plain groupBy/join, so AQE handles skew (a
+celebrity node with millions of neighbors is exactly the skew-join case).
+
+At 100 TB the edge list (LSH candidate pairs) is many orders smaller than
+the corpus, so this runs on the pruned pair set, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor to the neighborhood minimum
+    (including self)."""
+    nbr = _sym(edges)
+    m = nbr.groupBy("src").agg(F.min(F.least(F.col("dst"), F.col("src"))).alias("m"))
+    return (
+        nbr.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Point every smaller-or-equal neighbor at the neighborhood minimum."""
+    nbr = _sym(edges).filter(F.col("dst") < F.col("src"))
+    m = nbr.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        nbr.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(m.select(F.col("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 12
+) -> DataFrame:
+    """(src, dst) undirected edges → (id, component) with component = min id
+    reachable. Isolated nodes don't appear (callers left-join and coalesce to
+    the node's own id)."""
+    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # localCheckpoint each round: truncates the exponentially-growing lineage
+    # (the standard pattern for iterative DataFrame algorithms)
+    edges = _sym(edges).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # converged when the edge set is a star forest: no dst is also a src
+        heads = edges.select(F.col("dst").alias("src")).distinct()
+        if edges.join(heads, "src", "left_semi").isEmpty():
+            break
+    return edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))

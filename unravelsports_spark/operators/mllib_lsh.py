@@ -1,0 +1,76 @@
+"""MLlib-backed LSH variants of the similarity/dedup operators.
+
+The hand-rolled operators (similarity.py, dedup.py) are oracle-checkable
+because every hash is expressible in SQL; these MLlib paths trade that for
+the battle-tested distributed implementations Spark ships:
+
+- `brp_ann_topk`: BucketedRandomProjectionLSH (Euclidean) approximate
+  nearest neighbors — multi-probe over numHashTables sign buckets.
+- `minhash_similarity_join`: HashingTF token sets → MinHashLSH
+  approxSimilarityJoin on Jaccard distance — the all-pairs-free
+  near-duplicate join at corpus scale.
+
+Both are seeded and deterministic, so the driver's rows-only check is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dense_vec_col(col: str):
+    from pyspark.ml.functions import array_to_vector
+
+    return array_to_vector(F.transform(col, lambda x: x.cast("double")))
+
+
+def brp_ann_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors
+
+    feats = df.select(id_col, _dense_vec_col(emb_col).alias("features"))
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_tables, seed=seed,
+    ).fit(feats)
+    q = Vectors.dense([float(v) for v in query_vec])
+    return (
+        model.approxNearestNeighbors(feats, q, k)
+        .select(id_col, F.round("distCol", 6).alias("distance"))
+    )
+
+
+def minhash_similarity_join(
+    df: DataFrame,
+    max_jaccard_distance: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1 << 16,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(id_col, F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(toks).filter(F.size("tokens") > 0)
+    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=seed).fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

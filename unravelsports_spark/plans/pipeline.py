@@ -225,6 +225,34 @@ def d_lsh_candidate_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
+@query(
+    "d_dup_clusters",
+    oracle="WITH RECURSIVE pairs AS (" + _lsh_sql() + """),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM sym
+                    UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+    SELECT component, COUNT(*) AS n_members
+    FROM comp GROUP BY component
+    """,
+)
+def d_dup_clusters(spark, sf_dir):
+    """Near-duplicate *clusters*: LSH candidate pairs → distributed connected
+    components (alternating large-star/small-star, operators/components.py)
+    → cluster sizes keyed by the minimum doc id. The oracle computes the same
+    closure with a recursive CTE. This is the step that turns pair lists into
+    keep/drop dedup decisions at corpus scale."""
+    from ..operators.components import connected_components
+
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(shingled, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    cc = connected_components(pairs)
+    # cc rows are (member -> component) for non-root members; add the root
+    return cc.groupBy("component").agg((F.count("*") + 1).alias("n_members"))
+
+
 def _simhash_sql(bits: int = 16) -> str:
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}" for b in range(bits)
@@ -464,6 +492,31 @@ def s_ann_ivf(spark, sf_dir):
         .select("vec_id", F.round(_cos_col(F.col("v"), F.col("qv")), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
+    )
+
+
+@query("s_ann_mllib_brp")
+def s_ann_mllib_brp(spark, sf_dir):
+    """MLlib BucketedRandomProjectionLSH ANN (rows-only: the hash family is
+    MLlib-internal, not SQL-expressible; seeded → deterministic)."""
+    from ..operators.mllib_lsh import brp_ann_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brp_ann_topk(emb, [float(v) for v in qvec], k=10)
+
+
+@query("d_mllib_minhash_join")
+def d_mllib_minhash_join(spark, sf_dir):
+    """MLlib MinHashLSH approxSimilarityJoin near-dup pairs (rows-only;
+    seeded). The all-pairs-free Jaccard join at corpus scale."""
+    from ..operators.mllib_lsh import minhash_similarity_join
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        minhash_similarity_join(docs, max_jaccard_distance=0.5)
+        .orderBy("jaccard_dist", "id_a", "id_b")
+        .limit(50)
     )
 
 
