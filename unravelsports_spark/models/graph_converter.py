@@ -42,6 +42,13 @@ from ..functions.graph_features import (
     frame_kwargs,
     verify_feature_funcs,
 )
+from ..functions.graph_features_batch import (
+    BATCHABLE_ADJACENCY,
+    batch_kwargs,
+    compute_adjacency_batch,
+    compute_edge_channels_batch,
+    compute_node_features_batch,
+)
 from ..schema import BALL, Column, Group
 from ..session import repartition_for_kernel
 from ..settings import GraphSettings
@@ -233,6 +240,40 @@ class SoccerGraphConverter:
             graph_id_col, label_col, *global_cols, *extra_cols,
         ]
 
+        # Batched fast path: default features + dense adjacency → vectorize
+        # over same-size frames (graph_features_batch.py; several-fold less
+        # per-frame CPU). Custom plugins / feature opts / delaunay keep the
+        # per-frame plugin contract.
+        use_batch = (
+            node_funcs == list(DEFAULT_NODE_FEATURES)
+            and edge_funcs == list(DEFAULT_EDGE_FEATURES)
+            and not opts
+            and settings.adjacency_matrix_type in BATCHABLE_ADJACENCY
+        )
+
+        def compute_batched(frames: list[dict]) -> list[tuple]:
+            by_n: dict[int, list[int]] = {}
+            for i, d in enumerate(frames):
+                by_n.setdefault(len(d["team_id"]), []).append(i)
+            results: list[tuple] = [None] * len(frames)
+            stack_keys = [
+                "x", "y", "z", "v", "vx", "vy", "vz",
+                "team_id", "position_name", "ball_owning_team_id", "is_ball_carrier",
+            ]
+            for idxs in by_n.values():
+                stacked = {
+                    k: np.stack([frames[i][k] for i in idxs]) for k in stack_keys
+                }
+                bk = batch_kwargs(stacked, settings)
+                adj_b = compute_adjacency_batch(bk, settings)
+                node_b = compute_node_features_batch(bk, settings)
+                edge_b = compute_edge_channels_batch(bk, settings)
+                for j, i in enumerate(idxs):
+                    adj = adj_b[j]
+                    nz = np.where(adj == 1)
+                    results[i] = (adj, np.nan_to_num(edge_b[j][nz]), node_b[j])
+            return results
+
         def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(
                 by=[Column.FRAME_ID, "_sort_key", Column.OBJECT_ID],
@@ -242,7 +283,8 @@ class SoccerGraphConverter:
             frame_ids = pdf[Column.FRAME_ID].to_numpy()
             bounds = np.flatnonzero(np.r_[True, frame_ids[1:] != frame_ids[:-1], True])
             meta = pdf[[Column.GAME_ID, Column.PERIOD_ID, Column.FRAME_ID]]
-            out = []
+
+            frames, starts = [], []
             for s, e in zip(bounds[:-1], bounds[1:]):
                 d = {k: v[s:e] for k, v in arrays.items()}
                 if random_seed is not False and random_seed is not None:
@@ -254,23 +296,37 @@ class SoccerGraphConverter:
                     raise ValueError("graph_id not constant within a frame group")
                 if not prediction and not np.all(d[label_col] == d[label_col][0]):
                     raise ValueError("label not constant within a frame group")
-                fk = frame_kwargs(d, settings)
-                adj = compute_adjacency_matrix(settings, **fk)
-                edge, _ = compute_edge_features(adj, edge_funcs, opts, settings, **fk)
-                node, _ = compute_node_features(node_funcs, opts, settings, **fk)
+                frames.append(d)
+                starts.append(s)
+
+            if use_batch:
+                results = compute_batched(frames)
+            else:
+                results = []
+                for d in frames:
+                    fk = frame_kwargs(d, settings)
+                    adj = compute_adjacency_matrix(settings, **fk)
+                    edge, _ = compute_edge_features(adj, edge_funcs, opts, settings, **fk)
+                    node, _ = compute_node_features(node_funcs, opts, settings, **fk)
+                    results.append((adj, edge, node))
+
+            out = []
+            for s, d, (adj, edge, node) in zip(starts, frames, results):
                 if global_cols:
                     bad = [c for c in global_cols if not np.all(d[c] == d[c][0])]
                     if bad:
                         raise ValueError(f"global feature cols not constant per frame: {bad}")
                     gvals = np.asarray([d[c][0] for c in global_cols], dtype=float)
-                    node = add_global_features(node, gvals, global_type, fk["ball_idx"])
+                    ball_rows = np.where(d["team_id"] == settings.ball_id)[0]
+                    ball_idx = ball_rows if len(ball_rows) else 0
+                    node = add_global_features(node, gvals, global_type, ball_idx)
                 m = meta.iloc[s]
                 label_val = d[label_col][0]
                 out.append(
                     {
                         Column.GAME_ID: m[Column.GAME_ID],
                         Column.PERIOD_ID: m[Column.PERIOD_ID],
-                        "frame_id": int(frame_ids[s]),
+                        "frame_id": int(m[Column.FRAME_ID]),
                         # list-of-rows (ndarray) cells: Arrow consumes these
                         # without a per-element Python round-trip
                         "a": list(adj.astype(float)),
