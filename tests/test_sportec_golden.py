@@ -51,3 +51,74 @@ def test_pi_golden_scalar(sportec, spark):
     # home_away + home owns → rows are home players, columns away players
     assert all(s in ("DFL-CLU-00000P",) or s.startswith("DFL-OBJ") for s in r.rows)
     assert tti[0][0] == pytest.approx(GOLDEN_TTI_00, abs=1e-5)
+
+
+HOME, AWAY = "DFL-CLU-00000P", "DFL-CLU-000005"
+
+
+def _pi_first_row(sportec, **fit_kw):
+    df, settings = sportec
+    model = PressingIntensity(df, settings).fit(**fit_kw)
+    return model.output.orderBy("frame_id").head()
+
+
+def test_pi_teams_include_shapes(sportec):
+    """reference tests/test_soccer.py:567-583: teams/include → 12×11."""
+    r = _pi_first_row(
+        sportec, method="teams", ball_method="include", orient="home_away", speed_threshold=2
+    )
+    assert len(r.rows) == 12 and len(r.columns) == 11
+    tti = np.array(r.time_to_intercept)
+    assert tti.shape == (12, 11)
+    assert np.array(r.probability_to_intercept).shape == (12, 11)
+
+
+def test_pi_teams_exclude_zero_counts(sportec):
+    """reference :585-607: teams/exclude @ speed_threshold=2 → all 121 pti
+    entries zero on frame 0 (nobody over threshold)."""
+    r = _pi_first_row(
+        sportec, method="teams", ball_method="exclude", orient="home_away", speed_threshold=2
+    )
+    pti = np.array(r.probability_to_intercept)
+    assert pti.shape == (11, 11)
+    assert np.count_nonzero(np.isclose(pti, 0.0, atol=1e-5)) == 121
+    assert len(r.rows) == len(r.columns) == 11
+
+
+def test_pi_full_max_shapes_and_row_order(sportec):
+    """reference :609-636: full/max → 22×22, home players first."""
+    r = _pi_first_row(
+        sportec, method="full", ball_method="max", orient="home_away", speed_threshold=2
+    )
+    assert np.array(r.time_to_intercept).shape == (22, 22)
+    assert len(r.rows) == len(r.columns) == 22
+
+
+def test_pi_full_exclude_rows_equal_columns(sportec):
+    """reference :638-656: full/exclude → symmetric identity ordering."""
+    r = _pi_first_row(
+        sportec, method="full", ball_method="exclude", orient="home_away", speed_threshold=2
+    )
+    assert list(r.rows) == list(r.columns)
+    assert np.array(r.time_to_intercept).shape == (22, 22)
+
+
+def test_pi_full_include_ball_owning_golden_zero_count(sportec):
+    """reference :676-717: full/include/ball_owning → 23×23, 527 zero pti
+    entries on frame 0, ball last."""
+    r = _pi_first_row(
+        sportec, method="full", ball_method="include", orient="ball_owning", speed_threshold=2
+    )
+    pti = np.array(r.probability_to_intercept)
+    assert pti.shape == (23, 23)
+    assert np.count_nonzero(np.isclose(pti, 0.0, atol=1e-5)) == 527
+    assert r.rows[22] == "ball"
+
+
+def test_pi_full_include_pressing_shapes(sportec):
+    """reference :719-755: full/include/pressing → 23×23, ball last."""
+    r = _pi_first_row(
+        sportec, method="full", ball_method="include", orient="pressing", speed_threshold=2
+    )
+    assert np.array(r.time_to_intercept).shape == (23, 23)
+    assert len(r.rows) == len(r.columns) == 23
