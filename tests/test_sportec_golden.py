@@ -122,3 +122,46 @@ def test_pi_full_include_pressing_shapes(sportec):
     )
     assert np.array(r.time_to_intercept).shape == (23, 23)
     assert len(r.rows) == len(r.columns) == 23
+
+
+def test_efpi_frame_reference_structure(sportec):
+    """reference tests/test_soccer.py:1336-1415 structural parity on the
+    sportec sample (every='frame', all templates, substitutions='drop').
+    Exact formation strings depend on template coordinates — ours are our
+    own (models/formations.py), a documented divergence — so the assertions
+    here are the template-independent ones: row count, schema, goalkeeper
+    detection, is_attacking ↔ ball possession, one formation per team-frame."""
+    from pyspark.sql import functions as F
+
+    from unravelsports_spark.models.efpi import EFPI
+
+    df, settings = sportec
+    model = EFPI(df, settings).fit(
+        formations=None, every="frame", substitutions="drop",
+        change_threshold=0.0, change_after_possession=True,
+    )
+    out = model.output.cache()
+    assert model.segments is None
+    assert out.columns == [
+        "game_id", "period_id", "frame_id", "id", "team_id",
+        "position", "formation", "ball_owning_team_id", "is_attacking",
+    ]
+    assert out.count() == 483  # 21 frames × 23 objects, ball rows included (ref :1370)
+    single = {r["id"]: r for r in out.filter(F.col("frame_id") == 10018).collect()}
+    # goalkeepers detected for both teams (reference :1402-1414)
+    assert single["DFL-OBJ-0001HW"]["position"] == "GK"
+    assert single["DFL-OBJ-0028FW"]["position"] == "GK"
+    # is_attacking = team owns the ball (ball rows carry null)
+    for r in single.values():
+        if r["team_id"] == "ball":
+            assert r["is_attacking"] is None
+        else:
+            assert r["is_attacking"] == (r["team_id"] == r["ball_owning_team_id"])
+    # exactly one formation per (frame, team)
+    nf = (
+        out.groupBy("frame_id", "team_id")
+        .agg(F.countDistinct("formation").alias("n"))
+        .agg(F.max("n"))
+        .head()[0]
+    )
+    assert nf == 1
