@@ -1,4 +1,4 @@
-"""Pure-NumPy 2-D Delaunay triangulation (Bowyer–Watson).
+"""Pure-NumPy/stdlib 2-D Delaunay triangulation (Bowyer–Watson).
 
 Replaces scipy.spatial.Delaunay for the K3 delaunay adjacency kernel
 (/root/reference/unravel/soccer/graphs/features/adjacency_matrix.py:60-125)
@@ -7,27 +7,96 @@ Replaces scipy.spatial.Delaunay for the K3 delaunay adjacency kernel
 matches scipy's. Degenerate inputs (all collinear) yield an empty edge set
 instead of scipy's QhullError.
 
+Uses the ghost-vertex ("point at infinity") formulation instead of a finite
+super-triangle: a finite super-triangle fails on near-degenerate real
+triangles whose circumradius exceeds the super-triangle extent (the super
+vertices then sit inside the circumcircle and the face is never created).
+A ghost triangle's "circumdisk" is the open half-plane beyond its hull edge
+plus the open edge segment itself, so no placement heuristic exists to get
+wrong. Predicates are evaluated in float with an exact Fraction fallback
+when the result is within rounding error of zero.
+
 n is small (≤ 22 players per frame), so the O(n²) incremental insertion with
-plain-float circumcircle predicates is faster than any vectorized variant.
+scalar predicates is faster than any vectorized variant.
 """
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import numpy as np
 
+_GHOST = -1
 
-def _in_circumcircle(ax, ay, bx, by, cx, cy, px, py) -> bool:
-    """p strictly inside the circumcircle of (a, b, c), any orientation."""
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    """Sign of the cross product (b-a) × (c-a); exact for ties."""
+    t1 = (bx - ax) * (cy - ay)
+    t2 = (by - ay) * (cx - ax)
+    d = t1 - t2
+    m = abs(t1) + abs(t2)
+    if abs(d) > 1e-13 * m:
+        return d
+    ax, ay, bx, by, cx, cy = map(Fraction, (ax, ay, bx, by, cx, cy))
+    e = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    return 0.0 if e == 0 else (1.0 if e > 0 else -1.0)
+
+
+def _incircle(ax, ay, bx, by, cx, cy, px, py) -> float:
+    """Signed in-circumcircle determinant (positive = inside, for a CCW
+    triangle); exact for ties."""
     adx, ady = ax - px, ay - py
     bdx, bdy = bx - px, by - py
     cdx, cdy = cx - px, cy - py
-    det = (
+    t1 = (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+    t2 = (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
+    t3 = (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
+    det = t1 - t2 + t3
+    m = abs(t1) + abs(t2) + abs(t3)
+    if abs(det) > 1e-13 * m:
+        return det
+    ax, ay, bx, by, cx, cy, px, py = map(Fraction, (ax, ay, bx, by, cx, cy, px, py))
+    adx, ady = ax - px, ay - py
+    bdx, bdy = bx - px, by - py
+    cdx, cdy = cx - px, cy - py
+    e = (
         (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
         - (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
         + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
     )
-    orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    return det * orient > 0.0
+    return 0.0 if e == 0 else (1.0 if e > 0 else -1.0)
+
+
+def _in_circumcircle(ax, ay, bx, by, cx, cy, px, py) -> bool:
+    """p strictly inside the circumcircle of (a, b, c), any orientation."""
+    det = _incircle(ax, ay, bx, by, cx, cy, px, py)
+    if det == 0.0:
+        return False
+    orient = _orient(ax, ay, bx, by, cx, cy)
+    return (det > 0.0) == (orient > 0.0) and orient != 0.0
+
+
+def _in_disk(t, px, py, xs, ys) -> bool:
+    """p strictly inside triangle t's (possibly ghost) open circumdisk."""
+    a, b, g = t
+    if g != _GHOST:
+        return _in_circumcircle(xs[a], ys[a], xs[b], ys[b], xs[g], ys[g], px, py)
+    # ghost (a, b, G): real directed hull edge a→b with the exterior on its
+    # left; disk = open left half-plane ∪ open segment (a, b)
+    o = _orient(xs[a], ys[a], xs[b], ys[b], px, py)
+    if o != 0.0:
+        return o > 0.0
+    dx, dy = xs[b] - xs[a], ys[b] - ys[a]
+    dot = (px - xs[a]) * dx + (py - ys[a]) * dy
+    return 0.0 < dot < dx * dx + dy * dy
+
+
+def _canon(t):
+    if t[0] == _GHOST:
+        return (t[1], t[2], _GHOST)
+    if t[1] == _GHOST:
+        return (t[2], t[0], _GHOST)
+    return t
 
 
 def delaunay_triangles(points: np.ndarray) -> list[tuple[int, int, int]]:
@@ -37,38 +106,49 @@ def delaunay_triangles(points: np.ndarray) -> list[tuple[int, int, int]]:
     n = len(pts)
     if n < 3:
         return []
+    xs, ys = pts[:, 0].tolist(), pts[:, 1].tolist()
 
-    center = pts.mean(axis=0)
-    span = float(np.ptp(pts, axis=0).max())
-    m = max(span, 1.0) * 64.0
-    xs = list(pts[:, 0]) + [center[0] - m, center[0] + m, center[0]]
-    ys = list(pts[:, 1]) + [center[1] - m, center[1] - m, center[1] + m]
-
-    tris = [(n, n + 1, n + 2)]
-    for i in range(n):
-        px, py = xs[i], ys[i]
-        bad = [
-            t
-            for t in tris
-            if _in_circumcircle(xs[t[0]], ys[t[0]], xs[t[1]], ys[t[1]], xs[t[2]], ys[t[2]], px, py)
-        ]
-        if not bad:
-            # numerically degenerate (e.g. duplicate point): skip insertion
-            continue
-        boundary: dict[tuple[int, int], int] = {}
-        for t in bad:
-            for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                key = (a, b) if a < b else (b, a)
-                boundary[key] = boundary.get(key, 0) + 1
-        bad_set = set(bad)
-        tris = [t for t in tris if t not in bad_set]
-        for (a, b), cnt in boundary.items():
-            if cnt == 1:
-                tris.append((a, b, i))
-
-    return sorted(
-        tuple(sorted(t)) for t in tris if t[0] < n and t[1] < n and t[2] < n
+    i0 = 0
+    i1 = next((j for j in range(1, n) if xs[j] != xs[i0] or ys[j] != ys[i0]), None)
+    if i1 is None:
+        return []
+    i2 = next(
+        (
+            j
+            for j in range(1, n)
+            if j != i1 and _orient(xs[i0], ys[i0], xs[i1], ys[i1], xs[j], ys[j]) != 0.0
+        ),
+        None,
     )
+    if i2 is None:
+        return []
+    a, b, c = i0, i1, i2
+    if _orient(xs[a], ys[a], xs[b], ys[b], xs[c], ys[c]) < 0:
+        b, c = c, b
+    # one CCW real triangle + a ghost per hull edge (reversed orientation so
+    # every undirected edge appears once per direction across its two faces)
+    tris = {(a, b, c), (b, a, _GHOST), (c, b, _GHOST), (a, c, _GHOST)}
+    seeded = {i0, i1, i2}
+
+    for i in range(n):
+        if i in seeded:
+            continue
+        px, py = xs[i], ys[i]
+        bad = [t for t in tris if _in_disk(t, px, py, xs, ys)]
+        if not bad:
+            # exact duplicate of an existing vertex: skip insertion
+            continue
+        edges = set()
+        for t in bad:
+            edges.add((t[0], t[1]))
+            edges.add((t[1], t[2]))
+            edges.add((t[2], t[0]))
+        boundary = [e for e in edges if (e[1], e[0]) not in edges]
+        tris.difference_update(bad)
+        for u, v in boundary:
+            tris.add(_canon((u, v, i)))
+
+    return sorted(tuple(sorted(t)) for t in tris if t[2] != _GHOST)
 
 
 def delaunay_edges(points: np.ndarray) -> np.ndarray:
