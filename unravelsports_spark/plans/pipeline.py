@@ -741,3 +741,75 @@ def j6_label_join(spark, sf_dir):
         .groupBy("label")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# W6 Savitzky-Golay with an exact oracle: for polyorder 1 the SG filter IS a
+# closed form of (interior) the centered moving average and (edges,
+# mode='interp') a linear least-squares fit over the first/last full window —
+# both ANSI-SQL-expressible (windowed AVG + regr_slope/regr_intercept). The
+# Spark side runs the real kernel (functions/savgol.py, the one the tracking
+# pipeline uses per kloppy_polars.py:313-380); the SQL re-derives the
+# semantics independently, so this cross-checks the kernel itself. round(4)
+# absorbs sub-1e-10 cross-engine summation drift (values are O(100)).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w6_savgol_oracle",
+    oracle=r"""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER w - 1 AS i,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    head AS (
+      SELECT user_id, regr_slope(value, i) AS s, regr_intercept(value, i) AS b
+      FROM ordered WHERE i < 7 GROUP BY user_id
+    ),
+    tail AS (
+      SELECT user_id, regr_slope(value, i - (n - 7)) AS s,
+             regr_intercept(value, i - (n - 7)) AS b
+      FROM ordered WHERE i >= n - 7 GROUP BY user_id
+    )
+    SELECT o.user_id, o.event_id,
+      round(CASE
+        WHEN o.n < 7 THEN o.value
+        WHEN o.i < 3 THEN h.b + h.s * o.i
+        WHEN o.i >= o.n - 3 THEN t.b + t.s * (o.i - (o.n - 7))
+        ELSE o.ma END, 4) AS value_smooth
+    FROM ordered o
+    LEFT JOIN head h USING (user_id)
+    LEFT JOIN tail t USING (user_id)
+    """,
+)
+def w6_savgol_oracle(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.savgol import savgol_filter
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value_smooth", T.DoubleType()),
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value_smooth": savgol_filter(pdf["value"].to_numpy(), 7, 1).round(4),
+            }
+        )
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return events.groupBy("user_id").applyInPandas(smooth, schema)
