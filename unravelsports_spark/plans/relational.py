@@ -485,17 +485,19 @@ def a3_group_stats(spark, sf_dir):
 )
 def a4_argmin_in_group(spark, sf_dir):
     """A4 conditional argmin-within-group (ball-carrier inference):
-    kloppy_polars.py:584-607. Window row_number with a unique tie-break so
-    both engines pick the same row deterministically."""
+    kloppy_polars.py:584-607. min(struct(price, partkey)) is min_by with a
+    deterministic tie-break — identical rows to the oracle's ROW_NUMBER
+    formulation, but it partial-aggregates map-side (no per-group sort
+    shuffle), the shape that survives a 100× scale-up. The window form this
+    replaced remains showcased by w3_rank_topk / w7_row_index."""
     li = read_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_partkey")
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        li.groupBy("l_orderkey")
+        .agg(F.min(F.struct("l_extendedprice", "l_partkey")).alias("m"))
         .select(
             "l_orderkey",
-            F.col("l_partkey").alias("cheapest_part"),
-            F.col("l_extendedprice").alias("min_price"),
+            F.col("m.l_partkey").alias("cheapest_part"),
+            F.col("m.l_extendedprice").alias("min_price"),
         )
     )
 
