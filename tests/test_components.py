@@ -57,3 +57,24 @@ def test_connected_components_chain(spark):
     df = spark.createDataFrame(edges, "id_a int, id_b int")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert all(got[v] == 0 for v in range(1, 17))
+
+
+def test_connected_components_degenerate_inputs(spark):
+    # self-loops and duplicate edges must not break or pollute the output
+    edges = [(1, 1), (2, 3), (3, 2), (2, 3), (4, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {3: 2, 6: 5}
+    # empty edge set -> empty result, no exception
+    empty = spark.createDataFrame([], "id_a int, id_b int")
+    assert connected_components(empty).count() == 0
+
+
+def test_connected_components_two_cliques_bridge(spark):
+    # two cliques joined by one bridge edge collapse to one component
+    k1 = [(a, b) for a in range(0, 5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    df = spark.createDataFrame(k1 + k2 + [(4, 10)], "id_a int, id_b int")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert all(c == 0 for c in got.values())
+    assert set(got) == set(range(1, 5)) | set(range(10, 15))
