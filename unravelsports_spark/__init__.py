@@ -50,3 +50,4 @@ from .sources.graph_sink import (  # noqa: F401
     write_graph_frames,
 )
 from .functions.graph_features import graph_feature  # noqa: F401
+from .streaming.efpi_stream import streaming_formation_detection  # noqa: F401

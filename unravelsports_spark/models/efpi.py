@@ -140,6 +140,32 @@ def _detect_group(d, forms, state_cfg, orientation, home_team_id):
             )
 
 
+def _frames_rows(pdf, forms, state_cfg, orientation, home_id):
+    """Ordered per-frame detection over one game's rows, mutating `forms`
+    hysteresis state (K13) as it goes. Shared by the batch kernel and the
+    Structured Streaming stateful operator (streaming/efpi_stream.py) so the
+    two paths cannot diverge. Returns output tuples (game_id, period_id,
+    frame_id, id, team_id, position, formation, ball_owning_team_id)."""
+    pdf = pdf.sort_values([Column.FRAME_ID, Column.OBJECT_ID], kind="stable")
+    arrays = {c: pdf[c].to_numpy() for c in (
+        "x", "y", "team_id", "ball_owning_team_id", "id", "position_name")}
+    frame_ids = pdf[Column.FRAME_ID].to_numpy()
+    periods = pdf[Column.PERIOD_ID].to_numpy()
+    game = pdf[Column.GAME_ID].iloc[0]
+    bounds = np.flatnonzero(np.r_[True, frame_ids[1:] != frame_ids[:-1], True])
+    out = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        d = {k: v[s:e] for k, v in arrays.items()}
+        _detect_group(d, forms, state_cfg, orientation, home_id)
+        positions, formation_names = forms.lookup(d["id"], d["team_id"])
+        for i in range(e - s):
+            out.append(
+                (game, periods[s], frame_ids[s], d["id"][i], d["team_id"][i],
+                 positions[i], formation_names[i], d["ball_owning_team_id"][i])
+            )
+    return out
+
+
 @dataclass
 class EFPI:
     dataset: DataFrame
@@ -308,23 +334,7 @@ class EFPI:
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             forms = Formations(pl_len, pl_wid, forms_cfg)
-            pdf = pdf.sort_values([Column.FRAME_ID, Column.OBJECT_ID], kind="stable")
-            arrays = {c: pdf[c].to_numpy() for c in (
-                "x", "y", "team_id", "ball_owning_team_id", "id", "position_name")}
-            frame_ids = pdf[Column.FRAME_ID].to_numpy()
-            periods = pdf[Column.PERIOD_ID].to_numpy()
-            game = pdf[Column.GAME_ID].iloc[0]
-            bounds = np.flatnonzero(np.r_[True, frame_ids[1:] != frame_ids[:-1], True])
-            out = []
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                d = {k: v[s:e] for k, v in arrays.items()}
-                _detect_group(d, forms, state_cfg, orientation, home_id)
-                positions, formation_names = forms.lookup(d["id"], d["team_id"])
-                for i in range(e - s):
-                    out.append(
-                        (game, periods[s], frame_ids[s], d["id"][i], d["team_id"][i],
-                         positions[i], formation_names[i], d["ball_owning_team_id"][i])
-                    )
+            out = _frames_rows(pdf, forms, state_cfg, orientation, home_id)
             return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
         cols = [Column.GAME_ID, Column.PERIOD_ID, Column.FRAME_ID, Column.X, Column.Y,
