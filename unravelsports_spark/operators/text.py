@@ -31,6 +31,23 @@ def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens
     return df.withColumn(out, F.size(tokens(text_col)))
 
 
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB oracle) segment identically: contractions, space-prefixed
+# letter/digit runs, punctuation runs. Counts subword-merge INPUT units — the
+# right proxy for LLM token budgeting without a vocab file.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Subword-ish token count via the BPE pre-tokenizer regex (vs the
+    whitespace count of with_token_count). Pure JVM regexp — no UDF."""
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+    )
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/alpha/mean-word-length quality signals plus a
     composite [0,1] score — the usual cheap pre-filters for LLM corpora."""

@@ -813,3 +813,42 @@ def w6_savgol_oracle(spark, sf_dir):
 
     events = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     return events.groupBy("user_id").applyInPandas(smooth, schema)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (north-star text-analysis item): the GPT-2
+# pre-tokenizer regex, counted JVM-side (regexp_extract_all, no UDF). The
+# pattern is lookahead-free so Java regex and DuckDB's RE2 segment the corpus
+# identically (verified exact on all docs).
+# ---------------------------------------------------------------------------
+
+def _bpe_stats_sql() -> str:
+    from ..operators.text import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+             len(regexp_extract_all(text, '{pat}')) AS n_bpe
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           MIN(n_bpe) AS min_bpe, MAX(n_bpe) AS max_bpe
+    FROM t GROUP BY lang
+    """
+
+
+@query("t_bpe_token_stats", oracle=_bpe_stats_sql())
+def t_bpe_token_stats(spark, sf_dir):
+    from ..operators.text import with_bpe_token_count
+
+    d = with_bpe_token_count(with_token_count(read_table(spark, sf_dir, "documents")))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("ws_tokens"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        F.min("n_bpe_tokens").cast("long").alias("min_bpe"),
+        F.max("n_bpe_tokens").cast("long").alias("max_bpe"),
+    )
