@@ -138,6 +138,19 @@ def test_multimodal_plumbing(spark):
     sampled = sample_video_frames(frames_df, every_n=10).head()
     assert len(sampled.frames) == 3  # indices 0, 10, 20
 
+    from unravelsports_spark.operators.multimodal import resize_images
+
+    with pytest.raises(NotImplementedError):
+        resize_images(df, 32, 32).collect()
+    rs = resize_images(df, 32, 48, fake=True).collect()
+    assert all(r.width == 32 and r.height == 48 for r in rs)
+    # schema unchanged, payload deterministic, distinct per source payload
+    assert resize_images(df, 32, 48, fake=True).schema == df.schema
+    assert [bytes(r.payload) for r in rs] == [
+        bytes(r.payload) for r in resize_images(df, 32, 48, fake=True).collect()
+    ]
+    assert len({bytes(r.payload) for r in rs}) == len(rs)
+
 
 def test_graph_sink_roundtrip(spark, tmpdir):
     tracking = synthetic_tracking_df(spark, n_frames=6, seed=2)

@@ -102,6 +102,42 @@ def extract_image_features(
     return df.mapInPandas(run, schema)
 
 
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """payload → resized payload + (width, height) overwritten to the target.
+    A real implementation decodes, resamples, and re-encodes inside the same
+    mapInPandas batch loop; the fake path re-encodes deterministically as
+    md5(payload || WxH) so downstream stages (dedup by payload hash, size
+    filters) see a stable, size-annotated blob."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True"
+        )
+    if target_width <= 0 or target_height <= 0:
+        raise ValueError("target dimensions must be positive")
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"{target_width}x{target_height}".encode()
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[payload_col] = [
+                hashlib.md5(bytes(p) + tag).digest() for p in pdf[payload_col]
+            ]
+            if "width" in pdf.columns:
+                pdf["width"] = np.int32(target_width)
+            if "height" in pdf.columns:
+                pdf["height"] = np.int32(target_height)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def sample_video_frames(
     df: DataFrame, frames_col: str = "frames", every_n: int = 10
 ) -> DataFrame:
