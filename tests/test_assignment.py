@@ -97,3 +97,53 @@ def test_savgol_matches_naive_least_squares(n, window, poly, seed):
     got = savgol_filter(x, window, poly)
     want = _savgol_naive(x, window, poly)
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# TTI/PTI kernel properties (beyond the single golden scalar)
+# ---------------------------------------------------------------------------
+
+from unravelsports_spark.functions.intercept import (  # noqa: E402
+    probability_to_intercept,
+    time_to_intercept,
+)
+
+
+@given(seed=st.integers(0, 10_000), m=st.integers(1, 8), n=st.integers(1, 8))
+@hyp_settings(max_examples=40, deadline=None)
+def test_tti_stationary_reduces_to_distance(seed, m, n):
+    """With zero velocities and no reaction time, TTI is pure travel time:
+    distance / vmax (the angle term vanishes with |u| = 0)."""
+    rng = np.random.default_rng(seed)
+    p1 = rng.uniform(-50, 50, (n, 3))
+    p2 = rng.uniform(-50, 50, (m, 3))
+    t = time_to_intercept(p1, p2, np.zeros((n, 3)), np.zeros((m, 3)), 0.0, 13.0)
+    want = np.linalg.norm(p2[:, None, :] - p1[None, :, :], axis=-1) / 13.0
+    np.testing.assert_allclose(t, want, rtol=1e-9)
+
+
+@given(seed=st.integers(0, 10_000))
+@hyp_settings(max_examples=40, deadline=None)
+def test_tti_monotone_in_reaction_time_and_pti_monotone(seed):
+    rng = np.random.default_rng(seed)
+    n, m = 5, 4
+    p1, p2 = rng.uniform(-50, 50, (n, 3)), rng.uniform(-50, 50, (m, 3))
+    v1, v2 = rng.uniform(-5, 5, (n, 3)), rng.uniform(-5, 5, (m, 3))
+    t0 = time_to_intercept(p1, p2, v1, v2, 0.0, 13.0)
+    # longer reaction delays interception whenever the presser's drift during
+    # the reaction doesn't shorten the remaining distance by more than rt*vmax;
+    # the additive rt term guarantees t(rt) >= t(0) + rt - drift/vmax >= t(0)
+    # when v1 = 0
+    t1 = time_to_intercept(p1, p2, np.zeros((n, 3)), v2, 0.7, 13.0)
+    t1b = time_to_intercept(p1, p2, np.zeros((n, 3)), v2, 0.0, 13.0)
+    assert np.all(t1 >= t1b + 0.7 - 1e-12)
+    # PTI is a decreasing function of TTI, bounded in [0, 1]
+    p = probability_to_intercept(t0, 0.45, 1.5)
+    assert np.all((p >= 0) & (p <= 1))
+    flat = probability_to_intercept(np.sort(t0, axis=None), 0.45, 1.5)
+    assert np.all(np.diff(flat) <= 1e-12)
+
+
+def test_pti_threshold_midpoint():
+    # tti exactly at the threshold -> probability exactly 0.5
+    assert probability_to_intercept(np.array([[1.5]]), 0.45, 1.5)[0, 0] == 0.5
