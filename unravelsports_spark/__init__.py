@@ -49,5 +49,13 @@ from .sources.graph_sink import (  # noqa: F401
     to_spektral_graph_iter,
     write_graph_frames,
 )
-from .functions.graph_features import graph_feature  # noqa: F401
+from .functions.graph_features import (  # noqa: F401
+    add_global_features,
+    compute_adjacency_matrix,
+    compute_edge_features,
+    compute_node_features,
+    graph_feature,
+)
+from .functions.delaunay import delaunay_edges, delaunay_triangles  # noqa: F401
+from .models.gnn import build_crystal_gnn, graph_loader  # noqa: F401
 from .streaming.efpi_stream import streaming_formation_detection  # noqa: F401
