@@ -98,3 +98,14 @@ def test_sliding_window_partial_agg(spark):
     plan = plan_of(spark, "st_sliding_window")
     # window generation must not break map-side combine
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_a4_argmin_partial_agg_no_window(spark):
+    # min(struct) argmin partial-aggregates map-side (struct buffers force
+    # SortAggregate, but the sort is group-key-only and the exchange carries
+    # one pre-aggregated row per group) and must never plan a Window
+    plan = plan_of(spark, "a4_argmin_in_group")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    # partial agg sits upstream of (deeper than) the exchange
+    assert plan.index("partial_min") > plan.index("Exchange")

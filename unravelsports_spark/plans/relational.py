@@ -487,9 +487,11 @@ def a4_argmin_in_group(spark, sf_dir):
     """A4 conditional argmin-within-group (ball-carrier inference):
     kloppy_polars.py:584-607. min(struct(price, partkey)) is min_by with a
     deterministic tie-break — identical rows to the oracle's ROW_NUMBER
-    formulation, but it partial-aggregates map-side (no per-group sort
-    shuffle), the shape that survives a 100× scale-up. The window form this
-    replaced remains showcased by w3_rank_topk / w7_row_index."""
+    formulation, but it partial-aggregates map-side so the exchange carries
+    one row per group instead of every line item (the shape that survives a
+    100× scale-up). Struct buffers plan as SortAggregate — the residual sorts
+    are group-key-only, within partitions. The window form this replaced
+    remains showcased by w3_rank_topk / w7_row_index."""
     li = read_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
