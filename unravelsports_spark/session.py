@@ -56,7 +56,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     The events table stores TIMESTAMP(NANOS) which Spark 4 refuses to read
     natively; we read nanos as long and rebuild a microsecond timestamp with
     integer division (`div`, no double round-trip → no precision loss).
+
+    Both confs here are runtime-settable on purpose: the driver harness runs
+    queries on ITS OWN SparkSession, so anything the engine needs must be set
+    at query time, not at session build. UTC makes `unix_millis` over the
+    parquet TIMESTAMP_NTZ columns match DuckDB's epoch_ms on naive
+    timestamps regardless of the host timezone.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
