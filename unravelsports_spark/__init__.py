@@ -24,6 +24,7 @@ __version__ = "0.1.0"
 # entry points at the same altitude.
 from .datasets.bdb import BigDataBowlDataset  # noqa: F401
 from .datasets.sportec import load_sportec  # noqa: F401
+from .datasets.skillcorner import load_skillcorner  # noqa: F401
 from .datasets.synthetic import synthetic_tracking_df  # noqa: F401
 from .datasets.tracking import (  # noqa: F401
     TrackingDataset,
