@@ -121,7 +121,12 @@ def test_multimodal_plumbing(spark):
         }
     )
     df = spark.createDataFrame(pdf, schema=IMAGE_SCHEMA)
-    with pytest.raises(NotImplementedError):
+    # non-fake path is real now (PNG/BMP via functions/imagecodec.py); raw
+    # non-image bytes surface NotImplementedError from inside the job
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
         decode_images(df).collect()
     dec = decode_images(df, fake=True).collect()
     assert all(64 <= r.dec_width < 128 for r in dec)
@@ -140,8 +145,8 @@ def test_multimodal_plumbing(spark):
 
     from unravelsports_spark.operators.multimodal import resize_images
 
-    with pytest.raises(NotImplementedError):
-        resize_images(df, 32, 32).collect()
+    with pytest.raises((PythonException, Py4JJavaError)):
+        resize_images(df, 32, 32).collect()  # raw bytes are not decodable
     rs = resize_images(df, 32, 48, fake=True).collect()
     assert all(r.width == 32 and r.height == 48 for r in rs)
     # schema unchanged, payload deterministic, distinct per source payload

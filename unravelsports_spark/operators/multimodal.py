@@ -2,11 +2,12 @@
 columns with typed metadata, processed via Arrow-batched `mapInPandas`.
 
 The Spark-side contract (schema, partition-preserving batched UDFs, bounded
-batch sizes for large blobs) is real and tested; the actual codec step is
-stubbed — image/audio libraries are not available in this environment, so
-`decode` raises NotImplementedError unless `fake=True`, which derives a
-deterministic pseudo-decode from the payload hash (stable across runs,
-good enough to exercise every downstream stage).
+batch sizes for large blobs) is real and tested. The non-fake codec path is
+backed by the pure-Python PNG/BMP codec in `functions/imagecodec.py` (stdlib
+zlib + numpy — no PIL/opencv needed); formats beyond PNG/24-bit-BMP (JPEG,
+audio, video) raise NotImplementedError with a clear message. `fake=True`
+keeps the deterministic hash-based pseudo-decode for format-agnostic
+pipeline tests (stable across runs, exercises every downstream stage).
 
 At 100 TB: binary payloads dominate row size — `maxRecordsPerBatch` must be
 set low for these pipelines (the session factory's 10k default is for scalar
@@ -24,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from ..functions.imagecodec import decode_image, encode_image, resize_nearest, sniff_format
 
 IMAGE_SCHEMA = T.StructType(
     [
@@ -52,14 +55,37 @@ def _fake_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:_FEATURE_DIM]]
 
 
+def _real_features(payload: bytes) -> list[float]:
+    img = decode_image(payload).astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = img[:, :, None]
+    gray = img.mean(axis=2)
+    chans = [float(img[:, :, c].mean()) for c in range(min(img.shape[2], 3))]
+    chans += [chans[-1]] * (3 - len(chans))
+    gx = float(np.abs(np.diff(gray, axis=1)).mean()) if gray.shape[1] > 1 else 0.0
+    gy = float(np.abs(np.diff(gray, axis=0)).mean()) if gray.shape[0] > 1 else 0.0
+    return [
+        chans[0], chans[1], chans[2],
+        float(gray.std()),
+        float(img.shape[1] / img.shape[0]),
+        gx, gy,
+        float((gray > 0.5).mean()),
+    ]
+
+
+def _real_decode(payload: bytes) -> dict:
+    img = decode_image(payload)
+    return {
+        "width": int(img.shape[1]),
+        "height": int(img.shape[0]),
+        "mean_pixel": float(img.mean() / 255.0),
+    }
+
+
 def decode_images(df: DataFrame, payload_col: str = "payload", fake: bool = False) -> DataFrame:
-    """payload → (width, height, mean_pixel) columns. Real codecs would slot
-    into `_decode` unchanged; the Spark plumbing is identical."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True for the "
-            "deterministic hash-based pseudo-decoder"
-        )
+    """payload → (width, height, mean_pixel) columns. The real path decodes
+    PNG/BMP with the pure-Python codec; `fake=True` substitutes the hash
+    pseudo-decoder for format-agnostic tests."""
     schema = T.StructType(
         df.schema.fields
         + [
@@ -68,10 +94,11 @@ def decode_images(df: DataFrame, payload_col: str = "payload", fake: bool = Fals
             T.StructField("mean_pixel", T.DoubleType()),
         ]
     )
+    decode = _fake_decode if fake else _real_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            decoded = [decode(bytes(p)) for p in pdf[payload_col]]
             pdf = pdf.copy()
             pdf["dec_width"] = [d["width"] for d in decoded]
             pdf["dec_height"] = [d["height"] for d in decoded]
@@ -84,19 +111,21 @@ def decode_images(df: DataFrame, payload_col: str = "payload", fake: bool = Fals
 def extract_image_features(
     df: DataFrame, payload_col: str = "payload", fake: bool = False
 ) -> DataFrame:
-    """payload → embedding array<float> (feeds the similarity operators)."""
-    if not fake:
-        raise NotImplementedError(
-            "feature extractors unavailable in this environment; pass fake=True"
-        )
+    """payload → embedding array<float> (feeds the similarity operators).
+
+    Real path: an 8-dim deterministic pixel-statistics descriptor (per-channel
+    means, global std, aspect ratio, horizontal/vertical gradient energy,
+    fill ratio) from the decoded PNG/BMP — a stand-in for a learned encoder
+    with the same Spark shape (decode → ndarray → fixed-dim vector)."""
     schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
+    features = _fake_features if fake else _real_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["features"] = [_fake_features(bytes(p)) for p in pdf[payload_col]]
+            pdf["features"] = [features(bytes(p)) for p in pdf[payload_col]]
             yield pdf
 
     return df.mapInPandas(run, schema)
@@ -110,25 +139,28 @@ def resize_images(
     fake: bool = False,
 ) -> DataFrame:
     """payload → resized payload + (width, height) overwritten to the target.
-    A real implementation decodes, resamples, and re-encodes inside the same
-    mapInPandas batch loop; the fake path re-encodes deterministically as
-    md5(payload || WxH) so downstream stages (dedup by payload hash, size
-    filters) see a stable, size-annotated blob."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True"
-        )
+    Real path: decode (PNG/BMP) → nearest-neighbor resample → re-encode in the
+    source format, inside the same mapInPandas batch loop. The fake path
+    re-encodes deterministically as md5(payload || WxH) so downstream stages
+    (dedup by payload hash, size filters) see a stable, size-annotated blob."""
     if target_width <= 0 or target_height <= 0:
         raise ValueError("target dimensions must be positive")
     schema = df.schema
+
+    def _real_resize(p: bytes) -> bytes:
+        fmt = sniff_format(p) or "png"
+        return encode_image(resize_nearest(decode_image(p), target_width, target_height), fmt)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f"{target_width}x{target_height}".encode()
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[payload_col] = [
-                hashlib.md5(bytes(p) + tag).digest() for p in pdf[payload_col]
-            ]
+            if fake:
+                pdf[payload_col] = [
+                    hashlib.md5(bytes(p) + tag).digest() for p in pdf[payload_col]
+                ]
+            else:
+                pdf[payload_col] = [_real_resize(bytes(p)) for p in pdf[payload_col]]
             if "width" in pdf.columns:
                 pdf["width"] = np.int32(target_width)
             if "height" in pdf.columns:

@@ -6,6 +6,7 @@ md5-hex→bigint (bit-identical across engines)."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.asof import asof_join
 from ..operators.dedup import (
@@ -633,6 +634,61 @@ def mm_decode_stats(spark, sf_dir):
         F.sum("dec_height").alias("sum_height"),
         F.min("dec_width").alias("min_width"),
         F.max("dec_height").alias("max_height"),
+    )
+
+
+@query(
+    "mm_decode_real",
+    oracle="""
+    WITH d AS (SELECT doc_id, source,
+                      4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+                      doc_id % 256 AS c
+               FROM documents)
+    SELECT source, COUNT(*) AS n_images,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(c) AS BIGINT) AS sum_color
+    FROM d GROUP BY source
+    """,
+)
+def mm_decode_real(spark, sf_dir):
+    """REAL codec end-to-end: synthesize a PNG per document (solid color
+    ``doc_id % 256``, size ``(4 + doc_id % 13) × (4 + doc_id % 7)``) with the
+    pure-Python encoder in one mapInPandas stage, decode it back with
+    ``decode_images(fake=False)`` (functions/imagecodec.py), and aggregate the
+    decoded metadata. The oracle recomputes the same values from doc_id
+    arithmetic — any codec bug (dimensions, pixel values, filter handling)
+    breaks the hash match. ``round(mean_pixel*255)`` recovers the exact solid
+    color, so the aggregate is integer-exact."""
+    import numpy as np
+    import pandas as pd
+    from ..functions.imagecodec import encode_png
+    from ..operators.multimodal import decode_images
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_png(
+                    np.full((4 + int(i) % 7, 4 + int(i) % 13, 3), int(i) % 256, np.uint8),
+                    compress_level=1,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pdf
+
+    media = docs.mapInPandas(
+        synth,
+        T.StructType(docs.schema.fields + [T.StructField("payload", T.BinaryType())]),
+    )
+    decoded = decode_images(media, fake=False)
+    return decoded.groupBy("source").agg(
+        F.count("*").alias("n_images"),
+        F.sum("dec_width").alias("sum_width"),
+        F.sum("dec_height").alias("sum_height"),
+        F.sum(F.round(F.col("mean_pixel") * 255.0).cast("long")).alias("sum_color"),
     )
 
 
