@@ -173,17 +173,43 @@ def test_graph_sink_roundtrip(spark, tmpdir):
     assert len(g["object_ids"]) == 23
 
 
-def test_media_staging_and_nearest_frame(spark):
-    from unravelsports_spark.sources.media import collect_frame, nearest_frame, plot_frame
+def test_media_staging_and_nearest_frame(spark, tmp_path):
+    from unravelsports_spark.functions.imagecodec import decode_png
+    from unravelsports_spark.sources.media import (
+        collect_frame,
+        nearest_frame,
+        to_mp4,
+        to_png,
+        to_png_sequence,
+    )
 
     tracking = synthetic_tracking_df(spark, n_frames=10, seed=4)
     staged = collect_frame(tracking, "game_0", 3)
     assert len(staged["id"]) == 23
     assert nearest_frame(tracking, "game_0", 3 * 40 + 5) == 3
-    with pytest.raises((ImportError, NotImplementedError)):
-        plot_frame(tracking, "game_0", 3)
     with pytest.raises(ValueError):
         collect_frame(tracking, "game_0", 999)
+    # collect guard: a selection matching a whole match must refuse
+    unfiltered = tracking.withColumn("frame_id", F.lit(3))
+    with pytest.raises(ValueError, match="more than"):
+        collect_frame(unfiltered, "game_0", 3, max_rows=20)
+
+    # real renderer: nonzero PNG, decodable, right dimensions, field + teams
+    out = to_png(tracking, "game_0", 3, str(tmp_path / "f3.png"), home_team_id=HOME)
+    img = decode_png(open(out, "rb").read())
+    assert img.shape == (int(74 * 6), int(111 * 6), 3)
+    colors = {tuple(c) for c in np.unique(img.reshape(-1, 3), axis=0)}
+    assert (43, 122, 60) in colors  # pitch
+    assert (220, 50, 47) in colors and (38, 139, 210) in colors  # both teams
+
+    seq = to_png_sequence(tracking, "game_0", [0, 1], str(tmp_path / "seq"),
+                          home_team_id=HOME)
+    assert len(seq) == 2 and all(os.path.getsize(p) > 0 for p in seq)
+    with pytest.raises(ValueError, match="max_frames"):
+        to_png_sequence(tracking, "game_0", range(600), str(tmp_path / "x"),
+                        home_team_id=HOME)
+    with pytest.raises(NotImplementedError):
+        to_mp4()
 
 
 def test_gnn_loader_batches(spark):
