@@ -2,15 +2,20 @@
 crystal_graph.py:6-44, crystal_graph_pyg.py:24-105: 3-layer CrystalConv /
 CGConv, 128 channels, global mean pool, sigmoid head).
 
-Training is out-of-engine (torch/spektral, absent here). The engine-side
-contract this module keeps:
+The engine-side contract this module keeps:
 
 - `graph_loader`: batched iteration over a graph-frames DataFrame —
   `toLocalIterator` over repartitioned chunks, so the driver holds one batch
   at a time regardless of corpus size;
 - `build_crystal_gnn`: constructs the reference-shaped PyG model when torch
   is importable (on a cluster you'd hand it to TorchDistributor with the
-  loader feeding each worker's shard).
+  loader feeding each worker's shard);
+- `NumpyCrystalGNN`: a dependency-free twin of the same architecture —
+  CGConv message passing (sigmoid gate × softplus filter, sum-aggregated;
+  Xie & Grossman 2018, the layer both reference classifiers use) with a
+  frozen deterministic backbone and a TRAINABLE logistic head (manual
+  gradients). It exists so an actual end-to-end training run (loss decreases
+  on learnable labels) is exercised in CI without torch/spektral.
 """
 
 from __future__ import annotations
@@ -69,3 +74,81 @@ def build_crystal_gnn(n_node_features: int, n_edge_features: int, channels: int 
             return self.head(global_mean_pool(h, batch))
 
     return CrystalGNN()
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -60, 60)))
+
+
+def _softplus(z: np.ndarray) -> np.ndarray:
+    return np.logaddexp(0.0, z)
+
+
+class NumpyCrystalGNN:
+    """CGConv ×layers → global mean pool → logistic head, in NumPy.
+
+    The backbone (embed + CGConv weights) is frozen at a seeded random init —
+    a random message-passing feature map; the head is trained with exact
+    manual gradients (binary cross-entropy, full-batch gradient descent).
+    `fit` consumes `graph_loader` batches, so the Spark→training hand-off is
+    identical to the torch path's.
+    """
+
+    def __init__(self, n_node_features: int, n_edge_features: int,
+                 channels: int = 32, layers: int = 3, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.channels, self.layers = channels, layers
+        z = 2 * channels + n_edge_features
+        s = 1.0 / np.sqrt(z)
+        self.W_embed = rng.normal(0, 1.0 / np.sqrt(n_node_features), (n_node_features, channels))
+        self.Wf = [rng.normal(0, s, (z, channels)) for _ in range(layers)]
+        self.bf = [np.zeros(channels) for _ in range(layers)]
+        self.Ws = [rng.normal(0, s, (z, channels)) for _ in range(layers)]
+        self.bs = [np.zeros(channels) for _ in range(layers)]
+        self.w_head = np.zeros(channels)
+        self.b_head = 0.0
+
+    def pooled(self, graph: dict) -> np.ndarray:
+        """Forward the frozen backbone for one graph → mean-pooled channels."""
+        a, x, e = graph["a"], graph["x"], graph["e"]
+        h = x @ self.W_embed
+        src, dst = np.nonzero(a)
+        e = np.asarray(e, dtype=float)
+        if len(e) != len(src):  # defensive: edge features must align with A
+            raise ValueError(f"edge count mismatch: |e|={len(e)} vs |A≠0|={len(src)}")
+        for Wf, bf, Ws, bs in zip(self.Wf, self.bf, self.Ws, self.bs):
+            zcat = np.concatenate([h[src], h[dst], e], axis=1)
+            msg = _sigmoid(zcat @ Wf + bf) * _softplus(zcat @ Ws + bs)
+            out = h.copy()
+            np.add.at(out, dst, msg)
+            h = out
+        return h.mean(axis=0)
+
+    def predict_proba(self, pooled_rows: np.ndarray) -> np.ndarray:
+        return _sigmoid(pooled_rows @ self.w_head + self.b_head)
+
+    def fit(self, batches: Iterator[list[dict]], epochs: int = 5, lr: float = 0.5):
+        """Train the head on graph_loader output. Returns per-epoch BCE loss.
+
+        The backbone forward runs once per graph (frozen weights ⇒ pooled
+        features are constants across epochs); epochs then iterate on the
+        cached (n_graphs × channels) matrix driver-side."""
+        feats, labels = [], []
+        for batch in batches:
+            for g in batch:
+                feats.append(self.pooled(g))
+                labels.append(float(g["label"]))
+        X = np.asarray(feats)
+        y = np.asarray(labels)
+        # standardize pooled channels so one lr fits any feature scale
+        self._mu, self._sd = X.mean(0), X.std(0) + 1e-9
+        Xn = (X - self._mu) / self._sd
+        losses = []
+        for _ in range(epochs):
+            p = self.predict_proba(Xn)
+            losses.append(float(-np.mean(y * np.log(p + 1e-12) + (1 - y) * np.log(1 - p + 1e-12))))
+            grad = (p - y) / len(y)
+            self.w_head -= lr * (Xn.T @ grad)
+            self.b_head -= lr * float(grad.sum())
+        return losses
+
