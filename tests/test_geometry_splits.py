@@ -60,3 +60,65 @@ def test_stratified_split_exact_ratios(spark):
             splits["train"].filter(f"label = {label}").select("graph_id").distinct().count()
         )
         assert abs(n_train - 0.6 * n_label) <= 1.5
+
+
+def test_rebalance_labels_exact_counts(spark):
+    """rebalance_labels mirrors the reference's _balance_labels arithmetic
+    (graph_dataset.py:348-362): downsample the over-represented class to
+    int()-exact target counts, whole graphs at a time."""
+    from unravelsports_spark.datasets.tracking import TrackingDataset, rebalance_labels
+
+    df = synthetic_tracking_df(spark, n_frames=120, seed=5)
+    ds = TrackingDataset(df).add_dummy_labels().add_graph_ids()
+
+    def label_counts(d):
+        rows = d.select("graph_id", "label").distinct().groupBy("label").count().collect()
+        return {r.label: r["count"] for r in rows}
+
+    before = label_counts(ds.data)
+    n0, n1 = before[0], before[1]
+    t = 0.25
+    out = rebalance_labels(ds.data, t, seed=7)
+    after = label_counts(out)
+    if n1 / (n0 + n1) > t:
+        assert after == {0: n0, 1: int(n0 * t / (1 - t))}
+    else:
+        assert after == {0: int(n1 * (1 - t) / t), 1: n1}
+    # whole graphs survive intact: every kept graph keeps all 23 rows
+    per_graph = out.groupBy("graph_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_graph] == [23]
+    # within tolerance → untouched (same plan object)
+    current = n1 / (n0 + n1)
+    assert rebalance_labels(ds.data, current + 0.005) is ds.data
+    with pytest.raises(ValueError):
+        rebalance_labels(ds.data, 1.5)
+
+
+def test_stratified_split_with_label_ratios(spark):
+    """VERDICT r1 #6: per-split label-ratio rebalancing (reference
+    test_soccer.py:958-968 train/test/val_label_ratio kwargs)."""
+    from unravelsports_spark.datasets.tracking import TrackingDataset
+
+    df = synthetic_tracking_df(spark, n_frames=150, seed=13)
+    ds = TrackingDataset(df).add_dummy_labels().add_graph_ids()
+    ratios = {"train": 0.75, "test": 1 / 3, "val": 0.5}
+    splits = split_by_graph_id_stratified(
+        ds.data, train=0.6, test=0.2, val=0.2, seed=3, label_ratios=ratios
+    )
+    for name, target in ratios.items():
+        counts = {
+            r.label: r["count"]
+            for r in splits[name].select("graph_id", "label").distinct()
+            .groupBy("label").count().collect()
+        }
+        got = counts.get(1, 0) / (counts.get(0, 0) + counts.get(1, 0))
+        # int() truncation on small splits allows a few graphs of slack
+        assert abs(got - target) < 0.08, (name, counts)
+    # leakage-safety survives rebalancing
+    ids = {
+        k: set(r.graph_id for r in v.select("graph_id").distinct().collect())
+        for k, v in splits.items()
+    }
+    assert not (ids["train"] & ids["test"]) and not (ids["train"] & ids["val"])
+    with pytest.raises(ValueError):
+        split_by_graph_id_stratified(ds.data, label_ratios={"bogus": 0.5})

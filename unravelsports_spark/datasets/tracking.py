@@ -113,6 +113,51 @@ def split_by_graph_id(
     }
 
 
+def rebalance_labels(
+    df: DataFrame,
+    target_ratio: float,
+    graph_id_col: str = Column.GRAPH_ID,
+    label_col: str = Column.LABEL,
+    seed: int = 42,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Downsample whole graphs of the over-represented label class so the
+    positive-label ratio ≈ ``target_ratio`` — the reference's
+    ``GraphDataset._balance_labels`` (graph_dataset.py:318-384) re-expressed
+    for scale: per-label graph counts are a 2-row aggregate, the kept set is
+    an exact seeded-rank cut over the distinct-graph table (one small
+    shuffle), and rows follow via a semi-join. Target counts use the same
+    ``int()`` arithmetic as the reference, so kept-graph counts match it
+    exactly for the same inputs.
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= target_ratio <= 1:
+        raise ValueError("target_ratio must be between 0 and 1")
+    is_one = (F.col(label_col).cast("double") > 0.5).cast("int")
+    graphs = df.select(graph_id_col, is_one.alias("_lbl")).distinct()
+    counts = {r["_lbl"]: r["n"] for r in graphs.groupBy("_lbl").agg(F.count("*").alias("n")).collect()}
+    n0, n1 = counts.get(0, 0), counts.get(1, 0)
+    total = n0 + n1
+    current = n1 / total if total else 0.0
+    if abs(current - target_ratio) < tolerance:
+        return df
+    if current > target_ratio:
+        target = {0: n0, 1: int(n0 * target_ratio / (1 - target_ratio))}
+    else:
+        target = {0: int(n1 * (1 - target_ratio) / target_ratio), 1: n1}
+    w = Window.partitionBy("_lbl").orderBy(
+        F.xxhash64(F.col(graph_id_col), F.lit(seed)), F.col(graph_id_col)
+    )
+    target_expr = F.when(F.col("_lbl") == 0, target[0]).otherwise(target[1])
+    keep = (
+        graphs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= target_expr)
+        .select(graph_id_col)
+    )
+    return df.join(keep, on=graph_id_col, how="left_semi")
+
+
 def split_by_graph_id_stratified(
     df: DataFrame,
     graph_id_col: str = Column.GRAPH_ID,
@@ -121,6 +166,7 @@ def split_by_graph_id_stratified(
     test: float = 0.1,
     val: float = 0.1,
     seed: int = 42,
+    label_ratios: Optional[dict] = None,
 ) -> dict[str, DataFrame]:
     """Leakage-safe split with per-label exact fractions (the reference's
     label-ratio rebalancing, graph_dataset.py:240-384): rank each label
@@ -142,7 +188,18 @@ def split_by_graph_id_stratified(
         .otherwise("val"),
     ).select(graph_id_col, "_split")
     joined = df.join(assign, on=graph_id_col, how="left")
-    return {
+    splits = {
         name: joined.filter(F.col("_split") == name).drop("_split")
         for name in ("train", "test", "val")
     }
+    if label_ratios:
+        # reference split_test_train_validation(train_label_ratio=..., ...):
+        # rebalance each split independently after the leakage-safe cut
+        for name, ratio in label_ratios.items():
+            if name not in splits:
+                raise ValueError(f"unknown split {name!r} in label_ratios")
+            if ratio is not None:
+                splits[name] = rebalance_labels(
+                    splits[name], ratio, graph_id_col, label_col, seed
+                )
+    return splits
