@@ -100,3 +100,36 @@ def test_asof_join_semantics(spark):
     assert out.rv_right.tolist()[0] == 100  # a@10 ← right a@10
     assert out.rv_right.tolist()[1] == 150  # a@20 ← right a@15
     assert np.isnan(out.rv_right.tolist()[2])  # b@10: right only at 99
+
+
+def test_ivf_cell_broadcast_parity_and_plan(spark, embeddings):
+    """VERDICT r1 #7: above BROADCAST_CENTROID_THRESHOLD the IVF assignment
+    switches to a broadcast centroid join (BroadcastNestedLoopJoin with a
+    broadcast build side — the replicate-join physical form; no n_cells-wide
+    literal projection); assignments match the literal path exactly."""
+    from unravelsports_spark.operators.similarity import (
+        BROADCAST_CENTROID_THRESHOLD,
+        with_ivf_cell,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=8, sample_limit=300)
+    lit = with_ivf_cell(embeddings, cents, method="literal")
+    bc = with_ivf_cell(embeddings, cents, method="broadcast")
+    a = {r.vec_id: r.cell for r in lit.select("vec_id", "cell").collect()}
+    b = {r.vec_id: r.cell for r in bc.select("vec_id", "cell").collect()}
+    assert a == b
+    assert sorted(bc.columns) == sorted(embeddings.columns + ["cell"])
+
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    # map-side combinable argmin: partial min_by before the single shuffle
+    assert "partial_min_by" in plan
+    lit_plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in lit_plan  # literal path is a pure projection
+
+    # auto switches on the documented threshold
+    many = np.tile(cents, (BROADCAST_CENTROID_THRESHOLD // 8 + 1, 1))
+    auto_big = with_ivf_cell(embeddings, many)
+    assert "BroadcastNestedLoopJoin" in auto_big._jdf.queryExecution().executedPlan().toString()
+    auto_small = with_ivf_cell(embeddings, cents)
+    assert "Join" not in auto_small._jdf.queryExecution().executedPlan().toString()

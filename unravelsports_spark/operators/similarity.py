@@ -126,20 +126,69 @@ def kmeans_centroids(
     return centroids
 
 
-def with_ivf_cell(df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding", out: str = "cell"):
-    """Assign each vector to its nearest centroid, JVM-side: argmin over an
-    array of squared distances built from centroid literals."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(F.col(emb_col), _vec_lit(c), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
+#: above this many centroids the literal-projection plan gets unwieldy
+#: (n_cells × dim constants inlined); switch to a broadcast centroid join
+BROADCAST_CENTROID_THRESHOLD = 64
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    out: str = "cell",
+    id_col: str = "vec_id",
+    method: str = "auto",
+):
+    """Assign each vector to its nearest centroid.
+
+    - ``literal`` (small centroid sets): argmin over an array of squared
+      distances built from centroid literals — zero shuffles, pure projection.
+    - ``broadcast`` (large centroid sets, VERDICT r1 #7): centroids become a
+      broadcast DataFrame replicated to every row (BroadcastNestedLoopJoin
+      with IdentityBroadcastMode — the replicate-join physical form; the
+      row×centroid cross product is inherent to assignment, so a hash join
+      would degenerate to the same loop); the per-row argmin is a
+      map-side-combinable ``min_by`` groupBy on ``id_col`` — one shuffle,
+      plan size O(1) in n_cells. Ties break to the lowest cell index in both
+      paths. ``id_col`` must uniquely key rows.
+    - ``auto``: literal up to ``BROADCAST_CENTROID_THRESHOLD`` cells.
+    """
+    if method == "auto":
+        method = "literal" if len(centroids) <= BROADCAST_CENTROID_THRESHOLD else "broadcast"
+    if method == "literal":
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(F.col(emb_col), _vec_lit(c), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in centroids
+            ]
+        )
+        return df.withColumn(out, F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+    if method != "broadcast":
+        raise ValueError(f"unknown method {method!r}")
+    cent = df.sparkSession.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+        f"{out} int, _centroid array<double>",
     )
-    return df.withColumn(out, F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+    joined = df.crossJoin(F.broadcast(cent))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(emb_col), F.col("_centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    payload = F.struct(*[F.col(c) for c in df.columns], F.col(out))
+    best = (
+        joined.withColumn("_d2", d2)
+        .groupBy(id_col)
+        .agg(F.min_by(payload, F.struct("_d2", out)).alias("_s"))
+    )
+    return best.select("_s.*")
 
 
 def ivf_topk(
