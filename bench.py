@@ -31,6 +31,10 @@ HEADLINE = [
     "w4_sessionize",
     "w5_tumbling_window",
     "o9_explode_tokens",
+    # LLM-pipeline ops (VERDICT r1 #8): dedup banding, ANN probe, tokenizer
+    "d_lsh_candidate_pairs",
+    "s_ann_lsh",
+    "t_bpe_token_stats",
 ]
 
 
@@ -42,12 +46,18 @@ def sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def time_df(make_df, warmup: bool = True) -> float:
+def time_df(make_df, warmup: bool = True, runs: int = 2) -> float:
+    """Steady-state wall time: one uncounted warm-up (codegen, file listing,
+    shuffle-service spin-up), then best-of-`runs` — JIT tiering and GC pauses
+    can still land in the first post-warmup run."""
     if warmup:
         make_df().write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    make_df().write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        make_df().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:

@@ -44,7 +44,15 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle_hash)."""
+    """Distinct word n-gram shingles per document → (id, shingle_hash).
+
+    The explode+md5 map stage is CPU-bound; if the scan under-partitions
+    (small corpora arrive as one file → one partition), fan out to cluster
+    parallelism first. One cheap shuffle of raw docs; a no-op at scale where
+    the scan already has ≥ cores partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     # guard: sequence(0, negative) would count DOWN in Spark — short docs get
     # an empty shingle set instead
