@@ -108,3 +108,13 @@ def test_graph_loader_batching(graph_frames):
     sizes = [len(b) for b in graph_loader(graph_frames, batch_size=16)]
     assert sum(sizes) == n
     assert all(s <= 16 for s in sizes)
+
+
+def test_graph_dimensions(graph_frames):
+    """Reference GraphDataset.dimensions() twin (test_soccer.py:924-929
+    asserts (N,F,S,n_out,n)); here against the synthetic corpus."""
+    from unravelsports_spark.sources.graph_sink import graph_dimensions
+
+    N, F_, S, n_out, n = graph_dimensions(graph_frames)
+    assert (N, F_, S, n_out) == (23, 15, 6, 1)
+    assert n == graph_frames.count()

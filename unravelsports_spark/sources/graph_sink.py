@@ -66,3 +66,19 @@ def to_spektral_graph_iter(df: DataFrame):
         raise ImportError("spektral required for to_spektral_graph_iter") from exc
     for g in iter_graph_tuples(df):
         yield Graph(x=g["x"], a=g["a"], e=g["e"], y=g["label"])
+
+
+def graph_dimensions(df: DataFrame) -> tuple[int, int, int, int, int]:
+    """(N, F, S, n_out, n) — max node count, node-feature dim, edge-feature
+    dim, output dim, graph count (reference GraphDataset.dimensions(),
+    graph_dataset.py; asserted in tests/test_soccer.py:924-929). One tiny
+    aggregate over shape columns; the matrices are never touched."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.max("x_shape_0").alias("N"),
+        F.max("x_shape_1").alias("F"),
+        F.max("e_shape_1").alias("S"),
+        F.count("*").alias("n"),
+    ).head()
+    return int(row.N), int(row.F), int(row.S), 1, int(row.n)
