@@ -1,0 +1,104 @@
+"""Corpus-filtering operators (operators/filtering.py): repetition signals,
+PII scrubbing, URL normalization, contamination — unit semantics beyond the
+oracle queries (which cover engine parity)."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from unravelsports_spark.operators.filtering import (
+    contaminated_docs,
+    scrub_pii,
+    with_repetition_stats,
+    with_url_parts,
+)
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a b a b a b",          # all tokens repeat; "a b" dominates
+                    "one two three four",   # no repetition
+                    "x",                    # single token → no bigrams
+                    "go go go go",          # one token, one bigram
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r for r in with_repetition_stats(df).collect()}
+    # doc 1: 6 tokens, 2 distinct → dup = 1 - 2/6; bigrams [ab,ba,ab,ba,ab] → 3/5
+    assert out[1].dup_token_ratio == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert out[1].top_bigram_ratio == pytest.approx(3 / 5, abs=1e-6)
+    assert out[2].dup_token_ratio == 0.0
+    assert out[2].top_bigram_ratio == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3].dup_token_ratio == 0.0 and out[3].top_bigram_ratio == 0.0
+    assert out[4].dup_token_ratio == pytest.approx(0.75)
+    assert out[4].top_bigram_ratio == pytest.approx(1.0)
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "mail me at jane.doe+spam@sub.example.co.uk or call +44 20 7946 0958 now",
+                    "no pii here at all",
+                    "two mails: a@b.io c@d.org",
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text
+    assert "jane" not in out[1].text and "7946" not in out[1].text
+    assert out[2].n_emails == 0 and out[2].n_phones == 0
+    assert out[2].text == "no pii here at all"
+    assert out[3].n_emails == 2
+    assert out[3].text == "two mails: <EMAIL> <EMAIL>"
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://WWW.Example.COM/Path/Page/?q=1#frag",
+                    "http://example.com",
+                    "https://example.com/a//",
+                ]
+            }
+        )
+    )
+    rows = with_url_parts(df).collect()
+    assert rows[0].domain == "www.example.com"
+    assert rows[0].url_norm == "https://www.example.com/Path/Page"
+    assert rows[1].url_norm == "http://example.com"
+    assert rows[2].url_norm == "https://example.com/a"
+
+
+def test_contamination_semantics(spark):
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",  # contains bench 5-gram
+                    "completely unrelated set of corpus words here",
+                    "quick brown fox jumps over",                   # exactly the bench 5-gram
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["quick brown fox jumps over"]})
+    )
+    flagged = sorted(r.doc_id for r in contaminated_docs(corpus, bench, n=5).collect())
+    assert flagged == [10, 12]
+    plan = contaminated_docs(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

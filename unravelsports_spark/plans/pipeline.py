@@ -908,3 +908,210 @@ def t_bpe_token_stats(spark, sf_dir):
         F.min("n_bpe_tokens").cast("long").alias("min_bpe"),
         F.max("n_bpe_tokens").cast("long").alias("max_bpe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-filtering operators (operators/filtering.py): repetition quality
+# signals, PII scrubbing, URL normalization, benchmark decontamination —
+# the remaining first-class filters of a pretraining data pipeline. All pure
+# Catalyst with exact DuckDB oracles; integer-exact aggregates (sums of
+# per-doc micro-rounded values) dodge float summation-order drift.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_repetition_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    dup AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) > 0
+                  THEN ROUND(1 - len(list_distinct(t))::DOUBLE / len(t), 6)
+                  ELSE 0.0 END AS dupr
+      FROM toks),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+      FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2),
+    gcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    per_doc AS (
+      SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS topr
+      FROM gcnt GROUP BY doc_id)
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(ROUND(d.dupr * 1e6) AS BIGINT)) AS BIGINT) AS dup_micro,
+           CAST(SUM(CAST(ROUND(COALESCE(p.topr, 0.0) * 1e6) AS BIGINT)) AS BIGINT) AS top_micro,
+           CAST(SUM(CASE WHEN d.dupr > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_dup
+    FROM dup d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def t_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-token ratio + top-bigram
+    fraction per doc (single aggregate-fold projection, no shuffle — the
+    longest equal-run in the sorted gram list IS the max frequency), rolled
+    up per source as integer-exact micro sums. The oracle recomputes the
+    bigram mode the relational way (unnest → group → max/sum)."""
+    from ..operators.filtering import with_repetition_stats
+
+    d = with_repetition_stats(read_table(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.round(F.col("dup_token_ratio") * 1e6).cast("long")).alias("dup_micro"),
+        F.sum(F.round(F.col("top_bigram_ratio") * 1e6).cast("long")).alias("top_micro"),
+        F.sum(F.when(F.col("dup_token_ratio") > 0.5, 1).otherwise(0)).cast("long").alias("n_high_dup"),
+    )
+
+
+_PII_AUG_SQL = r"""
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+@query(
+    "t_pii_scrub",
+    oracle=r"""
+    WITH aug AS (""" + _PII_AUG_SQL + r"""),
+    scrub AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?[0-9][0-9()\-. ]{6,}[0-9]')) AS n_phones,
+             regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+      FROM aug)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(len(scrubbed)) AS BIGINT) AS scrubbed_len
+    FROM scrub GROUP BY source
+    """,
+)
+def t_pii_scrub(spark, sf_dir):
+    """PII scrubbing end-to-end on deterministically PII-augmented documents
+    (every 7th doc gains an email, every 11th a phone number — synthesized
+    identically in the oracle). Redaction counts and post-scrub lengths must
+    match byte-for-byte, proving the Java-regex and RE2 patterns agree."""
+    from ..operators.filtering import scrub_pii
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" call +1 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    s = scrub_pii(aug)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum(F.length("text")).cast("long").alias("scrubbed_len"),
+    )
+
+
+@query(
+    "t_url_domains",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id, source,
+             'https://' || source || '.Example.com/docs/' || doc_id
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN '?utm=1' ELSE '' END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, source,
+             lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS domain,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://'
+             || lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+             || regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS url_norm
+      FROM urls)
+    SELECT domain, COUNT(*) AS n_urls,
+           COUNT(DISTINCT url_norm) AS n_unique_norm
+    FROM parts GROUP BY domain
+    """,
+)
+def t_url_domains(spark, sf_dir):
+    """URL normalization + domain extraction over synthesized per-doc URLs
+    (mixed-case host, some with query strings / trailing slashes). The
+    normalized-URL distinct count is the URL-level dedup key: trailing-slash
+    and query/fragment variants collapse (doc 15 = both %3 and %5 → its
+    slash+query variants normalize together)."""
+    from ..operators.filtering import with_url_parts
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".Example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm=1")).otherwise(F.lit("")),
+        ),
+    )
+    parts = with_url_parts(urls)
+    return parts.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("url_norm").alias("n_unique_norm"),
+    )
+
+
+@query(
+    "d_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(0, len(t) - 4),
+                                   i -> array_to_string(t[i + 1 : i + 5], ' '))) AS shingle
+      FROM toks WHERE len(t) >= 5),
+    shingled AS (
+      SELECT DISTINCT doc_id, source,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle_hash
+      FROM grams),
+    bench AS (SELECT DISTINCT shingle_hash FROM shingled WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id, s.source
+      FROM shingled s JOIN bench USING (shingle_hash)
+      WHERE s.doc_id % 97 <> 0)
+    SELECT c.source, COUNT(*) AS n_contaminated
+    FROM contaminated c GROUP BY c.source
+    """,
+)
+def d_contamination(spark, sf_dir):
+    """Benchmark decontamination screen: flag corpus docs sharing any word
+    5-gram with a held-out benchmark set (docs with doc_id % 97 == 0 stand
+    in). The benchmark shingle set broadcasts; the corpus side streams
+    through one semi-join — never an all-pairs comparison."""
+    from ..operators.filtering import contaminated_docs
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = contaminated_docs(corpus, bench, n=5)
+    return (
+        flagged.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
