@@ -224,3 +224,38 @@ def test_gnn_loader_batches(spark):
     assert batches[0][0]["x"].shape[1] == 15
     with pytest.raises(ImportError):
         build_crystal_gnn(15, 6)
+
+
+def test_streaming_dedup(spark, tmpdir):
+    """Watermarked streaming dedup: duplicate fingerprints across one
+    micro-batch collapse to the first occurrence; batch twin agrees."""
+    from unravelsports_spark.streaming.windows import streaming_dedup
+
+    src = f"{tmpdir}/dedup_src"
+    os.makedirs(src, exist_ok=True)
+    pdf = pd.DataFrame(
+        {
+            "fp": ["a", "b", "a", "c", "b", "a"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00"] * 3 + ["2024-01-01 00:01:00"] * 3
+            ),
+            "payload": list(range(6)),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = streaming_dedup(stream, ["fp"], ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT fp FROM t_dedup").toPandas()
+    assert sorted(out.fp) == ["a", "b", "c"]
+    # batch twin: same keys survive
+    batch = streaming_dedup(spark.read.parquet(src), ["fp"])
+    assert batch.count() == 3

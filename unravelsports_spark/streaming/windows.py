@@ -70,3 +70,19 @@ def stateful_running_counts(df: DataFrame, key_col: str, ts_col: str):
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first row per key wins, state bounded by the
+    watermark (`dropDuplicatesWithinWatermark` — keys older than the delay
+    are evicted, so state never grows unboundedly; the batch twin is plain
+    dropDuplicates). The streaming face of `operators/dedup.exact_dedup`
+    for document-id / fingerprint dedup on live ingest."""
+    if ts_col is not None and df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
