@@ -109,3 +109,33 @@ def test_a4_argmin_partial_agg_no_window(spark):
     assert "Window" not in plan
     # partial agg sits upstream of (deeper than) the exchange
     assert plan.index("partial_min") > plan.index("Exchange")
+
+
+def test_repetition_stats_no_extra_shuffle(spark):
+    """Both repetition signals are per-row folds: exactly one exchange (the
+    final groupBy), no Python evaluation anywhere."""
+    plan = plan_of(spark, "t_repetition_stats")
+    assert plan.count("Exchange") <= 2  # partial/final agg pair only
+    assert "Python" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_contamination_broadcast_semi_join(spark):
+    plan = plan_of(spark, "d_contamination")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin LeftSemi" in plan or (
+        "BroadcastExchange" in plan and "LeftSemi" in plan
+    )
+
+
+def test_pii_scrub_pure_projection(spark):
+    """Scrubbing is regexp projections + one aggregate — no joins, no UDFs."""
+    plan = plan_of(spark, "t_pii_scrub")
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_url_domains_pure_projection(spark):
+    plan = plan_of(spark, "t_url_domains")
+    assert "Join" not in plan
+    assert "Python" not in plan
