@@ -165,3 +165,19 @@ def test_efpi_frame_reference_structure(sportec):
         .head()[0]
     )
     assert nf == 1
+
+
+def test_render_real_sportec_frame(sportec, tmp_path):
+    """Media sink on the reference's own sample: a frame of real DFL tracking
+    renders to a decodable PNG with both team colors present."""
+    from unravelsports_spark.functions.imagecodec import decode_png
+    from unravelsports_spark.sources.media import to_png
+
+    df, settings = sportec
+    frame_id = df.select("frame_id").orderBy("frame_id").head().frame_id
+    out = to_png(df, df.head().game_id, frame_id, str(tmp_path / "dfl.png"),
+                 home_team_id=settings.home_team_id)
+    img = decode_png(open(out, "rb").read())
+    assert img.ndim == 3 and img.shape[2] == 3
+    colors = {tuple(c) for c in np.unique(img.reshape(-1, 3), axis=0)}
+    assert (220, 50, 47) in colors and (38, 139, 210) in colors

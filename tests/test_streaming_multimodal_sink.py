@@ -259,3 +259,24 @@ def test_streaming_dedup(spark, tmpdir):
     # batch twin: same keys survive
     batch = streaming_dedup(spark.read.parquet(src), ["fp"])
     assert batch.count() == 3
+
+
+def test_tracking_sink_partition_pruning(spark, tmpdir):
+    """Partitioned tracking sink: game_id filter must prune at the directory
+    level (PartitionFilters), never scan other matches."""
+    from unravelsports_spark.sources.tracking_sink import read_tracking, write_tracking
+
+    tracking = synthetic_tracking_df(spark, n_frames=8, n_games=3, seed=6)
+    path = f"{tmpdir}/tracking"
+    write_tracking(tracking, path)
+    back = read_tracking(spark, path)
+    assert back.count() == tracking.count()
+
+    one = read_tracking(spark, path, game_id="game_1")
+    assert one.select("game_id").distinct().collect()[0][0] == "game_1"
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(game_id" in plan
+    # frame-range reads stay pruned by row-group stats: filter is pushed
+    rng = back.filter((F.col("game_id") == "game_2") & (F.col("frame_id") < 3))
+    plan2 = rng._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [isnotnull(frame_id" in plan2.lower() or "LessThan(frame_id,3)" in plan2
