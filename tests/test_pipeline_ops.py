@@ -133,3 +133,25 @@ def test_ivf_cell_broadcast_parity_and_plan(spark, embeddings):
     assert "BroadcastNestedLoopJoin" in auto_big._jdf.queryExecution().executedPlan().toString()
     auto_small = with_ivf_cell(embeddings, cents)
     assert "Join" not in auto_small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_directions_and_tolerance(spark):
+    """polars/pandas join_asof surface: backward/forward/nearest + tolerance
+    (single-pass union+carry in all modes — never a range join)."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "a"], "t": [10, 20, 35], "lv": [1, 2, 3]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "t": [12, 30], "rv": [100, 200]})
+    )
+
+    def got(**kw):
+        rows = asof_join(left, right, on="t", by=["k"], value_cols=["rv"], **kw)
+        return [(r.t, r.rv_right) for r in rows.orderBy("t").collect()]
+
+    assert got() == [(10, None), (20, 100), (35, 200)]
+    assert got(direction="forward") == [(10, 100), (20, 200), (35, None)]
+    assert got(direction="nearest") == [(10, 100), (20, 100), (35, 200)]
+    assert got(direction="nearest", tolerance=4) == [(10, 100), (20, None), (35, None)]
+    with pytest.raises(ValueError):
+        got(direction="sideways")

@@ -1115,3 +1115,39 @@ def d_contamination(spark, sf_dir):
         .groupBy("source")
         .agg(F.count("*").alias("n_contaminated"))
     )
+
+
+@query(
+    "j8f_asof_forward",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,
+           v.view_event_id AS view_event_id
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def j8f_asof_forward(spark, sf_dir):
+    """Forward as-of: the first view at or after each purchase (DuckDB's
+    native ASOF with a <= condition is the oracle). Same one-shuffle
+    union+carry as j8, ordered descending."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(
+        purchases, views, on="ts", by=["user_id"],
+        value_cols=["view_event_id"], direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", ms("ts").alias("purchase_ms"),
+        F.col("view_event_id_right").alias("view_event_id"),
+    )
