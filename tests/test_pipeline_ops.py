@@ -155,3 +155,40 @@ def test_asof_directions_and_tolerance(spark):
     assert got(direction="nearest", tolerance=4) == [(10, 100), (20, None), (35, None)]
     with pytest.raises(ValueError):
         got(direction="sideways")
+
+
+def test_pack_sequences_semantics(spark):
+    from unravelsports_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "source": ["s"] * 5,
+                "n_tokens": [600, 600, 600, 600, 600],
+            }
+        )
+    )
+    out = {r.doc_id: r.bin for r in pack_sequences(df, budget=1000).collect()}
+    # start offsets 0,600,1200,1800,2400 → bins 0,0,1,1,2
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+
+
+def test_approx_distinct_within_rsd(spark):
+    """a9: HLL++ estimate within 5x rsd of the exact distinct count."""
+    from unravelsports_spark.plans import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    rows = QUERIES["a9_approx_distinct"](spark, SF_CORRECT).collect()
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.05

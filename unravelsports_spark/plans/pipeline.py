@@ -5,6 +5,7 @@ md5-hex→bigint (bit-identical across engines)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1150,4 +1151,60 @@ def j8f_asof_forward(spark, sf_dir):
     return joined.select(
         "event_id", "user_id", ms("ts").alias("purchase_ms"),
         F.col("view_event_id_right").alias("view_event_id"),
+    )
+
+
+@query(
+    "t_sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                         - n_tokens) / 2048.0) AS BIGINT) AS bin
+      FROM toks)
+    SELECT source, COUNT(DISTINCT bin) AS n_bins,
+           CAST(MAX(bin) AS BIGINT) AS max_bin,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(cnt) AS BIGINT) AS max_docs_per_bin
+    FROM (SELECT source, bin, n_tokens,
+                 COUNT(*) OVER (PARTITION BY source, bin) AS cnt
+          FROM packed)
+    GROUP BY source
+    """,
+)
+def t_sequence_packing(spark, sf_dir):
+    """Token-budget sequence packing (budget 2048): start-offset binning via
+    one window cumsum per source — the corpus→training-sequences step. The
+    oracle reruns the identical window in DuckDB."""
+    from ..operators.packing import pack_sequences
+
+    docs = with_token_count(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_tokens"
+    )
+    packed = pack_sequences(docs, budget=2048)
+    per_bin = packed.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("source", "bin"))
+    )
+    return per_bin.groupBy("source").agg(
+        F.countDistinct("bin").alias("n_bins"),
+        F.max("bin").alias("max_bin"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("cnt").alias("max_docs_per_bin"),
+    )
+
+
+@query("a9_approx_distinct")
+def a9_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct (the 100 TB form of A2/A7: fixed
+    ~kilobyte sketch per group, map-side combinable, vs an exact distinct's
+    per-key state). No SQL oracle — the estimate is engine-specific; the
+    driver records rows-only, and tests/test_pipeline_ops.py asserts the
+    estimate lands within the configured rsd of the exact count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count("*").alias("n_rows"),
     )
