@@ -177,3 +177,44 @@ def test_extract_features_real(media_df):
     assert len(f0) == 8
     assert f0[0] == pytest.approx(0.0)  # solid black → zero channel means
     assert out["m2"][0] == pytest.approx(20 / 255.0, abs=1e-6)
+
+
+# -- property tests (hypothesis) ---------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def _images(draw):
+        h = draw(st.integers(1, 12))
+        w = draw(st.integers(1, 12))
+        nch = draw(st.sampled_from([1, 3, 4]))
+        data = draw(st.binary(min_size=h * w * nch, max_size=h * w * nch))
+        return np.frombuffer(data, np.uint8).reshape(h, w, nch).copy()
+
+    @given(_images())
+    @settings(max_examples=60, deadline=None)
+    def test_png_roundtrip_property(img):
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+    @given(_images())
+    @settings(max_examples=40, deadline=None)
+    def test_bmp_roundtrip_property(img):
+        out = decode_bmp(encode_bmp(img))
+        # BMP is 24-bit: gray broadcasts, alpha drops
+        if img.shape[2] == 1:
+            np.testing.assert_array_equal(out, np.dstack([img[:, :, 0]] * 3))
+        else:
+            np.testing.assert_array_equal(out, img[:, :, :3])
+
+    @given(_images(), st.integers(1, 20), st.integers(1, 20))
+    @settings(max_examples=40, deadline=None)
+    def test_resize_property(img, w, h):
+        out = resize_nearest(img, w, h)
+        assert out.shape == (h, w, img.shape[2])
+        # every output pixel exists somewhere in the input
+        assert out.dtype == np.uint8
+
+except ImportError:  # pragma: no cover
+    pass

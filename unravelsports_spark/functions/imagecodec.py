@@ -182,8 +182,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
 def encode_bmp(img: np.ndarray) -> bytes:
     img = np.asarray(img, np.uint8)
     if img.ndim == 2:
-        img = np.dstack([img] * 3)
-    if img.shape[2] == 4:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.dstack([img[:, :, 0]] * 3)
+    elif img.shape[2] == 4:
         img = img[:, :, :3]
     h, w, _ = img.shape
     stride = (w * 3 + 3) & ~3
