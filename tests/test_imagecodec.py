@@ -218,3 +218,51 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# -- WAV codec ---------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from unravelsports_spark.functions.audiocodec import decode_wav, encode_wav
+
+    mono = (rng.integers(-32768, 32768, size=400)).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, 22_050))
+    assert rate == 22_050 and s.shape == (400, 1)
+    np.testing.assert_array_equal(s[:, 0], mono)
+
+    stereo = (rng.integers(-32768, 32768, size=(100, 2))).astype(np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44_100))
+    assert rate2 == 44_100 and s2.shape == (100, 2)
+    np.testing.assert_array_equal(s2, stereo)
+
+
+def test_wav_rejects_non_pcm():
+    import struct
+
+    from unravelsports_spark.functions.audiocodec import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav file at all!")
+    # rewrite fmt code to 3 (IEEE float) → NotImplementedError
+    data = bytearray(encode_wav(np.zeros(4, np.int16)))
+    fmt_at = data.find(b"fmt ") + 8
+    struct.pack_into("<H", data, fmt_at, 3)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(data))
+
+
+def test_extract_audio_features_spark(spark):
+    from unravelsports_spark.functions.audiocodec import encode_wav
+    from unravelsports_spark.operators.multimodal import extract_audio_features
+
+    wave = np.array([0, 1000, -1000, 1000, -1000, 0], np.int16)
+    df = spark.createDataFrame(
+        [("clip1", bytearray(encode_wav(wave, 1000)))], "media_id string, payload binary"
+    )
+    r = extract_audio_features(df).head()
+    assert r.n_samples == 6 and r.sample_rate == 1000 and r.duration_ms == 6
+    assert r.peak == 1000
+    assert r.energy == 4 * 1000 * 1000
+    # sign flips: 1000→-1000→1000→-1000 plus -1000→0 (signbit change) = 4
+    assert r.zero_crossings == 4

@@ -2,12 +2,13 @@
 columns with typed metadata, processed via Arrow-batched `mapInPandas`.
 
 The Spark-side contract (schema, partition-preserving batched UDFs, bounded
-batch sizes for large blobs) is real and tested. The non-fake codec path is
-backed by the pure-Python PNG/BMP codec in `functions/imagecodec.py` (stdlib
-zlib + numpy — no PIL/opencv needed); formats beyond PNG/24-bit-BMP (JPEG,
-audio, video) raise NotImplementedError with a clear message. `fake=True`
-keeps the deterministic hash-based pseudo-decode for format-agnostic
-pipeline tests (stable across runs, exercises every downstream stage).
+batch sizes for large blobs) is real and tested. The non-fake codec paths are
+backed by pure-Python codecs: PNG/BMP in `functions/imagecodec.py` (stdlib
+zlib + numpy — no PIL/opencv needed) and RIFF/PCM WAV in
+`functions/audiocodec.py`; formats beyond those (JPEG, MP3, video codecs)
+raise NotImplementedError with a clear message. `fake=True` keeps the
+deterministic hash-based pseudo-decode for format-agnostic pipeline tests
+(stable across runs, exercises every downstream stage).
 
 At 100 TB: binary payloads dominate row size — `maxRecordsPerBatch` must be
 set low for these pipelines (the session factory's 10k default is for scalar
@@ -181,3 +182,44 @@ def sample_video_frames(
         frames_col,
         F.filter(F.col(frames_col), lambda _, i: i % every_n == 0),
     )
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """WAV payload → integer-exact audio descriptors (n_samples, sample_rate,
+    duration_ms, peak |amplitude|, energy = Σ sample², zero crossings on
+    channel 0). Same Arrow mapInPandas shape as the image path; descriptors
+    are integers so the DuckDB oracle matches with zero tolerance."""
+    from ..functions.audiocodec import decode_wav
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def feats(p: bytes) -> tuple:
+        s, rate = decode_wav(bytes(p))
+        ch0 = s[:, 0].astype(np.int64)
+        n = len(ch0)
+        zc = int(np.sum(np.signbit(ch0[1:]) != np.signbit(ch0[:-1]))) if n > 1 else 0
+        return (
+            n, rate, n * 1000 // rate,
+            int(np.abs(ch0).max(initial=0)), int((ch0 * ch0).sum()), zc,
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["n_samples", "sample_rate", "duration_ms", "peak", "energy", "zero_crossings"]
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = [feats(p) for p in pdf[payload_col]]
+            for i, c in enumerate(cols):
+                pdf[c] = [v[i] for v in vals]
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -1208,3 +1208,68 @@ def a9_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "mm_audio_real",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, source, 200 + doc_id % 50 AS n FROM documents),
+    samples AS (
+      SELECT doc_id, source, n, k,
+             ((doc_id * 31 + k * 7) % 2001) - 1000 AS v
+      FROM base, LATERAL unnest(range(0, n)) AS t(k)),
+    feats AS (
+      SELECT doc_id, source,
+             COUNT(*) AS n_samples,
+             MAX(ABS(v)) AS peak,
+             SUM(v * v) AS energy,
+             SUM(CASE WHEN k > 0 AND ((v < 0) <> (lagv < 0)) THEN 1 ELSE 0 END) AS zc
+      FROM (SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY k) AS lagv FROM samples)
+      GROUP BY doc_id, source)
+    SELECT source, COUNT(*) AS n_clips,
+           CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+           CAST(SUM(n_samples * 1000 // 16000) AS BIGINT) AS total_ms,
+           CAST(MAX(peak) AS BIGINT) AS max_peak,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(SUM(zc) AS BIGINT) AS total_zero_crossings
+    FROM feats GROUP BY source
+    """,
+)
+def mm_audio_real(spark, sf_dir):
+    """REAL audio codec end-to-end: synthesize a 16-bit PCM WAV per document
+    (sample k = ((doc_id·31 + k·7) mod 2001) − 1000, length 200 + doc_id%50)
+    with the pure-Python encoder, decode it back with
+    functions/audiocodec.decode_wav inside extract_audio_features, and roll
+    up integer-exact descriptors. The oracle regenerates the identical sample
+    series in SQL — any RIFF/PCM bug breaks the hash match."""
+    import numpy as np
+    from ..functions.audiocodec import encode_wav
+    from ..operators.multimodal import extract_audio_features
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for i in pdf["doc_id"]:
+                n = 200 + int(i) % 50
+                k = np.arange(n, dtype=np.int64)
+                v = ((int(i) * 31 + k * 7) % 2001) - 1000
+                payloads.append(encode_wav(v.astype(np.int16), 16_000))
+            pdf["payload"] = payloads
+            yield pdf
+
+    media = docs.mapInPandas(
+        synth,
+        T.StructType(docs.schema.fields + [T.StructField("payload", T.BinaryType())]),
+    )
+    feats = extract_audio_features(media)
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum("duration_ms").alias("total_ms"),
+        F.max("peak").alias("max_peak"),
+        F.sum("energy").alias("total_energy"),
+        F.sum("zero_crossings").alias("total_zero_crossings"),
+    )
