@@ -58,5 +58,22 @@ from .functions.graph_features import (  # noqa: F401
     graph_feature,
 )
 from .functions.delaunay import delaunay_edges, delaunay_triangles  # noqa: F401
-from .models.gnn import build_crystal_gnn, graph_loader  # noqa: F401
+from .models.gnn import (  # noqa: F401
+    CrystalGraphClassifier,
+    NumpyCrystalGNN,
+    PyGLightningCrystalGraphClassifier,
+    build_crystal_gnn,
+    graph_loader,
+)
+from .sources.tracking_sink import read_tracking, write_tracking  # noqa: F401
+from .sources.media import to_png, to_png_sequence  # noqa: F401
+from .sources.graph_sink import graph_dimensions  # noqa: F401
+from .datasets.tracking import rebalance_labels  # noqa: F401
+from .operators.filtering import (  # noqa: F401
+    contaminated_docs,
+    scrub_pii,
+    with_repetition_stats,
+    with_url_parts,
+)
+from .operators.packing import pack_sequences  # noqa: F401
 from .streaming.efpi_stream import streaming_formation_detection  # noqa: F401

@@ -152,3 +152,37 @@ class NumpyCrystalGNN:
             self.b_head -= lr * float(grad.sum())
         return losses
 
+
+
+class CrystalGraphClassifier:
+    """Name-parity shim for the reference's spektral classifier
+    (unravel/classifiers/crystal_graph.py:6-44; its package-level fallback
+    raises ImportError the same way when spektral is absent). The
+    dependency-free twin with an actually-runnable training loop is
+    `NumpyCrystalGNN`."""
+
+    def __init__(self, *args, **kwargs):
+        raise ImportError(
+            "CrystalGraphClassifier requires spektral/tensorflow (not in this "
+            "environment); use NumpyCrystalGNN (dependency-free) or "
+            "build_crystal_gnn (torch)"
+        )
+
+
+class PyGLightningCrystalGraphClassifier:
+    """Name-parity shim for the reference's PyG-Lightning classifier
+    (unravel/classifiers/crystal_graph_pyg.py:24-105). `build_crystal_gnn`
+    constructs the same CGConv architecture when torch is importable."""
+
+    def __init__(self, *args, **kwargs):
+        try:
+            import pytorch_lightning  # noqa: F401
+            import torch  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "PyGLightningCrystalGraphClassifier requires torch + "
+                "pytorch_lightning; use build_crystal_gnn / NumpyCrystalGNN"
+            ) from exc
+        raise NotImplementedError(
+            "lightning wrapper intentionally thin — wrap build_crystal_gnn()"
+        )
