@@ -1273,3 +1273,39 @@ def mm_audio_real(spark, sf_dir):
         F.sum("energy").alias("total_energy"),
         F.sum("zero_crossings").alias("total_zero_crossings"),
     )
+
+
+@query(
+    "k_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def k_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py): partials per
+    (key, salt), merged per key — bit-identical to the plain GROUP BY the
+    oracle runs (count/sum merge exactly; distinct-count goes through a
+    salt-level collect_set merged as a union). This is the shape that keeps
+    one hot event_type from pinning a single reducer at 100 TB."""
+    from ..operators.skew import salted_agg
+
+    e = read_table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        partial_aggs=[
+            F.count("*").alias("_n"),
+            F.sum(dec("value", 2)).alias("_s"),
+            F.collect_set("user_id").alias("_u"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n_events"),
+            F.sum("_s").cast("double").alias("sum_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("_u")))).cast("long").alias("n_users"),
+        ],
+        n_salts=8,
+        unique_col="event_id",
+    )
