@@ -280,3 +280,48 @@ def test_tracking_sink_partition_pruning(spark, tmpdir):
     rng = back.filter((F.col("game_id") == "game_2") & (F.col("frame_id") < 3))
     plan2 = rng._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [isnotnull(frame_id" in plan2.lower() or "LessThan(frame_id,3)" in plan2
+
+
+def test_stream_stream_interval_join(spark, tmpdir):
+    """Watermarked stream-stream interval join: purchases attribute to views
+    within the trailing window; batch twin produces the same pairs."""
+    from unravelsports_spark.streaming.joins import interval_join
+
+    lsrc, rsrc = f"{tmpdir}/ssj_l", f"{tmpdir}/ssj_r"
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    purchases = pd.DataFrame(
+        {"user_id": [1, 1, 2], "ts": [base + pd.Timedelta(minutes=m) for m in (40, 90, 50)],
+         "event_id": [100, 101, 102]}
+    )
+    views = pd.DataFrame(
+        {"user_id": [1, 1, 2, 2],
+         "view_ts": [base + pd.Timedelta(minutes=m) for m in (20, 85, 10, 45)],
+         "view_event_id": [1, 2, 3, 4]}
+    )
+    spark.createDataFrame(purchases).write.mode("overwrite").parquet(lsrc)
+    spark.createDataFrame(views).write.mode("overwrite").parquet(rsrc)
+
+    def stream(path):
+        schema = spark.read.parquet(path).schema
+        return spark.readStream.schema(schema).parquet(path)
+
+    joined = interval_join(
+        stream(lsrc), stream(rsrc), ["user_id"], "ts", "view_ts", "30 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("t_ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {(r.event_id, r.view_event_id)
+           for r in spark.sql("SELECT event_id, view_event_id FROM t_ssj").collect()}
+    # purchase 100 (t=40): view at 20 (in window); 101 (t=90): view at 85;
+    # 102 (t=50): view at 45; view at 10 outside user-2's window
+    assert got == {(100, 1), (101, 2), (102, 4)}
+
+    batch = interval_join(
+        spark.read.parquet(lsrc), spark.read.parquet(rsrc),
+        ["user_id"], "ts", "view_ts", "30 minutes",
+    )
+    assert {(r.event_id, r.view_event_id)
+            for r in batch.select("event_id", "view_event_id").collect()} == got

@@ -1309,3 +1309,46 @@ def k_salted_agg(spark, sf_dir):
         n_salts=8,
         unique_col="event_id",
     )
+
+
+@query(
+    "j9_interval_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    views AS (
+      SELECT user_id, ts AS view_ts, event_id AS view_event_id
+      FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ms,
+           CAST(COUNT(v.view_event_id) AS BIGINT) AS views_30m,
+           MAX(v.view_event_id) AS last_view_event
+    FROM purchases p
+    JOIN views v
+      ON v.user_id = p.user_id
+     AND v.view_ts >= p.ts - INTERVAL 30 MINUTE
+     AND v.view_ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def j9_interval_join(spark, sf_dir):
+    """Interval join (attribution): views within the 30 minutes before each
+    purchase, per user. One shuffle per side (SortMergeJoin on user_id, range
+    as join condition — never a cross product); the identical expression runs
+    as a watermarked stream-stream join (streaming/joins.py, tested)."""
+    from ..streaming.joins import interval_join
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_event_id"))
+    )
+    j = interval_join(purchases, views, ["user_id"], "ts", "view_ts", "30 minutes")
+    return j.groupBy("event_id", "user_id", "ts").agg(
+        F.count("view_event_id").alias("views_30m"),
+        F.max("view_event_id").alias("last_view_event"),
+    ).select(
+        "event_id", "user_id", ms("ts").alias("purchase_ms"),
+        "views_30m", "last_view_event",
+    )
