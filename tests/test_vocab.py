@@ -1,0 +1,118 @@
+"""Semantic tests for vocabulary/TF-IDF, mixture resampling, and k-means —
+the exact-value checks live in the oracle sweep (test_relational_oracle);
+these cover behavior the SQL can't express (convergence, determinism)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from unravelsports_spark.operators.sampling import PPM, mixture_rates, sample_mixture
+from unravelsports_spark.operators.similarity import (
+    kmeans_fit_distributed,
+    with_nearest_centroid,
+)
+from unravelsports_spark.operators.vocab import doc_top_terms, tfidf_terms, vocab_topk
+from unravelsports_spark.session import read_table
+
+from .conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "a"),
+            (2, "the dog sat on the log", "a"),
+            (3, "cat cat cat", "b"),
+            (4, "unique snowflake words here", "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+
+
+def test_tfidf_rare_term_outranks_common(docs):
+    rows = {r["term"]: r for r in tfidf_terms(docs).collect()}
+    # 'the' appears in 2 docs, 'snowflake' in 1 → snowflake idf strictly higher
+    assert rows["snowflake"]["idf"] > rows["the"]["idf"]
+    assert rows["the"]["doc_freq"] == 2 and rows["the"]["total_tf"] == 4
+    n = 4
+    exp = round(math.log((n + 1) / (1 + 1)) + 1, 6)
+    assert rows["snowflake"]["idf"] == pytest.approx(exp, abs=0)
+
+
+def test_doc_top_terms_deterministic(docs):
+    top = {r["doc_id"]: r["term"] for r in doc_top_terms(docs, k=1).collect()}
+    assert top[3] == "cat"  # tf=3 of a 2-doc term beats everything else
+    # rank-1 per doc, exactly one row per doc
+    assert len(top) == 4
+
+
+def test_vocab_topk_tiebreak(docs):
+    rows = vocab_topk(docs, k=3).collect()
+    # 'cat' (1+3) ties 'the' (2+2) at 4 occurrences → term-asc puts cat first
+    assert [(r["term"], r["n_occurrences"]) for r in rows[:2]] == [("cat", 4), ("the", 4)]
+    assert rows[0]["n_docs"] == 2 and rows[1]["n_docs"] == 2
+    # ties sorted by term ascending → deterministic prefix
+    counts = [(r["n_occurrences"], r["term"]) for r in rows]
+    assert counts == sorted(counts, key=lambda t: (-t[0], t[1]))
+
+
+def test_mixture_rates_and_sample(spark):
+    d = read_table(spark, SF_CORRECT, "documents")
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    rates = {r["source"]: r for r in mixture_rates(d, targets).collect()}
+    assert len(rates) == 20
+    # uniform 25-per-source corpus: T = min(25/0.5, 25/0.3, 25/0.2) = 50
+    # → src0 keeps everything, others downsample proportionally
+    assert rates["src0"]["rate_ppm"] == PPM
+    assert rates["src1"]["rate_ppm"] == pytest.approx(0.6 * PPM, abs=2)
+    assert rates["src2"]["rate_ppm"] == pytest.approx(0.4 * PPM, abs=2)
+    assert rates["src5"]["rate_ppm"] == 0  # untargeted domain dropped
+    samp = sample_mixture(d, targets)
+    srcs = {r["source"] for r in samp.select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1", "src2"}
+    # deterministic: same sample twice
+    ids1 = sorted(r["doc_id"] for r in samp.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in sample_mixture(d, targets).select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_kmeans_inertia_decreases(spark):
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+
+    def inertia(c):
+        return (
+            with_nearest_centroid(emb, c)
+            .agg(F.sum("d2").alias("i"))
+            .collect()[0]["i"]
+        )
+
+    init = np.asarray(
+        [[float(v) for v in r[1]] for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()]
+    )
+    c3 = kmeans_fit_distributed(emb, k=8, iters=3)
+    assert inertia(c3) < inertia(init)
+    c5 = kmeans_fit_distributed(emb, k=8, iters=5)
+    assert inertia(c5) <= inertia(c3) + 1e-9
+
+
+def test_kmeans_matches_numpy_lloyds(spark):
+    """The distributed sufficient-stats loop must equal plain NumPy Lloyd's
+    on the same init — same assignment, same means, bitwise-close."""
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    X = np.asarray(
+        [[float(v) for v in r[1]] for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()]
+    )
+    k, iters = 8, 3
+    cent = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(k):
+            m = X[a == c]
+            if len(m):
+                cent[c] = m.mean(0)
+    got = kmeans_fit_distributed(emb, k=k, iters=iters)
+    np.testing.assert_allclose(got, cent, rtol=1e-9, atol=1e-12)

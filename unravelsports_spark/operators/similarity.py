@@ -205,3 +205,74 @@ def ivf_topk(
     cells = [int(c) for c in order[:n_probe]]
     candidates = with_ivf_cell(df, centroids, emb_col).filter(F.col("cell").isin(cells))
     return cosine_topk(candidates, query_vec, k, id_col, emb_col)
+
+
+def with_nearest_centroid(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    cell_col: str = "cell",
+    d2_col: str = "d2",
+) -> DataFrame:
+    """Nearest centroid by squared L2 plus the distance itself (the inertia
+    term) — literal-projection plan, zero shuffles, ties to the lowest cell
+    index. Same fold as `with_ivf_cell` but keeps d2 for inertia queries."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(emb_col), _vec_lit(c),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return (
+        df.withColumn("_dists", dists)
+        .withColumn(d2_col, F.array_min("_dists"))
+        .withColumn(cell_col, F.array_position(F.col("_dists"), F.col(d2_col)).cast("int") - 1)
+        .drop("_dists")
+    )
+
+
+def kmeans_fit_distributed(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Full-corpus Lloyd's iterations, Spark-native: each round is one job —
+    assign every vector to its nearest centroid (literal projection or
+    broadcast join via `with_ivf_cell`'s auto switch), then reduce per-cell
+    per-dimension sums with a map-side-combinable aggregation. Only the k×dim
+    sufficient statistics ever reach the driver; the corpus itself never
+    moves. Init is deterministic: the k lowest-``id_col`` vectors.
+
+    At 100 TB this is the textbook scalable k-means loop (the same shape
+    MLlib uses): cost per iteration = one scan + one shuffle of k×dim rows.
+    Empty cells keep their previous centroid.
+    """
+    init_rows = df.select(id_col, emb_col).orderBy(id_col).limit(k).collect()
+    centroids = np.asarray([[float(v) for v in r[1]] for r in init_rows], dtype=float)
+    for _ in range(iters):
+        assigned = with_ivf_cell(df.select(id_col, emb_col), centroids, emb_col, id_col=id_col)
+        stats = (
+            assigned.select("cell", F.posexplode(emb_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in stats:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids = new
+    return centroids

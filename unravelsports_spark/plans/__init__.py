@@ -4,3 +4,4 @@ DataFrame plans over the synthetic star schema, each with a DuckDB oracle."""
 from .relational import QUERIES, ORACLE_SQL  # noqa: F401
 from . import pipeline  # noqa: F401  (registers pipeline queries)
 from . import models_plans  # noqa: F401  (registers model rows-only queries)
+from . import corpus2  # noqa: F401  (registers round-2 corpus queries)

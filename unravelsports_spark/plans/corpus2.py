@@ -1,0 +1,216 @@
+"""Round-2 corpus-pipeline queries: TF-IDF / vocabulary, domain-mixture
+resampling, exact quantiles, and k-means clustering — each with an exact
+DuckDB oracle unless noted. Registered additively; existing query names are
+never touched (registry stability, VERDICT r1 action #1).
+
+Float-parity rules applied here (measured, see tests/test_vocab.py):
+- `ln()` differs by 1 ulp between JVM and libm on ~5% of inputs → every IDF
+  is rounded to 6 decimals on BOTH sides.
+- `CAST(double AS BIGINT)` truncates in Spark but rounds in DuckDB → all
+  ppm rates go through an explicit FLOOR on both sides.
+- double sums are order-dependent → inertia sums ride through DECIMAL
+  (`dsum`), max-based stats (max is order-independent) stay double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.sampling import PPM, mixture_rates, sample_mixture
+from ..operators.similarity import kmeans_fit_distributed, with_nearest_centroid
+from ..operators.vocab import tfidf_terms, vocab_topk
+from ..session import read_table
+from .relational import dsum, query
+
+_TOK = r"regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@query(
+    "t_tfidf_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    stats AS (
+      SELECT term, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS total_tf,
+             MAX(tf) AS max_tf
+      FROM tf GROUP BY term
+    )
+    SELECT term, doc_freq, total_tf,
+           ROUND(LN((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0, 6) AS idf,
+           ROUND(max_tf * ROUND(LN((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0, 6), 6) AS max_tfidf
+    FROM stats, n
+    WHERE doc_freq >= 2
+    """,
+)
+def t_tfidf_terms(spark, sf_dir):
+    """Corpus TF-IDF term statistics (engine addition §2.12): explode + two
+    map-side-combinable aggregations; N broadcast as a 1-row agg."""
+    d = read_table(spark, sf_dir, "documents")
+    return tfidf_terms(d, min_doc_freq=2)
+
+
+@query(
+    "t_vocab_top100",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    )
+    SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY term
+    ORDER BY n_occurrences DESC, term
+    LIMIT 100
+    """,
+)
+def t_vocab_top100(spark, sf_dir):
+    """Top-100 vocabulary (engine addition §2.12): partial HashAggregate →
+    TakeOrderedAndProject, deterministic tie-break by term."""
+    return vocab_topk(read_table(spark, sf_dir, "documents"), k=100)
+
+
+#: mixture targets for the oracle pair (shares sum to 1; the other 17
+#: sources get rate 0)
+MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@query(
+    "t_domain_mixture",
+    oracle=f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tgt(source, target) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    c2 AS (
+      SELECT c.source, c.n_docs, COALESCE(t.target, 0.0) AS target
+      FROM counts c LEFT JOIN tgt t USING (source)
+    ),
+    tt AS (SELECT MIN(n_docs / target) AS t FROM c2 WHERE target > 0),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(target * {PPM}) AS BIGINT) AS target_ppm,
+             LEAST({PPM}, CAST(FLOOR(target * t / n_docs * {PPM}) AS BIGINT)) AS rate_ppm
+      FROM c2, tt
+    ),
+    samp AS (
+      SELECT d.source, COUNT(*) AS n_sampled
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST(('0x' || substring(md5(d.text), 1, 15)) AS BIGINT) % {PPM} < r.rate_ppm
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.target_ppm, r.rate_ppm,
+           COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM rates r LEFT JOIN samp s USING (source)
+    """,
+)
+def t_domain_mixture(spark, sf_dir):
+    """Domain-mixture resampling (engine addition §2.12): per-domain
+    keep-rates for a 50/30/20 target mix, deterministic md5 Bernoulli
+    sampling, per-domain sampled counts. The corpus never shuffles — rates
+    are a broadcast dim, the sample is a codegen filter."""
+    d = read_table(spark, sf_dir, "documents")
+    rates = mixture_rates(d, MIX_TARGETS)
+    sampled = (
+        sample_mixture(d, MIX_TARGETS)
+        .groupBy("source")
+        .agg(F.count("*").alias("_n_sampled"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .withColumn("n_sampled", F.coalesce(F.col("_n_sampled"), F.lit(0)))
+        .drop("_n_sampled")
+    )
+
+
+@query(
+    "a10_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a10_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (A-family addition): Spark's exact
+    `percentile` (sort-based within groups) vs DuckDB `quantile_cont`; both
+    use linear interpolation on order statistics. Rounded to 4 decimals —
+    the interpolation arithmetic can differ in the last ulp. At scale the
+    exact percentile is a per-group sort; for the approximate path see
+    a9_approx_distinct's KLL/HLL family."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("qs"),
+        F.count("*").alias("n"),
+    )
+    return q.select(
+        "l_returnflag",
+        F.round(F.element_at("qs", 1), 4).alias("p25"),
+        F.round(F.element_at("qs", 2), 4).alias("p50"),
+        F.round(F.element_at("qs", 3), 4).alias("p75"),
+        "n",
+    )
+
+
+_KMEANS_D2 = """
+      list_reduce(
+        list_transform(range(1, len(e.embedding) + 1),
+          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))),
+        (a, b) -> a + b)
+"""
+
+
+@query(
+    "s_kmeans_assign",
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cemb
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    d AS (
+      SELECT e.vec_id, c.cell, {_KMEANS_D2} AS d2
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, cell, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM d
+    )
+    SELECT cell, COUNT(*) AS n_members,
+           CAST(SUM(CAST(d2 AS DECIMAL(18,8))) AS DOUBLE) AS inertia
+    FROM best WHERE rn = 1 GROUP BY cell
+    """,
+)
+def s_kmeans_assign(spark, sf_dir):
+    """K-means assignment step (engine addition §2.12), exact oracle:
+    deterministic init (8 lowest vec_ids), literal-centroid projection —
+    zero shuffles for the assignment, one map-side-combinable agg for the
+    per-cell stats. d2 folds left with acc=0.0 in both engines (0.0 + x is
+    exact), inertia sums ride DECIMAL for order-independence."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    init = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    centroids = [[float(v) for v in r[1]] for r in init]
+    import numpy as np
+
+    assigned = with_nearest_centroid(emb, np.asarray(centroids))
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        dsum("d2", 8).alias("inertia"),
+    )
+
+
+@query("s_kmeans_fit")
+def s_kmeans_fit(spark, sf_dir):
+    """Full distributed Lloyd's (3 rounds, k=8) then final cluster profile.
+    Iterative — not SQL-expressible, rows-only check; the per-round math is
+    covered exactly by s_kmeans_assign and tests/test_vocab.py convergence
+    assertions."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit_distributed(emb, k=8, iters=3)
+    assigned = with_nearest_centroid(emb, centroids)
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.round(dsum("d2", 8), 4).alias("inertia"),
+    )
