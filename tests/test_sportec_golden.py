@@ -181,3 +181,21 @@ def test_render_real_sportec_frame(sportec, tmp_path):
     assert img.ndim == 3 and img.shape[2] == 3
     colors = {tuple(c) for c in np.unique(img.reshape(-1, 3), axis=0)}
     assert (220, 50, 47) in colors and (38, 139, 210) in colors
+
+
+def test_to_video_real_sportec(sportec, tmp_path):
+    """Video sink: 5 real DFL frames → playable MJPEG AVI whose recovered
+    frames decode to the canvas dimensions."""
+    from unravelsports_spark.functions.jpegcodec import decode_jpeg
+    from unravelsports_spark.sources.avi import read_mjpeg_avi
+    from unravelsports_spark.sources.media import to_video
+
+    df, settings = sportec
+    fids = [r.frame_id for r in
+            df.select("frame_id").distinct().orderBy("frame_id").limit(5).collect()]
+    out = to_video(df, df.head().game_id, fids, str(tmp_path / "clip.avi"),
+                   home_team_id=settings.home_team_id, fps=5)
+    frames = read_mjpeg_avi(out)
+    assert len(frames) == 5
+    img = decode_jpeg(frames[0])
+    assert img.ndim == 3 and img.shape[2] == 3 and img.shape[0] > 100

@@ -33,6 +33,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -206,9 +208,13 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(bytes(data))
     if fmt == "bmp":
         return decode_bmp(bytes(data))
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(bytes(data))
     raise NotImplementedError(
-        "unsupported image format (PNG and 24-bit BMP supported; JPEG needs an "
-        "external codec not available in this environment)"
+        "unsupported image format (PNG, 24-bit BMP and baseline JPEG "
+        "supported; other formats need external codecs not in this environment)"
     )
 
 
@@ -224,4 +230,8 @@ def encode_image(img: np.ndarray, fmt: str = "png") -> bytes:
         return encode_png(img)
     if fmt == "bmp":
         return encode_bmp(img)
+    if fmt in ("jpeg", "jpg"):
+        from .jpegcodec import encode_jpeg
+
+        return encode_jpeg(img)
     raise ValueError(f"unsupported encode format {fmt!r}")

@@ -4,9 +4,10 @@ columns with typed metadata, processed via Arrow-batched `mapInPandas`.
 The Spark-side contract (schema, partition-preserving batched UDFs, bounded
 batch sizes for large blobs) is real and tested. The non-fake codec paths are
 backed by pure-Python codecs: PNG/BMP in `functions/imagecodec.py` (stdlib
-zlib + numpy — no PIL/opencv needed) and RIFF/PCM WAV in
-`functions/audiocodec.py`; formats beyond those (JPEG, MP3, video codecs)
-raise NotImplementedError with a clear message. `fake=True` keeps the
+zlib + numpy — no PIL/opencv needed), baseline JPEG in
+`functions/jpegcodec.py`, and RIFF/PCM WAV in `functions/audiocodec.py`;
+formats beyond those (MP3, video codecs) raise NotImplementedError with a
+clear message. `fake=True` keeps the
 deterministic hash-based pseudo-decode for format-agnostic pipeline tests
 (stable across runs, exercises every downstream stage).
 

@@ -233,10 +233,39 @@ def to_png_sequence(
     return paths
 
 
+def to_video(
+    tracking: DataFrame,
+    game_id: str,
+    frame_ids: Iterable[int],
+    out_path: str,
+    home_team_id: str,
+    fps: int = 25,
+    quality: int = 85,
+    max_frames: int = 500,
+    **render_kw,
+) -> str:
+    """Tracking frames → playable MJPEG AVI (pure Python: frames rasterized
+    by the numpy renderer, JPEG-encoded by functions/jpegcodec.py, muxed by
+    sources/avi.py). The container equivalent of the reference's ffmpeg MP4
+    export (graph_converter.py:1302) for this codec-free environment."""
+    from ..functions.jpegcodec import encode_jpeg
+    from .avi import write_mjpeg_avi
+
+    frame_ids = list(frame_ids)
+    if len(frame_ids) > max_frames:
+        raise ValueError(f"{len(frame_ids)} frames exceeds max_frames={max_frames}")
+    jpegs, dims = [], None
+    for fid in frame_ids:
+        img = render_frame(collect_frame(tracking, game_id, fid), home_team_id, **render_kw)
+        dims = dims or (img.shape[1], img.shape[0])
+        jpegs.append(encode_jpeg(img, quality=quality))
+    return write_mjpeg_avi(out_path, jpegs, dims[0], dims[1], fps=fps)
+
+
 def to_mp4(*args, **kwargs):
     raise NotImplementedError(
         "MP4 export needs ffmpeg/imageio (not in this environment); use "
-        "to_png_sequence and stitch externally"
+        "to_video (MJPEG AVI, playable everywhere) or to_png_sequence"
     )
 
 
