@@ -139,3 +139,49 @@ def test_url_domains_pure_projection(spark):
     plan = plan_of(spark, "t_url_domains")
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_vocab_topk_take_ordered(spark):
+    plan = plan_of(spark, "t_vocab_top100")
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+    assert "partial_count" in plan
+
+
+def test_tfidf_broadcasts_doc_count(spark):
+    plan = plan_of(spark, "t_tfidf_terms")
+    # the N-docs 1-row agg joins in as a broadcast, never a SortMergeJoin
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_domain_mixture_fact_never_shuffled_for_rates(spark):
+    plan = plan_of(spark, "t_domain_mixture")
+    # rates are a tiny dim joined by broadcast; corpus-side join is broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assign_single_exchange(spark):
+    plan = plan_of(spark, "s_kmeans_assign")
+    # literal-centroid assignment is a pure projection; the only exchange is
+    # the per-cell stats groupBy (plus its partial agg)
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_rollup_single_aggregation(spark):
+    plan = plan_of(spark, "a13_rollup")
+    assert "Expand" in plan  # grouping sets expansion, one pass over the data
+    assert plan.count("Exchange") == 1
+
+
+def test_histogram_partial_agg(spark):
+    plan = plan_of(spark, "a11_histogram")
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_edit_distance_pruned_scan(spark):
+    plan = plan_of(spark, "d_edit_distance")
+    # only doc_id + text reach the scan (no lang/source/n_chars)
+    assert "n_chars" not in plan and "source" not in plan

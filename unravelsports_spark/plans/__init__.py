@@ -5,3 +5,4 @@ from .relational import QUERIES, ORACLE_SQL  # noqa: F401
 from . import pipeline  # noqa: F401  (registers pipeline queries)
 from . import models_plans  # noqa: F401  (registers model rows-only queries)
 from . import corpus2  # noqa: F401  (registers round-2 corpus queries)
+from . import relational2  # noqa: F401  (registers round-2 relational queries)

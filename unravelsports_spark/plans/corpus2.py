@@ -115,7 +115,7 @@ def t_domain_mixture(spark, sf_dir):
         .agg(F.count("*").alias("_n_sampled"))
     )
     return (
-        rates.join(sampled, "source", "left")
+        rates.join(F.broadcast(sampled), "source", "left")
         .withColumn("n_sampled", F.coalesce(F.col("_n_sampled"), F.lit(0)))
         .drop("_n_sampled")
     )

@@ -1,0 +1,229 @@
+"""Round-2 relational additions: deterministic reservoir sampling, histogram
+binning, decimal-exact correlation, rollup, pivot, rank-based window stats,
+and edit-distance near-dup verification — each with an exact DuckDB oracle.
+
+Engine-parity notes: bucket indices use explicit FLOOR (Spark truncates
+double→bigint, DuckDB rounds); correlation is computed from DECIMAL sufficient
+statistics (order-independent) and only the final closed form runs in double
+(same expression tree both sides, rounded to 6); sampling orders by md5 with
+a full key tie-break so ROW_NUMBER is reproducible."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..session import read_table
+from .relational import dec, dsum, query
+
+
+@query(
+    "o13_reservoir_sample",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY md5(l_orderkey || '-' || l_linenumber), l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn <= 5
+    """,
+)
+def o13_reservoir_sample(spark, sf_dir):
+    """Deterministic per-key reservoir sample (engine addition §2.12): k=5
+    rows per group chosen by content hash — reproducible across runs and
+    shards, unlike rand()-based sampling. At scale this is one shuffle on
+    the group key; the hash order is computed map-side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.md5(key), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "rn")
+    )
+
+
+@query(
+    "a11_histogram",
+    oracle="""
+    SELECT GREATEST(0, LEAST(19, CAST(FLOOR((l_extendedprice - 900.0) / 5000.0) AS BIGINT))) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a11_histogram(spark, sf_dir):
+    """Fixed-width histogram (A-family addition): manual floor bucketing
+    (clamped to [0,19]) — a pure projection feeding one map-side-combinable
+    aggregation; the classic profile-a-column-at-scale pattern."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bucket = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.lit(19).cast("bigint"),
+            F.floor((F.col("l_extendedprice") - 900.0) / 5000.0),
+        ),
+    )
+    return (
+        li.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("total"))
+    )
+
+
+@query(
+    "a12_corr_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def a12_corr_exact(spark, sf_dir):
+    """Pearson correlation via DECIMAL sufficient statistics (A-family
+    addition): the five sums are exact decimals (order-independent, unlike
+    Spark's streaming co-moment corr()), so the closed form evaluates
+    identically on both engines; sqrt is IEEE-correctly-rounded. This is the
+    deterministic way to compute corr at 100 TB — map-side-combinable sums,
+    one row per group to the driver."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "a13_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a13_rollup(spark, sf_dir):
+    """ROLLUP hierarchy aggregation (A-family addition): Spark expands
+    grouping sets with one Expand + one aggregation — subtotals and the
+    grand total in a single shuffle instead of N queries."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "o14_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def o14_pivot(spark, sf_dir):
+    """Pivot / wide reshaping (O-family addition): explicit conditional
+    aggregation rather than df.pivot — same single-aggregation physical
+    plan, but the output schema is static (pivot's value-discovery pass is
+    a second scan at 100 TB; when the pivot values are known, spell them)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ls = F.col("l_linestatus")
+    q = dec("l_quantity")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(ls == "F", 1).otherwise(0)).alias("F"),
+        F.sum(F.when(ls == "O", 1).otherwise(0)).alias("O"),
+        F.sum(F.when(ls == "F", q).otherwise(zero)).cast("double").alias("qty_F"),
+        F.sum(F.when(ls == "O", q).otherwise(zero)).cast("double").alias("qty_O"),
+    )
+
+
+@query(
+    "w8_rank_distributions",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           RANK() OVER w AS rnk
+    FROM lineitem
+    WHERE l_quantity <= 2.0
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+    """,
+)
+def w8_rank_distributions(spark, sf_dir):
+    """Rank-based window distributions (W-family addition): percent_rank /
+    cume_dist / rank are functions of the rank only, so ties don't make them
+    nondeterministic (ntile would be); the divisions (rank-1)/(n-1) are
+    exact IEEE in both engines."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 2.0)
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.rank().over(w).alias("rnk"),
+    )
+
+
+@query(
+    "d_edit_distance",
+    oracle="""
+    WITH a AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents)
+    SELECT x.doc_id AS left_id, y.doc_id AS right_id,
+           levenshtein(x.prefix, y.prefix) AS dist
+    FROM a x JOIN a y ON y.doc_id = x.doc_id + 1
+    WHERE levenshtein(x.prefix, y.prefix) <= 30
+    """,
+)
+def d_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup verification (dedup-family addition): the
+    expensive exact Levenshtein runs only on candidate pairs (here adjacent
+    ids as a stand-in for LSH candidates — the same shape as
+    d_lsh_candidate_pairs feeding a verify stage). Integer result, exact in
+    both engines."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    right = d.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("right_id"),
+        F.col("prefix").alias("rprefix"),
+    )
+    return (
+        d.join(right, d.doc_id == right.join_id)
+        .withColumn("dist", F.levenshtein("prefix", "rprefix"))
+        .filter(F.col("dist") <= 30)
+        .select(F.col("doc_id").alias("left_id"), "right_id", "dist")
+    )
