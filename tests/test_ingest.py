@@ -179,3 +179,55 @@ def test_smoothing_changes_velocity_but_preserves_linear(spark):
     np.testing.assert_allclose(p1.vx, 2.0, rtol=1e-9)
     early = pdf[(pdf.id == "p1") & (pdf.frame_id == 1)]
     assert float(early.vx.iloc[0]) != 2.0
+
+
+def _kloppy_wide_fixture(spark, n=12, dt_ms=40):
+    """Kloppy-to_df naming: home_/away_ prefixed player ids + ball."""
+    rows = []
+    for f in range(n):
+        t = f * dt_ms
+        rows.append({
+            "period_id": 1, "timestamp": t, "frame_id": f,
+            "ball_state": "alive", "ball_owning_team_id": None,
+            "home_1_x": 1.0 + 2.0 * t / 1000, "home_1_y": 0.0,
+            "home_2_x": -5.0, "home_2_y": 3.0,
+            "away_9_x": 10.0, "away_9_y": -1.0 * t / 1000,
+            "ball_x": 0.5 * t / 1000, "ball_y": 0.0, "ball_z": 0.2,
+            # a column that looks coordinate-ish but has no _y twin: ignored
+            "referee_x": 0.0,
+        })
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_discover_objects_prefix_convention(spark):
+    from unravelsports_spark.datasets.wide import discover_objects
+
+    wide = _kloppy_wide_fixture(spark)
+    objs = discover_objects(wide)
+    got = {o.object_id: o.team_id for o in objs}
+    assert got == {"home_1": "home", "home_2": "home", "away_9": "away", "ball": "ball"}
+
+
+def test_load_kloppy_wide_end_to_end(spark):
+    from unravelsports_spark.datasets.wide import load_kloppy_wide
+
+    settings = DefaultSettings(home_team_id="home", away_team_id="away")
+    ds = load_kloppy_wide(
+        _kloppy_wide_fixture(spark), settings, game_id="g2",
+        player_smoothing=None, ball_smoothing=None, orient_ball_owning=False,
+    )
+    pdf = ds.data.orderBy("frame_id", "id").toPandas()
+    assert len(pdf) == 12 * 4
+    h1 = pdf[(pdf.id == "home_1") & (pdf.frame_id > 0)]
+    np.testing.assert_allclose(h1.vx, 2.0, rtol=1e-9)
+    assert set(pdf.team_id.unique()) == {"home", "away", "ball"}
+
+
+def test_discover_objects_explicit_team_mapping(spark):
+    from unravelsports_spark.datasets.wide import discover_objects
+
+    wide = _kloppy_wide_fixture(spark)
+    team = {"home_1": "tA", "home_2": "tA", "away_9": "tB"}
+    objs = discover_objects(wide, team_of=lambda oid: team.get(oid))
+    got = {o.object_id: o.team_id for o in objs}
+    assert got == {"home_1": "tA", "home_2": "tA", "away_9": "tB", "ball": "ball"}
