@@ -116,3 +116,47 @@ def test_kmeans_matches_numpy_lloyds(spark):
                 cent[c] = m.mean(0)
     got = kmeans_fit_distributed(emb, k=k, iters=iters)
     np.testing.assert_allclose(got, cent, rtol=1e-9, atol=1e-12)
+
+
+def test_sentence_udtf_matches_catalyst(spark):
+    """Native Python UDTF (U4 surface) ≡ the Catalyst split_sentences."""
+    from unravelsports_spark.operators.text import make_sentence_udtf, split_sentences
+    from unravelsports_spark.session import read_table
+
+    d = read_table(spark, SF_CORRECT, "documents").filter(F.col("doc_id") % 50 == 0)
+    catalyst = {
+        (r["doc_id"], r["sentence_idx"]): r["sentence"]
+        for r in split_sentences(d).collect()
+    }
+    SentenceSplitter = make_sentence_udtf()
+    spark.udtf.register("split_sentences_udtf", SentenceSplitter)
+    d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    udtf_rows = spark.sql(
+        "SELECT d.doc_id, s.sentence_idx, s.sentence "
+        "FROM _udtf_docs d, LATERAL split_sentences_udtf(d.text) s"
+    ).collect()
+    got = {(r["doc_id"], r["sentence_idx"]): r["sentence"] for r in udtf_rows}
+    assert got == catalyst and len(got) > 0
+
+
+def test_chunk_tokens_windows(spark):
+    from unravelsports_spark.operators.text import chunk_tokens
+
+    text_80 = " ".join(f"w{i}" for i in range(80))
+    text_10 = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text_80), (2, text_10)], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_len"], r["chunk_text"])
+         for r in chunk_tokens(df, chunk_size=32, stride=24).collect())
+    )
+    # doc1: 80 tokens → chunks start at 0/24/48 → 1+ceil((80-32)/24)=3 chunks
+    doc1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in doc1] == [0, 1, 2]
+    assert [r[2] for r in doc1] == [32, 32, 32]
+    assert doc1[1][3].split()[0] == "w24"   # stride offset
+    assert doc1[2][3].split()[-1] == "w79"  # tail covered
+    # doc2: 10 tokens → single short chunk
+    doc2 = [r for r in rows if r[0] == 2]
+    assert len(doc2) == 1 and doc2[0][2] == 10

@@ -102,3 +102,78 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     lowercased text (md5 is bit-identical across engines)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out, F.md5(norm))
+
+
+# -- sentence segmentation & chunking ----------------------------------------
+
+#: terminal-punctuation split — same semantics under Java regex and RE2
+SENTENCE_SPLIT_RE = "[.!?]+"
+
+
+def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per non-empty sentence (split on terminal punctuation runs,
+    trimmed). Pure Catalyst: split + transform + filter + posexplode — the
+    hot-path formulation; `sentence_udtf` below is the same semantics on
+    Spark's native Python-UDTF surface (U4)."""
+    parts = F.split(F.col(text_col), SENTENCE_SPLIT_RE)
+    cleaned = F.filter(F.transform(parts, F.trim), lambda s: s != "")
+    return df.select(
+        id_col, F.posexplode(cleaned).alias("sentence_idx", "sentence")
+    )
+
+
+def make_sentence_udtf():
+    """Native Python UDTF twin of `split_sentences` (the U4 surface — Spark
+    4's lateral-join table functions). Row-at-a-time by design, so it's the
+    API-parity path, not the hot path; tests assert it matches the Catalyst
+    formulation exactly."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SentenceSplitter:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for part in re.split(SENTENCE_SPLIT_RE, text):
+                part = part.strip()
+                if part:
+                    yield idx, part
+                    idx += 1
+
+    return SentenceSplitter
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / pretraining-context
+    chunking primitive): whitespace tokens windowed into ``chunk_size``-token
+    chunks starting every ``stride`` tokens. Integer arithmetic only, so the
+    DuckDB oracle is exact. One projection + one explode — no shuffle, no
+    UDF; at 100 TB the fan-out is bounded by ~n_tokens/stride per doc."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # chunks = 1 + max(0, ceil((n - chunk_size) / stride)), all-int
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(chunk_size)).cast("double") / F.lit(stride)).cast("int"),
+    )
+    df = df.select(
+        id_col,
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size)
+    return df.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

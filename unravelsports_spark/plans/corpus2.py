@@ -214,3 +214,61 @@ def s_kmeans_fit(spark, sf_dir):
         F.count("*").alias("n_members"),
         F.round(dsum("d2", 8), 4).alias("inertia"),
     )
+
+
+@query(
+    "t_sentences",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                        x -> trim(x)), x -> x != '') AS sents
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(list_transform(sents,
+                    (x, i) -> struct_pack(sentence_idx := i - 1, sentence := x))) AS u
+      FROM s
+    )
+    SELECT doc_id, CAST(u.sentence_idx AS INT) AS sentence_idx, u.sentence AS sentence
+    FROM e
+    """,
+)
+def t_sentences(spark, sf_dir):
+    """Sentence segmentation (engine addition §2.12): split + transform +
+    filter + posexplode, all inside whole-stage codegen. The native Python
+    UDTF twin (`make_sentence_udtf`) is asserted equal in tests — the U4
+    surface without putting Python in the hot path."""
+    from ..operators.text import split_sentences
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return split_sentences(d)
+
+
+@query(
+    "t_chunking",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             1 + GREATEST(0, CAST(CEIL((len(toks) - 32) / 24.0) AS INT)) AS n_chunks
+      FROM d
+    ),
+    e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS INT) AS chunk_len,
+           array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text
+    FROM e
+    """,
+)
+def t_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (engine addition §2.12): 32-token
+    windows every 24 tokens — the RAG/pretraining chunk primitive. Integer
+    arithmetic only; projection + explode, no shuffle, no UDF."""
+    from ..operators.text import chunk_tokens
+
+    return chunk_tokens(read_table(spark, sf_dir, "documents"))
