@@ -35,6 +35,9 @@ HEADLINE = [
     "d_lsh_candidate_pairs",
     "s_ann_lsh",
     "t_bpe_token_stats",
+    # round-2 additions: TF-IDF corpus stats and token-window chunking
+    "t_tfidf_terms",
+    "t_chunking",
 ]
 
 
