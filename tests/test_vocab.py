@@ -160,3 +160,34 @@ def test_chunk_tokens_windows(spark):
     # doc2: 10 tokens → single short chunk
     doc2 = [r for r in rows if r[0] == 2]
     assert len(doc2) == 1 and doc2[0][2] == 10
+
+
+def test_hll_sketch_union_accuracy(spark):
+    from unravelsports_spark.plans import QUERIES
+
+    row = QUERIES["a15_hll_sketch_union"](spark, SF_CORRECT).collect()[0]
+    exact = row["sum_per_source_exact"]  # sources are disjoint by construction
+    assert abs(row["global_estimate"] - exact) / exact < 0.05
+
+
+def test_incremental_dedup_cross_batch(spark):
+    from unravelsports_spark.operators.dedup import incremental_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta")],  # 3 dups 1
+        "doc_id bigint, text string",
+    )
+    kept1 = incremental_dedup(b1)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+    ledger = kept1.select("fingerprint")
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA BETA"), (11, "epsilon"), (12, "epsilon"), (13, "gamma delta")],
+        "doc_id bigint, text string",
+    )
+    kept2 = incremental_dedup(b2, seen=ledger)
+    # 10 dups batch-1 doc 1 (case/whitespace-normalized), 13 dups doc 2,
+    # 12 dups 11 within-batch → only 11 survives
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
+    # idempotent: replaying batch 2 against the grown ledger yields nothing
+    ledger2 = ledger.union(kept2.select("fingerprint"))
+    assert incremental_dedup(b2, seen=ledger2).count() == 0

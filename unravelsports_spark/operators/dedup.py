@@ -163,3 +163,30 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     for b in range(bits):
         sim = sim + F.when(F.col(f"_bit_{b}") > 0, F.lit(1 << b)).otherwise(0)
     return agg.withColumn("simhash", sim).select(id_col, "simhash")
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    seen: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch incremental dedup: drop rows of ``new_batch`` whose
+    normalized-text fingerprint already appears in ``seen`` (the fingerprint
+    ledger from previous batches), then self-dedup the remainder keeping the
+    lowest id. This is the streaming-ingest shape of exact dedup: the ledger
+    is append-only, the anti-join is a hash join on the fingerprint (broadcast
+    when the new batch is small relative to the ledger — at 100 TB the LEDGER
+    is the big side, so the join shuffles on fingerprint, which is exactly the
+    key both sides are stored by). Returns the surviving rows with their
+    ``fingerprint`` column for appending to the ledger."""
+    fp = new_batch.withColumn("fingerprint", F.md5(norm_text(text_col)))
+    if seen is not None:
+        ledger = seen.select("fingerprint").distinct()
+        fp = fp.join(ledger, "fingerprint", "anti")
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

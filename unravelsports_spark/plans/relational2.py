@@ -227,3 +227,41 @@ def d_edit_distance(spark, sf_dir):
         .filter(F.col("dist") <= 30)
         .select(F.col("doc_id").alias("left_id"), "right_id", "dist")
     )
+
+
+@query(
+    "a14_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a14_cube(spark, sf_dir):
+    """CUBE over two dimensions (A-family addition): all 2^2 grouping sets
+    in one Expand + one aggregation — same single-shuffle property as
+    a13_rollup with the full lattice."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query("a15_hll_sketch_union")
+def a15_hll_sketch_union(spark, sf_dir):
+    """Mergeable HLL sketches (A-family addition, Datasketches-backed):
+    per-source sketches built in one pass, then unioned into a global
+    distinct estimate — the re-aggregatable distinct-counting pattern at
+    100 TB (store per-partition sketches, merge on demand; never recount).
+    Sketch bytes are buildtime-dependent, so this is rows-only checked; the
+    estimate accuracy bound is asserted in tests/test_vocab.py."""
+    d = read_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.expr("hll_sketch_agg(text)").alias("sk"),
+        F.countDistinct("text").alias("exact_distinct"),
+    )
+    return per_source.agg(
+        F.count("*").alias("n_sources"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("global_estimate"),
+        F.sum("exact_distinct").alias("sum_per_source_exact"),
+    )
