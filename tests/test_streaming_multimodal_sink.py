@@ -325,3 +325,37 @@ def test_stream_stream_interval_join(spark, tmpdir):
     )
     assert {(r.event_id, r.view_event_id)
             for r in batch.select("event_id", "view_event_id").collect()} == got
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """foreachBatch ledger dedup: two micro-batches, cross-batch and
+    within-batch dups dropped, replay is a no-op."""
+    from unravelsports_spark.streaming.windows import streaming_incremental_dedup
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "alpha  beta")],
+        "doc_id bigint, text string",
+    )
+    b1.write.mode("append").parquet(src)
+    schema = "doc_id bigint, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_incremental_dedup(
+        stream, ledger, out, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+    # second batch: one cross-batch dup, one fresh, one within-batch dup pair
+    spark.createDataFrame(
+        [(10, "ALPHA BETA"), (11, "delta"), (12, "delta")],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(src)
+    q = streaming_incremental_dedup(
+        stream, ledger, out, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2, 11]
+    # ledger holds exactly the survivors' fingerprints
+    assert spark.read.parquet(ledger).distinct().count() == 3

@@ -86,3 +86,53 @@ def streaming_dedup(
     if ts_col is not None and df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))
+
+
+def streaming_incremental_dedup(
+    stream_df,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exactly-once corpus ingestion dedup via ``foreachBatch``: every
+    micro-batch anti-joins the durable fingerprint ledger (parquet, keyed by
+    fingerprint), writes the survivors to ``out_dir`` and appends their
+    fingerprints to the ledger — the streaming twin of
+    `operators.dedup.incremental_dedup`, and the standard shape for
+    continuously ingesting a 100 TB corpus: the ledger is the only state,
+    it lives in storage (not executor memory), and replaying a batch is a
+    no-op because its fingerprints are already present.
+
+    foreachBatch is the right tool (vs dropDuplicatesWithinWatermark) when
+    the dedup horizon is ALL history, not a watermark window."""
+    from ..operators.dedup import incremental_dedup
+
+    def _process(batch_df, batch_id: int):
+        import os
+
+        spark = batch_df.sparkSession
+        # plain-path existence probe avoids a noisy AnalysisException on the
+        # first batch; object-store URIs fall through to the read-and-catch
+        local = "://" not in ledger_dir
+        if local and not os.path.isdir(ledger_dir):
+            seen = None
+        else:
+            try:
+                seen = spark.read.parquet(ledger_dir)
+            except Exception:
+                seen = None
+        kept = incremental_dedup(batch_df, seen, text_col=text_col, id_col=id_col)
+        kept.persist()
+        try:
+            kept.write.mode("append").parquet(out_dir)
+            kept.select("fingerprint").write.mode("append").parquet(ledger_dir)
+        finally:
+            kept.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
