@@ -265,3 +265,68 @@ def a15_hll_sketch_union(spark, sf_dir):
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("global_estimate"),
         F.sum("exact_distinct").alias("sum_per_source_exact"),
     )
+
+
+@query(
+    "f11_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def f11_string_agg(spark, sf_dir):
+    """Ordered string aggregation (F-family addition): LISTAGG WITHIN GROUP
+    — deterministic because the within-group order is total. The agg buffers
+    per-group strings, so it belongs on bounded-cardinality dims (here:
+    nations per region), never on unbounded fact groups."""
+    n = read_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') within group (order by n_name)").alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "f12_array_agg_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def f12_array_agg_sorted(spark, sf_dir):
+    """Deterministic array aggregation (F-family addition): collect_set is
+    unordered (shuffle-arrival order), so a value-sort makes the result
+    reproducible and oracle-comparable — the required pattern anywhere an
+    array-valued agg feeds a hash/fingerprint downstream."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "f13_bitwise_agg",
+    oracle="""
+    SELECT l_returnflag,
+           bit_or(l_linenumber) AS flags_or,
+           bit_and(l_linenumber) AS flags_and,
+           bit_xor(l_linenumber) AS flags_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f13_bitwise_agg(spark, sf_dir):
+    """Bitwise aggregates (F-family addition): or/and/xor are commutative
+    and associative, hence map-side combinable and order-independent —
+    exact across engines with no decimal detour (the bitmask/bloom-ish
+    accumulation pattern)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_or("l_linenumber").alias("flags_or"),
+        F.bit_and("l_linenumber").alias("flags_and"),
+        F.bit_xor("l_linenumber").alias("flags_xor"),
+    )
