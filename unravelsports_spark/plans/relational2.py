@@ -330,3 +330,89 @@ def f13_bitwise_agg(spark, sf_dir):
         F.bit_and("l_linenumber").alias("flags_and"),
         F.bit_xor("l_linenumber").alias("flags_xor"),
     )
+
+
+@query(
+    "w9_interpolate_gaps",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT event_type, event_id, v, rn,
+             last_value(v IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS prev_rn,
+             first_value(v IGNORE NULLS) OVER wn AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS next_rn
+      FROM m
+      WINDOW wp AS (PARTITION BY event_type ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY rn
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, event_id,
+           CASE
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+               THEN prev_v + (next_v - prev_v) * ((rn - prev_rn) / CAST(next_rn - prev_rn AS DOUBLE))
+             WHEN prev_v IS NOT NULL THEN prev_v
+             ELSE next_v
+           END AS filled,
+           CASE
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN 'interp'
+             WHEN prev_v IS NOT NULL THEN 'locf'
+             ELSE 'nocb'
+           END AS fill_kind
+    FROM f WHERE v IS NULL
+    """,
+)
+def w9_interpolate_gaps(spark, sf_dir):
+    """Gap repair for ordered series (W-family addition; the tracking-data
+    shape: reconstruct masked samples from neighbors). Linear interpolation
+    between the nearest non-null neighbors via two IGNORE-NULLS window
+    passes, degrading to LOCF/NOCB at the edges. Pure window arithmetic —
+    identical IEEE expression tree both engines, no rounding needed. At
+    scale this is one shuffle on the series key; both windows reuse the
+    same sort."""
+    e = read_table(spark, sf_dir, "events")
+    masked = e.withColumn(
+        "v", F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("event_id")),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    rn_if = F.when(F.col("v").isNotNull(), F.col("rn"))
+    f = (
+        masked.withColumn("prev_v", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("prev_rn", F.last(rn_if, ignorenulls=True).over(wp))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("next_rn", F.first(rn_if, ignorenulls=True).over(wn))
+    )
+    both = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+    frac = (F.col("rn") - F.col("prev_rn")) / (F.col("next_rn") - F.col("prev_rn")).cast("double")
+    filled = (
+        F.when(both, F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+    )
+    kind = (
+        F.when(both, F.lit("interp"))
+        .when(F.col("prev_v").isNotNull(), F.lit("locf"))
+        .otherwise(F.lit("nocb"))
+    )
+    return (
+        f.filter(F.col("v").isNull())
+        .select("event_type", "event_id", filled.alias("filled"), kind.alias("fill_kind"))
+    )
