@@ -191,3 +191,46 @@ def test_incremental_dedup_cross_batch(spark):
     # idempotent: replaying batch 2 against the grown ledger yields nothing
     ledger2 = ledger.union(kept2.select("fingerprint"))
     assert incremental_dedup(b2, seen=ledger2).count() == 0
+
+
+# -- property tests (hypothesis) ---------------------------------------------
+
+try:
+    from hypothesis import given, settings as hsettings
+    from hypothesis import strategies as st
+
+    @given(
+        n_tokens=st.integers(0, 200),
+        chunk_size=st.integers(1, 50),
+        stride_frac=st.integers(1, 10),
+    )
+    @hsettings(max_examples=30, deadline=None)
+    def test_chunking_invariants(spark, n_tokens, chunk_size, stride_frac):
+        """Every token lands in ≥1 chunk; chunk starts advance by stride;
+        no chunk exceeds chunk_size."""
+        from unravelsports_spark.operators.text import chunk_tokens
+
+        stride = max(1, chunk_size * stride_frac // 10)
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = sorted(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_text"])
+            for r in chunk_tokens(df, chunk_size=chunk_size, stride=stride).collect()
+        )
+        assert len(rows) >= 1
+        if n_tokens == 0:
+            # whitespace-split of "" is [""] — one empty token, one chunk
+            # (the t_token_stats counting convention)
+            assert rows == [(0, 1, "")]
+            return
+        covered = set()
+        for idx, ln, txt in rows:
+            toks = txt.split()
+            assert ln == len(toks) <= chunk_size
+            start = idx * stride
+            assert toks == [f"t{i}" for i in range(start, min(start + chunk_size, n_tokens))]
+            covered.update(range(start, start + ln))
+        assert covered == set(range(n_tokens))
+
+except ImportError:  # pragma: no cover
+    pass
