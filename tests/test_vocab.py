@@ -234,3 +234,29 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_morton_key_matches_python_reference(spark):
+    """The SQL bit-spread must equal an independent Python interleave
+    (oracle and Spark share the expression text, so this guards both)."""
+    from unravelsports_spark.plans import QUERIES
+    from unravelsports_spark.session import read_table
+
+    def interleave(x, y):
+        out = 0
+        for b in range(16):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    rows = QUERIES["o15_morton_key"](spark, SF_CORRECT).collect()
+    src = read_table(spark, SF_CORRECT, "lineitem").filter(F.col("l_orderkey") < 64).collect()
+    assert len(rows) == len(src) > 0
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data →
+    # compare as multisets keyed by the full expected tuple
+    got = sorted((r["l_orderkey"], r["l_linenumber"], r["morton"]) for r in rows)
+    want = sorted(
+        (r["l_orderkey"], r["l_linenumber"], interleave(r["l_partkey"] % 65536, r["l_suppkey"] % 65536))
+        for r in src
+    )
+    assert got == want

@@ -416,3 +416,111 @@ def w9_interpolate_gaps(spark, sf_dir):
         f.filter(F.col("v").isNull())
         .select("event_type", "event_id", filled.alias("filled"), kind.alias("fill_kind"))
     )
+
+
+@query(
+    "a16_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_nonnull,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount),
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def a16_profile(spark, sf_dir):
+    """Column profiling (A-family addition): null counts, distinct
+    cardinality, range, exact sums per column — the schema-inference /
+    data-quality first pass over a new corpus. One aggregation per column
+    over a single cached scan; at scale the distinct counts would switch to
+    the a15 sketch path."""
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def profile(col):
+        return li.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("min_v"),
+            F.max(col).alias("max_v"),
+            dsum(col).alias("sum_v"),
+        )
+
+    return profile("l_quantity").unionAll(profile("l_discount"))
+
+
+@query(
+    "w10_moving_avg",
+    oracle="""
+    SELECT event_type, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY event_type ORDER BY event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_n
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def w10_moving_avg(spark, sf_dir):
+    """Moving-frame window aggregation (W-family addition): ROWS BETWEEN
+    sliding sum/count. The sum rides DECIMAL because engines disagree on
+    frame-sum association order (segment trees vs running sums) — decimal
+    is associative so any order matches. One sort per series key."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_type",
+        "event_id",
+        F.sum(dec("value")).over(w).cast("double").alias("win_sum"),
+        F.count("*").over(w).alias("win_n"),
+    )
+
+
+def _morton_spread(expr: str) -> str:
+    """16-bit → 32-bit bit-spreading (x | x<<8 masked, …) — identical
+    integer ops in Spark SQL and DuckDB."""
+    v = f"CAST({expr} AS BIGINT)"
+    v = f"(({v} | ({v} << 8)) & 16711935)"        # 0x00FF00FF
+    v = f"(({v} | ({v} << 4)) & 252645135)"       # 0x0F0F0F0F
+    v = f"(({v} | ({v} << 2)) & 858993459)"       # 0x33333333
+    v = f"(({v} | ({v} << 1)) & 1431655765)"      # 0x55555555
+    return v
+
+
+_MORTON_SQL = f"({_morton_spread('l_partkey % 65536')} | ({_morton_spread('l_suppkey % 65536')} << 1))"
+
+
+@query(
+    "o15_morton_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {_MORTON_SQL} AS morton,
+           {_MORTON_SQL} >> 24 AS morton_bucket
+    FROM lineitem WHERE l_orderkey < 64
+    """,
+)
+def o15_morton_key(spark, sf_dir):
+    """Z-order (Morton) interleaved key (O-family addition): sorting a
+    write by this key clusters BOTH dimensions into the same row groups,
+    so parquet min/max skipping prunes 2-D range predicates — the standard
+    multi-dimensional data-skipping layout at 100 TB. Pure integer
+    bit-spreading, identical in both engines."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 64)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_MORTON_SQL).alias("morton"),
+        F.expr(f"{_MORTON_SQL} >> 24").alias("morton_bucket"),
+    )
