@@ -124,3 +124,60 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# -- video payload column (MJPEG-AVI in Spark) --------------------------------
+
+
+def _clip_bytes(n_frames, w=24, h=16, shade_step=10):
+    import io, os, tempfile
+
+    from unravelsports_spark.sources.avi import write_mjpeg_avi
+
+    frames = [
+        encode_jpeg(np.full((h, w, 3), (i * shade_step) % 200, np.uint8), 95)
+        for i in range(n_frames)
+    ]
+    fd, path = tempfile.mkstemp(suffix=".avi")
+    os.close(fd)
+    write_mjpeg_avi(path, frames, w, h, fps=10)
+    with open(path, "rb") as f:
+        data = f.read()
+    os.unlink(path)
+    return data
+
+
+def test_video_stats_and_frame_sampling(spark):
+    from unravelsports_spark.operators.multimodal import sample_avi_frames, video_stats
+
+    df = spark.createDataFrame(
+        [("c0", bytearray(_clip_bytes(12))), ("c1", bytearray(_clip_bytes(3)))],
+        "clip_id string, payload binary",
+    )
+    stats = {r.clip_id: r for r in video_stats(df).collect()}
+    assert stats["c0"].n_frames == 12 and stats["c1"].n_frames == 3
+    assert stats["c0"].total_frame_bytes > 0
+
+    sampled = sample_avi_frames(df, every_k=5).collect()
+    by_clip = {}
+    for r in sampled:
+        by_clip.setdefault(r.clip_id, []).append(r)
+    assert [r.frame_index for r in by_clip["c0"]] == [0, 5, 10]
+    assert [r.frame_index for r in by_clip["c1"]] == [0]
+    for r in sampled:
+        assert (r.frame_width, r.frame_height) == (24, 16)
+        # shade of frame i is (i*10)%200 → decoded mean within 2 levels
+        expect = (r.frame_index * 10) % 200 / 255.0
+        assert abs(r.frame_mean - expect) < 2 / 255.0
+        # payload column dropped from output (pruned), frames decodable
+        assert decode_jpeg(bytes(r.frame_payload)).shape == (16, 24, 3)
+
+
+def test_video_rejects_non_avi(spark):
+    from unravelsports_spark.operators.multimodal import video_stats
+
+    df = spark.createDataFrame([("x", bytearray(b"not a riff file"))],
+                               "clip_id string, payload binary")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        video_stats(df).collect()

@@ -224,3 +224,108 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+# -- video columns (MJPEG-AVI payloads) --------------------------------------
+
+
+def _parse_avi_frames(payload: bytes) -> list[bytes]:
+    """JPEG frame blobs from an in-memory MJPEG AVI (sources/avi.py layout,
+    also produced by any standard MJPEG muxer)."""
+    import struct as _struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "unsupported video container (MJPEG AVI supported; other codecs "
+            "need external decoders not in this environment)"
+        )
+    frames = []
+    pos = 12
+    data = payload
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        size = _struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if fourcc == b"LIST" and data[pos + 8:pos + 12] == b"movi":
+            p = pos + 12
+            end = pos + 8 + size
+            while p + 8 <= end:
+                ck = data[p:p + 4]
+                cksz = _struct.unpack("<I", data[p + 4:p + 8])[0]
+                if ck == b"00dc":
+                    frames.append(data[p + 8:p + 8 + cksz])
+                p += 8 + cksz + (cksz % 2)
+            pos += 8 + size + (size % 2)
+            continue
+        pos += 12 if fourcc == b"LIST" else 8 + size + (size % 2)
+    return frames
+
+
+def sample_avi_frames(
+    df: DataFrame,
+    every_k: int = 5,
+    payload_col: str = "payload",
+    decode: bool = True,
+) -> DataFrame:
+    """MJPEG-AVI payload column → one row per sampled frame (every k-th),
+    optionally decoded for per-frame metadata. The 100 TB video-pipeline
+    shape: container parsing and JPEG decode happen inside the Arrow batch
+    loop, the fan-out (rows per clip = n_frames/k) is bounded by the clip
+    length, and metadata-only plans never touch the payload thanks to
+    column pruning. Output: clip columns + (frame_index, frame_payload[,
+    frame_width, frame_height, frame_mean])."""
+    from ..functions.jpegcodec import decode_jpeg
+
+    extra = [
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+    if decode:
+        extra += [
+            T.StructField("frame_width", T.IntegerType()),
+            T.StructField("frame_height", T.IntegerType()),
+            T.StructField("frame_mean", T.DoubleType()),
+        ]
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    schema = T.StructType(keep + extra)
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                frames = _parse_avi_frames(bytes(row[payload_col]))
+                for i in range(0, len(frames), every_k):
+                    rec = {k: row[k] for k in keep_names}
+                    rec["frame_index"] = i
+                    rec["frame_payload"] = frames[i]
+                    if decode:
+                        img = decode_jpeg(frames[i])
+                        rec["frame_height"], rec["frame_width"] = int(img.shape[0]), int(img.shape[1])
+                        rec["frame_mean"] = float(img.mean() / 255.0)
+                    out_rows.append(rec)
+            yield pd.DataFrame(out_rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)
+
+
+def video_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Clip-level metadata without decoding any frame: container parse only
+    (frame count, total/mean frame bytes). Cheap first pass for corpus
+    triage before the expensive sampled decode."""
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("total_frame_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            parsed = [_parse_avi_frames(bytes(p)) for p in pdf[payload_col]]
+            pdf["n_frames"] = [len(f) for f in parsed]
+            pdf["total_frame_bytes"] = [sum(len(x) for x in f) for f in parsed]
+            yield pdf
+
+    return df.mapInPandas(run, schema)

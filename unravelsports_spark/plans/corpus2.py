@@ -272,3 +272,70 @@ def t_chunking(spark, sf_dir):
     from ..operators.text import chunk_tokens
 
     return chunk_tokens(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "mm_video_real",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+    f AS (
+      SELECT doc_id,
+             unnest(range(0, 2 + doc_id % 4, 2)) AS frame_index
+      FROM d
+    )
+    SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+           CAST(16 + doc_id % 8 AS INT) AS frame_width,
+           CAST(12 + doc_id % 4 AS INT) AS frame_height
+    FROM f
+    """,
+)
+def mm_video_real(spark, sf_dir):
+    """REAL video pipeline, exact oracle on the integer metadata: per doc a
+    genuine MJPEG-AVI clip is muxed in an Arrow batch stage (frame count /
+    dims derived from doc_id arithmetic), then `sample_avi_frames` parses
+    the container, samples every 2nd frame, and DECODES each sampled JPEG —
+    the emitted width/height come from the decoder (SOF0), so the oracle
+    (which recomputes the expected geometry in SQL) certifies container
+    parse + JPEG decode end-to-end. frame_mean is excluded: JPEG DC
+    quantization makes it near- but not bit-exact."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..functions.jpegcodec import encode_jpeg
+    from ..operators.multimodal import sample_avi_frames
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from ..sources.avi import write_mjpeg_avi
+        import os, tempfile
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 2 + int(doc_id) % 4
+                w, h = 16 + int(doc_id) % 8, 12 + int(doc_id) % 4
+                frames = [
+                    encode_jpeg(np.full((h, w, 3), (i * 10) % 200, np.uint8), 95)
+                    for i in range(n)
+                ]
+                fd, path = tempfile.mkstemp(suffix=".avi")
+                os.close(fd)
+                write_mjpeg_avi(path, frames, w, h, fps=10)
+                with open(path, "rb") as fh:
+                    payloads.append(fh.read())
+                os.unlink(path)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = d.mapInPandas(
+        build,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+        ),
+    )
+    return sample_avi_frames(clips, every_k=2).select(
+        "doc_id", "frame_index", "frame_width", "frame_height"
+    )
