@@ -524,3 +524,90 @@ def o15_morton_key(spark, sf_dir):
         F.expr(_MORTON_SQL).alias("morton"),
         F.expr(f"{_MORTON_SQL} >> 24").alias("morton_bucket"),
     )
+
+
+@query(
+    "j10_full_outer",
+    oracle="""
+    WITH l AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+      FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT c_custkey AS custkey, c_acctbal
+      FROM customer WHERE c_acctbal > 9000.0
+    )
+    SELECT COALESCE(l.custkey, r.custkey) AS custkey,
+           l.n_orders, r.c_acctbal,
+           (l.custkey IS NULL) AS only_right,
+           (r.custkey IS NULL) AS only_left
+    FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+    """,
+)
+def j10_full_outer(spark, sf_dir):
+    """Full outer join (J-family addition): both-side preservation with
+    null indicators — the reconciliation shape (ledger vs snapshot). At
+    scale a full outer cannot broadcast (both sides must co-partition), so
+    it shuffles both on the key — exactly once."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    left = (
+        o.filter(F.col("o_custkey") % 3 == 0)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    right = c.filter(F.col("c_acctbal") > 9000.0).select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal"
+    )
+    j = left.alias("l").join(right.alias("r"), F.col("l.custkey") == F.col("r.custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("l.custkey"), F.col("r.custkey")).alias("custkey"),
+        "n_orders",
+        "c_acctbal",
+        F.col("l.custkey").isNull().alias("only_right"),
+        F.col("r.custkey").isNull().alias("only_left"),
+    )
+
+
+@query(
+    "st_session_window_native",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w >= 1800000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts_ms,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM o
+    )
+    SELECT user_id, MIN(ts_ms) AS session_start_ms,
+           MAX(ts_ms) + 1800000 AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def st_session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (ST2 twin), cross-validated
+    against the classic lag+cumsum SQL formulation as the oracle: proves the
+    built-in operator's merge semantics (merge while gap < 30 min; session
+    end = last event + gap) match the relational definition exactly. Same
+    expression works under readStream with a watermark (state-bounded)."""
+    from .relational import ms
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window(F.col("ts").cast("timestamp"), "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            ms(F.col("session_window.start")).alias("session_start_ms"),
+            ms(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
