@@ -133,9 +133,14 @@ def test_sniff_and_generic_decode():
     assert sniff_format(b"\xff\xd8\xff\xe0 jpeg-ish") == "jpeg"
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # gif now dispatches to the real codec too
+    from unravelsports_spark.functions.gifcodec import encode_gif
+
+    pal = (img // 64) * 64  # ≤64 distinct colors
+    np.testing.assert_array_equal(decode_image(encode_gif(pal)), pal)
     # genuinely unsupported formats still gate clearly
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a not supported")
+        decode_image(b"II*\x00 tiff-ish not supported")
 
 
 def test_resize_nearest():

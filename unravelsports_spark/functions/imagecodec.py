@@ -35,6 +35,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -212,8 +214,12 @@ def decode_image(data: bytes) -> np.ndarray:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(bytes(data))
+    if fmt == "gif":
+        from .gifcodec import decode_gif
+
+        return decode_gif(bytes(data))
     raise NotImplementedError(
-        "unsupported image format (PNG, 24-bit BMP and baseline JPEG "
+        "unsupported image format (PNG, 24-bit BMP, baseline JPEG and GIF "
         "supported; other formats need external codecs not in this environment)"
     )
 
@@ -234,4 +240,8 @@ def encode_image(img: np.ndarray, fmt: str = "png") -> bytes:
         from .jpegcodec import encode_jpeg
 
         return encode_jpeg(img)
+    if fmt == "gif":
+        from .gifcodec import encode_gif
+
+        return encode_gif(img)
     raise ValueError(f"unsupported encode format {fmt!r}")
