@@ -1,0 +1,89 @@
+"""Storage-layout maintenance: small-file compaction and Z-ordered writes.
+
+Both are table-maintenance operations a 100 TB lakehouse runs continuously:
+
+- `compact_parquet`: the small-files problem — streaming/batch appends leave
+  thousands of tiny files whose per-file open/footer costs dominate scans.
+  Rewrite to ~target-sized files, atomically (write to a sibling temp dir,
+  swap on success; readers never see a partial state on a posix FS — object
+  stores would use a manifest/catalog swap instead).
+- `write_zordered`: sort by the Morton-interleaved key of two columns before
+  writing, so parquet row-group min/max statistics become selective for
+  range predicates on EITHER (or both) dimensions — the multi-dimensional
+  data-skipping layout (`o15_morton_key` is the key itself;
+  `tests/test_layout.py` measures the row-group stat tightening with
+  pyarrow metadata).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def parquet_files(path: str) -> list[str]:
+    return [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite a parquet directory into ceil(bytes/target) files; returns the
+    new file count. Size-based (not count-based): the right file count falls
+    out of the data volume, so the same call works at any scale."""
+    files = parquet_files(path)
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, (total + target_file_mb * 1024 * 1024 - 1) // (target_file_mb * 1024 * 1024))
+    tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    # coalesce (no shuffle) is correct here: we only reduce file count
+    spark.read.parquet(path).coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(parquet_files(path))
+
+
+def morton_key(col_a: str, col_b: str, bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of two integer columns' low ``bits``."""
+
+    def spread(c: F.Column) -> F.Column:
+        v = c.cast("bigint") % (1 << bits)
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+        return v
+
+    return spread(F.col(col_a)).bitwiseOR(F.shiftleft(spread(F.col(col_b)), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` clustered by the Z-order of (col_a, col_b): range-
+    partition on the Morton key (so each FILE owns a key range), then sort
+    within partitions (so each ROW GROUP's min/max stats are tight). Range
+    predicates on either column then skip most row groups at scan time."""
+    (
+        df.withColumn("_z", morton_key(col_a, col_b))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
