@@ -14,13 +14,14 @@ Float-parity rules applied here (measured, see tests/test_vocab.py):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.sampling import PPM, mixture_rates, sample_mixture
 from ..operators.similarity import kmeans_fit_distributed, with_nearest_centroid
 from ..operators.vocab import tfidf_terms, vocab_topk
 from ..session import read_table
-from .relational import dsum, query
+from .relational import dec, dsum, query
 
 _TOK = r"regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -338,4 +339,152 @@ def mm_video_real(spark, sf_dir):
     )
     return sample_avi_frames(clips, every_k=2).select(
         "doc_id", "frame_index", "frame_width", "frame_height"
+    )
+
+
+# -- data-quality / warehouse additions --------------------------------------
+
+
+def _pair_degree_sql() -> str:
+    from .pipeline import _lsh_sql
+
+    return f"""
+    WITH pairs AS ({_lsh_sql()}),
+    ends AS (
+      SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs
+    )
+    SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id
+    """
+
+
+@query("d_pair_degrees", oracle=_pair_degree_sql())
+def d_pair_degrees(spark, sf_dir):
+    """Candidate-pair graph degrees (dedup-family addition): how many
+    near-dup candidates each document participates in — the triage signal
+    for boilerplate/template detection (very high degree = boilerplate,
+    not plagiarism). Runs on the pruned LSH pair set, never all-pairs."""
+    from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(minhash_signatures(shingled, num_hashes=8), bands=4, rows_per_band=2)
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+
+
+@query(
+    "w11_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_ms,
+             LEAD(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS next_ts_ms
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+           COALESCE(next_ts_ms, 9223372036854775807) AS valid_to_ms,
+           (next_ts_ms IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def w11_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type-2 derivation (W-family addition):
+    collapse consecutive equal states, then LEAD gives each state version
+    its [valid_from, valid_to) interval with an open-ended current row —
+    the standard snapshot→history transformation, two window passes over
+    one sort."""
+    from .relational import ms
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", ms("ts").alias("ts_ms"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seq.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_ms")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_ms").alias("valid_from_ms"),
+        F.coalesce(F.lead("ts_ms").over(w2), F.lit(9223372036854775807)).alias("valid_to_ms"),
+        F.lead("ts_ms").over(w2).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "a17_sortedness",
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             CASE WHEN event_id < LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS viol
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(viol) AS BIGINT) AS n_violations, COUNT(*) AS n_rows
+    FROM o GROUP BY user_id
+    """,
+)
+def a17_sortedness(spark, sf_dir):
+    """Monotonicity validation (data-quality addition): count order
+    inversions of one column under another's ordering, per key — the cheap
+    invariant check before relying on sortedness (as-of joins, dedup
+    ledgers, incremental processing all assume it)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    viol = F.when(F.col("event_id") < F.lag("event_id").over(w), 1).otherwise(0)
+    return (
+        e.select("user_id", viol.alias("viol"))
+        .groupBy("user_id")
+        .agg(F.sum("viol").alias("n_violations"), F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "a18_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type, e.event_id, e.value,
+             ROUND((e.value - s.sx / s.n)
+               / SQRT(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)), 6) AS zscore
+      FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_type, event_id, value, zscore
+    FROM z WHERE ABS(zscore) > 2.5
+    """,
+)
+def a18_outliers(spark, sf_dir):
+    """Z-score outlier detection (data-quality addition): per-group moments
+    from DECIMAL sufficient statistics (order-independent, same trick as
+    a12), z computed in an identical expression tree both engines, rounded
+    at 6. The group stats are a tiny agg-back broadcast join — the corpus
+    scans once."""
+    e = read_table(spark, sf_dir, "events")
+    v = dec("value")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sxx"),
+    )
+    j = e.join(F.broadcast(s), "event_type")
+    mean = F.col("sx") / F.col("n")
+    z = F.round((F.col("value") - mean) / F.sqrt(F.col("sxx") / F.col("n") - mean * mean), 6)
+    return (
+        j.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2.5)
+        .select("event_type", "event_id", "value", "zscore")
     )
