@@ -359,3 +359,62 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2, 11]
     # ledger holds exactly the survivors' fingerprints
     assert spark.read.parquet(ledger).distinct().count() == 3
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
+    """The new transformWithStateInPandas API must agree with the
+    applyInPandasWithState formulation across two micro-batches. Skipped
+    where google.protobuf (the TWS state-server protocol) is absent — the
+    operator itself raises a clear gate in that case."""
+    from unravelsports_spark.streaming.windows import stateful_running_counts_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        df = spark.createDataFrame([("a",)], "event_type string")
+        with pytest.raises(ImportError, match="protobuf"):
+            stateful_running_counts_tws(df, "event_type")
+        pytest.skip("google.protobuf unavailable: transformWithState runtime cannot start")
+
+    src = f"{tmpdir}/tws_src"
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "event_type string"
+    ).write.mode("overwrite").parquet(f"{src}/b1")
+    schema = "event_type string"
+
+    def run_once(name):
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = (
+            stateful_running_counts_tws(stream, "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{src}/ckpt_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.event_type: (r.n_events, r.batch_events)
+                for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    out1 = run_once("tws1")
+    assert out1 == {"a": (2, 2), "b": (1, 1)}
+    # second micro-batch: state carries across (same checkpoint)
+    spark.createDataFrame(
+        [("a",), ("c",)], "event_type string"
+    ).write.mode("overwrite").parquet(f"{src}/b2")
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    q = (
+        stateful_running_counts_tws(stream, "event_type")
+        .writeStream.format("memory")
+        .queryName("tws2")
+        .outputMode("update")
+        .option("checkpointLocation", f"{src}/ckpt_tws1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out2 = {r.event_type: (r.n_events, r.batch_events)
+            for r in spark.sql("SELECT * FROM tws2").collect()}
+    assert out2 == {"a": (3, 1), "c": (1, 1)}  # running counts accumulated

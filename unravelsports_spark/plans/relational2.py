@@ -611,3 +611,32 @@ def st_session_window_native(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@query(
+    "f14_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f14_variant_json(spark, sf_dir):
+    """Spark 4 VariantType JSON path (F-family addition): parse_json once
+    into the binary variant encoding, then typed variant_get extraction —
+    the engine-native semi-structured path (shredded access, no per-query
+    re-parse), vs DuckDB's json_extract as the oracle. Integer payloads →
+    exact."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -136,3 +136,50 @@ def streaming_incremental_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stateful_running_counts_tws(df: DataFrame, key_col: str):
+    """`stateful_running_counts` on Spark 4's transformWithStateInPandas —
+    the successor stateful API (typed value/list/map state handles, timers,
+    initial-state support; RocksDB-backed on a real cluster). Semantically
+    identical to the applyInPandasWithState version above.
+
+    Environment gate: the transformWithState runtime speaks protobuf to its
+    state server; without `google.protobuf` installed the query would crash
+    mid-stream, so raise a clear ImportError up front instead. The
+    applyInPandasWithState twin has no such dependency and is the covered
+    path in this container."""
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf (state-server "
+            "protocol); use stateful_running_counts (applyInPandasWithState)"
+        ) from exc
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle):
+            self._count = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            n = prev + batch
+            self._count.update((n,))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "batch_events": [batch]}
+            )
+
+        def close(self):
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        RunningCount(),
+        outputStructType=f"{key_col} string, n_events long, batch_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
