@@ -488,3 +488,160 @@ def a18_outliers(spark, sf_dir):
         .filter(F.abs(F.col("zscore")) > 2.5)
         .select("event_type", "event_id", "value", "zscore")
     )
+
+
+@query(
+    "mm_gif_real",
+    oracle="""
+    WITH d AS (SELECT doc_id, source,
+                      3 + doc_id % 11 AS w, 3 + doc_id % 5 AS h,
+                      (doc_id * 37) % 256 AS c
+               FROM documents WHERE doc_id % 5 = 0)
+    SELECT source, COUNT(*) AS n_images,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(c) AS BIGINT) AS sum_color
+    FROM d GROUP BY source
+    """,
+)
+def mm_gif_real(spark, sf_dir):
+    """REAL GIF codec end-to-end (mirror of mm_decode_real for the LZW
+    path): synthesize a solid-color GIF per document, decode through the
+    shared multimodal path, aggregate decoded metadata. GIF is lossless for
+    palettized content so round(mean*255) recovers the exact color —
+    integer-exact oracle certifying LZW encode+decode, palette handling and
+    dispatch."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..functions.gifcodec import encode_gif
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "source")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_gif(
+                    np.full((3 + int(i) % 5, 3 + int(i) % 11, 3), (int(i) * 37) % 256, np.uint8)
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pdf
+
+    media = docs.mapInPandas(
+        synth,
+        T.StructType(docs.schema.fields + [T.StructField("payload", T.BinaryType())]),
+    )
+    dec_df = decode_images(media, fake=False)
+    return dec_df.groupBy("source").agg(
+        F.count("*").alias("n_images"),
+        F.sum("dec_width").cast("bigint").alias("sum_width"),
+        F.sum("dec_height").cast("bigint").alias("sum_height"),
+        F.sum(F.round(F.col("mean_pixel") * 255).cast("bigint")).alias("sum_color"),
+    )
+
+
+def _triangle_sql() -> str:
+    from .pipeline import _lsh_sql
+
+    return f"""
+    WITH pairs AS ({_lsh_sql()})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM pairs e1
+    JOIN pairs e2 ON e1.id_b = e2.id_a
+    JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    """
+
+
+@query("d_triangle_count", oracle=_triangle_sql())
+def d_triangle_count(spark, sf_dir):
+    """Triangle counting on the near-dup candidate graph (dedup-family
+    addition): the density signal distinguishing template clusters (many
+    triangles) from chance collisions (none). Edges are canonically ordered
+    (id_a < id_b) so each triangle counts exactly once; two joins on the
+    pruned pair set — the standard distributed triangle enumeration, never
+    touching the full corpus."""
+    from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(shingled, num_hashes=8), bands=4, rows_per_band=2
+    ).select("id_a", "id_b")
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a")) & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+@query(
+    "t_bigram_pmi",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(toks) AS w FROM tok
+    ),
+    unic AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM unic),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM tok
+    ),
+    bic AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg HAVING COUNT(*) >= 5),
+    btot AS (SELECT CAST(SUM(c) AS DOUBLE) AS bn FROM (SELECT COUNT(*) AS c FROM bi))
+    SELECT bg AS bigram, bic.c AS n_bigram,
+           ROUND(LN((bic.c / btot.bn)
+             / ((u1.c / tot.n) * (u2.c / tot.n))), 6) AS pmi
+    FROM bic, btot, tot
+    JOIN unic u1 ON u1.w = string_split(bic.bg, ' ')[1]
+    JOIN unic u2 ON u2.w = string_split(bic.bg, ' ')[2]
+    """,
+)
+def t_bigram_pmi(spark, sf_dir):
+    """Bigram PMI (corpus-analysis addition): pointwise mutual information
+    of adjacent-token pairs with count ≥5 — the collocation / multi-word-
+    expression signal. Unigram and bigram counts are two combinable aggs;
+    the probability ratio is one broadcast join per side; ln rounded at 6
+    (measured JVM/libm ulp divergence)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    t = d.select(F.col("doc_id"), toks.alias("toks"))
+    uni = t.select(F.explode("toks").alias("w"))
+    unic = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = unic.agg(F.sum("c").cast("double").alias("n"))
+    bi = t.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))")
+        ).alias("bg")
+    )
+    bic = bi.groupBy("bg").agg(F.count("*").alias("c")).filter(F.col("c") >= 5)
+    btot = bi.agg(F.count("*").cast("double").alias("bn"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    j = (
+        bic.withColumn("w1", w1).withColumn("w2", w2)
+        .join(F.broadcast(unic.selectExpr("w as w1", "c as c1")), "w1")
+        .join(F.broadcast(unic.selectExpr("w as w2", "c as c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.round(
+        F.log((F.col("c") / F.col("bn")) / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))), 6
+    )
+    return j.select(F.col("bg").alias("bigram"), F.col("c").alias("n_bigram"), pmi.alias("pmi"))
