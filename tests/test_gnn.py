@@ -118,3 +118,42 @@ def test_graph_dimensions(graph_frames):
     N, F_, S, n_out, n = graph_dimensions(graph_frames)
     assert (N, F_, S, n_out) == (23, 15, 6, 1)
     assert n == graph_frames.count()
+
+
+def test_collate_disjoint_block_structure(graph_frames):
+    from unravelsports_spark.models.gnn import (
+        collate_disjoint,
+        graph_loader,
+        segment_mean_pool,
+    )
+
+    batch = next(graph_loader(graph_frames, batch_size=4))
+    coll = collate_disjoint(batch)
+    n_nodes = [len(g["x"]) for g in batch]
+    assert coll["x"].shape[0] == sum(n_nodes)
+    assert coll["batch"].tolist() == [i for i, n in enumerate(n_nodes) for _ in range(n)]
+    assert coll["labels"].tolist() == [g["label"] for g in batch]
+    # edges stay within their graph's node block (disjointness)
+    import numpy as np
+
+    offsets = np.cumsum([0] + n_nodes)
+    src, dst = coll["edge_index"]
+    for gi in range(len(batch)):
+        m = (src >= offsets[gi]) & (src < offsets[gi + 1])
+        assert ((dst[m] >= offsets[gi]) & (dst[m] < offsets[gi + 1])).all()
+    assert coll["edge_index"].shape[1] == sum(int(np.asarray(g["a"]).sum()) for g in batch)
+
+    # neighbor-sum over the disjoint edge_index == per-graph dense A^T @ x
+    agg = np.zeros_like(coll["x"])
+    np.add.at(agg, dst, coll["x"][src])
+    for gi, g in enumerate(batch):
+        a = np.asarray(g["a"], float)
+        x = np.asarray(g["x"], float)
+        np.testing.assert_allclose(
+            agg[offsets[gi]:offsets[gi + 1]], a.T @ x, rtol=1e-12
+        )
+
+    # segment mean pool == per-graph mean
+    pooled = segment_mean_pool(coll["x"], coll["batch"])
+    for gi, g in enumerate(batch):
+        np.testing.assert_allclose(pooled[gi], np.asarray(g["x"], float).mean(0), rtol=1e-12)

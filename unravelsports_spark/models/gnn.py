@@ -186,3 +186,50 @@ class PyGLightningCrystalGraphClassifier:
         raise NotImplementedError(
             "lightning wrapper intentionally thin — wrap build_crystal_gnn()"
         )
+
+
+def collate_disjoint(batch: list[dict]) -> dict:
+    """Collate a `graph_loader` batch into ONE disjoint (block-diagonal)
+    graph — the reference DisjointLoader semantics
+    (unravel/utils/objects/graph_dataset.py Spektral mode / PyG Batch):
+    node features stacked, edge list offset-shifted per graph, a `batch`
+    vector mapping node → source graph for segment pooling.
+
+    Returns dict(x [N_total,F], edge_index [2,E_total], e [E_total,Fe],
+    batch [N_total], labels [B]). Adjacency is consumed as dense per-graph
+    matrices upstream; here edges come from the nonzeros so message passing
+    over the collated batch equals per-graph passing exactly (asserted in
+    tests)."""
+    xs, es, eidx, bvec, labels = [], [], [], [], []
+    node_off = 0
+    for gi, g in enumerate(batch):
+        a = np.asarray(g["a"], dtype=float)
+        x = np.asarray(g["x"], dtype=float)
+        e = np.asarray(g["e"], dtype=float)
+        src, dst = np.nonzero(a)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        xs.append(x)
+        # per-graph edge features are stored in row-major nonzero order
+        es.append(e[: len(src)])
+        eidx.append(np.stack([src + node_off, dst + node_off]))
+        bvec.append(np.full(len(x), gi, dtype=np.int64))
+        labels.append(g["label"])
+        node_off += len(x)
+    return {
+        "x": np.concatenate(xs, axis=0),
+        "edge_index": np.concatenate(eidx, axis=1) if eidx else np.zeros((2, 0), np.int64),
+        "e": np.concatenate(es, axis=0),
+        "batch": np.concatenate(bvec, axis=0),
+        "labels": np.asarray(labels),
+    }
+
+
+def segment_mean_pool(x: np.ndarray, batch_vec: np.ndarray) -> np.ndarray:
+    """Global mean pool per graph over a disjoint batch (the reference's
+    global_mean_pool): [N_total, F] × batch → [B, F]."""
+    n_graphs = int(batch_vec.max()) + 1 if len(batch_vec) else 0
+    out = np.zeros((n_graphs, x.shape[1]))
+    counts = np.bincount(batch_vec, minlength=n_graphs).astype(float)
+    np.add.at(out, batch_vec, x)
+    return out / counts[:, None]
