@@ -645,3 +645,130 @@ def t_bigram_pmi(spark, sf_dir):
         F.log((F.col("c") / F.col("bn")) / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))), 6
     )
     return j.select(F.col("bg").alias("bigram"), F.col("c").alias("n_bigram"), pmi.alias("pmi"))
+
+
+@query(
+    "t_filter_funnel",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+             ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             (n_chars >= 100) AS p1,
+             (n_chars >= 100 AND n_tokens >= 10) AS p2,
+             (n_chars >= 100 AND n_tokens >= 10 AND alpha_ratio > 0.6) AS p3,
+             (n_chars >= 100 AND n_tokens >= 10 AND alpha_ratio > 0.6 AND punct_ratio < 0.1) AS p4
+      FROM q)
+    SELECT 'p0_total' AS stage, COUNT(*) AS n_surviving FROM f
+    UNION ALL SELECT 'p1_min_chars', CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    UNION ALL SELECT 'p2_min_tokens', CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    UNION ALL SELECT 'p3_alpha', CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    UNION ALL SELECT 'p4_punct', CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    """,
+)
+def t_filter_funnel(spark, sf_dir):
+    """Corpus filter funnel (pipeline addition): cumulative survival counts
+    through the standard cheap pre-filters — the attrition report every
+    corpus-cleaning run ships. One scan, conditional sums (no per-stage
+    passes)."""
+    from ..operators.text import with_quality
+
+    d = with_quality(read_table(spark, sf_dir, "documents"))
+    p1 = F.col("n_chars") >= 100
+    p2 = p1 & (F.col("n_tokens") >= 10)
+    p3 = p2 & (F.col("alpha_ratio") > 0.6)
+    p4 = p3 & (F.col("punct_ratio") < 0.1)
+    agg = d.agg(
+        F.count("*").alias("p0_total"),
+        F.sum(p1.cast("long")).alias("p1_min_chars"),
+        F.sum(p2.cast("long")).alias("p2_min_tokens"),
+        F.sum(p3.cast("long")).alias("p3_alpha"),
+        F.sum(p4.cast("long")).alias("p4_punct"),
+    )
+    stack = ", ".join(f"'{c}', {c}" for c in
+                      ["p0_total", "p1_min_chars", "p2_min_tokens", "p3_alpha", "p4_punct"])
+    return agg.selectExpr(f"stack(5, {stack}) as (stage, n_surviving)")
+
+
+def _minhash_accuracy_sql() -> str:
+    from ..operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+    from .pipeline import _SHINGLE_SQL
+
+    mh = ", ".join(
+        f"MIN(((shingle_hash % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME}) AS minhash_{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:8])
+    )
+    bands = []
+    for b in range(4):
+        cols = [f"minhash_{b * 2 + r}" for r in range(2)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        bands.append(f"SELECT doc_id, {b} AS band, {concat} AS key FROM sig")
+    banded = " UNION ALL ".join(bands)
+    agree = " + ".join(
+        f"CASE WHEN sa.minhash_{i} = sb.minhash_{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return (
+        _SHINGLE_SQL
+        + f"""
+    , sig AS (SELECT doc_id, {mh} FROM shingled GROUP BY doc_id),
+    banded AS ({banded}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b
+        ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           CAST({agree} AS BIGINT) AS n_agree,
+           ROUND(({agree}) / 8.0, 6) AS estimate,
+           ROUND(COALESCE(c.n_common, 0) * 1.0
+                 / (na.n + nb.n - COALESCE(c.n_common, 0)), 6) AS jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    JOIN sizes na ON na.doc_id = p.id_a
+    JOIN sizes nb ON nb.doc_id = p.id_b
+    LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    """
+    )
+
+
+@query("d_minhash_accuracy", oracle=_minhash_accuracy_sql())
+def d_minhash_accuracy(spark, sf_dir):
+    """MinHash estimator calibration (dedup-family addition): per LSH
+    candidate pair, the signature-agreement estimate (n_agree/8) next to
+    the EXACT Jaccard — the measurement that tells you whether the band
+    configuration is over/under-recalling. Runs only on the pruned pair
+    set; both estimates come from data already materialized by the dedup
+    chain."""
+    from ..operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(shingled, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).select("id_a", "id_b")
+    sa = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"minhash_{i}").alias(f"a{i}") for i in range(8)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"minhash_{i}").alias(f"b{i}") for i in range(8)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8))
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b",
+        agree.cast("bigint").alias("n_agree"),
+        F.round(agree / 8.0, 6).alias("estimate"),
+    )
+    exact = jaccard_pairs(shingled, candidates=pairs).select("id_a", "id_b", "jaccard")
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+    )
