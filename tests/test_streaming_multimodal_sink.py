@@ -418,3 +418,50 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
     out2 = {r.event_type: (r.n_events, r.batch_events)
             for r in spark.sql("SELECT * FROM tws2").collect()}
     assert out2 == {"a": (3, 1), "c": (1, 1)}  # running counts accumulated
+
+
+def test_g711_companding_roundtrip():
+    """μ-law/A-law: 8-bit companded audio reconstructs at >30 dB SNR (the
+    G.711 design point); monotone mapping; silence within quantization."""
+    import numpy as np
+
+    from unravelsports_spark.functions.audiocodec import (
+        alaw_decode, alaw_encode, mulaw_decode, mulaw_encode,
+    )
+
+    rng = np.random.default_rng(2)
+    pcm = (rng.normal(0, 0.2, 8000).clip(-1, 1) * 32767).astype(np.int16)
+    for enc, dec in ((mulaw_encode, mulaw_decode), (alaw_encode, alaw_decode)):
+        back = dec(enc(pcm))
+        snr = 10 * np.log10(
+            (pcm.astype(float) ** 2).mean() / ((pcm - back).astype(float) ** 2).mean()
+        )
+        assert snr > 30
+        # companded domain is 1 byte/sample
+        assert enc(pcm).dtype == np.uint8
+        # monotone on the positive ramp
+        ramp = np.linspace(0, 32767, 500).astype(np.int16)
+        assert (np.diff(enc(ramp).astype(int)) >= 0).all()
+        # silence maps within one quantization step of zero (continuous
+        # companding has no exact zero level among 256 even steps; A-law's
+        # near-zero step is coarser than μ-law's by design)
+        assert np.abs(dec(enc(np.zeros(10, np.int16)))).max() <= 8
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Lakehouse schema drift: old files lack a column added later;
+    mergeSchema unions the schemas and null-fills the missing column —
+    the append-only evolution every long-lived 100 TB table needs."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, text string").write.parquet(p + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", "en")], "id bigint, text string, lang string"
+    ).write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r.id: r for r in df.collect()}
+    assert set(df.columns) >= {"id", "text", "lang"}
+    assert rows[1].lang is None and rows[2].lang == "en"
+    # without mergeSchema the first footer wins — documents why the option
+    # matters for evolving corpora
+    df_plain = spark.read.parquet(p + "/batch=1")
+    assert "lang" not in df_plain.columns
