@@ -640,3 +640,33 @@ def f14_variant_json(spark, sf_dir):
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "f15_sql_text",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+    FROM orders
+    WHERE o_custkey % 2 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def f15_sql_text(spark, sf_dir):
+    """Pure `spark.sql` text surface: the same engine semantics exposed via
+    temp view + SQL string instead of the DataFrame DSL — both compile to
+    identical Catalyst plans, and every DataFrame query in this registry
+    could be spelled this way. One query kept in SQL-text form so the
+    surface itself is driver-certified."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_sql_orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+        FROM _sql_orders
+        WHERE o_custkey % 2 = 0
+        GROUP BY o_orderpriority
+    """)
