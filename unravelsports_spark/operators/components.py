@@ -71,3 +71,55 @@ def connected_components(
         if edges.join(heads, "src", "left_semi").isEmpty():
             break
     return edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank on an undirected pair graph → (id, pr).
+
+    Boilerplate-triage signal on the near-dup candidate graph: a template
+    page duplicated across thousands of URLs becomes a high-PR hub. Each
+    iteration is one broadcast-free hash join (edges ⋈ ranks on src — both
+    sides partitioned by node id, so a cluster co-partitions them once and
+    reuses the exchange across iterations) plus one map-side-combinable
+    aggregation on dst. The unbounded-iteration variant would converge on a
+    residual; a fixed small iteration count is the production norm and keeps
+    the query oracle-checkable.
+
+    Cross-engine float discipline: per-edge contributions pr/deg are single
+    IEEE divisions (deterministic); the per-node contribution sum rides
+    DECIMAL(26,12); each iteration's rank is rounded to 9 decimals so the
+    next round's inputs are engine-identical.
+    """
+    edges = _sym(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()  # scalar; the node table itself never leaves executors
+    ranks = deg.select(
+        "src", "deg", F.round(F.lit(1.0) / F.lit(n_nodes), 9).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = edges.join(ranks, "src").select(
+            F.col("dst"),
+            F.round(F.col("pr") / F.col("deg"), 12).cast("decimal(26,12)").alias("c"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").cast("double").alias("s"))
+        ranks = (
+            deg.join(sums, deg.src == sums.dst, "left")
+            .select(
+                "src",
+                "deg",
+                F.round(
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(F.col("src").alias("id"), "pr")

@@ -1,0 +1,197 @@
+"""Lexical retrieval / statistical LM scoring / sketch operators for
+training-data pipelines (engine additions, SURVEY §2.12).
+
+- ``bm25_scores``: Okapi BM25 (Lucene idf variant) of a fixed query-term set
+  over the corpus. Everything is Catalyst: one explode, two hash
+  aggregations, a broadcast of the (tiny) per-term stats, zero Python.
+- ``unigram_logprob``: add-one-smoothed unigram language-model score per
+  document — the classic cheap "perplexity-ish" quality signal when a real
+  LM isn't available. One explode + corpus-level term counts (broadcast
+  agg-back) + one per-doc aggregation.
+- ``countmin_estimates``: a Count–Min sketch (d hash rows × w buckets) built
+  as a single aggregation over term counts, with point-query estimates for a
+  candidate set. The sketch itself is d×w rows — mergeable across shards by
+  summing bucket counts, which is what makes it the 100 TB heavy-hitters
+  path (the exact top-k needs a full shuffle of the vocabulary; the sketch
+  needs a constant-size reduce).
+
+Float discipline (measured in round 2, see plans/corpus2.py): ln() can
+differ by 1 ulp between the JVM and libm → every ln goes through ROUND(_, 6)
+on both engines; cross-term sums ride DECIMAL (order-independent); plain
+products/divisions of identical operands are IEEE-deterministic and stay
+double.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash64
+
+#: tokenizer shared with TF-IDF / vocab (operators/vocab.py): ASCII word runs
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per token occurrence: (id, term)."""
+    return df.select(
+        id_col,
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)).alias(
+            "term"
+        ),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BM25 score for ``query_terms``.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl·N/Σdl))
+    with the Lucene idf ln((N−df+0.5)/(df+0.5) + 1).
+
+    Plan shape: token explode → per-(doc,term) tf and per-doc dl in one
+    aggregation each; term document-frequencies for the |Q| query terms and
+    the two corpus scalars (N, Σdl) are broadcast — the corpus itself is
+    scanned once and shuffles once (on doc_id). Only docs containing ≥1 query
+    term appear (absent terms contribute 0 on both engines).
+    """
+    tok = tokens(df, id_col, text_col)
+    # per-doc: tf for query terms + document length
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .filter(F.col("term").isin(*[str(t) for t in query_terms]))
+    )
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # corpus scalars as a broadcast 1-row agg (never collected to the driver)
+    corpus = df.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("sum_dl"))
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+                    / (F.col("doc_freq") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    norm_len = F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+    denom = F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * norm_len)
+    numer = F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0))
+    term_score = F.round(numer / denom, 6)
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("term_score", term_score)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(18,6)")).cast("double").alias("_s"),
+            F.count("*").alias("n_terms_matched"),
+            F.first("dl").alias("dl"),
+        )
+        .withColumn("bm25", F.round(F.col("_s"), 6))
+        .select(id_col, "n_terms_matched", "dl", "bm25")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Add-one-smoothed unigram LM scored on the corpus it was counted from:
+    p(t) = (c_t + 1)/(T + V); per-doc mean log-probability and the
+    pseudo-perplexity exp(−mean). Low scores flag gibberish / off-vocabulary
+    documents — the cheap stand-in for model-based perplexity filtering."""
+    tok = tokens(df, id_col, text_col)
+    term_counts = tok.groupBy("term").agg(F.count("*").alias("c_t"))
+    corpus = term_counts.agg(
+        F.sum("c_t").alias("t_total"), F.count("*").alias("v_size")
+    )
+    lp = F.round(
+        F.log((F.col("c_t") + F.lit(1.0)) / (F.col("t_total") + F.col("v_size"))), 6
+    )
+    term_lp = term_counts.crossJoin(F.broadcast(corpus)).withColumn("lp", lp)
+    doc_terms = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    per_doc = (
+        doc_terms.join(F.broadcast(term_lp.select("term", "lp")), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.round(F.col("lp") * F.col("tf"), 6).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("_lp_sum"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    avg = F.round(F.col("_lp_sum") / F.col("n_tokens"), 6)
+    return (
+        per_doc.withColumn("avg_logprob", avg)
+        .withColumn("pseudo_ppl", F.round(F.exp(-F.col("avg_logprob")), 6))
+        .select(id_col, "n_tokens", "avg_logprob", "pseudo_ppl")
+    )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count–Min sketch heavy-hitter check: build the d×w sketch from exact
+    term counts (one aggregation; the sketch is mergeable — shards sum
+    bucket-wise), then point-query the true top-``top_k`` terms and report
+    estimate vs truth. Integer-exact end to end (no float discipline needed).
+
+    CM guarantees estimate ≥ truth; ``overcount`` shows collision inflation
+    at this (d, w). At 100 TB the sketch replaces the full-vocabulary shuffle
+    for heavy-hitter screening: d·w counters per shard, one constant-size
+    merge."""
+    counts = tokens(df, id_col, text_col).groupBy("term").agg(
+        F.count("*").alias("true_count")
+    )
+    rows = counts.select(
+        "term",
+        "true_count",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    ).withColumn(
+        "bucket",
+        F.pmod(hash64(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("term"))), F.lit(width)),
+    )
+    sketch = rows.groupBy("row", "bucket").agg(F.sum("true_count").alias("bucket_count"))
+    cand = counts.orderBy(F.col("true_count").desc(), "term").limit(top_k)
+    cand_rows = cand.select(
+        "term",
+        "true_count",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    ).withColumn(
+        "bucket",
+        F.pmod(hash64(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("term"))), F.lit(width)),
+    )
+    return (
+        cand_rows.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.first("true_count").alias("true_count"),
+            F.min("bucket_count").alias("cm_estimate"),
+        )
+        .withColumn("overcount", F.col("cm_estimate") - F.col("true_count"))
+    )
