@@ -53,9 +53,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Parquet scan of one synthetic table; Catalyst handles predicate
     pushdown + column pruning from whatever plan is built on top.
 
-    The events table stores TIMESTAMP(NANOS) which Spark 4 refuses to read
-    natively; we read nanos as long and rebuild a microsecond timestamp with
-    integer division (`div`, no double round-trip → no precision loss).
+    The events table has shipped as TIMESTAMP(NANOS) (which Spark 4 refuses
+    to read natively — it surfaces as long under the legacy conf) and as
+    TIMESTAMP(MICROS) (read natively) in different testdata generations; we
+    sniff the loaded dtype and rebuild a microsecond timestamp from nanos
+    with integer division (`div`, no double round-trip → no precision loss)
+    only when needed.
 
     Both confs here are runtime-settable on purpose: the driver harness runs
     queries on ITS OWN SparkSession, so anything the engine needs must be set
@@ -69,7 +72,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # native MICROS read; NTZ→LTZ cast under the UTC session is the
+            # identity instant and keeps unix_millis/F.window downstream happy
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
