@@ -22,10 +22,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, SF0001)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from unravelsports_spark.plans import QUERIES
+# Keys already driver-certified in CORRECTNESS_r01/r02 (green rows+schema+hash).
+# The driver checks a bounded prefix of this dict, so enumerate never-certified
+# queries first to widen certification breadth; no keys are renamed.
+_CERTIFIED_R2 = frozenset(
+    {
+        "q1_pricing_summary", "p1_p2_project_filter", "f7_f8_conditional_literals",
+        "p3_filter_eq", "p4_range_between", "p5_modulo_sample", "p6_conditional_cap",
+        "p7_sign_flip", "p8_bool_derive", "j1_dim_join", "j2_agg_back_join",
+        "j3_semi_join", "j4_anti_join", "j5_enrich_revenue", "j7_distinct_join",
+        "a2_distinct_count", "a3_group_stats", "a4_argmin_in_group",
+        "a5_conditional_sum", "a7_global_distinct", "w1_lag_diff",
+        "w2_partitioned_min", "w3_rank_topk", "w4_sessionize", "w5_tumbling_window",
+        "o5_top_k_limit", "o6_union_all", "o8_unpivot", "o9_explode_tokens",
+        "o11_concat_key", "f1_string_ops", "f2_temporal_trunc", "f3_math_ops",
+        "w7_row_index", "f6_array_ops", "f4_null_handling", "f5_casts",
+        "t_token_stats", "t_quality_by_source", "t_langid_confusion",
+        "t_fingerprint", "d_exact_dedup_stats", "d_jaccard_top_pairs",
+        "d_minhash_signatures", "d_lsh_candidate_pairs", "d_dup_clusters",
+        "d_simhash", "s_ann_bruteforce", "s_ann_top_pairs", "d_embedding_neardup",
+    }
+)
 
-    return dict(QUERIES)
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from unravelsports_spark.plans import ORACLE_SQL, QUERIES
+
+    def priority(name: str) -> int:
+        if name not in _CERTIFIED_R2 and name in ORACLE_SQL:
+            return 0  # never-certified, oracle-backed: certify these first
+        if name not in _CERTIFIED_R2:
+            return 1  # never-certified rows-only checks
+        return 2  # already green in CORRECTNESS_r01/r02
+
+    names = sorted(QUERIES, key=lambda n: (priority(n), list(QUERIES).index(n)))
+    return {name: QUERIES[name] for name in names}
 
 
 def oracle_sql() -> dict[str, str]:
