@@ -1,0 +1,133 @@
+"""Retrieval / LM-scoring / sketch operators (operators/retrieval.py) and
+PageRank (operators/components.py) vs independent NumPy/pure-Python
+reference implementations on tiny hand-built corpora."""
+
+import math
+
+import pytest
+
+from unravelsports_spark.operators.components import pagerank
+from unravelsports_spark.operators.retrieval import (
+    bm25_scores,
+    countmin_estimates,
+    unigram_logprob,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox"),
+    (2, "lorem ipsum dolor sit amet"),
+    (3, "fox fox fox dog"),
+    (4, "the dog sleeps"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _ref_bm25(docs, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    dl = {i: len(ts) for i, ts in toks.items()}
+    sum_dl = sum(dl.values())
+    out = {}
+    for term in terms:
+        df_t = sum(1 for ts in toks.values() if term in ts)
+        if df_t == 0:
+            continue
+        idf = round(math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0), 6)
+        for i, ts in toks.items():
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            norm = dl[i] * n / sum_dl
+            score = round(idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * norm)), 6)
+            out[i] = round(out.get(i, 0.0) + score, 6)
+    return out
+
+
+def test_bm25_matches_reference(docs_df):
+    terms = ["fox", "dog", "ipsum"]
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs_df, terms).collect()}
+    want = _ref_bm25(DOCS, terms)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=2e-6), i
+
+
+def test_bm25_rare_term_outscores_common(docs_df):
+    # 'ipsum' appears in 1/5 docs, 'the' in 3/5 — same tf=1 in doc 2 vs doc 4
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs_df, ["ipsum"]).collect()}
+    common = {r.doc_id: r.bm25 for r in bm25_scores(docs_df, ["the"]).collect()}
+    assert got[2] > common[4]
+
+
+def test_unigram_logprob_reference(docs_df):
+    rows = {r.doc_id: r for r in unigram_logprob(docs_df).collect()}
+    toks = [t for _, s in DOCS for t in s.lower().split()]
+    counts = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    t_total, v = len(toks), len(counts)
+    for i, s in DOCS:
+        ts = s.lower().split()
+        lp_terms = {}
+        for t in set(ts):
+            lp_terms[t] = round(math.log((counts[t] + 1.0) / (t_total + v)), 6)
+        lp_sum = round(sum(round(lp_terms[t] * ts.count(t), 6) for t in set(ts)), 6)
+        want = round(lp_sum / len(ts), 6)
+        assert rows[i].n_tokens == len(ts)
+        assert rows[i].avg_logprob == pytest.approx(want, abs=2e-6)
+        assert rows[i].pseudo_ppl == pytest.approx(round(math.exp(-want), 6), abs=1e-4)
+    # gibberish (all-rare tokens) scores worse than a doc of common tokens
+    assert rows[2].avg_logprob < rows[1].avg_logprob
+
+
+def test_countmin_never_undercounts(docs_df):
+    rows = countmin_estimates(docs_df, depth=4, width=64, top_k=10).collect()
+    assert rows, "expected candidate terms"
+    for r in rows:
+        assert r.cm_estimate >= r.true_count
+        assert r.overcount == r.cm_estimate - r.true_count
+    # at this tiny vocabulary the sketch should be near-exact
+    assert sum(r.overcount for r in rows) <= sum(r.true_count for r in rows)
+
+
+def _ref_pagerank(edges, iters=3, damping=0.85):
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(deg)
+    pr = {v: round(1.0 / n, 9) for v in deg}
+    for _ in range(iters):
+        sums = {}
+        for a, b in sym:
+            sums[b] = sums.get(b, 0.0) + round(pr[a] / deg[a], 12)
+        pr = {
+            v: round((1.0 - damping) / n + damping * sums.get(v, 0.0), 9)
+            for v in deg
+        }
+    return pr
+
+
+def test_pagerank_reference_parity(spark):
+    # two triangles bridged by one edge + a pendant node
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3), (5, 6)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.pr for r in pagerank(df, iters=3).collect()}
+    want = _ref_pagerank(edges)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-8), v
+    # probability mass is conserved up to rounding (no dangling nodes: graph
+    # is undirected so every node has out-degree)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # bridge nodes (2, 3) outrank the pendant (6)
+    assert got[2] > got[6] and got[3] > got[6]

@@ -1,0 +1,186 @@
+"""Round-3 corpus queries: lexical retrieval (BM25), unigram-LM scoring,
+Count-Min heavy-hitter sketching, and PageRank on the near-dup candidate
+graph — each with an exact DuckDB oracle. These wire the operators in
+``operators/retrieval.py`` and ``operators/components.py:pagerank`` into the
+driver correctness gate (round-2 verdict action #2).
+
+Float-parity notes (the corpus2.py rules plus one new one):
+
+- DuckDB parses decimal literals as DECIMAL, not DOUBLE, so an expression
+  like ``1.0 - 0.85`` is exact decimal there but IEEE double in Spark. Every
+  float constant in these oracles is therefore interpolated as
+  ``CAST(<python repr> AS DOUBLE)`` — repr is the shortest round-trip form,
+  so both engines see bit-identical doubles.
+- ln() / division / multiplication of identical double operands are
+  IEEE-deterministic; every ln is rounded to 6 on both sides; cross-term
+  sums ride DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.components import pagerank
+from ..operators.retrieval import bm25_scores, countmin_estimates, unigram_logprob
+from ..session import read_table
+from .pipeline import _lsh_sql
+from .relational import query
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+#: fixed query-term set for the BM25 oracle pair (all present in the corpus)
+BM25_TERMS = ("join", "hash", "vector", "customer", "slow")
+
+
+def _dbl(x: float) -> str:
+    """A double literal DuckDB parses to the same bits Spark's F.lit gives."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _bm25_sql(terms=BM25_TERMS, k1: float = 1.2, b: float = 0.75) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    norm_len = "d.dl * i.n_docs / i.sum_dl"
+    denom = f"q.tf + {_dbl(k1)} * ({_dbl(1.0)} - {_dbl(b)} + {_dbl(b)} * {norm_len})"
+    numer = f"i.idf * (q.tf * {_dbl(k1 + 1.0)})"
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    qtf AS (SELECT * FROM tf WHERE term IN ({term_list})),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    corpus AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                      (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl),
+    idf AS (
+      SELECT term, COUNT(*) AS doc_freq, n_docs, sum_dl,
+             ROUND(LN((n_docs - COUNT(*) + {_dbl(0.5)})
+                      / (COUNT(*) + {_dbl(0.5)}) + {_dbl(1.0)}), 6) AS idf
+      FROM qtf, corpus GROUP BY term, n_docs, sum_dl),
+    scored AS (
+      SELECT q.doc_id, ROUND({numer} / ({denom}), 6) AS term_score, d.dl
+      FROM qtf q JOIN dl d ON q.doc_id = d.doc_id
+      JOIN idf i ON q.term = i.term)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched, MIN(dl) AS dl,
+           ROUND(CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("t_bm25_topk", oracle=_bm25_sql())
+def t_bm25_topk(spark, sf_dir):
+    """Okapi BM25 (Lucene idf) of a fixed query-term set, top-20 documents
+    (engine addition §2.12, operators/retrieval.py). All Catalyst: one token
+    explode, two hash aggregations, broadcast per-term stats; the corpus
+    scans once and shuffles once on doc_id."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, list(BM25_TERMS))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _unigram_sql() -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    term_counts AS (SELECT term, COUNT(*) AS c_t FROM tok GROUP BY term),
+    corpus AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_total,
+                      COUNT(*) AS v_size FROM term_counts),
+    term_lp AS (
+      SELECT term,
+             ROUND(LN((c_t + {_dbl(1.0)}) / (t_total + v_size)), 6) AS lp
+      FROM term_counts, corpus),
+    doc_terms AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+    SELECT d.doc_id,
+           CAST(SUM(d.tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(l.lp * d.tf, 6) AS DECIMAL(20,6))) AS DOUBLE)
+                 / CAST(SUM(d.tf) AS BIGINT), 6) AS avg_logprob,
+           ROUND(EXP(-ROUND(CAST(SUM(CAST(ROUND(l.lp * d.tf, 6) AS DECIMAL(20,6))) AS DOUBLE)
+                 / CAST(SUM(d.tf) AS BIGINT), 6)), 6) AS pseudo_ppl
+    FROM doc_terms d JOIN term_lp l ON d.term = l.term
+    GROUP BY d.doc_id
+    """
+
+
+@query("t_unigram_logprob", oracle=_unigram_sql())
+def t_unigram_logprob(spark, sf_dir):
+    """Add-one-smoothed unigram LM score per document — the cheap
+    perplexity-ish quality signal (engine addition §2.12,
+    operators/retrieval.py). One explode + broadcast term table."""
+    return unigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
+def _countmin_sql(depth: int = 4, width: int = 256, top_k: int = 20) -> str:
+    rows = ", ".join(str(i) for i in range(depth))
+    bucket = (
+        "CAST(('0x' || substring(md5(CAST(rw AS VARCHAR) || ':' || term), 1, 15)) "
+        f"AS BIGINT) % {width}"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    counts AS (SELECT term, COUNT(*) AS true_count FROM tok GROUP BY term),
+    expanded AS (SELECT term, true_count, unnest([{rows}]) AS rw FROM counts),
+    hashed AS (SELECT term, true_count, rw, {bucket} AS bucket FROM expanded),
+    sketch AS (SELECT rw, bucket, CAST(SUM(true_count) AS BIGINT) AS bucket_count
+               FROM hashed GROUP BY 1, 2),
+    cand AS (SELECT term, true_count FROM counts
+             ORDER BY true_count DESC, term LIMIT {top_k}),
+    cand_exp AS (SELECT term, true_count, unnest([{rows}]) AS rw FROM cand),
+    cand_rows AS (SELECT term, true_count, rw, {bucket} AS bucket FROM cand_exp)
+    SELECT c.term, MIN(c.true_count) AS true_count,
+           MIN(s.bucket_count) AS cm_estimate,
+           MIN(s.bucket_count) - MIN(c.true_count) AS overcount
+    FROM cand_rows c JOIN sketch s ON c.rw = s.rw AND c.bucket = s.bucket
+    GROUP BY c.term
+    """
+
+
+@query("d_countmin_heavyhitters", oracle=_countmin_sql())
+def d_countmin_heavyhitters(spark, sf_dir):
+    """Count-Min sketch point-queries for the exact top-20 terms (engine
+    addition §2.12, operators/retrieval.py). Integer-exact end to end; the
+    d×w sketch is the mergeable 100 TB heavy-hitter path."""
+    return countmin_estimates(read_table(spark, sf_dir, "documents"))
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    parts = [
+        "WITH pairs AS (" + _lsh_sql() + ")",
+        """sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs)""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"""r0 AS (SELECT src, deg, ROUND({_dbl(1.0)} / nn.n, 9) AS pr
+                   FROM deg CROSS JOIN nn)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS dst,
+                      CAST(ROUND(r.pr / r.deg, 12) AS DECIMAL(26,12)) AS c
+               FROM sym e JOIN r{i - 1} r ON e.src = r.src)"""
+        )
+        parts.append(
+            f"s{i} AS (SELECT dst, CAST(SUM(c) AS DOUBLE) AS s FROM c{i} GROUP BY dst)"
+        )
+        parts.append(
+            f"""r{i} AS (SELECT d.src, d.deg,
+                      ROUND({_dbl(1.0 - damping)} / nn.n
+                            + {_dbl(damping)} * COALESCE(s.s, {_dbl(0.0)}), 9) AS pr
+               FROM deg d LEFT JOIN s{i} s ON d.src = s.dst CROSS JOIN nn)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT src AS id, pr FROM r{iters}"
+
+
+@query("d_pagerank", oracle=_pagerank_sql())
+def d_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the LSH near-dup candidate graph
+    (operators/components.py:76): boilerplate-template hubs become high-PR
+    nodes. Each iteration is one co-partitioned hash join + one map-side
+    combinable aggregation; DECIMAL contribution sums + per-iteration
+    round(9) keep both engines bit-identical."""
+    from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(shingled, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return pagerank(pairs, iters=3, damping=0.85)
