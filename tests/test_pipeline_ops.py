@@ -52,6 +52,36 @@ def test_jaccard_identical_docs(spark):
     assert pairs.jaccard.iloc[0] == 1.0
 
 
+def test_jaccard_hot_shingle_cap_bounds_skew(spark):
+    """One boilerplate sentence in every doc must not pair all docs with all
+    docs: with the document-frequency cap, boilerplate-only overlaps emit no
+    pair at all, while a genuine near-duplicate pair survives."""
+    import random
+
+    rng = random.Random(7)
+    boiler = "this document is provided as is without any warranty"
+    docs = []
+    for i in range(60):
+        unique = " ".join(f"w{rng.randrange(10**9)}" for _ in range(12))
+        docs.append((i, f"{boiler} {unique}"))
+    # one genuine near-dup pair sharing unique content
+    docs.append((100, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"))
+    docs.append((101, f"{boiler} alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    shingled = doc_shingles(df)
+
+    uncapped = jaccard_pairs(shingled, max_doc_freq=None)
+    capped = jaccard_pairs(shingled, max_doc_freq=20)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    # uncapped: every one of the 62 docs pairs with every other via boilerplate
+    assert n_uncapped == 62 * 61 // 2
+    # capped: boilerplate shingles (df=62 > 20) are dropped — only genuine
+    # shared content can produce pairs
+    assert n_capped < 5
+    survivors = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in survivors
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     return spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").cache()

@@ -60,6 +60,15 @@ def test_single_shuffle_for_model_kernel(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_lsh_band_join_reuses_one_signature_lineage(spark):
+    """The shingle→minhash subtree is the most expensive stage of the dedup
+    pipeline; the band self-join must read it from one persisted
+    InMemoryRelation on both sides instead of recomputing the lineage twice
+    (round-2 verdict, 100 TB flag #4)."""
+    plan = plan_of(spark, "d_lsh_candidate_pairs")
+    assert plan.count("InMemoryTableScan") == 2
+
+
 def test_ann_lsh_broadcasts_planes_and_query(spark):
     plan = plan_of(spark, "s_ann_lsh")
     # planes and the single query row ship as broadcasts; the corpus side is

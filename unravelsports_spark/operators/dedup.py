@@ -87,10 +87,29 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    single_pass: bool = True,
 ) -> DataFrame:
     """Band the signature and self-join on (band, band_key): docs agreeing on
-    every hash of any band become candidate pairs (id_a < id_b)."""
+    every hash of any band become candidate pairs (id_a < id_b).
+
+    The signature lineage (shingle explode + minhash aggregation — the most
+    expensive stage of the whole dedup pipeline) feeds BOTH sides of the
+    band self-join; left as-is, Spark computes it twice. With
+    ``single_pass`` (default) the signature table — n_docs × k small ints,
+    orders of magnitude smaller than the corpus — is persisted
+    memory-and-disk so both join sides read one InMemoryRelation and the
+    shingle→minhash subtree executes once. The production-scale equivalent
+    is staging signatures to a table between pipeline runs; callers that
+    already pass a materialized signature table can set
+    ``single_pass=False``."""
+    if single_pass:
+        from pyspark import StorageLevel
+
+        signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -116,10 +135,29 @@ def jaccard_pairs(
     shingled: DataFrame,
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = 50,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets. With `candidates`, only verify those
     pairs (the LSH path); without, join docs on shared shingles — the classic
-    inverted-index join that never materializes an all-pairs cross product."""
+    inverted-index join that never materializes an all-pairs cross product.
+
+    The inverted-index join is quadratic in each shingle's posting-list
+    length: one boilerplate shingle present in k docs emits k² join rows on
+    a single key — a skewed-shuffle bomb at corpus scale. Without
+    ``candidates``, shingles with document frequency > ``max_doc_freq`` are
+    therefore dropped from the shingle universe first (sizes and
+    intersections both computed on the filtered sets, i.e. Jaccard over
+    *informative* shingles); the frequency window shuffles on the same key
+    as the join. Pass ``max_doc_freq=None`` to disable. With ``candidates``
+    the join is already bounded, so Jaccard stays exact over the full sets.
+    """
+    if candidates is None and max_doc_freq is not None:
+        w = Window.partitionBy("shingle_hash")
+        shingled = (
+            shingled.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")

@@ -164,10 +164,15 @@ _SHINGLE_SQL = r"""
     "d_jaccard_top_pairs",
     oracle=_SHINGLE_SQL
     + r"""
-    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    , dfreq AS (SELECT shingle_hash, COUNT(*) AS df FROM shingled GROUP BY shingle_hash),
+    capped AS (
+      SELECT s.doc_id, s.shingle_hash
+      FROM shingled s JOIN dfreq f ON s.shingle_hash = f.shingle_hash
+      WHERE f.df <= 50),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM shingled a JOIN shingled b
+      FROM capped a JOIN capped b
         ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, n_common,
@@ -180,9 +185,13 @@ _SHINGLE_SQL = r"""
     """,
 )
 def d_jaccard_top_pairs(spark, sf_dir):
+    """Top exact-Jaccard pairs via the inverted-index join, with the
+    hot-shingle document-frequency cap (<= 50) that bounds posting-list
+    length — the guard against one boilerplate shingle in k docs emitting
+    k² join rows at corpus scale. The oracle applies the same cap."""
     shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
     return (
-        jaccard_pairs(shingled)
+        jaccard_pairs(shingled, max_doc_freq=50)
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
     )
