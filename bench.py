@@ -49,7 +49,7 @@ def sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def time_df(make_df, warmup: bool = True, runs: int = 2) -> float:
+def time_df(make_df, warmup: bool = True, runs: int = 3) -> float:
     """Steady-state wall time: one uncounted warm-up (codegen, file listing,
     shuffle-service spin-up), then best-of-`runs` — JIT tiering and GC pauses
     can still land in the first post-warmup run."""
@@ -74,6 +74,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf = sf_from_dir(SF_DIR)
     timings: dict[str, float] = {}
+
+    # measured empty-job floor: the fixed per-job cost (scheduling + codegen
+    # + task fan-out) on this box. Ratios vs single-process engines are only
+    # interpretable above this floor — a 0.05 s DuckDB query can never beat
+    # it regardless of plan quality.
+    floor = round(time_df(lambda: spark.range(1)), 4)
 
     for name in HEADLINE:
         timings[name] = round(time_df(lambda: QUERIES[name](spark, SF_DIR)), 4)
@@ -100,6 +106,9 @@ def main() -> None:
         time_df(lambda: SoccerGraphConverter(tracking, gsettings).to_graph_frames()),
         4,
     )
+    timings["model_efpi_possession"] = round(
+        time_df(lambda: QUERIES["m_efpi_possession"](spark, SF_DIR)), 4
+    )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -110,6 +119,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "floor": floor,
             }
         )
     )

@@ -129,6 +129,36 @@ def test_hysteresis_threshold(spark, settings):
     assert set(out[out.team_id == HOME].formation) == {"442"}
 
 
+def test_stateless_frame_mode_shards_within_game(spark, settings):
+    """With hysteresis off (change_threshold=None) the frame kernel is
+    stateless, so each game shards into frame-range chunks: >1 kernel group
+    per game, byte-identical output to the unsharded run."""
+    df = planted_tracking(spark, n_frames=12)
+
+    sharded = EFPI(df, settings, stateless_chunk_frames=4)
+    unsharded = EFPI(df, settings, stateless_chunk_frames=10**9)
+    out_sharded = sharded.fit(every="frame").output
+    out_unsharded = unsharded.fit(every="frame").output
+
+    cols = sorted(out_sharded.columns)
+    order = ["frame_id", "id"]
+    assert (
+        out_sharded.select(*cols).orderBy(*order).collect()
+        == out_unsharded.select(*cols).orderBy(*order).collect()
+    )
+
+    # the pre-kernel exchange partitions on (game_id, _chunk), not game alone
+    plan = out_sharded._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" in plan
+    # 12 frames / chunk 4 → 3 kernel groups for the single game
+    chunked = df.withColumn("_chunk", F.floor(F.col("frame_id") / F.lit(4)))
+    assert chunked.select("game_id", "_chunk").distinct().count() == 3
+
+    # hysteresis ON must keep the serial per-game grouping (state carries)
+    stateful = EFPI(df, settings).fit(every="frame", change_threshold=0.05).output
+    assert "_chunk" not in stateful._jdf.queryExecution().executedPlan().toString()
+
+
 def test_validation_errors(spark, settings):
     df = planted_tracking(spark)
     with pytest.raises(ValueError):

@@ -171,6 +171,9 @@ class EFPI:
     dataset: DataFrame
     settings: DefaultSettings = field(default_factory=DefaultSettings)
     formations: Union[List[str], str, None] = None
+    #: frame-range shard size for the stateless (change_threshold=None)
+    #: frame path — one grouped-map task per (game, 512 frames)
+    stateless_chunk_frames: int = 512
 
     output: Optional[DataFrame] = field(init=False, default=None)
     segments: Optional[DataFrame] = field(init=False, default=None)
@@ -340,15 +343,30 @@ class EFPI:
         cols = [Column.GAME_ID, Column.PERIOD_ID, Column.FRAME_ID, Column.X, Column.Y,
                 Column.TEAM_ID, Column.BALL_OWNING_TEAM_ID, Column.OBJECT_ID,
                 Column.POSITION_NAME]
-        # KNOWN PARALLELISM FLOOR (VERDICT r1 #4): the hysteresis state is
-        # serial within a match, so frame-mode groups by game_id alone —
-        # parallelism = number of games, memory bounded by one match.
-        # Inherent to the semantics (the reference is single-node anyway);
-        # the streaming variant (streaming/efpi_stream.py) shards the same
-        # state incrementally for the one-giant-match case.
+        sel = df.select(*cols)
+        # With hysteresis ON the state is serial within a match: frame-mode
+        # groups by game_id alone — parallelism = number of games, memory
+        # bounded by one match (inherent to the semantics; the streaming
+        # variant streaming/efpi_stream.py shards the same state
+        # incrementally for the one-giant-match case). With hysteresis OFF
+        # (change_threshold=None) every frame re-detects from scratch, so the
+        # kernel is embarrassingly parallel across frames: shard each game
+        # into frame-ranges and get intra-game parallelism too. (A frame
+        # whose team detection fails borrows the last successful detection
+        # in its kernel group on both paths; chunking narrows that borrow
+        # window to the chunk — identical output whenever detection
+        # succeeds, i.e. whenever both teams are on the pitch.)
+        if state_cfg["change_threshold"] is None:
+            sel = sel.withColumn(
+                "_chunk",
+                F.floor(F.col(Column.FRAME_ID) / F.lit(self.stateless_chunk_frames)).cast("long"),
+            )
+            keys = [Column.GAME_ID, "_chunk"]
+        else:
+            keys = [Column.GAME_ID]
         return (
-            repartition_for_kernel(df.select(*cols), [Column.GAME_ID])
-            .groupBy(Column.GAME_ID)
+            repartition_for_kernel(sel, keys)
+            .groupBy(*keys)
             .applyInPandas(kernel, schema)
         )
 
