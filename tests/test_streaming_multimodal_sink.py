@@ -18,7 +18,7 @@ from unravelsports_spark.operators.multimodal import (
     extract_image_features,
     sample_video_frames,
 )
-from unravelsports_spark.session import read_table
+from unravelsports_spark.session import normalize_events_ts, read_table
 from unravelsports_spark.settings import GraphSettings
 from unravelsports_spark.sources.graph_sink import (
     iter_graph_tuples,
@@ -38,15 +38,6 @@ from .conftest import SF_SMOKE
 TMP = "/root/repo/.tmp_test"
 
 
-def _norm_ts(df):
-    """Match read_table's events-ts normalization for raw/stream reads: nanos
-    ride in as bigint (legacy conf), micros as timestamp_ntz; both → LTZ."""
-    dt = dict(df.dtypes).get("ts")
-    if dt == "bigint":
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if dt == "timestamp_ntz":
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -74,7 +65,7 @@ def test_streaming_micro_batch(spark, tmpdir):
     shutil.copy(f"{SF_SMOKE}/events.parquet", f"{src}/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src).schema
-    stream = _norm_ts(spark.readStream.schema(schema).parquet(src))
+    stream = normalize_events_ts(spark.readStream.schema(schema).parquet(src))
     agg = tumbling_agg(
         with_watermark(stream, "ts", "10 minutes"),
         "ts", "5 minutes", ["event_type"], [F.count("*").alias("n")],
@@ -97,8 +88,9 @@ def test_stateful_running_counts_streaming(spark, tmpdir):
     src = f"{tmpdir}/state_src"
     os.makedirs(src, exist_ok=True)
     shutil.copy(f"{SF_SMOKE}/events.parquet", f"{src}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src).schema
-    stream = _norm_ts(spark.readStream.schema(schema).parquet(src))
+    stream = normalize_events_ts(spark.readStream.schema(schema).parquet(src))
     counted = stateful_running_counts(stream, "event_type", "ts")
     q = (
         counted.writeStream.format("memory")

@@ -68,19 +68,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        dt = dict(df.dtypes).get("ts")
-        if dt == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif dt == "timestamp_ntz":
-            # native MICROS read; NTZ→LTZ cast under the UTC session is the
-            # identity instant and keeps unix_millis/F.window downstream happy
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_events_ts(df):
+    """Events ``ts`` → TIMESTAMP_LTZ regardless of how the parquet shipped.
+
+    TIMESTAMP(NANOS) surfaces as bigint under the legacy conf — rebuild
+    microseconds with integer division (``div``, no double round-trip → no
+    precision loss). TIMESTAMP(MICROS) reads natively as timestamp_ntz —
+    the NTZ→LTZ cast under the UTC session is the identity instant and
+    keeps ``unix_millis`` / ``F.window`` downstream happy. Shared by
+    ``read_table`` and the streaming readers so batch and stream paths
+    cannot drift."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def repartition_for_kernel(df, keys):
