@@ -159,6 +159,26 @@ def test_stateless_frame_mode_shards_within_game(spark, settings):
     assert "_chunk" not in stateful._jdf.queryExecution().executedPlan().toString()
 
 
+def test_stateless_segment_mode_shards_within_game(spark, settings):
+    """Possession/period/duration modes with hysteresis off hash-bucket the
+    segments within each game; output identical to the single-bucket run."""
+    df = planted_tracking(spark, n_frames=12)
+
+    sharded = EFPI(df, settings, stateless_segment_buckets=4)
+    single = EFPI(df, settings, stateless_segment_buckets=1)
+    out_sharded = sharded.fit(every="possession").output
+    out_single = single.fit(every="possession").output
+
+    cols = sorted(out_sharded.columns)
+    order = ["period_id", "possession_id", "id"]
+    assert (
+        out_sharded.select(*cols).orderBy(*order).collect()
+        == out_single.select(*cols).orderBy(*order).collect()
+    )
+    plan = out_sharded._jdf.queryExecution().executedPlan().toString()
+    assert "_segchunk" in plan
+
+
 def test_validation_errors(spark, settings):
     df = planted_tracking(spark)
     with pytest.raises(ValueError):

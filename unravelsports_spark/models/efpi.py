@@ -174,6 +174,9 @@ class EFPI:
     #: frame-range shard size for the stateless (change_threshold=None)
     #: frame path — one grouped-map task per (game, 512 frames)
     stateless_chunk_frames: int = 512
+    #: segment hash-buckets per game for the stateless segment path
+    #: (possession / period / duration modes with change_threshold=None)
+    stateless_segment_buckets: int = 16
 
     output: Optional[DataFrame] = field(init=False, default=None)
     segments: Optional[DataFrame] = field(init=False, default=None)
@@ -415,8 +418,23 @@ class EFPI:
                     out.append(tuple(row))
             return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
+        # Same parallelism split as _fit_frames: hysteresis state is serial
+        # within a match, but with change_threshold=None every segment
+        # re-detects from scratch, so hash-bucket segments within each game.
+        # A whole (period, segment) always lands in one bucket, so each
+        # detection group stays intact.
+        if state_cfg["change_threshold"] is None:
+            seg_hash = F.xxhash64(
+                Column.PERIOD_ID, *( [seg_col] if seg_col else [] )
+            )
+            seg_df = seg_df.withColumn(
+                "_segchunk", F.pmod(seg_hash, F.lit(self.stateless_segment_buckets))
+            )
+            keys = [Column.GAME_ID, "_segchunk"]
+        else:
+            keys = [Column.GAME_ID]
         return (
-            repartition_for_kernel(seg_df, [Column.GAME_ID])
-            .groupBy(Column.GAME_ID)
+            repartition_for_kernel(seg_df, keys)
+            .groupBy(*keys)
             .applyInPandas(kernel, schema)
         )
