@@ -52,6 +52,47 @@ def test_jaccard_identical_docs(spark):
     assert pairs.jaccard.iloc[0] == 1.0
 
 
+def test_dup_span_stats(spark):
+    """Span-level dedup: a 10-token span copied between two docs marks
+    exactly its window starts as duplicated; within-doc repetition counts
+    too; a unique doc reports zero."""
+    from unravelsports_spark.operators.dedup import dup_span_stats, window_fingerprints
+
+    boiler = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    f"{boiler} alpha beta gamma",          # shares spans with 2
+                    f"intro words here {boiler}",          # shares spans with 1
+                    "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11",  # all unique
+                    f"{boiler} {boiler}",                  # self-repetition
+                ],
+            }
+        )
+    )
+    fps = window_fingerprints(df, window=10)
+    stats = {r.doc_id: r for r in dup_span_stats(fps).collect()}
+    # doc 1: 13 tokens → 4 windows; only the boiler-aligned start (pos 0)
+    # also occurs elsewhere
+    assert stats[1].n_windows == 4
+    assert stats[1].n_dup_windows == 1
+    # doc 3: 11 tokens → 2 windows, none duplicated
+    assert (stats[3].n_dup_windows, stats[3].n_windows) == (0, 2)
+    assert stats[3].dup_fraction == 0.0
+    # doc 4: 20 tokens → 11 windows; pos 0 and pos 10 are the same span
+    # (within-doc repetition is duplication), and pos 0/10 also match docs
+    # 1/2's boiler start
+    assert stats[4].n_windows == 11
+    assert stats[4].n_dup_windows >= 2
+    # fp-frequency clamp only bounds the carried count, never drops windows
+    clamped = {r.doc_id: r for r in dup_span_stats(fps, max_fp_freq=1).collect()}
+    assert all(clamped[i].n_windows == stats[i].n_windows for i in stats)
+    # with every count clamped to 1, nothing registers as duplicated
+    assert all(r.n_dup_windows == 0 for r in clamped.values())
+
+
 def test_jaccard_hot_shingle_cap_bounds_skew(spark):
     """One boilerplate sentence in every doc must not pair all docs with all
     docs: with the document-frequency cap, boilerplate-only overlaps emit no

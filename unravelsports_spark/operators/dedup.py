@@ -185,6 +185,69 @@ def jaccard_pairs(
     )
 
 
+def window_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 10
+) -> DataFrame:
+    """One row per ``window``-token span start: (id, pos, fp).
+
+    Span-level dedup (the "deduplicating training data" shape): unlike
+    :func:`doc_shingles` this keeps every start position (no distinct) so a
+    span repeated *within* a document counts, and the position column lets
+    callers report which parts of a document are boilerplate. Same
+    zero-shuffle generator pattern: split → sequence → transform → explode.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.when(
+        F.size(toks) >= window, F.sequence(F.lit(0), F.size(toks) - window)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"), hash64(F.concat_ws(" ", F.slice(toks, i + 1, window))).alias("fp")
+        ),
+    )
+    return df.select(id_col, F.explode(spans).alias("s")).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp")
+    )
+
+
+def dup_span_stats(
+    fps: DataFrame, id_col: str = "doc_id", max_fp_freq: int | None = 10_000
+) -> DataFrame:
+    """Per-document span-duplication profile from :func:`window_fingerprints`
+    rows → (id, n_windows, n_dup_windows, dup_fraction).
+
+    A window is *duplicated* when its fingerprint occurs more than once in
+    the corpus (across documents or repeated within one). ``dup_fraction``
+    is the standard window-start approximation of the duplicated-token
+    fraction — exact span-coverage union tracking needs per-doc sequential
+    state for a metric the window fraction already ranks identically.
+
+    Scale shape: one hash agg on fp (map-side combinable), one co-keyed join
+    back, one agg on doc — the corpus never self-joins, so there is no k²
+    blowup to cap; ``max_fp_freq`` clamps the *count* carried for
+    pathological fingerprints (empty-string spam) purely to bound the join
+    row payload, not the row count."""
+    counts = fps.groupBy("fp").agg(F.count("*").alias("n_occ"))
+    if max_fp_freq is not None:
+        counts = counts.withColumn("n_occ", F.least(F.col("n_occ"), F.lit(max_fp_freq)))
+    joined = fps.join(counts, "fp")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """Per-doc SimHash: sign-aggregate token-hash bits. Expressed as one
     explode + one aggregation with `bits` conditional sums."""

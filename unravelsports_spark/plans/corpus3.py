@@ -143,6 +143,55 @@ def d_countmin_heavyhitters(spark, sf_dir):
     return countmin_estimates(read_table(spark, sf_dir, "documents"))
 
 
+_DUP_SPAN_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i FROM toks),
+    spans AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substring(md5(array_to_string(t[i + 1 : i + 8], ' ')), 1, 15)) AS BIGINT) AS fp
+      FROM starts),
+    counts AS (SELECT fp, LEAST(COUNT(*), 10000) AS n_occ FROM spans GROUP BY fp),
+    stats AS (
+      SELECT s.doc_id, COUNT(*) AS n_windows,
+             SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM spans s JOIN counts c ON s.fp = c.fp GROUP BY s.doc_id)
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(st.n_windows), 0) AS BIGINT) AS total_windows,
+           CAST(COALESCE(SUM(st.n_dup), 0) AS BIGINT) AS dup_windows,
+           ROUND(CAST(SUM(st.n_dup) AS DOUBLE) / SUM(st.n_windows), 6) AS dup_fraction,
+           CAST(SUM(CASE WHEN CAST(st.n_dup AS DOUBLE) / st.n_windows >= 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_dup_docs
+    FROM documents d LEFT JOIN stats st ON d.doc_id = st.doc_id
+    GROUP BY d.source
+    """
+
+
+@query("d_dup_spans", oracle=_DUP_SPAN_SQL)
+def d_dup_spans(spark, sf_dir):
+    """Span-level duplication profile (the 'deduplicating training data'
+    shape, engine addition §2.12): rolling 8-token window fingerprints with
+    positions, per-doc duplicated-window fraction, rolled up per source.
+    One fp hash-agg + one co-keyed join back — the corpus never self-joins,
+    so unlike pair-level Jaccard there is no k² term to cap."""
+    from ..operators.dedup import dup_span_stats, window_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    stats = dup_span_stats(window_fingerprints(docs, window=8))
+    j = docs.select("doc_id", "source").join(stats, "doc_id", "left")
+    frac = F.col("n_dup_windows").cast("double") / F.col("n_windows")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("n_windows"), F.lit(0)).alias("total_windows"),
+        F.coalesce(F.sum("n_dup_windows"), F.lit(0)).alias("dup_windows"),
+        F.round(
+            F.sum("n_dup_windows").cast("double") / F.sum("n_windows"), 6
+        ).alias("dup_fraction"),
+        F.sum(F.when(frac >= 0.5, 1).otherwise(0)).alias("n_heavy_dup_docs"),
+    )
+
+
 def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     parts = [
         "WITH pairs AS (" + _lsh_sql() + ")",
