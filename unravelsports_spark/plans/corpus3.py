@@ -192,6 +192,83 @@ def d_dup_spans(spark, sf_dir):
     )
 
 
+def _semdedup_sql() -> str:
+    from .pipeline import _cos_sql
+
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v AS p FROM e WHERE vec_id BETWEEN 1 AND 4),
+    buckets AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+                           THEN 1 << (p.plane_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+    be AS (SELECT e.vec_id, e.label, e.v, b.bucket
+           FROM e JOIN buckets b ON e.vec_id = b.vec_id),
+    removed AS (
+      SELECT DISTINCT b.vec_id AS b_id
+      FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= 0.4)
+    SELECT be.label, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN r.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM be LEFT JOIN removed r ON be.vec_id = r.b_id
+    GROUP BY be.label
+    """
+
+
+@query("d_semdedup_lsh", oracle=_semdedup_sql())
+def d_semdedup_lsh(spark, sf_dir):
+    """SemDeDup at scale: embedding near-duplicate removal where candidate
+    pairs only meet inside a sign-LSH bucket (planes drawn from the data so
+    the oracle is SQL-expressible), the bucketed twin of the exact all-pairs
+    d_embedding_neardup. The bucket self-join is a hash join on the bucket
+    key — never an all-pairs cross product; at corpus scale more planes →
+    exponentially more, smaller buckets, the same plan shape."""
+    from .pipeline import _cos_col, _dot_col, _emb
+
+    e = _emb(spark, sf_dir, extra_cols=("label",))
+    planes = e.filter(F.col("vec_id").between(1, 4)).select(
+        F.col("vec_id").alias("plane_id"), F.col("v").alias("p")
+    )
+    buckets = (
+        e.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    _dot_col(F.col("v"), F.col("p")) > 0,
+                    F.expr("shiftleft(1, cast(plane_id as int) - 1)"),
+                ).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+    from pyspark import StorageLevel
+
+    # bucketed vectors feed both self-join sides AND the final stats join —
+    # persist so the bucket computation runs once (same single-lineage rule
+    # as lsh_candidate_pairs; production stages this to a table)
+    be = e.join(buckets, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = be.alias("a"), be.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cos_col(F.col("a.v"), F.col("b.v")) >= 0.4)
+        .select(F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    return (
+        be.join(removed, be.vec_id == removed.b_id, "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("b_id").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+
+
 def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     parts = [
         "WITH pairs AS (" + _lsh_sql() + ")",
