@@ -57,6 +57,34 @@ def m_graph_convert(spark, sf_dir):
     )
 
 
+@query("m_af_graph_convert")
+def m_af_graph_convert(spark, sf_dir):
+    """American-football graph conversion (K2/K6/K7) on the public BDB
+    sample shipped with the reference checkout — 263 play-frame graphs with
+    20-feature nodes and 9-channel edges. Rows-only (grouped-map kernel);
+    shape/value parity is asserted against the reference's published
+    expectations in tests/test_american_football.py."""
+    from ..datasets.bdb import BigDataBowlDataset
+    from ..models.af_graph_converter import AmericanFootballGraphConverter
+
+    files = "/root/reference/tests/files"
+    ds = BigDataBowlDataset(
+        tracking_file_path=f"{files}/bdb_coords-1.csv",
+        players_file_path=f"{files}/bdb_players-1.csv",
+        plays_file_path=f"{files}/bdb_plays-1.csv",
+    )
+    ds.load(spark)
+    ds.add_dummy_labels()
+    ds.add_graph_ids()
+    out = AmericanFootballGraphConverter(ds.data, ds.settings).to_graph_frames()
+    return out.select(
+        "game_id", "frame_id", "graph_id", "label",
+        "a_shape_0", "a_shape_1", "e_shape_0", "e_shape_1",
+        "x_shape_0", "x_shape_1",
+        F.round(F.col("x")[0][0], 6).alias("x_00"),
+    )
+
+
 @query("m_efpi_possession")
 def m_efpi_possession(spark, sf_dir):
     out = EFPI(_tracking(spark), _settings()).fit(every="possession").output
