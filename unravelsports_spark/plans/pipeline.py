@@ -444,7 +444,11 @@ def s_ann_lsh(spark, sf_dir):
             ).alias("bucket")
         )
     )
-    be = e.join(buckets, "vec_id")
+    from pyspark import StorageLevel
+
+    # the bucketed table feeds both the broadcast query row and the corpus
+    # probe side; persist so the bucket computation runs once
+    be = e.join(buckets, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
     q = be.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
     )
