@@ -18,6 +18,7 @@ Float-parity notes (the corpus2.py rules plus one new one):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.components import pagerank
@@ -189,6 +190,70 @@ def d_dup_spans(spark, sf_dir):
             F.sum("n_dup_windows").cast("double") / F.sum("n_windows"), 6
         ).alias("dup_fraction"),
         F.sum(F.when(frac >= 0.5, 1).otherwise(0)).alias("n_heavy_dup_docs"),
+    )
+
+
+def _keep_best_sql() -> str:
+    from .pipeline import _lsh_sql
+
+    return (
+        "WITH RECURSIVE pairs AS (" + _lsh_sql() + r"""),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM sym
+                    UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+    q AS (
+      SELECT doc_id,
+             ROUND(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 10 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) > 0.6 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) < 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+      FROM documents),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY q.quality_score DESC, c.doc_id) AS rn
+      FROM comp c JOIN q ON c.doc_id = q.doc_id)
+    SELECT component,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+           MIN(CASE WHEN rn = 1 THEN quality_score END) AS keep_quality,
+           COUNT(*) AS n_members,
+           COUNT(*) - 1 AS n_dropped
+    FROM ranked GROUP BY component
+    """
+    )
+
+
+@query("d_cluster_keep_best", oracle=_keep_best_sql())
+def d_cluster_keep_best(spark, sf_dir):
+    """The dedup *decision* step: near-dup clusters (LSH pairs → distributed
+    connected components) each keep their highest-quality member
+    (tie → lowest id) and drop the rest — quality-aware canonical selection
+    rather than min-id. One window over the component key; membership and
+    quality are co-keyed joins. The oracle recomputes the closure with a
+    recursive CTE."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+    from ..operators.text import with_quality
+
+    docs = read_table(spark, sf_dir, "documents")
+    shingled = doc_shingles(docs)
+    sigs = minhash_signatures(shingled, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    cc = connected_components(pairs)
+    members = cc.unionByName(
+        cc.select(F.col("component").alias("id"), "component").distinct()
+    )
+    q = with_quality(docs).select(F.col("doc_id").alias("id"), "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("id")
+    )
+    ranked = members.join(q, "id").withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("id"))).alias("keep_id"),
+        F.min(F.when(F.col("rn") == 1, F.col("quality_score"))).alias("keep_quality"),
+        F.count("*").alias("n_members"),
+        (F.count("*") - 1).alias("n_dropped"),
     )
 
 
