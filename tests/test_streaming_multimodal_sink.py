@@ -357,6 +357,62 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     assert spark.read.parquet(ledger).distinct().count() == 3
 
 
+def test_streaming_neardup_dedup_foreachbatch(spark, tmp_path):
+    """MinHash band-ledger streaming near-dup: an exact re-post in batch 2
+    collides on every band and is dropped; a novel doc survives; the batch
+    result matches what the batch LSH operators predict."""
+    from unravelsports_spark.operators.dedup import (
+        band_keys,
+        doc_shingles,
+        minhash_signatures,
+    )
+    from unravelsports_spark.streaming.windows import streaming_neardup_dedup
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b1 = spark.createDataFrame(
+        [(1, a), (2, "completely different content about spark physical plans here")],
+        "doc_id bigint, text string",
+    )
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    streaming_neardup_dedup(stream, ledger, out, str(tmp_path / "ckpt")).start().awaitTermination(120)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    # snapshot the ledger as of batch 1 BEFORE batch 2 appends to it
+    seen = spark.createDataFrame(
+        spark.read.parquet(ledger).select("band", "key").collect(),
+        "band int, key string",
+    )
+
+    # batch 2: an exact re-post (all bands collide), one novel doc, one
+    # too-short doc (no shingles -> no bands -> always kept)
+    b2 = spark.createDataFrame(
+        [(10, a), (11, "yet another unrelated document with its own words entirely"), (12, "tiny doc")],
+        "doc_id bigint, text string",
+    )
+    b2.write.mode("append").parquet(src)
+    streaming_neardup_dedup(stream, ledger, out, str(tmp_path / "ckpt")).start().awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    # independent prediction from the batch operators: doc 10's band keys
+    # are all already in the ledger written by batch 1
+    sigs2 = minhash_signatures(doc_shingles(b2))
+    bk2 = band_keys(sigs2)
+    hits = set(
+        r.doc_id
+        for r in bk2.join(seen, ["band", "key"], "left_semi").select("doc_id").distinct().collect()
+    )
+    assert 10 in hits
+    expected = [1, 2] + [i for i in (10, 11, 12) if i not in hits]
+    assert got == sorted(expected)
+    # ledger only ever holds survivors' bands
+    n_ledger_docs = spark.read.parquet(ledger).distinct().count()
+    assert n_ledger_docs > 0
+
+
 def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
     """The new transformWithStateInPandas API must agree with the
     applyInPandasWithState formulation across two micro-batches. Skipped

@@ -86,6 +86,21 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def band_keys(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band, key) rows: each band's key concatenates its minhash run.
+    Shared by the batch self-join (:func:`lsh_candidate_pairs`) and the
+    streaming band ledger (streaming/windows.py:streaming_neardup_dedup)."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("key")))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -110,13 +125,7 @@ def lsh_candidate_pairs(
         from pyspark import StorageLevel
 
         signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("key")))
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = band_keys(signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -138,6 +138,93 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_neardup_dedup(
+    stream_df,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+):
+    """Near-duplicate streaming ingestion — the MinHash/LSH twin of
+    :func:`streaming_incremental_dedup`. Every micro-batch:
+
+    1. computes MinHash band keys for its documents;
+    2. drops documents with ANY band key already in the durable band ledger
+       (first-seen-wins across batches);
+    3. self-dedups the batch — a document with an LSH candidate pair to a
+       lower-id batch document is dropped;
+    4. appends the survivors' band keys to the ledger and the survivors to
+       ``out_dir``.
+
+    The ledger is (band, key) pairs — bands × n_docs rows of small strings,
+    orders of magnitude smaller than the corpus, and the anti-join is a
+    co-keyed hash join on exactly the ledger's storage key. Documents too
+    short to shingle carry no bands and are always kept (they can't be
+    near-anything). Replaying a batch is output-idempotent: its survivors'
+    bands are already present, so the replay emits nothing new."""
+    from ..operators.dedup import (
+        band_keys,
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    def _process(batch_df, batch_id: int):
+        import os
+
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            doc_shingles(batch_df, id_col=id_col, text_col=text_col), id_col=id_col
+        )
+        bk = band_keys(sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
+        bk.persist()
+        try:
+            local = "://" not in ledger_dir
+            if local and not os.path.isdir(ledger_dir):
+                seen = None
+            else:
+                try:
+                    seen = spark.read.parquet(ledger_dir)
+                except Exception:
+                    seen = None
+            if seen is not None:
+                hit = (
+                    bk.join(seen.select("band", "key"), ["band", "key"], "left_semi")
+                    .select(id_col)
+                    .distinct()
+                )
+                survivors = batch_df.join(hit, id_col, "anti")
+            else:
+                survivors = batch_df
+            # within-batch: any doc with a candidate pair to a lower id goes
+            pairs = lsh_candidate_pairs(
+                sigs, bands=bands, rows_per_band=rows_per_band, single_pass=False
+            )
+            dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            survivors = survivors.join(dropped, id_col, "anti")
+            survivors.persist()
+            try:
+                survivors.write.mode("append").parquet(out_dir)
+                bk.join(survivors.select(id_col), id_col, "left_semi").select(
+                    "band", "key"
+                ).write.mode("append").parquet(ledger_dir)
+            finally:
+                survivors.unpersist()
+        finally:
+            bk.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def stateful_running_counts_tws(df: DataFrame, key_col: str):
     """`stateful_running_counts` on Spark 4's transformWithStateInPandas —
     the successor stateful API (typed value/list/map state handles, timers,
