@@ -38,6 +38,9 @@ HEADLINE = [
     # round-2 additions: TF-IDF corpus stats and token-window chunking
     "t_tfidf_terms",
     "t_chunking",
+    # round-3 additions: BM25 retrieval and span-level dedup
+    "t_bm25_topk",
+    "d_dup_spans",
 ]
 
 
