@@ -235,15 +235,20 @@ def dup_span_stats(
     fraction — exact span-coverage union tracking needs per-doc sequential
     state for a metric the window fraction already ranks identically.
 
-    Scale shape: one hash agg on fp (map-side combinable), one co-keyed join
-    back, one agg on doc — the corpus never self-joins, so there is no k²
-    blowup to cap; ``max_fp_freq`` clamps the *count* carried for
-    pathological fingerprints (empty-string spam) purely to bound the join
-    row payload, not the row count."""
-    counts = fps.groupBy("fp").agg(F.count("*").alias("n_occ"))
+    Scale shape: one window count over the fp partitioning (a single
+    shuffle; the fingerprint explode — the expensive stage — runs exactly
+    once, where an agg+join-back formulation would compute it twice), then
+    one agg on doc. The corpus never self-joins, so there is no k² blowup
+    to cap; ``max_fp_freq`` clamps the carried count for pathological
+    fingerprints (empty-string spam). A mega-hot fingerprint lands its
+    rows in one window partition; if a corpus is known to contain one
+    (billions of identical spans), pre-filter it or fall back to an
+    agg+join-back formulation, whose shuffle AQE's skew-join can split."""
+    w = Window.partitionBy("fp")
+    n_occ = F.count("*").over(w)
     if max_fp_freq is not None:
-        counts = counts.withColumn("n_occ", F.least(F.col("n_occ"), F.lit(max_fp_freq)))
-    joined = fps.join(counts, "fp")
+        n_occ = F.least(n_occ, F.lit(max_fp_freq))
+    joined = fps.withColumn("n_occ", n_occ)
     return (
         joined.groupBy(id_col)
         .agg(
