@@ -60,6 +60,33 @@ def test_single_shuffle_for_model_kernel(spark):
     assert plan.count("Exchange") == 1
 
 
+#: documented exceptions: d_embedding_neardup is the exact all-pairs oracle
+#: path (its scale twin d_semdedup_lsh is bucketed); s_ann_* probe via
+#: BroadcastNestedLoopJoin by design (tiny broadcast side)
+_ALLOW_CARTESIAN = {"d_embedding_neardup", "s_ann_top_pairs"}
+
+_SWEEP = [
+    "q1_pricing_summary", "j5_enrich_revenue", "j2_agg_back_join",
+    "a4_argmin_in_group", "w4_sessionize", "w5_tumbling_window",
+    "o9_explode_tokens", "d_lsh_candidate_pairs", "s_ann_lsh",
+    "t_bpe_token_stats", "t_tfidf_terms", "t_chunking",
+    "t_bm25_topk", "t_unigram_logprob", "d_countmin_heavyhitters",
+    "d_dup_spans", "d_semdedup_lsh", "d_cluster_keep_best",
+    "d_jaccard_top_pairs", "d_exact_dedup_stats", "d_simhash",
+]
+
+
+def test_no_cartesian_products_or_row_udfs_in_sweep(spark):
+    """Meta plan guard over the headline + round-3 queries: a CartesianProduct
+    is the all-pairs blowup that kills any 100 TB run, and BatchEvalPython is
+    a row-at-a-time Python UDF in the hot path (Arrow variants are fine)."""
+    for name in _SWEEP:
+        plan = plan_of(spark, name)
+        if name not in _ALLOW_CARTESIAN:
+            assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
 def test_lsh_band_join_reuses_one_signature_lineage(spark):
     """The shingle→minhash subtree is the most expensive stage of the dedup
     pipeline; the band self-join must read it from one persisted
