@@ -93,6 +93,42 @@ def test_dup_span_stats(spark):
     assert all(r.n_dup_windows == 0 for r in clamped.values())
 
 
+def test_semdedup_bucketed_subset_of_exact(spark):
+    """Sign-LSH bucketing may only MISS near-dup pairs, never invent them:
+    bucketed removal counts are bounded by the exact all-pairs counts per
+    label, and the bucketing keeps useful recall on this corpus."""
+    from unravelsports_spark.plans import QUERIES
+
+    exact = {
+        r.label: r.n_removed
+        for r in QUERIES["d_embedding_neardup"](spark, SF_CORRECT).collect()
+    }
+    bucketed = {
+        r.label: r.n_removed
+        for r in QUERIES["d_semdedup_lsh"](spark, SF_CORRECT).collect()
+    }
+    assert set(bucketed) == set(exact)
+    for label in exact:
+        assert bucketed[label] <= exact[label], label
+    total_exact, total_bucketed = sum(exact.values()), sum(bucketed.values())
+    assert total_exact > 0
+    # single-table sign-LSH recall at cosine>=0.4 (theta ~66 deg) is
+    # (1 - theta/pi)^4 ~ 16% per pair — this is the one-signature probe
+    assert total_bucketed / total_exact >= 0.1
+
+    # the OR-amplified 4-table variant must strictly dominate a single
+    # table and land near its theoretical ~50% recall
+    multi = {
+        r.label: r.n_removed
+        for r in QUERIES["d_semdedup_multitable"](spark, SF_CORRECT).collect()
+    }
+    for label in exact:
+        assert multi[label] <= exact[label], label
+    total_multi = sum(multi.values())
+    assert total_multi >= total_bucketed
+    assert total_multi / total_exact >= 0.3
+
+
 def test_jaccard_hot_shingle_cap_bounds_skew(spark):
     """One boilerplate sentence in every doc must not pair all docs with all
     docs: with the document-frequency cap, boilerplate-only overlaps emit no

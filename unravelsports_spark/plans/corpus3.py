@@ -334,6 +334,91 @@ def d_semdedup_lsh(spark, sf_dir):
     )
 
 
+def _semdedup_multitable_sql() -> str:
+    from .pipeline import _cos_sql
+
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v AS p FROM e WHERE vec_id BETWEEN 1 AND 16),
+    keys AS (
+      SELECT e.vec_id, (p.plane_id - 1) // 4 AS tbl,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+                           THEN 1 << CAST((p.plane_id - 1) % 4 AS INT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id, (p.plane_id - 1) // 4),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                             AND a.vec_id < b.vec_id),
+    removed AS (
+      SELECT DISTINCT c.id_b AS b_id
+      FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
+      WHERE {_cos_sql('ea.v', 'eb.v')} >= 0.4)
+    SELECT e.label, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN r.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM e LEFT JOIN removed r ON e.vec_id = r.b_id
+    GROUP BY e.label
+    """
+
+
+@query("d_semdedup_multitable", oracle=_semdedup_multitable_sql())
+def d_semdedup_multitable(spark, sf_dir):
+    """OR-amplified SemDeDup: 4 independent sign-LSH tables of 4 planes
+    each; a pair is a candidate if it collides in ANY table (union via the
+    (table, bucket) join key — exactly the MinHash banding trick applied to
+    sign bits), then candidates-only cosine verification. Takes single-table
+    pair recall at cosine 0.4 from ~16% to ~50%; more tables amplify
+    further at linear cost, never all-pairs."""
+    from pyspark import StorageLevel
+
+    from .pipeline import _cos_col, _dot_col, _emb
+
+    e = _emb(spark, sf_dir, extra_cols=("label",))
+    planes = e.filter(F.col("vec_id").between(1, 16)).select(
+        F.col("vec_id").alias("plane_id"), F.col("v").alias("p")
+    )
+    keys = (
+        e.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", F.expr("CAST((plane_id - 1) DIV 4 AS BIGINT)").alias("tbl"))
+        .agg(
+            F.sum(
+                F.when(
+                    _dot_col(F.col("v"), F.col("p")) > 0,
+                    F.expr("shiftleft(1, CAST((plane_id - 1) % 4 AS INT))"),
+                ).otherwise(0)
+            ).alias("bucket")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    removed = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(_cos_col(F.col("va"), F.col("vb")) >= 0.4)
+        .select(F.col("id_b").alias("b_id"))
+        .distinct()
+    )
+    return (
+        e.join(removed, e.vec_id == removed.b_id, "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("b_id").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+
+
 def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     parts = [
         "WITH pairs AS (" + _lsh_sql() + ")",
