@@ -93,6 +93,46 @@ def test_dup_span_stats(spark):
     assert all(r.n_dup_windows == 0 for r in clamped.values())
 
 
+def test_window_fingerprint_counts_property(spark):
+    """Property: every doc emits exactly max(0, n_tokens - w + 1) window
+    starts, duplicated fraction is within [0, 1], and permuting doc order
+    never changes any per-doc result."""
+    from hypothesis import given, settings as hsettings
+    from hypothesis import strategies as st
+
+    from unravelsports_spark.operators.dedup import dup_span_stats, window_fingerprints
+
+    token = st.text(alphabet="abcdefg", min_size=1, max_size=3)
+    doc = st.lists(token, min_size=0, max_size=20).map(" ".join)
+
+    @hsettings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts) if t.strip()]
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        w = 4
+        stats = {r.doc_id: r for r in dup_span_stats(window_fingerprints(df, window=w)).collect()}
+        for i, t in rows:
+            n_tok = len(t.strip().split())
+            expect = max(0, n_tok - w + 1)
+            if expect == 0:
+                assert i not in stats
+            else:
+                assert stats[i].n_windows == expect, (i, t)
+                assert 0.0 <= stats[i].dup_fraction <= 1.0
+        # permutation invariance
+        df_rev = spark.createDataFrame(list(reversed(rows)), "doc_id bigint, text string")
+        stats_rev = {
+            r.doc_id: (r.n_windows, r.n_dup_windows)
+            for r in dup_span_stats(window_fingerprints(df_rev, window=w)).collect()
+        }
+        assert stats_rev == {k: (v.n_windows, v.n_dup_windows) for k, v in stats.items()}
+
+    check()
+
+
 def test_semdedup_bucketed_subset_of_exact(spark):
     """Sign-LSH bucketing may only MISS near-dup pairs, never invent them:
     bucketed removal counts are bounded by the exact all-pairs counts per

@@ -193,6 +193,54 @@ def d_dup_spans(spark, sf_dir):
     )
 
 
+_MIX_TEMP_SQL = f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len({_TOK})) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    per2 AS (SELECT source, total_tokens, ROUND(SQRT(total_tokens), 6) AS s FROM per),
+    scalars AS (
+      SELECT CAST(SUM(total_tokens) AS BIGINT) AS total_all,
+             CAST(SUM(CAST(s AS DECIMAL(24,6))) AS DOUBLE) AS denom
+      FROM per2)
+    SELECT source, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE) / total_all, 6) AS natural_share,
+           ROUND(s / denom, 6) AS temp_share,
+           ROUND(ROUND(s / denom, 6)
+                 / ROUND(CAST(total_tokens AS DOUBLE) / total_all, 6), 6) AS boost
+    FROM per2, scalars
+    """
+
+
+@query("t_mixture_temperature", oracle=_MIX_TEMP_SQL)
+def t_mixture_temperature(spark, sf_dir):
+    """Temperature-based mixture weights (engine addition §2.12): per-source
+    token totals T_d reweighted by T_d^alpha (alpha = 0.5, the T5/multi-
+    lingual sampling scheme) and normalized — low-resource domains get a
+    boost > 1, dominant ones < 1. Two aggregations and a broadcast 1-row
+    scalar; sqrt is IEEE-correctly-rounded on both engines and the
+    normalizer sum rides DECIMAL."""
+    from .relational import dec
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    per = d.groupBy("source").agg(F.sum(F.size(toks)).alias("total_tokens"))
+    per2 = per.withColumn("s", F.round(F.sqrt(F.col("total_tokens")), 6))
+    scalars = per2.agg(
+        F.sum("total_tokens").alias("total_all"),
+        F.sum(dec("s", 6, 24)).cast("double").alias("denom"),
+    )
+    natural = F.round(F.col("total_tokens").cast("double") / F.col("total_all"), 6)
+    temp = F.round(F.col("s") / F.col("denom"), 6)
+    return per2.crossJoin(F.broadcast(scalars)).select(
+        "source",
+        "total_tokens",
+        natural.alias("natural_share"),
+        temp.alias("temp_share"),
+        F.round(temp / natural, 6).alias("boost"),
+    )
+
+
 def _keep_best_sql() -> str:
     from .pipeline import _lsh_sql
 
