@@ -85,6 +85,29 @@ def test_unigram_logprob_reference(docs_df):
     assert rows[2].avg_logprob < rows[1].avg_logprob
 
 
+def test_bigram_detects_shuffled_text(spark):
+    """The order-aware signal: a document whose tokens are shuffled has the
+    SAME unigram profile as its natural twin but scores strictly worse on
+    the bigram LM (its bigrams are rare in the corpus)."""
+    import random
+
+    from unravelsports_spark.operators.retrieval import bigram_logprob
+
+    phrase = "the quick brown fox jumps over the lazy dog".split()
+    natural = [(i, " ".join(phrase)) for i in range(10)]
+    toks = list(phrase)
+    random.Random(3).shuffle(toks)
+    docs = natural + [(100, " ".join(toks))]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    scores = {r.doc_id: r.avg_logprob for r in bigram_logprob(df).collect()}
+    assert scores[100] < scores[0]
+
+    # unigram scoring cannot distinguish them (identical token multiset)
+    uni = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    assert uni[100] == uni[0]
+
+
 def test_countmin_never_undercounts(docs_df):
     rows = countmin_estimates(docs_df, depth=4, width=64, top_k=10).collect()
     assert rows, "expected candidate terms"

@@ -148,6 +148,56 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Add-one-smoothed bigram LM scored on the corpus it was counted from:
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); per-doc mean bigram
+    log-probability. The order-aware upgrade of :func:`unigram_logprob` —
+    shuffled or template-stitched text scores poorly even when its unigram
+    distribution looks natural (the KenLM-style filter signal, in-engine).
+
+    Plan shape: one token explode with positions → bigram pairs via a
+    self-free shift (posexplode + join on (doc, pos+1) — co-keyed, never
+    corpus × corpus), corpus bigram/unigram counts broadcast-free as
+    co-keyed aggs, per-doc mean. All Catalyst."""
+    toks = df.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "term"),
+    )
+    nxt = toks.select(
+        id_col, (F.col("pos") - 1).alias("pos"), F.col("term").alias("term2")
+    )
+    bigrams = toks.join(nxt, [id_col, "pos"]).select(id_col, "term", "term2")
+    big_counts = bigrams.groupBy("term", "term2").agg(F.count("*").alias("c12"))
+    uni_counts = toks.groupBy("term").agg(F.count("*").alias("c1"))
+    vocab = uni_counts.agg(F.count("*").alias("v_size"))
+    lp = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v_size"))), 6
+    )
+    pair_lp = (
+        big_counts.join(uni_counts, "term")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp", lp)
+        .select("term", "term2", "lp")
+    )
+    doc_pairs = bigrams.groupBy(id_col, "term", "term2").agg(F.count("*").alias("tf"))
+    return (
+        doc_pairs.join(pair_lp, ["term", "term2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.round(F.col("lp") * F.col("tf"), 6).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("_lp_sum"),
+            F.sum("tf").alias("n_bigrams"),
+        )
+        .withColumn("avg_logprob", F.round(F.col("_lp_sum") / F.col("n_bigrams"), 6))
+        .select(id_col, "n_bigrams", "avg_logprob")
+    )
+
+
 def countmin_estimates(
     df: DataFrame,
     depth: int = 4,

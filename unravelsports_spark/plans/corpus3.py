@@ -111,6 +111,43 @@ def t_unigram_logprob(spark, sf_dir):
     return unigram_logprob(read_table(spark, sf_dir, "documents"))
 
 
+def _bigram_lm_sql() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS arr FROM documents),
+    toks AS (SELECT doc_id, unnest(arr) AS term FROM base),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(arr) - 1),
+                                   i -> [arr[i + 1], arr[i + 2]])) AS pr
+      FROM base),
+    bigrams AS (SELECT doc_id, pr[1] AS term, pr[2] AS term2 FROM pairs),
+    big_counts AS (SELECT term, term2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+    uni_counts AS (SELECT term, COUNT(*) AS c1 FROM toks GROUP BY term),
+    vocab AS (SELECT COUNT(*) AS v_size FROM uni_counts),
+    pair_lp AS (
+      SELECT b.term, b.term2,
+             ROUND(LN((b.c12 + {_dbl(1.0)}) / (u.c1 + v.v_size)), 6) AS lp
+      FROM big_counts b JOIN uni_counts u ON b.term = u.term CROSS JOIN vocab v),
+    doc_pairs AS (SELECT doc_id, term, term2, COUNT(*) AS tf FROM bigrams GROUP BY 1, 2, 3)
+    SELECT d.doc_id,
+           CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND(l.lp * d.tf, 6) AS DECIMAL(20,6))) AS DOUBLE)
+                 / CAST(SUM(d.tf) AS BIGINT), 6) AS avg_logprob
+    FROM doc_pairs d JOIN pair_lp l ON d.term = l.term AND d.term2 = l.term2
+    GROUP BY d.doc_id
+    """
+
+
+@query("t_bigram_logprob", oracle=_bigram_lm_sql())
+def t_bigram_logprob(spark, sf_dir):
+    """Add-one bigram LM per-doc scoring (operators/retrieval.py:bigram_logprob)
+    — the order-aware quality signal: template-stitched or shuffled text
+    scores poorly even with a natural unigram profile."""
+    from ..operators.retrieval import bigram_logprob
+
+    return bigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
 def _countmin_sql(depth: int = 4, width: int = 256, top_k: int = 20) -> str:
     rows = ", ".join(str(i) for i in range(depth))
     bucket = (
