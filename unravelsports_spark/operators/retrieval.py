@@ -157,20 +157,26 @@ def bigram_logprob(
     shuffled or template-stitched text scores poorly even when its unigram
     distribution looks natural (the KenLM-style filter signal, in-engine).
 
-    Plan shape: one token explode with positions → bigram pairs via a
-    self-free shift (posexplode + join on (doc, pos+1) — co-keyed, never
-    corpus × corpus), corpus bigram/unigram counts broadcast-free as
-    co-keyed aggs, per-doc mean. All Catalyst."""
-    toks = df.select(
-        id_col,
-        F.posexplode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-        ).alias("pos", "term"),
+    Plan shape: bigram pairs come straight from the token array (sequence +
+    transform + explode — a zero-join, zero-shuffle generator, the same
+    trick as shingling), so the corpus is never position-joined with
+    itself; bigram/unigram counts are map-side-combinable aggs, per-doc
+    mean. All Catalyst."""
+    arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    toks = df.select(id_col, F.explode(arr).alias("term"))
+    idx = F.when(F.size(arr) >= 2, F.sequence(F.lit(0), F.size(arr) - 2)).otherwise(
+        F.array().cast("array<int>")
     )
-    nxt = toks.select(
-        id_col, (F.col("pos") - 1).alias("pos"), F.col("term").alias("term2")
+    prs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(arr, i + 1).alias("term"),
+            F.element_at(arr, i + 2).alias("term2"),
+        ),
     )
-    bigrams = toks.join(nxt, [id_col, "pos"]).select(id_col, "term", "term2")
+    bigrams = df.select(id_col, F.explode(prs).alias("p")).select(
+        id_col, F.col("p.term").alias("term"), F.col("p.term2").alias("term2")
+    )
     big_counts = bigrams.groupBy("term", "term2").agg(F.count("*").alias("c12"))
     uni_counts = toks.groupBy("term").agg(F.count("*").alias("c1"))
     vocab = uni_counts.agg(F.count("*").alias("v_size"))
