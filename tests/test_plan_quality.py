@@ -73,6 +73,7 @@ _SWEEP = [
     "t_bm25_topk", "t_unigram_logprob", "d_countmin_heavyhitters",
     "d_dup_spans", "d_semdedup_lsh", "d_cluster_keep_best",
     "d_jaccard_top_pairs", "d_exact_dedup_stats", "d_simhash",
+    "d_semdedup_multitable", "t_mixture_temperature", "t_bigram_logprob",
 ]
 
 
