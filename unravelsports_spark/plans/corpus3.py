@@ -230,6 +230,68 @@ def d_dup_spans(spark, sf_dir):
     )
 
 
+def _prep_e2e_sql() -> str:
+    # langid CASE mirrors plans/pipeline.py:_langid_sql (shared constants)
+    from ..operators.text import LANG_STOPWORDS
+
+    score_exprs, langs = [], list(LANG_STOPWORDS.keys())
+    for lang, stops in LANG_STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{s}'" for s in stops) + "]"
+        score_exprs.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains({arr}, t))) AS s_{lang}"
+        )
+    cases = []
+    for lang in langs:
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return rf"""
+    WITH deduped AS (
+      SELECT * FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1),
+    scored AS (
+      SELECT doc_id, source, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             ROUND(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 10 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) > 0.6 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) < 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality_score,
+             {', '.join(score_exprs)}
+      FROM deduped),
+    lang AS (SELECT *, CASE {' '.join(cases)} END AS predicted_lang FROM scored),
+    kept AS (SELECT * FROM lang WHERE quality_score >= 0.6 AND predicted_lang = 'en')
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+    FROM kept GROUP BY source
+    """
+
+
+@query("t_corpus_prep_e2e", oracle=_prep_e2e_sql())
+def t_corpus_prep_e2e(spark, sf_dir):
+    """End-to-end corpus prep in one job: exact dedup (min-id per
+    fingerprint) → composite quality gate (>= 0.6) → language gate (en) →
+    per-source doc/token accounting. Composition of the individual
+    operators — one window + pure projections + one final agg, no joins."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import with_lang_id, with_quality
+
+    d = exact_dedup(read_table(spark, sf_dir, "documents"))
+    d = with_lang_id(with_quality(d))
+    kept = d.filter((F.col("quality_score") >= 0.6) & (F.col("predicted_lang") == "en"))
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
 _MIX_TEMP_SQL = f"""
     WITH per AS (
       SELECT source,
