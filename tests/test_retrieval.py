@@ -118,6 +118,36 @@ def test_countmin_never_undercounts(docs_df):
     assert sum(r.overcount for r in rows) <= sum(r.true_count for r in rows)
 
 
+def test_bpe_merge_training(spark):
+    """Known corpus → known merge sequence: the most frequent adjacent pair
+    merges first, its occurrences disappear from later rounds, and greedy
+    left-to-right application does not chain through overlaps."""
+    from unravelsports_spark.operators.bpe import bpe_train_merges
+
+    docs = [
+        (1, "new york city"),
+        (2, "new york state"),
+        (3, "new york city hall"),
+        (4, "york new"),      # reversed pair must not count
+        (5, "city of angels"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    merges = bpe_train_merges(df, num_merges=2).collect()
+    assert (merges[0].left_tok, merges[0].right_tok, merges[0].pair_count) == (
+        "new", "york", 3,
+    )
+    # round 2: 'new york' is now one token; the best remaining pair is the
+    # merged unit followed by 'city' (2 occurrences)
+    assert (merges[1].left_tok, merges[1].right_tok, merges[1].pair_count) == (
+        "new~york", "city", 2,
+    )
+
+    # greedy overlap: 'b b b' yields one merge of (b, b), not two chained
+    df2 = spark.createDataFrame([(1, "b b b")], "doc_id bigint, text string")
+    m2 = bpe_train_merges(df2, num_merges=1).collect()
+    assert (m2[0].left_tok, m2[0].right_tok, m2[0].pair_count) == ("b", "b", 2)
+
+
 def _ref_pagerank(edges, iters=3, damping=0.85):
     sym = set()
     for a, b in edges:

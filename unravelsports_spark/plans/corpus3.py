@@ -230,6 +230,57 @@ def d_dup_spans(spark, sf_dir):
     )
 
 
+def _bpe_sql(num_merges: int = 5) -> str:
+    """Unrolled BPE merge rounds: per round, a best-pair argmax CTE and a
+    list_reduce fold applying it — mirroring operators/bpe.py exactly."""
+    split = "string_split(s, chr(31))"
+    parts = [
+        f"""t0 AS (
+      SELECT doc_id,
+             array_to_string({_TOK}, chr(31)) AS s
+      FROM documents WHERE len({_TOK}) >= 1)"""
+    ]
+    for i in range(1, num_merges + 1):
+        prev = f"t{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+      SELECT unnest(list_transform(range(0, len({split}) - 1),
+                    j -> [{split}[j + 1], {split}[j + 2]])) AS pr
+      FROM {prev})"""
+        )
+        parts.append(
+            f"""b{i} AS (
+      SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS cnt
+      FROM p{i} GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        parts.append(
+            f"""t{i} AS (
+      SELECT doc_id,
+             list_reduce({split}, (acc, x) ->
+               CASE WHEN (acc = b{i}.a OR ends_with(acc, chr(31) || b{i}.a))
+                         AND x = b{i}.b
+                    THEN left(acc, len(acc) - len(b{i}.a)) || b{i}.a || '~' || b{i}.b
+                    ELSE acc || chr(31) || x END) AS s
+      FROM {prev}, b{i})"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, a AS left_tok, b AS right_tok, CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@query("t_bpe_merges", oracle=_bpe_sql())
+def t_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (operators/bpe.py): 5 corpus-level
+    merge rounds, each one generator pass + one count agg + a 1-row argmax;
+    greedy left-to-right merge application as a pure-projection fold. The
+    oracle unrolls the identical rounds with list_reduce."""
+    from ..operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(read_table(spark, sf_dir, "documents"), num_merges=5)
+
+
 def _prep_e2e_sql() -> str:
     # langid CASE mirrors plans/pipeline.py:_langid_sql (shared constants)
     from ..operators.text import LANG_STOPWORDS
