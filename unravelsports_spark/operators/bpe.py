@@ -106,3 +106,20 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "step int, left_tok string, right_tok string, pair_count bigint"
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge list: the merges are applied in
+    training order as a chain of pure-projection folds — no shuffle at all;
+    the whole tokenizer is one codegen'd projection. Returns (id, tokens
+    array) with merged units joined by '~'."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    out = df.select(id_col, F.concat_ws(SEP, toks).alias("s")).filter(F.col("s") != "")
+    for a, b in merges:
+        out = out.select(id_col, _fold_merge(F.split(F.col("s"), SEP), a, b).alias("s"))
+    return out.select(id_col, F.split(F.col("s"), SEP).alias("tokens"))

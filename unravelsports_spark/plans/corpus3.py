@@ -281,6 +281,45 @@ def t_bpe_merges(spark, sf_dir):
     return bpe_train_merges(read_table(spark, sf_dir, "documents"), num_merges=5)
 
 
+def _bpe_stats_sql(num_merges: int = 5) -> str:
+    base = _bpe_sql(num_merges)
+    with_block = base[: base.rindex("\nSELECT 1 AS step")]
+    return (
+        with_block
+        + f"""
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(t.s, chr(31)))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_filter(string_split(t.s, chr(31)),
+                                    x -> contains(x, '~')))) AS BIGINT) AS merged_tokens
+    FROM t{num_merges} t JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+    )
+
+
+@query("t_bpe_tokenized_stats", oracle=_bpe_stats_sql())
+def t_bpe_tokenized_stats(spark, sf_dir):
+    """Train 5 BPE merges, then tokenize the corpus with them (a chain of
+    pure-projection folds — the applied tokenizer is one codegen'd
+    projection, zero shuffles) and report per-source token counts and
+    merged-unit occurrences."""
+    from ..operators.bpe import bpe_apply, bpe_train_merges
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left_tok, r.right_tok)
+        for r in bpe_train_merges(d, num_merges=5).orderBy("step").collect()
+    ]
+    tok = bpe_apply(d, merges)
+    j = tok.join(d.select("doc_id", "source"), "doc_id")
+    merged_ct = F.size(F.filter(F.col("tokens"), lambda x: x.contains("~")))
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tokens")).alias("total_tokens"),
+        F.sum(merged_ct).alias("merged_tokens"),
+    )
+
+
 def _prep_e2e_sql() -> str:
     # langid CASE mirrors plans/pipeline.py:_langid_sql (shared constants)
     from ..operators.text import LANG_STOPWORDS
