@@ -147,6 +147,15 @@ def test_bpe_merge_training(spark):
     m2 = bpe_train_merges(df2, num_merges=1).collect()
     assert (m2[0].left_tok, m2[0].right_tok, m2[0].pair_count) == ("b", "b", 2)
 
+    # applying the learned merges tokenizes exactly as trained
+    from unravelsports_spark.operators.bpe import bpe_apply
+
+    learned = [(m.left_tok, m.right_tok) for m in merges]
+    toks = {r.doc_id: r.tokens for r in bpe_apply(df, learned).collect()}
+    assert toks[1] == ["new~york~city"]
+    assert toks[2] == ["new~york", "state"]
+    assert toks[4] == ["york", "new"]
+
 
 def _ref_pagerank(edges, iters=3, damping=0.85):
     sym = set()
