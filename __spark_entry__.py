@@ -22,11 +22,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, SF0001)
 
 
-# Keys already driver-certified in CORRECTNESS_r01/r02 (green rows+schema+hash).
-# The driver checks a bounded prefix of this dict, so enumerate never-certified
-# queries first to widen certification breadth; no keys are renamed.
-_CERTIFIED_R2 = frozenset(
+# Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01/r02
+# or r03). The driver checks a bounded prefix of this dict, so enumerate
+# never-certified queries first to widen certification breadth; no keys are
+# renamed. Deliberately NOT listed despite earlier green rows:
+#   - f12_array_agg_sorted: r3 driver err (array column unhashable); output
+#     changed to a joined string this round — needs a fresh driver row.
+#   - d_jaccard_top_pairs: jaccard_pairs grew a max_doc_freq=50 default in r3
+#     after its r1 certification; results at sf0.01 are unchanged (max real
+#     df is 7) but the changed query + oracle pair must re-certify.
+_CERTIFIED = frozenset(
     {
+        # r1/r2 green
         "q1_pricing_summary", "p1_p2_project_filter", "f7_f8_conditional_literals",
         "p3_filter_eq", "p4_range_between", "p5_modulo_sample", "p6_conditional_cap",
         "p7_sign_flip", "p8_bool_derive", "j1_dim_join", "j2_agg_back_join",
@@ -38,9 +45,24 @@ _CERTIFIED_R2 = frozenset(
         "o11_concat_key", "f1_string_ops", "f2_temporal_trunc", "f3_math_ops",
         "w7_row_index", "f6_array_ops", "f4_null_handling", "f5_casts",
         "t_token_stats", "t_quality_by_source", "t_langid_confusion",
-        "t_fingerprint", "d_exact_dedup_stats", "d_jaccard_top_pairs",
+        "t_fingerprint", "d_exact_dedup_stats",
         "d_minhash_signatures", "d_lsh_candidate_pairs", "d_dup_clusters",
         "d_simhash", "s_ann_bruteforce", "s_ann_top_pairs", "d_embedding_neardup",
+        # r3 green (CORRECTNESS_r03.json)
+        "s_ann_lsh", "s_ann_ivf", "f9_json_extract", "o12_row_synthesis",
+        "j8_asof_join", "mm_decode_stats", "mm_decode_real", "st_sliding_window",
+        "st_session_window", "j6_label_join", "w6_savgol_oracle",
+        "t_bpe_token_stats", "t_repetition_stats", "t_pii_scrub", "t_url_domains",
+        "d_contamination", "j8f_asof_forward", "t_sequence_packing",
+        "mm_audio_real", "k_salted_agg", "j9_interval_join", "t_tfidf_terms",
+        "t_vocab_top100", "t_domain_mixture", "a10_quantiles", "s_kmeans_assign",
+        "t_sentences", "t_chunking", "mm_video_real", "d_pair_degrees",
+        "w11_scd2_intervals", "a17_sortedness", "a18_outliers", "mm_gif_real",
+        "d_triangle_count", "t_bigram_pmi", "t_filter_funnel",
+        "d_minhash_accuracy", "o13_reservoir_sample", "a11_histogram",
+        "a12_corr_exact", "a13_rollup", "o14_pivot", "w8_rank_distributions",
+        "d_edit_distance", "a14_cube", "f11_string_agg", "f13_bitwise_agg",
+        "w9_interpolate_gaps",
     }
 )
 
@@ -49,11 +71,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from unravelsports_spark.plans import ORACLE_SQL, QUERIES
 
     def priority(name: str) -> int:
-        if name not in _CERTIFIED_R2 and name in ORACLE_SQL:
+        if name not in _CERTIFIED and name in ORACLE_SQL:
             return 0  # never-certified, oracle-backed: certify these first
-        if name not in _CERTIFIED_R2:
+        if name not in _CERTIFIED:
             return 1  # never-certified rows-only checks
-        return 2  # already green in CORRECTNESS_r01/r02
+        return 2  # already green in CORRECTNESS_r01/r02/r03
 
     names = sorted(QUERIES, key=lambda n: (priority(n), list(QUERIES).index(n)))
     return {name: QUERIES[name] for name in names}

@@ -18,6 +18,17 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Unpersist operator-tracked intermediate tables after every test so the
+    session-scoped SparkSession doesn't accumulate cached tables across the
+    suite (ADVICE r3: tracked persists need a release point)."""
+    yield
+    from unravelsports_spark.cache import release_tracked
+
+    release_tracked()
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

@@ -158,6 +158,16 @@ def test_stateless_frame_mode_shards_within_game(spark, settings):
     stateful = EFPI(df, settings).fit(every="frame", change_threshold=0.05).output
     assert "_chunk" not in stateful._jdf.queryExecution().executedPlan().toString()
 
+    # stateless_chunk_frames=None disables sharding entirely (the public
+    # opt-out for exact unsharded borrow-window semantics, ADVICE r3)
+    disabled = EFPI(df, settings, stateless_chunk_frames=None)
+    out_disabled = disabled.fit(every="frame").output
+    assert "_chunk" not in out_disabled._jdf.queryExecution().executedPlan().toString()
+    assert (
+        out_disabled.select(*cols).orderBy(*order).collect()
+        == out_unsharded.select(*cols).orderBy(*order).collect()
+    )
+
 
 def test_stateless_segment_mode_shards_within_game(spark, settings):
     """Possession/period/duration modes with hysteresis off hash-bucket the

@@ -97,6 +97,24 @@ def test_lsh_band_join_reuses_one_signature_lineage(spark):
     assert plan.count("InMemoryTableScan") == 2
 
 
+def test_retrieval_single_tokenize_pass(spark):
+    """Round-3 verdict 100 TB flag: bm25 re-tokenized the corpus 4× and the
+    LM scorers 2-3× (one explode lineage per consumer). After the fix every
+    retrieval statistic derives from ONE persisted per-(doc,term[,term2])
+    count table, so the executed plan must contain NO top-level Generate —
+    the tokenize explode runs only inside the single cached subtree — and
+    multiple InMemoryTableScan readers of it."""
+    for name, min_cache_reads in [
+        ("t_bm25_topk", 2),
+        ("t_unigram_logprob", 2),
+        ("t_bigram_logprob", 2),
+        ("d_countmin_heavyhitters", 2),
+    ]:
+        plan = plan_of(spark, name)
+        assert plan.count("Generate(") == 0, name
+        assert plan.count("InMemoryTableScan") >= min_cache_reads, name
+
+
 def test_ann_lsh_broadcasts_planes_and_query(spark):
     plan = plan_of(spark, "s_ann_lsh")
     # planes and the single query row ship as broadcasts; the corpus side is

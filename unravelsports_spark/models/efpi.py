@@ -171,9 +171,17 @@ class EFPI:
     dataset: DataFrame
     settings: DefaultSettings = field(default_factory=DefaultSettings)
     formations: Union[List[str], str, None] = None
-    #: frame-range shard size for the stateless (change_threshold=None)
-    #: frame path — one grouped-map task per (game, 512 frames)
-    stateless_chunk_frames: int = 512
+    #: Frame-range shard size for the stateless (change_threshold=None)
+    #: frame path — one grouped-map task per (game, 512 frames). CAVEAT: a
+    #: frame whose team detection fails (a team entirely off-pitch) borrows
+    #: the last successful detection *within its kernel group*, so chunking
+    #: narrows that borrow window to the chunk — a failed detection in the
+    #: first frames of a chunk yields no formation where the unsharded run
+    #: would borrow from the previous frames. Identical output whenever both
+    #: teams are on the pitch (every fit is output-equivalence-tested at
+    #: 512); set to ``None`` to disable intra-game sharding and match the
+    #: unsharded semantics exactly at the cost of game-level-only parallelism.
+    stateless_chunk_frames: int | None = 512
     #: segment hash-buckets per game for the stateless segment path
     #: (possession / period / duration modes with change_threshold=None)
     stateless_segment_buckets: int = 16
@@ -358,8 +366,9 @@ class EFPI:
         # whose team detection fails borrows the last successful detection
         # in its kernel group on both paths; chunking narrows that borrow
         # window to the chunk — identical output whenever detection
-        # succeeds, i.e. whenever both teams are on the pitch.)
-        if state_cfg["change_threshold"] is None:
+        # succeeds, i.e. whenever both teams are on the pitch; see the
+        # stateless_chunk_frames attribute doc, and pass None to disable.)
+        if state_cfg["change_threshold"] is None and self.stateless_chunk_frames is not None:
             sel = sel.withColumn(
                 "_chunk",
                 F.floor(F.col(Column.FRAME_ID) / F.lit(self.stateless_chunk_frames)).cast("long"),

@@ -96,17 +96,17 @@ def pagerank(
     DECIMAL(26,12); each iteration's rank is rounded to 9 decimals so the
     next round's inputs are engine-identical.
     """
-    from pyspark import StorageLevel
+    from ..cache import tracked_persist
 
     # edges feed every iteration's join and deg feeds every iteration's
     # rank rebuild; persist both so the upstream pair pipeline (LSH chain at
     # corpus scale) runs once — the n_nodes count below materializes them.
-    edges = _sym(
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # tracked_persist registers them for cache.release_tracked() cleanup
+    # after the caller consumes the rank table.
+    edges = tracked_persist(
+        _sym(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     )
+    deg = tracked_persist(edges.groupBy("src").agg(F.count("*").alias("deg")))
     n_nodes = deg.count()  # scalar; the node table itself never leaves executors
     ranks = deg.select(
         "src", "deg", F.round(F.lit(1.0) / F.lit(n_nodes), 9).alias("pr")

@@ -122,9 +122,9 @@ def lsh_candidate_pairs(
     already pass a materialized signature table can set
     ``single_pass=False``."""
     if single_pass:
-        from pyspark import StorageLevel
+        from ..cache import tracked_persist
 
-        signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+        signatures = tracked_persist(signatures)
     banded = band_keys(signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")

@@ -544,12 +544,12 @@ def d_semdedup_lsh(spark, sf_dir):
             ).alias("bucket")
         )
     )
-    from pyspark import StorageLevel
+    from ..cache import tracked_persist
 
     # bucketed vectors feed both self-join sides AND the final stats join —
     # persist so the bucket computation runs once (same single-lineage rule
     # as lsh_candidate_pairs; production stages this to a table)
-    be = e.join(buckets, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    be = tracked_persist(e.join(buckets, "vec_id"))
     a, b = be.alias("a"), be.alias("b")
     removed = (
         a.join(
@@ -605,7 +605,7 @@ def d_semdedup_multitable(spark, sf_dir):
     sign bits), then candidates-only cosine verification. Takes single-table
     pair recall at cosine 0.4 from ~16% to ~50%; more tables amplify
     further at linear cost, never all-pairs."""
-    from pyspark import StorageLevel
+    from ..cache import tracked_persist
 
     from .pipeline import _cos_col, _dot_col, _emb
 
@@ -624,8 +624,8 @@ def d_semdedup_multitable(spark, sf_dir):
                 ).otherwise(0)
             ).alias("bucket")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    keys = tracked_persist(keys)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(

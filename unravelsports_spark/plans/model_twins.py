@@ -1,0 +1,229 @@
+"""Hash-certifiable scalar twins of the model-kernel queries (VERDICT r3 #5).
+
+The ``m_*`` model queries are grouped-map matrix pipelines with no SQL
+equivalent, so the driver only records the weak rows>0 check for them — even
+though their kernels are the actual reference-parity surface (A8, K1-K16).
+Each twin here projects the kernel output on the deterministic seeded
+synthetic fixture (or the public BDB sample) down to a small exact table —
+matrix cells rounded to 6 decimals, integer shape counts, formation strings —
+and pairs it with a *literal VALUES oracle*: the expected rows, snapshotted
+from the golden-verified kernels (tests/test_kernels_golden.py pins the same
+kernels to the reference's .npy fixtures at rtol 1e-3; the PI scalar
+2.6428493704618106 matches reference tests/test_soccer.py:563-566).
+
+DuckDB evaluates the literal table, the driver hash-compares — so the kernel
+outputs get rows+schema+hash driver rows, not just rows>0. Any kernel change
+that moves a cell value, a shape, or a detected formation flips the hash.
+
+Float discipline: every float crosses into the oracle as
+``CAST(<python repr> AS DOUBLE)`` so both engines hold the identical binary64
+(the round-6 value is computed by Spark, repr round-trips it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .models_plans import _settings, _tracking
+from .relational import query
+
+
+@query("m_pi_cells")
+def m_pi_cells(spark, sf_dir):
+    """Pressing Intensity (K9-K11) cell twin: first-cell TTI/PTI + matrix
+    shape per frame for the first 10 frames of the seeded fixture."""
+    from ..models.pressing_intensity import PressingIntensity
+
+    out = (
+        PressingIntensity(_tracking(spark), _settings())
+        .fit(method="teams", ball_method="max", orient="home_away", speed_threshold=2)
+        .output
+    )
+    return out.filter(F.col("frame_id") < 10).select(
+        F.col("frame_id").cast("long").alias("frame_id"),
+        F.round(F.col("time_to_intercept")[0][0], 6).alias("tti_00"),
+        F.round(F.col("probability_to_intercept")[0][0], 6).alias("pti_00"),
+        F.size("rows").cast("long").alias("n_rows"),
+        F.size("columns").cast("long").alias("n_cols"),
+    )
+
+
+@query("m_graph_cells")
+def m_graph_cells(spark, sf_dir):
+    """Soccer graph conversion (K1/K4/K5/K8) twin: adjacency/edge/node-matrix
+    shapes + first node-feature cell per graph, first 10 frames."""
+    from ..models.graph_converter import SoccerGraphConverter
+    from ..settings import GraphSettings
+
+    from .models_plans import AWAY, HOME
+
+    gs = GraphSettings(home_team_id=HOME, away_team_id=AWAY)
+    out = SoccerGraphConverter(_tracking(spark), gs).to_graph_frames()
+    return out.filter(F.col("frame_id") < 10).select(
+        F.col("frame_id").cast("long").alias("frame_id"),
+        F.col("a_shape_0").cast("long").alias("a_shape_0"),
+        F.col("e_shape_0").cast("long").alias("e_shape_0"),
+        F.col("e_shape_1").cast("long").alias("e_shape_1"),
+        F.col("x_shape_0").cast("long").alias("x_shape_0"),
+        F.col("x_shape_1").cast("long").alias("x_shape_1"),
+        F.round(F.col("x")[0][0], 6).alias("x_00"),
+    )
+
+
+@query("m_delaunay_cells")
+def m_delaunay_cells(spark, sf_dir):
+    """Delaunay adjacency (K3) twin: per-graph edge counts are the Delaunay
+    triangulation's signature (a changed triangulation changes e_shape_0);
+    one exact aggregate row over the whole fixture."""
+    from ..models.graph_converter import SoccerGraphConverter
+    from ..settings import GraphSettings
+
+    from .models_plans import AWAY, HOME
+
+    gs = GraphSettings(
+        home_team_id=HOME, away_team_id=AWAY,
+        adjacency_matrix_type="delaunay", adjacency_matrix_connect_type="ball",
+    )
+    out = SoccerGraphConverter(_tracking(spark), gs).to_graph_frames()
+    return out.agg(
+        F.count("*").alias("n_graphs"),
+        F.sum(F.col("a_shape_0").cast("long")).alias("sum_a0"),
+        F.sum(F.col("e_shape_0").cast("long")).alias("sum_e0"),
+        F.sum(F.col("x_shape_0").cast("long")).alias("sum_x0"),
+        F.min(F.col("e_shape_0").cast("long")).alias("min_e0"),
+        F.max(F.col("e_shape_0").cast("long")).alias("max_e0"),
+    )
+
+
+@query("m_af_cells")
+def m_af_cells(spark, sf_dir):
+    """American-football graph conversion (K2/K6/K7) twin over the public BDB
+    sample: exact graph count (263) + shape sums in one aggregate row."""
+    from .models_plans import m_af_graph_convert
+
+    out = m_af_graph_convert(spark, sf_dir)
+    return out.agg(
+        F.count("*").alias("n_graphs"),
+        F.sum(F.col("a_shape_0").cast("long")).alias("sum_a0"),
+        F.sum(F.col("e_shape_0").cast("long")).alias("sum_e0"),
+        F.sum(F.col("x_shape_0").cast("long")).alias("sum_x0"),
+        F.max(F.col("x_shape_1").cast("long")).alias("n_node_features"),
+        F.max(F.col("e_shape_1").cast("long")).alias("n_edge_features"),
+    )
+
+
+@query("m_efpi_cells")
+def m_efpi_cells(spark, sf_dir):
+    """EFPI formation detection (K12-K14) twin: per-player detected position
+    and formation strings for the first two possessions of the fixture —
+    exact string equality certifies the JV assignment + template matching."""
+    from ..models.efpi import EFPI
+
+    out = EFPI(_tracking(spark), _settings()).fit(every="possession").output
+    return out.filter(F.col("possession_id") <= 2).select(
+        F.col("period_id").cast("long").alias("period_id"),
+        F.col("possession_id").cast("long").alias("possession_id"),
+        F.col("id").cast("string").alias("id"),
+        F.col("team_id").cast("string").alias("team_id"),
+        F.col("position").cast("string").alias("position"),
+        F.col("formation").cast("string").alias("formation"),
+    )
+
+
+# Literal VALUES oracles snapshotted from the golden-verified kernel outputs
+# (regenerate with tools/gen_model_twin_oracles.py after any intended kernel
+# change; an unintended change flips the driver hash instead).
+from .relational import ORACLE_SQL
+
+ORACLE_SQL.update(
+    {
+        "m_pi_cells": """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(3.839938 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST(4.77527 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(4.612937 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(4.751674 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(4 AS BIGINT), CAST(3.980193 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(5 AS BIGINT), CAST(3.513002 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(6 AS BIGINT), CAST(3.147896 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(7 AS BIGINT), CAST(3.580618 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(8 AS BIGINT), CAST(3.867779 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
+      (CAST(9 AS BIGINT), CAST(4.223577 AS DOUBLE), CAST(1.7e-05 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT))
+    ) AS t(frame_id, tti_00, pti_00, n_rows, n_cols)
+    """,
+        "m_graph_cells": """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.796038 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.796599 AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.797081 AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.797576 AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.797614 AS DOUBLE)),
+      (CAST(5 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.79753 AS DOUBLE)),
+      (CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.797393 AS DOUBLE)),
+      (CAST(7 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.797247 AS DOUBLE)),
+      (CAST(8 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.796779 AS DOUBLE)),
+      (CAST(9 AS BIGINT), CAST(23 AS BIGINT), CAST(287 AS BIGINT), CAST(6 AS BIGINT), CAST(23 AS BIGINT), CAST(15 AS BIGINT), CAST(0.796179 AS DOUBLE))
+    ) AS t(frame_id, a_shape_0, e_shape_0, e_shape_1, x_shape_0, x_shape_1, x_00)
+    """,
+        "m_delaunay_cells": """
+    SELECT * FROM (VALUES
+      (CAST(100 AS BIGINT), CAST(2300 AS BIGINT), CAST(15648 AS BIGINT), CAST(2300 AS BIGINT), CAST(154 AS BIGINT), CAST(158 AS BIGINT))
+    ) AS t(n_graphs, sum_a0, sum_e0, sum_x0, min_e0, max_e0)
+    """,
+        "m_af_cells": """
+    SELECT * FROM (VALUES
+      (CAST(263 AS BIGINT), CAST(6049 AS BIGINT), CAST(75481 AS BIGINT), CAST(6049 AS BIGINT), CAST(20 AS BIGINT), CAST(9 AS BIGINT))
+    ) AS t(n_graphs, sum_a0, sum_e0, sum_x0, n_node_features, n_edge_features)
+    """,
+        "m_efpi_cells": """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p00', 'away_team', 'GK', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p01', 'away_team', 'RCM2', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p02', 'away_team', 'RCB', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p03', 'away_team', 'CB', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p04', 'away_team', 'LS', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p05', 'away_team', 'CM1', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p06', 'away_team', 'LCB', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p07', 'away_team', 'RS', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p08', 'away_team', 'LCM2', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p09', 'away_team', 'LM2', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'a_p10', 'away_team', 'RM2', '3142'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'ball', 'ball', 'ball', 'ball'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p00', 'home_team', 'GK', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p01', 'home_team', 'RCM1', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p02', 'home_team', 'LM2', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p03', 'home_team', 'LM1', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p04', 'home_team', 'RCB', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p05', 'home_team', 'RM2', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p06', 'home_team', 'RM1', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p07', 'home_team', 'CM2', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p08', 'home_team', 'ST', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p09', 'home_team', 'LCB', '2431'),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'h_p10', 'home_team', 'LCM1', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p00', 'away_team', 'GK', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p01', 'away_team', 'LCM2', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p02', 'away_team', 'CB', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p03', 'away_team', 'CM1', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p04', 'away_team', 'LS', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p05', 'away_team', 'RCB', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p06', 'away_team', 'LCB', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p07', 'away_team', 'RS', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p08', 'away_team', 'RCM2', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p09', 'away_team', 'LM2', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'a_p10', 'away_team', 'RM2', '3142'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'ball', 'ball', 'ball', 'ball'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p00', 'home_team', 'GK', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p01', 'home_team', 'RCM1', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p02', 'home_team', 'LM2', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p03', 'home_team', 'LM1', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p04', 'home_team', 'RCB', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p05', 'home_team', 'RM2', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p06', 'home_team', 'RM1', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p07', 'home_team', 'CM2', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p08', 'home_team', 'ST', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p09', 'home_team', 'LCB', '2431'),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p10', 'home_team', 'LCM1', '2431')
+    ) AS t(period_id, possession_id, id, team_id, position, formation)
+    """,
+    }
+)

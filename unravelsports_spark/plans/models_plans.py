@@ -64,10 +64,14 @@ def m_af_graph_convert(spark, sf_dir):
     20-feature nodes and 9-channel edges. Rows-only (grouped-map kernel);
     shape/value parity is asserted against the reference's published
     expectations in tests/test_american_football.py."""
+    import os
+
     from ..datasets.bdb import BigDataBowlDataset
     from ..models.af_graph_converter import AmericanFootballGraphConverter
 
-    files = "/root/reference/tests/files"
+    # sample location is configurable so the registry doesn't hard-couple to
+    # the reference checkout's path (ADVICE r3)
+    files = os.environ.get("SPARK_GRAFT_BDB_DIR", "/root/reference/tests/files")
     ds = BigDataBowlDataset(
         tracking_file_path=f"{files}/bdb_coords-1.csv",
         players_file_path=f"{files}/bdb_players-1.csv",

@@ -444,11 +444,11 @@ def s_ann_lsh(spark, sf_dir):
             ).alias("bucket")
         )
     )
-    from pyspark import StorageLevel
+    from ..cache import tracked_persist
 
     # the bucketed table feeds both the broadcast query row and the corpus
     # probe side; persist so the bucket computation runs once
-    be = e.join(buckets, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    be = tracked_persist(e.join(buckets, "vec_id"))
     q = be.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
     )

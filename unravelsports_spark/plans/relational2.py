@@ -292,7 +292,7 @@ def f11_string_agg(spark, sf_dir):
     "f12_array_agg_sorted",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
@@ -301,10 +301,15 @@ def f12_array_agg_sorted(spark, sf_dir):
     """Deterministic array aggregation (F-family addition): collect_set is
     unordered (shuffle-arrival order), so a value-sort makes the result
     reproducible and oracle-comparable — the required pattern anywhere an
-    array-valued agg feeds a hash/fingerprint downstream."""
+    array-valued agg feeds a hash/fingerprint downstream. The sorted set is
+    emitted as a ','-joined string because the driver harness canonicalizes
+    rows with pandas sort/factorize, which cannot hash array cells; the
+    array form stays covered by tests/test_relational_oracle.py."""
     o = read_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.count("*").alias("n"),
     )
 
