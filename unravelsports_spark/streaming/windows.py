@@ -106,28 +106,29 @@ def streaming_incremental_dedup(
     no-op because its fingerprints are already present.
 
     foreachBatch is the right tool (vs dropDuplicatesWithinWatermark) when
-    the dedup horizon is ALL history, not a watermark window."""
+    the dedup horizon is ALL history, not a watermark window.
+
+    Exactly-once across failures (ADVICE r3): both writes are keyed by
+    ``batch_id`` — survivors go to ``{out_dir}/batch_id=N`` and ledger rows
+    to ``{ledger_dir}/batch_id=N``, each with overwrite semantics — so a
+    replay after a crash between the two writes overwrites its own partition
+    instead of appending duplicates. The replayed batch excludes its *own*
+    ledger partition when reading ``seen`` (otherwise a partially-committed
+    ledger write would make the batch dedup against itself and emit
+    nothing). Readers of ``out_dir`` see an extra ``batch_id`` partition
+    column."""
     from ..operators.dedup import incremental_dedup
 
     def _process(batch_df, batch_id: int):
-        import os
-
         spark = batch_df.sparkSession
-        # plain-path existence probe avoids a noisy AnalysisException on the
-        # first batch; object-store URIs fall through to the read-and-catch
-        local = "://" not in ledger_dir
-        if local and not os.path.isdir(ledger_dir):
-            seen = None
-        else:
-            try:
-                seen = spark.read.parquet(ledger_dir)
-            except Exception:
-                seen = None
+        seen = _read_ledger(spark, ledger_dir, exclude_batch=batch_id)
         kept = incremental_dedup(batch_df, seen, text_col=text_col, id_col=id_col)
         kept.persist()
         try:
-            kept.write.mode("append").parquet(out_dir)
-            kept.select("fingerprint").write.mode("append").parquet(ledger_dir)
+            kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+            kept.select("fingerprint").write.mode("overwrite").parquet(
+                f"{ledger_dir}/batch_id={batch_id}"
+            )
         finally:
             kept.unpersist()
 
@@ -136,6 +137,69 @@ def streaming_incremental_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def _read_ledger(spark, ledger_dir: str, exclude_batch: int | None = None):
+    """Read a batch-partitioned dedup ledger, excluding ``exclude_batch``'s
+    own partition (replay self-exclusion). Returns None if the ledger doesn't
+    exist yet (first batch)."""
+    import os
+
+    # plain-path existence probe avoids a noisy AnalysisException on the
+    # first batch; object-store URIs fall through to the read-and-catch
+    if "://" not in ledger_dir and not os.path.isdir(ledger_dir):
+        return None
+    try:
+        seen = spark.read.parquet(ledger_dir)
+    except Exception:
+        return None
+    if exclude_batch is not None and "batch_id" in seen.columns:
+        from pyspark.sql import functions as F
+
+        seen = seen.filter(F.col("batch_id") != exclude_batch)
+    return seen
+
+
+def compact_dedup_ledger(spark, ledger_dir: str, key_cols: Sequence[str]) -> int:
+    """Compact an append-only batch-partitioned dedup ledger into one
+    distinct-keyed partition ``batch_id=-1`` (the "historic" sentinel — never
+    equal to a real replayed batch id, so replay self-exclusion keeps working)
+    and drop the per-batch partitions. Returns the compacted row count.
+
+    Run only while the stream is stopped and its checkpoint committed (the
+    normal maintenance window). Crash-safe and idempotent: the historic
+    partition is written before the per-batch partitions are removed, and a
+    crash in between merely leaves redundant rows whose extra copies change
+    no anti-join/semi-join outcome — re-running compaction converges."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity with callers)
+
+    ledger = spark.read.parquet(ledger_dir)
+    compacted = ledger.select(*key_cols).distinct()
+    compacted.persist()
+    try:
+        n = compacted.count()
+        # stage to a sibling dir first: batch_id=-1 may itself be an input
+        staged = f"{ledger_dir}.compact.tmp"
+        compacted.coalesce(max(1, n // 4_000_000 + 1)).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        old = [
+            e for e in os.listdir(ledger_dir)
+            if e.startswith("batch_id=") and os.path.isdir(f"{ledger_dir}/{e}")
+        ]
+        spark.read.parquet(staged).write.mode("overwrite").parquet(
+            f"{ledger_dir}/batch_id=-1"
+        )
+        for e in old:
+            if e != "batch_id=-1":
+                shutil.rmtree(f"{ledger_dir}/{e}", ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
+    finally:
+        compacted.unpersist()
+    return n
 
 
 def streaming_neardup_dedup(
@@ -163,8 +227,13 @@ def streaming_neardup_dedup(
     orders of magnitude smaller than the corpus, and the anti-join is a
     co-keyed hash join on exactly the ledger's storage key. Documents too
     short to shingle carry no bands and are always kept (they can't be
-    near-anything). Replaying a batch is output-idempotent: its survivors'
-    bands are already present, so the replay emits nothing new."""
+    near-anything).
+
+    Exactly-once across failures (ADVICE r3): survivors and band rows are
+    written to ``batch_id=N``-keyed partitions with overwrite semantics, and
+    a replayed batch excludes its own ledger partition when reading ``seen``
+    — see :func:`streaming_incremental_dedup`. Compact the ledger between
+    runs with :func:`compact_dedup_ledger` (``key_cols=("band", "key")``)."""
     from ..operators.dedup import (
         band_keys,
         doc_shingles,
@@ -173,10 +242,6 @@ def streaming_neardup_dedup(
     )
 
     def _process(batch_df, batch_id: int):
-        import os
-
-        from pyspark.sql import functions as F
-
         spark = batch_df.sparkSession
         sigs = minhash_signatures(
             doc_shingles(batch_df, id_col=id_col, text_col=text_col), id_col=id_col
@@ -184,14 +249,7 @@ def streaming_neardup_dedup(
         bk = band_keys(sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
         bk.persist()
         try:
-            local = "://" not in ledger_dir
-            if local and not os.path.isdir(ledger_dir):
-                seen = None
-            else:
-                try:
-                    seen = spark.read.parquet(ledger_dir)
-                except Exception:
-                    seen = None
+            seen = _read_ledger(spark, ledger_dir, exclude_batch=batch_id)
             if seen is not None:
                 hit = (
                     bk.join(seen.select("band", "key"), ["band", "key"], "left_semi")
@@ -209,10 +267,12 @@ def streaming_neardup_dedup(
             survivors = survivors.join(dropped, id_col, "anti")
             survivors.persist()
             try:
-                survivors.write.mode("append").parquet(out_dir)
+                survivors.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch_id={batch_id}"
+                )
                 bk.join(survivors.select(id_col), id_col, "left_semi").select(
                     "band", "key"
-                ).write.mode("append").parquet(ledger_dir)
+                ).write.mode("overwrite").parquet(f"{ledger_dir}/batch_id={batch_id}")
             finally:
                 survivors.unpersist()
         finally:
