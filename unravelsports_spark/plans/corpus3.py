@@ -70,9 +70,10 @@ def _bm25_sql(terms=BM25_TERMS, k1: float = 1.2, b: float = 0.75) -> str:
 @query("t_bm25_topk", oracle=_bm25_sql())
 def t_bm25_topk(spark, sf_dir):
     """Okapi BM25 (Lucene idf) of a fixed query-term set, top-20 documents
-    (engine addition §2.12, operators/retrieval.py). All Catalyst: one token
-    explode, two hash aggregations, broadcast per-term stats; the corpus
-    scans once and shuffles once on doc_id."""
+    (engine addition §2.12, operators/retrieval.py). All Catalyst and fully
+    wide: zero explodes, zero corpus shuffles — one tokenize projection into
+    a compact per-doc stats cache, one broadcast 1-row corpus agg, pure
+    projection scoring, TakeOrderedAndProject for the top-k."""
     d = read_table(spark, sf_dir, "documents")
     return (
         bm25_scores(d, list(BM25_TERMS))
