@@ -8,3 +8,4 @@ from . import corpus2  # noqa: F401  (registers round-2 corpus queries)
 from . import relational2  # noqa: F401  (registers round-2 relational queries)
 from . import corpus3  # noqa: F401  (registers round-3 retrieval/pagerank queries)
 from . import model_twins  # noqa: F401  (registers hash-certifiable model-kernel twins)
+from . import snapshots  # noqa: F401  (snapshot oracles for deterministic estimator queries)

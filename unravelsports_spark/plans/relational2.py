@@ -254,7 +254,11 @@ def a15_hll_sketch_union(spark, sf_dir):
     distinct estimate — the re-aggregatable distinct-counting pattern at
     100 TB (store per-partition sketches, merge on demand; never recount).
     Sketch bytes are buildtime-dependent, so this is rows-only checked; the
-    estimate accuracy bound is asserted in tests/test_vocab.py."""
+    estimate accuracy bound is asserted in tests/test_vocab.py. Measured
+    (round 4): the union estimate differs by ±1 across master/partition
+    configs — datasketches state is insertion-grouping-sensitive — so unlike
+    a9/MLlib-LSH (plans/snapshots.py) this one cannot carry a snapshot
+    oracle."""
     d = read_table(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
         F.expr("hll_sketch_agg(text)").alias("sk"),
