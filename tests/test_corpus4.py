@@ -1,0 +1,112 @@
+"""Round-4 data-selection / sharding operators: properties beyond the
+oracle hash-match (which tests/test_relational_oracle.py already enforces
+for t_dsir_scores / t_nb_confusion / t_shard_manifest)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from unravelsports_spark.cache import release_tracked
+from unravelsports_spark.operators.importance import dsir_scores
+from unravelsports_spark.operators.nbayes import nb_confusion
+from unravelsports_spark.operators.sharding import shard_assignments, shard_manifest
+from unravelsports_spark.session import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_tracked()
+
+
+def test_dsir_target_slice_scores_higher(spark):
+    """In-sample, the target slice must out-score the background on average
+    (the target distribution is estimated from those very documents)."""
+    docs = read_table(spark, SF, "documents")
+    scored = dsir_scores(docs, target=F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rows = (
+        scored.groupBy(F.col("lang") == "en")
+        .agg(F.avg("score_micro").alias("mean_score"))
+        .collect()
+    )
+    means = {r[0]: r["mean_score"] for r in rows}
+    assert means[True] > means[False]
+
+
+def test_dsir_scores_every_tokenized_doc(spark):
+    docs = read_table(spark, SF, "documents")
+    out = dsir_scores(docs, target=F.col("lang") == "en")
+    n_docs_with_tokens = docs.filter(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))) > 0
+    ).count()
+    assert out.count() == n_docs_with_tokens
+
+
+def test_nb_confusion_covers_heldout_half_exactly(spark):
+    docs = read_table(spark, SF, "documents")
+    conf = nb_confusion(docs, label_col="lang")
+    # every held-out doc gets exactly one prediction
+    assert conf.agg(F.sum("n_docs")).first()[0] == docs.filter("doc_id % 2 = 1").count()
+    # row sums per actual class match the held-out class sizes
+    per_class = {
+        r["actual"]: r["n"]
+        for r in conf.groupBy("actual").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    expected = {
+        r["lang"]: r["n"]
+        for r in docs.filter("doc_id % 2 = 1")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_class == expected
+
+
+def test_shard_two_level_prefix_sum_equals_naive(spark):
+    """The algebra behind the scale-out plan: the n_ranges decomposition must
+    be invariant — 1 range (the naive single cumsum) and 64 ranges produce
+    identical per-document shard assignments."""
+    docs = read_table(spark, SF, "documents")
+    a1 = shard_assignments(docs, budget=4096, n_ranges=1).orderBy("doc_id").collect()
+    a64 = shard_assignments(docs, budget=4096, n_ranges=64).orderBy("doc_id").collect()
+    assert a1 == a64
+
+
+def test_shard_manifest_packs_to_budget(spark):
+    docs = read_table(spark, SF, "documents")
+    budget = 4096
+    m = shard_manifest(docs, budget=budget).orderBy("shard_id").collect()
+    max_doc = docs.select(
+        F.max(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    # shard ids are contiguous from 0
+    assert [r["shard_id"] for r in m] == list(range(len(m)))
+    # token conservation
+    assert sum(r["shard_tokens"] for r in m) == docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    # every shard but the last is filled to at least budget - (max doc - 1):
+    # a doc starting below the boundary lands in the shard, so underfill is
+    # bounded by the largest document
+    for r in m[:-1]:
+        assert r["shard_tokens"] >= budget - max_doc + 1
+        assert r["shard_tokens"] <= budget + max_doc - 1
+
+
+def test_shard_window_is_partitioned(spark):
+    """The corpus-sized window must carry a partition spec (the fixed-range
+    bucket) — a no-partition window over the corpus is the single-reducer
+    scale-killer this operator exists to avoid."""
+    docs = read_table(spark, SF, "documents")
+    plan = shard_assignments(docs, budget=4096)._jdf.queryExecution().executedPlan().toString()
+    windows = [ln.strip() for ln in plan.splitlines() if "Window " in ln]
+    assert windows, plan
+    for ln in windows:
+        if "bucket_tokens" in ln:
+            continue  # the P-row offset window is allowed to be global
+        assert "partitionBy=[bucket]" in ln or "bucket#" in ln.split("],")[-2], ln

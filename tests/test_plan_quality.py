@@ -74,6 +74,7 @@ _SWEEP = [
     "d_dup_spans", "d_semdedup_lsh", "d_cluster_keep_best",
     "d_jaccard_top_pairs", "d_exact_dedup_stats", "d_simhash",
     "d_semdedup_multitable", "t_mixture_temperature", "t_bigram_logprob",
+    "t_dsir_scores", "t_nb_confusion", "t_shard_manifest",
 ]
 
 
@@ -113,6 +114,20 @@ def test_retrieval_single_tokenize_pass(spark):
         plan = plan_of(spark, name)
         assert plan.count("Generate(") == 0, name
         assert plan.count("InMemoryTableScan") >= min_cache_reads, name
+
+
+def test_dsir_and_nb_single_tokenize_pass(spark):
+    """Round-4 selection operators follow the retrieval single-lineage rule:
+    one persisted (doc, bucket, n) table feeds both the model-stats agg and
+    the scoring join — no top-level Generate (tokenize runs only inside the
+    cached subtree), model tables ship as broadcasts, corpus never
+    sort-merge-joins."""
+    for name in ["t_dsir_scores", "t_nb_confusion"]:
+        plan = plan_of(spark, name)
+        assert plan.count("Generate(") == 0, name
+        assert plan.count("InMemoryTableScan") >= 2, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
 
 
 def test_ann_lsh_broadcasts_planes_and_query(spark):

@@ -1,0 +1,143 @@
+"""DSIR-style importance scoring: rank raw documents by how target-like
+their hashed n-gram distribution is (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling" — the standard recipe for picking
+pretraining data that matches a high-quality target set).
+
+Recipe: hash every token into B buckets, estimate the bucket distribution of
+the *target* slice and of the *rest* of the corpus (Laplace-smoothed), and
+score each document by the log-likelihood ratio
+``sum_tokens ln(p_target(b) / p_rest(b))``. Positive score = looks more like
+the target than the background.
+
+Engine-exact arithmetic (the corpus2/3 float rules): each ``ln`` is scaled to
+an integer micro-nat (``CAST(ROUND(ln(p) * 1e6) AS BIGINT)``) in the tiny
+B-row bucket table; per-document scores are then pure BIGINT sums
+(order-independent, so the DuckDB oracle hash-matches exactly). The md5-based
+bucket hash is the same bit-identical-across-engines scheme as
+``operators/dedup.py``.
+
+Scale notes (100 TB): the corpus is scanned and tokenized ONCE into a
+map-side-combinable ``(doc_id, is_target, bucket, n)`` aggregate (persisted
+via :func:`~unravelsports_spark.cache.tracked_persist`, the round-2/3
+single-lineage fix pattern — both the bucket-stats agg and the score join
+read one InMemoryRelation). The bucket distribution table is ≤B rows and
+broadcast; per-document scoring is a broadcast hash join + one combinable
+sum. Nothing all-pairs, no second corpus pass, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import tracked_persist
+
+#: lowercase alnum runs — identical semantics in Java regex and RE2 (DuckDB)
+TERM_RE = "[a-z0-9]+"
+
+MICRO = 1_000_000
+
+
+def _bucket(col: Column, n_buckets: int) -> Column:
+    """md5-hex → bigint → bucket, bit-identical across Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % n_buckets
+
+
+def doc_bucket_counts(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """One tokenize pass → ``(doc_id, is_target, bucket, n)``.
+
+    The groupBy is map-side combinable (partial agg before the shuffle), so
+    the shuffle carries one row per (doc, bucket), not per token.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("is_target"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), F.lit(0))
+        ).alias("term"),
+    )
+    return (
+        toks.withColumn("bucket", _bucket(F.col("term"), n_buckets))
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR importance score vs the ``target`` slice.
+
+    Returns ``(doc_id, n_tokens, score_micro)`` where ``score_micro`` is the
+    log-likelihood ratio in integer micro-nats (divide by 1e6 for nats) —
+    kept integral so the output value-hashes identically across engines.
+    """
+    dbc = tracked_persist(doc_bucket_counts(df, target, text_col, id_col, n_buckets))
+
+    stats = dbc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_t"),
+        F.sum(F.when(~F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_r"),
+    )
+    totals = stats.select(
+        F.sum("c_t").alias("tot_t"), F.sum("c_r").alias("tot_r")
+    )
+    b = F.lit(float(n_buckets))
+    deltas = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.round(F.log((F.col("c_t") + F.lit(1.0)) / (F.col("tot_t") + b)) * MICRO)
+                - F.round(F.log((F.col("c_r") + F.lit(1.0)) / (F.col("tot_r") + b)) * MICRO)
+            ).cast("bigint").alias("delta_micro"),
+        )
+    )
+    return (
+        dbc.join(F.broadcast(deltas), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("delta_micro")).alias("score_micro"),
+        )
+    )
+
+
+def dsir_sql(
+    target_pred: str, n_buckets: int = 1024, table: str = "documents"
+) -> str:
+    """DuckDB oracle computing the identical micro-nat scores."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, ({target_pred}) AS is_target,
+             CAST(('0x' || substring(md5(t.term), 1, 15)) AS BIGINT) % {n_buckets} AS bucket
+      FROM {table}, unnest(regexp_extract_all(lower(text), '{TERM_RE}')) AS t(term)),
+    dbc AS (
+      SELECT doc_id, is_target, bucket, COUNT(*) AS n
+      FROM toks GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_target THEN n ELSE 0 END) AS c_t,
+             SUM(CASE WHEN NOT is_target THEN n ELSE 0 END) AS c_r
+      FROM dbc GROUP BY 1),
+    totals AS (SELECT SUM(c_t) AS tot_t, SUM(c_r) AS tot_r FROM stats),
+    deltas AS (
+      SELECT bucket,
+             CAST(ROUND(LN((c_t + CAST(1.0 AS DOUBLE)) / (tot_t + CAST({float(n_buckets)!r} AS DOUBLE))) * 1000000)
+                  - ROUND(LN((c_r + CAST(1.0 AS DOUBLE)) / (tot_r + CAST({float(n_buckets)!r} AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS delta_micro
+      FROM stats, totals)
+    SELECT d.doc_id, SUM(d.n) AS n_tokens,
+           SUM(d.n * x.delta_micro) AS score_micro
+    FROM dbc d JOIN deltas x USING (bucket)
+    GROUP BY d.doc_id
+    """

@@ -1,0 +1,169 @@
+"""Multinomial Naive Bayes with the hashing trick, trained AND scored in
+pure Catalyst — the fastText-style linear classifier filter every production
+corpus pipeline runs (CCNet / RefinedWeb quality and language filters), as a
+train-on-half / score-on-half evaluation query.
+
+Train: hashed-token counts per class → Laplace-smoothed log-likelihoods
+``ln((c(k,b)+1)/(T(k)+B))`` plus log-priors, materialized as a tiny
+``classes × B`` grid. Score: each test document's hashed-token counts join
+the grid (broadcast) and the argmax class wins.
+
+Engine-exact arithmetic: all log terms are integer micro-nats
+(``CAST(ROUND(ln(p)*1e6) AS BIGINT)``), so per-document class scores are
+exact BIGINT sums — order-independent, hash-identical in the DuckDB oracle.
+Ties break by class name ascending (both engines sort identically on ASCII).
+
+The B-bucket grid is built over *all* buckets observed anywhere in the corpus
+(train or test), so a test-only bucket still contributes its smoothed
+``ln(1/(T(k)+B))`` mass instead of silently dropping out of the sum — the
+correctness subtlety a naive inner-join implementation gets wrong.
+
+Scale notes (100 TB): one tokenize pass into a map-side-combinable
+``(doc_id, label, is_train, bucket, n)`` table, persisted so the grid agg and
+the scoring join share one InMemoryRelation (the r2/r3 single-lineage
+pattern). The model is ≤ classes×B rows — broadcast; scoring is a broadcast
+hash join + combinable sum + one per-doc argmax window over ≤K rows per doc.
+The corpus never self-joins and never passes twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..cache import tracked_persist
+from .importance import MICRO, TERM_RE, _bucket
+
+
+def nb_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Train multinomial NB on even ``doc_id`` rows, score odd rows; return
+    the confusion matrix ``(actual, predicted, n_docs)``.
+
+    Deterministic end-to-end: the split is ``doc_id % 2``, the model is exact
+    integer micro-nat log-probabilities, and argmax ties break by class name.
+    """
+    is_train = (F.col(id_col) % 2 == 0).alias("is_train")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("label"),
+        is_train,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), F.lit(0))
+        ).alias("term"),
+    )
+    dbc = tracked_persist(
+        toks.withColumn("bucket", _bucket(F.col("term"), n_buckets))
+        .groupBy("doc_id", "label", "is_train", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+    # --- train: class priors + per-(class, bucket) token counts ------------
+    train = dbc.filter("is_train")
+    class_tok = train.groupBy("label").agg(F.sum("n").alias("tot"))
+    class_docs = train.select("doc_id", "label").distinct().groupBy("label").agg(
+        F.count("*").alias("n_docs")
+    )
+    n_train = class_docs.select(F.sum("n_docs").alias("n_train"))
+    priors = (
+        class_docs.crossJoin(F.broadcast(n_train))
+        .select(
+            "label",
+            F.round(F.log(F.col("n_docs") / F.col("n_train")) * MICRO)
+            .cast("bigint")
+            .alias("prior_micro"),
+        )
+    )
+    # grid over every bucket observed anywhere (train OR test) × every class
+    buckets = dbc.select("bucket").distinct()
+    grid = (
+        buckets.crossJoin(F.broadcast(class_tok))
+        .join(
+            train.groupBy("label", "bucket").agg(F.sum("n").alias("c")),
+            ["label", "bucket"],
+            "left",
+        )
+        .select(
+            "label",
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot") + F.lit(float(n_buckets)))
+                )
+                * MICRO
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+
+    # --- score the held-out half -------------------------------------------
+    test = dbc.filter(~F.col("is_train"))
+    scores = (
+        test.withColumnRenamed("label", "actual")
+        .join(F.broadcast(grid), "bucket")
+        .groupBy("doc_id", "actual", "label")
+        .agg(F.sum(F.col("n") * F.col("logp_micro")).alias("ll_micro"))
+        .join(F.broadcast(priors), "label")
+        .withColumn("score_micro", F.col("ll_micro") + F.col("prior_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("label"))
+    predicted = (
+        scores.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .select("doc_id", "actual", F.col("label").alias("predicted"))
+    )
+    return predicted.groupBy("actual", "predicted").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def nb_confusion_sql(
+    label_col: str = "lang", n_buckets: int = 1024, table: str = "documents"
+) -> str:
+    """DuckDB oracle: the identical split / micro-nat model / argmax."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {label_col} AS label, doc_id % 2 = 0 AS is_train,
+             CAST(('0x' || substring(md5(t.term), 1, 15)) AS BIGINT) % {n_buckets} AS bucket
+      FROM {table}, unnest(regexp_extract_all(lower(text), '{TERM_RE}')) AS t(term)),
+    dbc AS (
+      SELECT doc_id, label, is_train, bucket, COUNT(*) AS n
+      FROM toks GROUP BY 1, 2, 3, 4),
+    class_tok AS (SELECT label, SUM(n) AS tot FROM dbc WHERE is_train GROUP BY 1),
+    class_docs AS (
+      SELECT label, COUNT(DISTINCT doc_id) AS n_docs FROM dbc WHERE is_train GROUP BY 1),
+    priors AS (
+      SELECT label,
+             CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM class_docs)) * 1000000) AS BIGINT) AS prior_micro
+      FROM class_docs),
+    grid AS (
+      SELECT ct.label, b.bucket,
+             CAST(ROUND(LN((COALESCE(tc.c, 0) + CAST(1.0 AS DOUBLE))
+                           / (ct.tot + CAST({float(n_buckets)!r} AS DOUBLE))) * 1000000) AS BIGINT) AS logp_micro
+      FROM (SELECT DISTINCT bucket FROM dbc) b
+      CROSS JOIN class_tok ct
+      LEFT JOIN (SELECT label, bucket, SUM(n) AS c FROM dbc WHERE is_train GROUP BY 1, 2) tc
+        ON tc.label = ct.label AND tc.bucket = b.bucket),
+    scores AS (
+      SELECT d.doc_id, d.label AS actual, g.label,
+             SUM(d.n * g.logp_micro) + ANY_VALUE(p.prior_micro) AS score_micro
+      FROM dbc d
+      JOIN grid g ON d.bucket = g.bucket
+      JOIN priors p ON g.label = p.label
+      WHERE NOT d.is_train
+      GROUP BY d.doc_id, d.label, g.label),
+    predicted AS (
+      SELECT doc_id, actual, label AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label ASC) AS rk
+      FROM scores)
+    SELECT actual, predicted, COUNT(*) AS n_docs
+    FROM predicted WHERE rk = 1
+    GROUP BY 1, 2
+    """

@@ -1,0 +1,132 @@
+"""Token-budget shard assignment via a distributed prefix sum — the step
+that turns a filtered corpus into the fixed-size training shards a data
+loader consumes (deterministically shuffled, each shard holding ~``budget``
+tokens of whole documents).
+
+The naive formulation is a cumulative sum over the globally-shuffled order —
+which in Spark is a window with no ``partitionBy``: a SINGLE reducer pulls
+the entire corpus through one task. At 100 TB that is the canonical
+scale-killer, so this operator computes the same numbers as a two-level
+prefix sum with *value-based* (not sampled) range partitioning:
+
+1. ``skey = md5(text) mod 1e6`` is the deterministic shuffle order
+   (uniform, reproducible, identical in DuckDB); ``doc_id`` breaks ties.
+2. ``bucket = skey * P / 1e6`` — P fixed-boundary ranges. Unlike
+   ``repartitionByRange`` there is no sampling pass and no nondeterminism:
+   the bucket is a pure projection, and bucket order IS global ``skey``
+   order.
+3. A per-bucket window computes local cumulative token counts (P parallel
+   window partitions, each ~1/P of the corpus).
+4. A P-row aggregate computes per-bucket totals; a window over those P rows
+   (trivially small) yields each bucket's global offset, broadcast back.
+5. ``global_running = offset + local_running``; a document starting before a
+   budget boundary belongs to shard ``(global_running - n_tokens) / budget``
+   (greedy whole-document packing, the standard loader contract).
+
+Every step is exact BIGINT arithmetic, so the DuckDB oracle — written as the
+naive single window, which is fine single-node — hash-matches exactly: the
+two-level decomposition is algebraically the same sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def _skey(text_col: str = "text") -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("bigint") % PPM
+    )
+
+
+def shard_assignments(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Per-document shard ids: ``(doc_id, skey, n_tokens, shard_id)``.
+
+    ``n_ranges`` is the prefix-sum fan-out (P above). It only controls
+    parallelism — the assignment is identical for every value. Size it to
+    the cluster (e.g. 4× executor count); the per-bucket offset table is P
+    rows regardless of corpus size.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        _skey(text_col).alias("skey"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    ).withColumn("bucket", (F.col("skey") * n_ranges / PPM).cast("bigint"))
+
+    local_w = (
+        Window.partitionBy("bucket")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("local_run", F.sum("n_tokens").over(local_w))
+
+    offsets_w = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn("offset", F.coalesce(F.sum("bucket_tokens").over(offsets_w), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn("run", F.col("offset") + F.col("local_run"))
+        .withColumn(
+            # floor division, not `/`+cast: Spark's double→bigint cast
+            # truncates but DuckDB's rounds — integer semantics on both
+            # sides keep the oracle exact
+            "shard_id",
+            F.floor((F.col("run") - F.col("n_tokens")) / budget).cast("bigint"),
+        )
+        .select("doc_id", "skey", "n_tokens", "shard_id")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Shard-level manifest ``(shard_id, n_docs, shard_tokens)`` — what a
+    loader reads to plan epochs. Pure integer output, exact oracle."""
+    return (
+        shard_assignments(df, budget, text_col, id_col, n_ranges)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
+def shard_manifest_sql(budget: int, table: str = "documents") -> str:
+    """DuckDB oracle: the naive single-window cumsum (same algebra)."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % {PPM} AS skey,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM {table}),
+    runs AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY skey, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM d)
+    SELECT (run - n_tokens) // {budget} AS shard_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM runs GROUP BY 1
+    """

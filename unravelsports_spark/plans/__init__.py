@@ -9,3 +9,4 @@ from . import relational2  # noqa: F401  (registers round-2 relational queries)
 from . import corpus3  # noqa: F401  (registers round-3 retrieval/pagerank queries)
 from . import model_twins  # noqa: F401  (registers hash-certifiable model-kernel twins)
 from . import snapshots  # noqa: F401  (snapshot oracles for deterministic estimator queries)
+from . import corpus4  # noqa: F401  (registers round-4 data-selection/sharding queries)
