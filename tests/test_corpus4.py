@@ -110,3 +110,37 @@ def test_shard_window_is_partitioned(spark):
         if "bucket_tokens" in ln:
             continue  # the P-row offset window is allowed to be global
         assert "partitionBy=[bucket]" in ln or "bucket#" in ln.split("],")[-2], ln
+
+
+def test_bloom_decontamination_lossless_even_with_tiny_filter(spark):
+    """The Bloom pre-filter must be lossless for ANY (m_bits, k): a 256-bit
+    filter has a massive false-positive rate, yet the exact confirm join
+    must still reproduce the plain screen's answer exactly."""
+    from unravelsports_spark.operators.bloom import bloom_contaminated_docs
+    from unravelsports_spark.operators.filtering import contaminated_docs
+
+    docs = read_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = sorted(r[0] for r in contaminated_docs(corpus, bench, n=5).collect())
+    bloomed = sorted(
+        r[0]
+        for r in bloom_contaminated_docs(
+            corpus, bench, n=5, m_bits=256, k=3
+        ).collect()
+    )
+    assert bloomed == exact
+
+
+def test_bloom_bitmap_is_broadcast_and_corpus_never_builds(spark):
+    from unravelsports_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["d_bloom_decontamination"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -43,6 +43,18 @@ def _bucket(col: Column, n_buckets: int) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % n_buckets
 
 
+def fan_out(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Spread an under-partitioned scan across the cluster before a
+    CPU-bound tokenize stage (small corpora arrive as one file → one
+    partition → one core does all the regex work). A no-op at scale where
+    the scan already has ≥ cores partitions — same guard as
+    ``operators/dedup.py:doc_shingles``."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
+    return df
+
+
 def doc_bucket_counts(
     df: DataFrame,
     target: Column,
@@ -55,6 +67,7 @@ def doc_bucket_counts(
     The groupBy is map-side combinable (partial agg before the shuffle), so
     the shuffle carries one row per (doc, bucket), not per token.
     """
+    df = fan_out(df, id_col)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         target.alias("is_target"),

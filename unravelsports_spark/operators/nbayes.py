@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
-from .importance import MICRO, TERM_RE, _bucket
+from .importance import MICRO, TERM_RE, _bucket, fan_out
 
 
 def nb_confusion(
@@ -48,6 +48,7 @@ def nb_confusion(
     Deterministic end-to-end: the split is ``doc_id % 2``, the model is exact
     integer micro-nat log-probabilities, and argmax ties break by class name.
     """
+    df = fan_out(df, id_col)
     is_train = (F.col(id_col) % 2 == 0).alias("is_train")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -79,8 +80,12 @@ def nb_confusion(
             .alias("prior_micro"),
         )
     )
-    # grid over every bucket observed anywhere (train OR test) × every class
-    buckets = dbc.select("bucket").distinct()
+    # grid over the full bucket range × every class (a superset of the
+    # observed buckets — unobserved grid rows never match a scoring row, so
+    # the result is identical to a distinct-scan of dbc, minus one shuffle)
+    buckets = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
     grid = (
         buckets.crossJoin(F.broadcast(class_tok))
         .join(

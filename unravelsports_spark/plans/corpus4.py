@@ -16,11 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.bloom import bloom_contaminated_docs
 from ..operators.importance import dsir_scores, dsir_sql
 from ..operators.nbayes import nb_confusion, nb_confusion_sql
 from ..operators.sharding import shard_manifest, shard_manifest_sql
 from ..session import read_table
-from .relational import query
+from .relational import ORACLE_SQL, query
 
 SHARD_BUDGET = 4_096  # tokens per training shard (whole-doc greedy packing)
 
@@ -59,6 +60,24 @@ def t_nb_confusion(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return nb_confusion(docs, label_col="lang", n_buckets=1024).orderBy(
         "actual", "predicted"
+    )
+
+
+@query("d_bloom_decontamination", oracle=ORACLE_SQL["d_contamination"])
+def d_bloom_decontamination(spark, sf_dir):
+    """The 100 TB decontamination plan: a broadcast relational Bloom bitmap
+    prunes corpus shingles before the exact benchmark join (operators/
+    bloom.py). Lossless for every (m_bits, k) — this query deliberately
+    shares d_contamination's oracle verbatim, so the driver hash-match
+    certifies that the Bloom pre-filter changes the plan, not the answer."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = bloom_contaminated_docs(corpus, bench, n=5, m_bits=1 << 20, k=5)
+    return (
+        flagged.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_contaminated"))
     )
 
 
