@@ -40,9 +40,13 @@ NOTES = {
     "a12_corr_exact": "correlation from DECIMAL sufficient statistics: map-side-combinable exact sums, closed form evaluated on one row per group.",
     "w9_interpolate_gaps": "gap repair: two IGNORE-NULLS window passes share a single sort per series key; interpolation is pure projection arithmetic.",
     "q1_pricing_summary": "scaled-long exact sums keep the money aggregation in vectorized long arithmetic (decimal only where 100 TB overflow headroom demands it); filter pushed to scan, partial+final hash agg.",
-    "t_bm25_topk": "per-term stats broadcast (BroadcastHashJoin x2); corpus shuffles once on doc_id; top-k via TakeOrderedAndProject, no global sort.",
+    "t_bm25_topk": "round-4 wide rewrite: ZERO explode, ZERO corpus shuffle - per-doc (dl, tf_i) projections cached (n_docs x (|Q|+2) ints), 1-row stats agg broadcast back, scoring is a projection; top-k via TakeOrderedAndProject.",
     "d_dup_spans": "span fingerprints exploded once; duplication counts via one count-window over the fp partitioning (single shuffle, no agg+join-back double compute); per-source rollup is a broadcast join to the pruned documents scan.",
     "d_semdedup_multitable": "four sign-LSH tables via one broadcast plane join + one grouped agg; candidates meet only inside (table, bucket); persisted key table feeds both self-join sides; cosine verify runs on candidates only.",
+    "t_dsir_scores": "single tokenize pass into a persisted (doc, bucket, n) aggregate; the <=1024-row log-ratio table broadcasts back; per-doc scores are exact BIGINT sums (integer micro-nats) - no Generate at top level, no SortMergeJoin.",
+    "t_nb_confusion": "train AND inference in one plan: class x bucket grid (<=5k rows) built from the same cached token aggregate, broadcast to the scoring join; argmax is a per-doc window over <=K rows; corpus tokenized once.",
+    "t_shard_manifest": "two-level distributed prefix sum: fixed-boundary range buckets partition the corpus window (no single-reducer global sort); only the P-row offset table uses a global window; shard ids are exact integer arithmetic.",
+    "d_bloom_decontamination": "relational Bloom bitmap (bit_or aggregation, m/32 rows) broadcasts; k double-hash probes prune corpus shingles before the exact confirm join - same oracle as d_contamination, certifying losslessness.",
 }
 
 
