@@ -144,3 +144,58 @@ def test_bloom_bitmap_is_broadcast_and_corpus_never_builds(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_lloyd_reduces_quantization_error(spark):
+    """Two integer Lloyd rounds must beat the raw seed codebook on total
+    quantization error (the k-means objective, computed exactly in int64)."""
+    import numpy as np
+
+    from unravelsports_spark.operators.pq import Q, pq_train_codebook
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    X = np.floor(np.stack(pdf["embedding"].values).astype(np.float64) * Q).astype(
+        np.int64
+    )
+
+    def qerr(cb):
+        err = 0
+        for m in range(4):
+            sub = X[:, m * 16 : (m + 1) * 16]
+            C = np.array(cb[m])
+            err += ((sub[:, None, :] - C[None, :, :]) ** 2).sum(2).min(1).sum()
+        return err
+
+    e0 = qerr(pq_train_codebook(emb, n_rounds=0))
+    e2 = qerr(pq_train_codebook(emb, n_rounds=2))
+    assert e2 < e0
+
+
+def test_pq_recall_beats_random(spark):
+    """ADC top-20 must overlap the exact top-20 far above chance (20/500 =
+    4% for random picks; measured 30% on this corpus — floor at 15%)."""
+    import numpy as np
+
+    from unravelsports_spark.plans import QUERIES
+
+    pdf = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    X = np.stack(pdf["embedding"].values).astype(np.float64)
+    ids = pdf["vec_id"].values
+    q = X[np.argmin(ids)]
+    exact = set(ids[np.argsort(((X - q) ** 2).sum(1), kind="stable")[:20]].tolist())
+    got = {r["vec_id"] for r in QUERIES["s_ann_pq"](spark, SF).collect()}
+    assert len(got & exact) / 20 >= 0.15
+
+
+def test_pq_adc_scan_is_projection_only(spark):
+    """Encoding + ADC ranking must be a pure projection over one corpus scan
+    ending in TakeOrderedAndProject — no join, no shuffle, no Python."""
+    from unravelsports_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["s_ann_pq"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    for bad in ["Join", "Exchange", "BatchEvalPython"]:
+        assert bad not in plan, bad

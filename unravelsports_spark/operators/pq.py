@@ -1,0 +1,187 @@
+"""Product-quantization ANN: the compressed-codebook path for
+embedding search/dedup when 100 TB of vectors can't be held — or shuffled —
+in float form (Jégou et al. 2011, "Product Quantization for Nearest
+Neighbor Search"; the IVF-PQ layout every production vector store uses).
+
+Recipe: split each D-dim vector into M subvectors, train a small k-means
+codebook per subspace, store each vector as M one-byte codes (D×4 bytes →
+M bytes, 32× compression at D=64/M=8), and answer queries with asymmetric
+distance (ADC): the query's exact distance to every centroid is a tiny
+lookup table and a candidate's distance is the sum of M table entries.
+
+**Everything is exact integer arithmetic**, which is what makes this the
+first hash-certifiable distributed PQ: floats quantize once onto a 2^-20
+grid (``FLOOR(v * 2^20)`` — measured: decimal casts of float32 differ
+between engines on exact-half values, but double multiply-by-power-of-2 and
+FLOOR are bit-identical), and every later step — Lloyd assignment, centroid
+update (floor-mean), encoding, ADC — is int64 math with explicit
+``(distance, cluster)`` tie-breaks. The DuckDB oracle unrolls the identical
+rounds as CTEs and must match hash-exactly.
+
+Scale shape (Spark):
+
+- codebook training is the standard distributed Lloyd: assignment is a
+  zero-join PROJECTION against literal centroids (the k×D sufficient
+  statistics collected to the driver per round are ~kB — same contract as
+  MLlib's k-means and this repo's ``s_kmeans_fit``); the per-dim update
+  aggregation is map-side combinable, so the shuffle carries
+  (M × k × D/M) rows, not the corpus;
+- encoding is a pure projection (no join, no shuffle);
+- the ADC scan is a projection + ``TakeOrderedAndProject`` top-k — the
+  corpus is read once, never joined, never globally sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q = 1 << 20  # quantization grid: floor(v * 2^20); |iq| ≤ 2^23 for |v| ≤ 8
+
+
+def _int_grid(vec_col: str = "embedding"):
+    """float32 array → exact int64 array on the 2^-20 grid."""
+    return F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * F.lit(float(Q))).cast("bigint"),
+    )
+
+
+def _sub(iq_col, m: int, sub_dim: int):
+    """Slice subspace m (1-indexed slice; returns array<bigint> of sub_dim)."""
+    return F.slice(iq_col, m * sub_dim + 1, sub_dim)
+
+
+def _dist2(a, b):
+    """Σ (a_i − b_i)² over two int arrays — exact int64 (≤ 2^52 at D≤64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_train_codebook(
+    df: DataFrame,
+    m_subspaces: int = 4,
+    k: int = 16,
+    n_rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Lloyd-train the PQ codebook; returns ``codebook[m][c] = int centroid``.
+
+    Seeds are the ``k`` vectors with smallest ids (deterministic); each round
+    collects only the (m, cluster, dim) → (sum, count) sufficient statistics
+    (M·k·D/M rows). Empty clusters keep their previous centroid."""
+    dim = len(df.select(vec_col).first()[0])
+    sub_dim = dim // m_subspaces
+    iq = df.select(F.col(id_col).alias("_id"), _int_grid(vec_col).alias("iq"))
+
+    seeds = [
+        list(r["iq"])
+        for r in iq.orderBy("_id").limit(k).select("iq").collect()
+    ]
+    codebook = [
+        [seeds[c][m * sub_dim : (m + 1) * sub_dim] for c in range(k)]
+        for m in range(m_subspaces)
+    ]
+
+    for _ in range(n_rounds):
+        assign_cols = []
+        for m in range(m_subspaces):
+            sub = _sub(F.col("iq"), m, sub_dim)
+            dists = F.array(
+                *[
+                    F.struct(
+                        _dist2(sub, F.array(*[F.lit(x) for x in codebook[m][c]])).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(k)
+                ]
+            )
+            # array_min on (d, c) structs = argmin with cluster tie-break
+            assign_cols.append(F.array_min(dists)["c"].alias(f"a{m}"))
+        assigned = iq.select("iq", *assign_cols)
+        stats = _round_stats(assigned, m_subspaces, sub_dim)
+        new_cb = [[list(c) for c in cb] for cb in codebook]
+        for r in stats:
+            new_cb[r["m"]][r["cluster"]][r["d"]] = r["c_int"]
+        codebook = new_cb
+    return codebook
+
+
+def _round_stats(assigned: DataFrame, m_subspaces: int, sub_dim: int):
+    """Per-(subspace, cluster, dim) floor-mean sufficient statistics."""
+    parts = []
+    for m in range(m_subspaces):
+        parts.append(
+            assigned.select(
+                F.lit(m).alias("m"),
+                F.col(f"a{m}").alias("cluster"),
+                # posexplode positions are 0-based — they ARE the dim index
+                F.posexplode(_sub(F.col("iq"), m, sub_dim)).alias("d", "v"),
+            ).select("m", "cluster", "d", "v")
+        )
+    all_parts = parts[0]
+    for p in parts[1:]:
+        all_parts = all_parts.unionAll(p)
+    return (
+        all_parts.groupBy("m", "cluster", "d")
+        .agg(F.floor(F.sum("v") / F.count("*")).cast("bigint").alias("c_int"))
+        .collect()
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebook: list[list[list[int]]],
+    query_int: list[int],
+    top: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector against ``codebook`` and rank by asymmetric
+    distance to ``query_int`` (already on the int grid). Returns
+    ``(vec_id, code0..codeM-1, adc_dist)`` — all BIGINT, hash-exact."""
+    m_subspaces = len(codebook)
+    k = len(codebook[0])
+    sub_dim = len(codebook[0][0])
+    iq = df.select(F.col(id_col).alias(id_col), _int_grid(vec_col).alias("iq"))
+
+    # the query's distance to every centroid: a python-side lookup table
+    # (M×k ints) — the ADC trick; candidates never touch the query vector
+    lut = [
+        [
+            sum(
+                (query_int[m * sub_dim + i] - codebook[m][c][i]) ** 2
+                for i in range(sub_dim)
+            )
+            for c in range(k)
+        ]
+        for m in range(m_subspaces)
+    ]
+
+    cols = [F.col(id_col)]
+    adc = F.lit(0).cast("bigint")
+    for m in range(m_subspaces):
+        sub = _sub(F.col("iq"), m, sub_dim)
+        dists = F.array(
+            *[
+                F.struct(
+                    _dist2(sub, F.array(*[F.lit(x) for x in codebook[m][c]])).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k)
+            ]
+        )
+        code = F.array_min(dists)["c"]
+        cols.append(code.cast("bigint").alias(f"code{m}"))
+        adc = adc + F.element_at(
+            F.array(*[F.lit(int(x)).cast("bigint") for x in lut[m]]), code + 1
+        )
+    return (
+        iq.select(*cols, adc.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(top)
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.bloom import bloom_contaminated_docs
+from ..operators.pq import Q, pq_adc_topk, pq_train_codebook
 from ..operators.importance import dsir_scores, dsir_sql
 from ..operators.nbayes import nb_confusion, nb_confusion_sql
 from ..operators.sharding import shard_manifest, shard_manifest_sql
@@ -79,6 +80,91 @@ def d_bloom_decontamination(spark, sf_dir):
         .groupBy("source")
         .agg(F.count("*").alias("n_contaminated"))
     )
+
+
+def _pq_sql(m_sub: int = 4, k: int = 16, n_rounds: int = 2, sub_dim: int = 16, top: int = 20) -> str:
+    """DuckDB oracle for s_ann_pq: unrolls the identical integer Lloyd
+    rounds as CTEs (per-dim row formulation — algebraically the same exact
+    int64 math as the Spark array-fold projections)."""
+
+    def assign(cb: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT vec_id, m, cluster FROM (
+        SELECT d.vec_id, d.m, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                                  ORDER BY SUM((d.v - c.c) * (d.v - c.c)), c.cluster) AS rk
+        FROM dims d JOIN {cb} c ON d.m = c.m AND d.d = c.d
+        GROUP BY d.vec_id, d.m, c.cluster) WHERE rk = 1)"""
+
+    def update(prev_cb: str, a: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT c0.m, c0.cluster, c0.d, COALESCE(u.c_new, c0.c) AS c
+      FROM {prev_cb} c0 LEFT JOIN (
+        SELECT a.m, a.cluster, d.d,
+               CAST(FLOOR(SUM(d.v) / COUNT(*)) AS BIGINT) AS c_new
+        FROM {a} a JOIN dims d ON a.vec_id = d.vec_id AND a.m = d.m
+        GROUP BY a.m, a.cluster, d.d) u
+      ON c0.m = u.m AND c0.cluster = u.cluster AND c0.d = u.d)"""
+
+    rounds = []
+    cb = "cb0"
+    for r in range(1, n_rounds + 1):
+        rounds.append(assign(cb, f"a{r}"))
+        rounds.append(update(cb, f"a{r}", f"cb{r}"))
+        cb = f"cb{r}"
+    rounds_sql = ",".join(rounds)
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN cluster END) AS code{m}" for m in range(m_sub)
+    )
+    return f"""
+    WITH iq AS (
+      SELECT vec_id, u.i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {float(Q)!r}) AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    dims AS (SELECT vec_id, pos // {sub_dim} AS m, pos % {sub_dim} AS d, v FROM iq),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
+      FROM (SELECT DISTINCT vec_id FROM iq ORDER BY vec_id LIMIT {k})),
+    cb0 AS (
+      SELECT d.m, s.cluster, d.d, d.v AS c FROM seeds s JOIN dims d USING (vec_id)),
+    {rounds_sql},
+    {assign(cb, "codes").strip().rstrip()},
+    q AS (SELECT m, d, v FROM dims WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    lut AS (
+      SELECT c.m, c.cluster, SUM((q.v - c.c) * (q.v - c.c)) AS qd
+      FROM {cb} c JOIN q ON c.m = q.m AND c.d = q.d
+      GROUP BY c.m, c.cluster),
+    pivoted AS (
+      SELECT vec_id, {code_cols}
+      FROM codes GROUP BY vec_id),
+    adc AS (
+      SELECT codes.vec_id, CAST(SUM(lut.qd) AS BIGINT) AS adc_dist
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.cluster = lut.cluster
+      GROUP BY codes.vec_id)
+    SELECT p.vec_id, {", ".join(f"CAST(p.code{m} AS BIGINT) AS code{m}" for m in range(m_sub))},
+           a.adc_dist
+    FROM pivoted p JOIN adc a USING (vec_id)
+    ORDER BY a.adc_dist, p.vec_id
+    LIMIT {top}
+    """
+
+
+@query("s_ann_pq", oracle=_pq_sql())
+def s_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py): exact-integer Lloyd
+    codebook (M=4 subspaces × 16 centroids, 2 rounds, smallest-id seeds),
+    byte-code encoding, and asymmetric-distance top-20 vs the min-id query
+    vector. The whole pipeline is hash-certified against a DuckDB CTE unroll
+    of the identical int64 math."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    codebook = pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2)
+    qrow = emb.orderBy("vec_id").limit(1).select("embedding").first()[0]
+    import math
+
+    query_int = [int(math.floor(float(v) * Q)) for v in qrow]
+    return pq_adc_topk(emb, codebook, query_int, top=20)
 
 
 @query("t_shard_manifest", oracle=shard_manifest_sql(SHARD_BUDGET))
