@@ -48,6 +48,7 @@ def shard_assignments(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_ranges: int = 64,
+    base_tokens: int = 0,
 ) -> DataFrame:
     """Per-document shard ids: ``(doc_id, skey, n_tokens, shard_id)``.
 
@@ -55,6 +56,10 @@ def shard_assignments(
     parallelism — the assignment is identical for every value. Size it to
     the cluster (e.g. 4× executor count); the per-bucket offset table is P
     rows regardless of corpus size.
+
+    ``base_tokens`` shifts the running total — the continuation hook for the
+    streaming producer (:func:`streaming_shard_append`), which packs each
+    micro-batch onto the tail shard the previous batch left partially full.
     """
     d = df.select(
         F.col(id_col).alias("doc_id"),
@@ -82,7 +87,9 @@ def shard_assignments(
     )
     return (
         d.join(F.broadcast(offsets), "bucket")
-        .withColumn("run", F.col("offset") + F.col("local_run"))
+        .withColumn(
+            "run", F.lit(base_tokens).cast("bigint") + F.col("offset") + F.col("local_run")
+        )
         .withColumn(
             # floor division, not `/`+cast: Spark's double→bigint cast
             # truncates but DuckDB's rounds — integer semantics on both

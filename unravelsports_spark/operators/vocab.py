@@ -25,7 +25,13 @@ TERM_RE = "[a-z0-9]+"
 
 
 def term_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One row per (doc, term occurrence): lowercase alphanumeric runs."""
+    """One row per (doc, term occurrence): lowercase alphanumeric runs.
+
+    Fans out an under-partitioned scan first (one-file corpora tokenize on
+    one core otherwise — the doc_shingles guard; a no-op at scale)."""
+    from .importance import fan_out
+
+    df = fan_out(df, id_col)
     return df.select(
         id_col,
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), F.lit(0))).alias("term"),

@@ -330,3 +330,66 @@ def stateful_running_counts_tws(df: DataFrame, key_col: str):
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_shard_append(
+    stream_df,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_ranges: int = 64,
+):
+    """Continuous training-shard production via ``foreachBatch``: each
+    micro-batch is packed onto the tail of the shard sequence the previous
+    batches built — the streaming twin of
+    :func:`~unravelsports_spark.operators.sharding.shard_assignments`, and
+    the shape of a live pretraining-data pipeline (filtered docs stream in,
+    fixed-token-budget shards stream out; a loader can start consuming shard
+    k while shard k+1 is still filling).
+
+    The only state is one number — the cumulative token total — persisted as
+    a batch-keyed parquet ledger, so executors hold nothing between batches.
+    Within a batch, documents pack in the deterministic ``(md5(text), id)``
+    order via the same two-level distributed prefix sum as the batch
+    operator (no single-reducer window); *across* batches, arrival order is
+    preserved — the streaming semantics: a shard never reorders history.
+
+    Exactly-once across failures (the ``streaming_incremental_dedup``
+    contract): assignments go to ``{out_dir}/batch_id=N`` and the post-batch
+    token total to ``{state_dir}/batch_id=N``, both overwrite-keyed by
+    ``batch_id``; a replayed batch re-reads the total of the latest batch
+    *before* it, so it reproduces identical shard ids and overwrites its own
+    partitions instead of appending drift."""
+    from ..operators.sharding import shard_assignments
+
+    def _process(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        state = _read_ledger(spark, state_dir, exclude_batch=batch_id)
+        if state is not None:
+            state = state.filter(F.col("batch_id") < batch_id)
+            row = state.orderBy(F.desc("batch_id")).limit(1).collect()
+            base = int(row[0]["total_tokens"]) if row else 0
+        else:
+            base = 0
+        assigned = shard_assignments(
+            batch_df, budget, text_col=text_col, id_col=id_col,
+            n_ranges=n_ranges, base_tokens=base,
+        )
+        assigned.persist()
+        try:
+            assigned.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+            total = assigned.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            spark.createDataFrame(
+                [(int(base + total),)], "total_tokens bigint"
+            ).write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
+        finally:
+            assigned.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
