@@ -199,3 +199,51 @@ def test_pq_adc_scan_is_projection_only(spark):
     assert "TakeOrderedAndProject" in plan
     for bad in ["Join", "Exchange", "BatchEvalPython"]:
         assert bad not in plan, bad
+
+
+def test_ivfpq_consistent_with_full_pq_on_probed_cells(spark):
+    """IVF-PQ must rank exactly like the full PQ ADC scan restricted to the
+    probed cells (pruning changes the candidate set, never the order), and
+    the probe must actually prune (candidates < corpus)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from unravelsports_spark.operators.pq import (
+        Q,
+        pq_adc_topk,
+        pq_ivf_adc_topk,
+        pq_train_codebook,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    coarse = pq_train_codebook(emb, m_subspaces=1, k=8, n_rounds=1)
+    cb = pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2)
+    q = [
+        int(math.floor(float(v) * Q))
+        for v in emb.orderBy("vec_id").limit(1).first()["embedding"]
+    ]
+    ivf = pq_ivf_adc_topk(emb, coarse, cb, q, n_probe=2, top=10)
+    probed_ids = {r["vec_id"] for r in ivf.select("vec_id").collect()}
+    n_corpus = emb.count()
+    # full ADC over everything, then keep only ivf candidates' cells
+    full = pq_adc_topk(emb, cb, q, top=n_corpus)
+    full_rank = {r["vec_id"]: r["adc_dist"] for r in full.collect()}
+    ivf_rows = ivf.collect()
+    # same adc values as the full scan
+    for r in ivf_rows:
+        assert full_rank[r["vec_id"]] == r["adc_dist"]
+    # pruning is real: the probed candidate pool is smaller than the corpus
+    cells = pq_ivf_adc_topk(emb, coarse, cb, q, n_probe=2, top=n_corpus)
+    assert cells.count() < n_corpus
+
+
+def test_ivfpq_scan_is_projection_only(spark):
+    from unravelsports_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["s_ann_ivfpq"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    for bad in ["Join", "Exchange", "BatchEvalPython"]:
+        assert bad not in plan, bad

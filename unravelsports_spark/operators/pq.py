@@ -185,3 +185,88 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(top)
     )
+
+
+def pq_ivf_adc_topk(
+    df: DataFrame,
+    coarse_cb: list[list[list[int]]],
+    codebook: list[list[list[int]]],
+    query_int: list[int],
+    n_probe: int = 2,
+    top: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ scan: coarse cells prune the corpus to ``n_probe`` probed
+    inverted lists, then the PQ ADC ranks only those candidates — the
+    FAISS-style two-level layout that makes 100 TB ANN a partition-pruned
+    scan instead of a full pass. ``coarse_cb`` is a 1-subspace codebook from
+    :func:`pq_train_codebook` (``m_subspaces=1``); this variant encodes
+    original vectors against a global PQ codebook (residual encoding is the
+    classic refinement — the pruning/ADC plumbing is identical).
+
+    At scale the corpus would be WRITTEN partitioned by ``cell`` (see
+    sources/layout.py), turning the probe filter into partition pruning;
+    here it evaluates in the scan's codegen stage. The whole query remains a
+    projection + filter + TakeOrderedAndProject — zero joins, zero shuffles.
+
+    Returns ``(vec_id, cell, adc_dist)`` — exact int64, hash-certifiable.
+    """
+    kc = len(coarse_cb[0])
+    dim = len(coarse_cb[0][0])
+    # probe selection is driver-side integer math over kc centroids
+    cdist = [
+        sum((query_int[d] - coarse_cb[0][c][d]) ** 2 for d in range(dim))
+        for c in range(kc)
+    ]
+    probes = sorted(range(kc), key=lambda c: (cdist[c], c))[:n_probe]
+
+    iq = df.select(F.col(id_col).alias(id_col), _int_grid(vec_col).alias("iq"))
+    cell_dists = F.array(
+        *[
+            F.struct(
+                _dist2(F.col("iq"), F.array(*[F.lit(x) for x in coarse_cb[0][c]])).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c in range(kc)
+        ]
+    )
+    candidates = (
+        iq.withColumn("cell", F.array_min(cell_dists)["c"].cast("bigint"))
+        .filter(F.col("cell").isin([int(p) for p in probes]))
+    )
+
+    m_subspaces = len(codebook)
+    k = len(codebook[0])
+    sub_dim = len(codebook[0][0])
+    lut = [
+        [
+            sum(
+                (query_int[m * sub_dim + i] - codebook[m][c][i]) ** 2
+                for i in range(sub_dim)
+            )
+            for c in range(k)
+        ]
+        for m in range(m_subspaces)
+    ]
+    adc = F.lit(0).cast("bigint")
+    for m in range(m_subspaces):
+        sub = _sub(F.col("iq"), m, sub_dim)
+        dists = F.array(
+            *[
+                F.struct(
+                    _dist2(sub, F.array(*[F.lit(x) for x in codebook[m][c]])).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k)
+            ]
+        )
+        adc = adc + F.element_at(
+            F.array(*[F.lit(int(x)).cast("bigint") for x in lut[m]]),
+            F.array_min(dists)["c"] + 1,
+        )
+    return (
+        candidates.select(id_col, "cell", adc.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(top)
+    )

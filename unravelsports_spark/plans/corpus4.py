@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.bloom import bloom_contaminated_docs
-from ..operators.pq import Q, pq_adc_topk, pq_train_codebook
+from ..operators.pq import Q, pq_adc_topk, pq_ivf_adc_topk, pq_train_codebook
 from ..operators.importance import dsir_scores, dsir_sql
 from ..operators.nbayes import nb_confusion, nb_confusion_sql
 from ..operators.sharding import shard_manifest, shard_manifest_sql
@@ -82,39 +82,53 @@ def d_bloom_decontamination(spark, sf_dir):
     )
 
 
+def _assign_sql(dims: str, cb: str, out: str) -> str:
+    """Lloyd assignment CTE: nearest centroid per (vector, subspace), ties
+    to the lowest cluster id — mirrors Spark's array_min over (d, c) structs."""
+    return f"""
+    {out} AS (
+      SELECT vec_id, m, cluster FROM (
+        SELECT d.vec_id, d.m, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                                  ORDER BY SUM((d.v - c.c) * (d.v - c.c)), c.cluster) AS rk
+        FROM {dims} d JOIN {cb} c ON d.m = c.m AND d.d = c.d
+        GROUP BY d.vec_id, d.m, c.cluster) WHERE rk = 1)"""
+
+
+def _update_sql(dims: str, prev_cb: str, a: str, out: str) -> str:
+    """Lloyd update CTE: floor-mean per (subspace, cluster, dim); empty
+    clusters carry the previous centroid (COALESCE)."""
+    return f"""
+    {out} AS (
+      SELECT c0.m, c0.cluster, c0.d, COALESCE(u.c_new, c0.c) AS c
+      FROM {prev_cb} c0 LEFT JOIN (
+        SELECT a.m, a.cluster, d.d,
+               CAST(FLOOR(SUM(d.v) / COUNT(*)) AS BIGINT) AS c_new
+        FROM {a} a JOIN {dims} d ON a.vec_id = d.vec_id AND a.m = d.m
+        GROUP BY a.m, a.cluster, d.d) u
+      ON c0.m = u.m AND c0.cluster = u.cluster AND c0.d = u.d)"""
+
+
+def _lloyd_rounds_sql(dims: str, cb0: str, n_rounds: int, prefix: str) -> tuple[str, str]:
+    """Chain n assignment/update CTE pairs; returns (sql, final cb name)."""
+    rounds = []
+    cb = cb0
+    for r in range(1, n_rounds + 1):
+        rounds.append(_assign_sql(dims, cb, f"{prefix}a{r}"))
+        rounds.append(_update_sql(dims, cb, f"{prefix}a{r}", f"{prefix}cb{r}"))
+        cb = f"{prefix}cb{r}"
+    return ",".join(rounds), cb
+
+
 def _pq_sql(m_sub: int = 4, k: int = 16, n_rounds: int = 2, sub_dim: int = 16, top: int = 20) -> str:
     """DuckDB oracle for s_ann_pq: unrolls the identical integer Lloyd
     rounds as CTEs (per-dim row formulation — algebraically the same exact
     int64 math as the Spark array-fold projections)."""
 
     def assign(cb: str, out: str) -> str:
-        return f"""
-    {out} AS (
-      SELECT vec_id, m, cluster FROM (
-        SELECT d.vec_id, d.m, c.cluster,
-               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
-                                  ORDER BY SUM((d.v - c.c) * (d.v - c.c)), c.cluster) AS rk
-        FROM dims d JOIN {cb} c ON d.m = c.m AND d.d = c.d
-        GROUP BY d.vec_id, d.m, c.cluster) WHERE rk = 1)"""
+        return _assign_sql("dims", cb, out)
 
-    def update(prev_cb: str, a: str, out: str) -> str:
-        return f"""
-    {out} AS (
-      SELECT c0.m, c0.cluster, c0.d, COALESCE(u.c_new, c0.c) AS c
-      FROM {prev_cb} c0 LEFT JOIN (
-        SELECT a.m, a.cluster, d.d,
-               CAST(FLOOR(SUM(d.v) / COUNT(*)) AS BIGINT) AS c_new
-        FROM {a} a JOIN dims d ON a.vec_id = d.vec_id AND a.m = d.m
-        GROUP BY a.m, a.cluster, d.d) u
-      ON c0.m = u.m AND c0.cluster = u.cluster AND c0.d = u.d)"""
-
-    rounds = []
-    cb = "cb0"
-    for r in range(1, n_rounds + 1):
-        rounds.append(assign(cb, f"a{r}"))
-        rounds.append(update(cb, f"a{r}", f"cb{r}"))
-        cb = f"cb{r}"
-    rounds_sql = ",".join(rounds)
+    rounds_sql, cb = _lloyd_rounds_sql("dims", "cb0", n_rounds, "")
     code_cols = ", ".join(
         f"MAX(CASE WHEN m = {m} THEN cluster END) AS code{m}" for m in range(m_sub)
     )
@@ -165,6 +179,84 @@ def s_ann_pq(spark, sf_dir):
 
     query_int = [int(math.floor(float(v) * Q)) for v in qrow]
     return pq_adc_topk(emb, codebook, query_int, top=20)
+
+
+def _ivfpq_sql(
+    kc: int = 8,
+    nc_rounds: int = 1,
+    m_sub: int = 4,
+    k: int = 16,
+    n_rounds: int = 2,
+    sub_dim: int = 16,
+    n_probe: int = 2,
+    top: int = 10,
+) -> str:
+    """DuckDB oracle for s_ann_ivfpq: coarse Lloyd (1 subspace over the full
+    vector) for cell assignment + probe selection, then the PQ rounds, then
+    ADC over candidates in the probed cells only."""
+    coarse_rounds, ccb = _lloyd_rounds_sql("cdims", "ccb0", nc_rounds, "c")
+    pq_rounds, cb = _lloyd_rounds_sql("dims", "cb0", n_rounds, "")
+    return f"""
+    WITH iq AS (
+      SELECT vec_id, u.i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {float(Q)!r}) AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    dims AS (SELECT vec_id, pos // {sub_dim} AS m, pos % {sub_dim} AS d, v FROM iq),
+    cdims AS (SELECT vec_id, 0 AS m, pos AS d, v FROM iq),
+    cseeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
+      FROM (SELECT DISTINCT vec_id FROM iq ORDER BY vec_id LIMIT {kc})),
+    ccb0 AS (
+      SELECT d.m, s.cluster, d.d, d.v AS c FROM cseeds s JOIN cdims d USING (vec_id)),
+    {coarse_rounds},
+    {_assign_sql("cdims", ccb, "cells").strip()},
+    q AS (SELECT m, d, v FROM cdims WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    probes AS (
+      SELECT cluster AS cell FROM (
+        SELECT c.cluster,
+               ROW_NUMBER() OVER (ORDER BY SUM((q.v - c.c) * (q.v - c.c)), c.cluster) AS rk
+        FROM {ccb} c JOIN q ON c.d = q.d
+        GROUP BY c.cluster) WHERE rk <= {n_probe}),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
+      FROM (SELECT DISTINCT vec_id FROM iq ORDER BY vec_id LIMIT {k})),
+    cb0 AS (
+      SELECT d.m, s.cluster, d.d, d.v AS c FROM seeds s JOIN dims d USING (vec_id)),
+    {pq_rounds},
+    {_assign_sql("dims", cb, "codes").strip()},
+    pqq AS (SELECT m, d, v FROM dims WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    lut AS (
+      SELECT c.m, c.cluster, SUM((pqq.v - c.c) * (pqq.v - c.c)) AS qd
+      FROM {cb} c JOIN pqq ON c.m = pqq.m AND c.d = pqq.d
+      GROUP BY c.m, c.cluster),
+    adc AS (
+      SELECT codes.vec_id, CAST(SUM(lut.qd) AS BIGINT) AS adc_dist
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.cluster = lut.cluster
+      WHERE codes.vec_id IN (
+        SELECT vec_id FROM cells WHERE cluster IN (SELECT cell FROM probes))
+      GROUP BY codes.vec_id)
+    SELECT a.vec_id, CAST(cl.cluster AS BIGINT) AS cell, a.adc_dist
+    FROM adc a JOIN cells cl ON a.vec_id = cl.vec_id
+    ORDER BY a.adc_dist, a.vec_id
+    LIMIT {top}
+    """
+
+
+@query("s_ann_ivfpq", oracle=_ivfpq_sql())
+def s_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (operators/pq.py:pq_ivf_adc_topk): 8 coarse cells prune
+    the corpus to 2 probed inverted lists, PQ ADC ranks only those
+    candidates — the FAISS-style layout where, with a cell-partitioned
+    parquet layout, the probe filter becomes partition pruning. Exact int64
+    end-to-end; hash-certified vs a CTE unroll of both codebooks."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse = pq_train_codebook(emb, m_subspaces=1, k=8, n_rounds=1)
+    codebook = pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2)
+    qrow = emb.orderBy("vec_id").limit(1).select("embedding").first()[0]
+    import math
+
+    query_int = [int(math.floor(float(v) * Q)) for v in qrow]
+    return pq_ivf_adc_topk(emb, coarse, codebook, query_int, n_probe=2, top=10)
 
 
 @query("t_shard_manifest", oracle=shard_manifest_sql(SHARD_BUDGET))
