@@ -100,9 +100,20 @@ def main() -> None:
     # it regardless of plan quality.
     floor = round(time_df(lambda: spark.range(1)), 4)
 
+    n_jobs: dict[str, int] = {}
     for name in HEADLINE:
         timings[name] = round(time_df(lambda: QUERIES[name](spark, SF_DIR)), 4)
         release_tracked()  # drop per-query persisted intermediates
+        # count the Spark jobs one timed run launches: broadcast-build chains
+        # pay the fixed per-job cost once per job, so a 5-job query carries
+        # ~5 floors of scheduling overhead — n_jobs makes the floor-adjusted
+        # ratios interpretable instead of hiding it
+        sc = spark.sparkContext
+        sc.setJobGroup(f"count:{name}", name)
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        n_jobs[name] = len(sc.statusTracker().getJobIdsForGroup(f"count:{name}"))
+        sc.setJobGroup("", "")
+        release_tracked()
 
     # DuckDB oracle wall time on the same parquet, same box — the 2×-gate
     # evidence (BASELINE.md: the reference publishes no numbers, so the
@@ -174,6 +185,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "floor": floor,
+                "n_jobs": n_jobs,
                 "oracle_sec": oracle_sec,
                 "ratio_floor_adj": ratio_floor_adj,
                 "oracle_total_sec": oracle_total,

@@ -101,12 +101,16 @@ def dsir_scores(
         F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_t"),
         F.sum(F.when(~F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_r"),
     )
-    totals = stats.select(
-        F.sum("c_t").alias("tot_t"), F.sum("c_r").alias("tot_r")
-    )
     b = F.lit(float(n_buckets))
+    # corpus totals via an unpartitioned window over the ≤B-row stats table
+    # (trivially small) — one fewer broadcast-exchange job than a
+    # crossJoin'd 1-row aggregate, same exact numbers
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     deltas = (
-        stats.crossJoin(F.broadcast(totals))
+        stats.withColumn("tot_t", F.sum("c_t").over(w_all))
+        .withColumn("tot_r", F.sum("c_r").over(w_all))
         .select(
             "bucket",
             (

@@ -65,8 +65,11 @@ def nb_confusion(
     )
 
     # --- train: class priors + per-(class, bucket) token counts ------------
+    # one (label, bucket) aggregate feeds BOTH the class totals and the grid
+    # join — the class-tok re-aggregation of the corpus-sized cache is gone
     train = dbc.filter("is_train")
-    class_tok = train.groupBy("label").agg(F.sum("n").alias("tot"))
+    tb = tracked_persist(train.groupBy("label", "bucket").agg(F.sum("n").alias("c")))
+    class_tok = tb.groupBy("label").agg(F.sum("c").alias("tot"))
     class_docs = train.select("doc_id", "label").distinct().groupBy("label").agg(
         F.count("*").alias("n_docs")
     )
@@ -88,11 +91,7 @@ def nb_confusion(
     )
     grid = (
         buckets.crossJoin(F.broadcast(class_tok))
-        .join(
-            train.groupBy("label", "bucket").agg(F.sum("n").alias("c")),
-            ["label", "bucket"],
-            "left",
-        )
+        .join(tb, ["label", "bucket"], "left")
         .select(
             "label",
             "bucket",
