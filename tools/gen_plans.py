@@ -47,6 +47,8 @@ NOTES = {
     "t_nb_confusion": "train AND inference in one plan: class x bucket grid (<=5k rows) built from the same cached token aggregate, broadcast to the scoring join; argmax is a per-doc window over <=K rows; corpus tokenized once.",
     "t_shard_manifest": "two-level distributed prefix sum: fixed-boundary range buckets partition the corpus window (no single-reducer global sort); only the P-row offset table uses a global window; shard ids are exact integer arithmetic.",
     "d_bloom_decontamination": "relational Bloom bitmap (bit_or aggregation, m/32 rows) broadcasts; k double-hash probes prune corpus shingles before the exact confirm join - same oracle as d_contamination, certifying losslessness.",
+    "s_ann_pq": "PQ encode + ADC rank: pure projection against literal integer centroids ending in TakeOrderedAndProject - zero joins, zero shuffles, corpus read once.",
+    "s_ann_ivfpq": "coarse-cell probe filter evaluates in the scan's codegen stage (partition pruning with a cell-partitioned layout); ADC ranks only probed candidates - projection + filter + TakeOrderedAndProject.",
 }
 
 
