@@ -289,3 +289,23 @@ def test_ivf_cell_partitioned_layout_prunes_scan(spark, tmp_path):
     # pruning is effective: only the two probed partitions' rows are read
     total = spark.read.parquet(out).count()
     assert 0 < probed.count() < total
+
+
+def test_dsir_select_keeps_about_the_target_fraction(spark):
+    """Histogram-threshold selection keeps ~keep_frac of the raw pool
+    (within one score bucket of exact-p) and only scores above everything
+    it rejects."""
+    from unravelsports_spark.operators.importance import dsir_scores, dsir_select
+
+    docs = read_table(spark, SF, "documents")
+    sel = dsir_select(docs, target=F.col("lang") == "en", keep_frac=0.2).collect()
+    n_sel = sum(r["n_selected"] for r in sel)
+    n_raw = docs.filter("lang <> 'en'").count()
+    assert 0.15 * n_raw <= n_sel <= 0.35 * n_raw
+    assert all(r["label"] != "en" for r in sel)
+    # selection is top-of-distribution: the kept minimum beats the raw median
+    scores = dsir_scores(docs, target=F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).filter("lang <> 'en'")
+    median = scores.approxQuantile("score_micro", [0.5], 0.0)[0]
+    assert min(r["min_score"] for r in sel) > median

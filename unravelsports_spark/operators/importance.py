@@ -61,23 +61,26 @@ def doc_bucket_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """One tokenize pass → ``(doc_id, is_target, bucket, n)``.
 
     The groupBy is map-side combinable (partial agg before the shuffle), so
     the shuffle carries one row per (doc, bucket), not per token.
-    """
+    ``carry`` lists per-document columns (functional on the id) to thread
+    through, so downstream accounting never re-joins the corpus."""
     df = fan_out(df, id_col)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         target.alias("is_target"),
+        *[F.col(c) for c in carry],
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), F.lit(0))
         ).alias("term"),
     )
     return (
         toks.withColumn("bucket", _bucket(F.col("term"), n_buckets))
-        .groupBy("doc_id", "is_target", "bucket")
+        .groupBy("doc_id", "is_target", *carry, "bucket")
         .agg(F.count("*").alias("n"))
     )
 
@@ -88,14 +91,19 @@ def dsir_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document DSIR importance score vs the ``target`` slice.
 
-    Returns ``(doc_id, n_tokens, score_micro)`` where ``score_micro`` is the
-    log-likelihood ratio in integer micro-nats (divide by 1e6 for nats) —
-    kept integral so the output value-hashes identically across engines.
+    Returns ``(doc_id[, carry…], is_target?, n_tokens, score_micro)`` where
+    ``score_micro`` is the log-likelihood ratio in integer micro-nats
+    (divide by 1e6 for nats) — kept integral so the output value-hashes
+    identically across engines. ``carry`` columns (and ``is_target`` when
+    carry is non-empty) ride along for join-free downstream accounting.
     """
-    dbc = tracked_persist(doc_bucket_counts(df, target, text_col, id_col, n_buckets))
+    dbc = tracked_persist(
+        doc_bucket_counts(df, target, text_col, id_col, n_buckets, carry)
+    )
 
     stats = dbc.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_t"),
@@ -119,12 +127,68 @@ def dsir_scores(
             ).cast("bigint").alias("delta_micro"),
         )
     )
+    group_cols = ["doc_id"] + (["is_target", *carry] if carry else [])
     return (
         dbc.join(F.broadcast(deltas), "bucket")
-        .groupBy("doc_id")
+        .groupBy(*group_cols)
         .agg(
             F.sum("n").alias("n_tokens"),
             F.sum(F.col("n") * F.col("delta_micro")).alias("score_micro"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    keep_frac: float = 0.2,
+    bucket_width: int = 10_000,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR *selection*: keep the most target-like ~``keep_frac`` of the
+    raw (non-target) pool and account for what was kept per ``label_col``.
+
+    The 100 TB shape for "top p% by score" — which is naively a global sort
+    — is a histogram threshold: bucket the integer scores (fixed width),
+    aggregate bucket counts (tiny), walk the cumulative from the top on that
+    ≤few-thousand-row table, and broadcast the crossing bucket back as a
+    pure filter. Deterministic (integer buckets, exact counts), within one
+    bucket of exact-p, and the corpus is never sorted. Returns
+    ``(label, n_selected, sel_tokens, min_score)`` — all exact ints."""
+    scores = dsir_scores(df, target, text_col, id_col, n_buckets, carry=(label_col,))
+    raw = scores.filter(~F.col("is_target"))
+    hist = raw.groupBy(
+        F.floor(F.col("score_micro") / F.lit(float(bucket_width)))
+        .cast("bigint")
+        .alias("b")
+    ).agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_top = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, 0)
+    thr = (
+        hist.withColumn("total", F.sum("n").over(w_all))
+        .withColumn("c", F.sum("n").over(w_top))
+        .filter(
+            F.col("c")
+            >= F.floor(F.col("total") * F.lit(float(keep_frac))).cast("bigint")
+        )
+        .agg(F.max("b").alias("tb"))
+    )
+    return (
+        raw.crossJoin(F.broadcast(thr))
+        .filter(
+            F.floor(F.col("score_micro") / F.lit(float(bucket_width))).cast("bigint")
+            >= F.col("tb")
+        )
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("n_tokens").alias("sel_tokens"),
+            F.min("score_micro").alias("min_score"),
         )
     )
 
@@ -157,4 +221,36 @@ def dsir_sql(
            SUM(d.n * x.delta_micro) AS score_micro
     FROM dbc d JOIN deltas x USING (bucket)
     GROUP BY d.doc_id
+    """
+
+
+def dsir_select_sql(
+    target_pred: str,
+    keep_frac: float = 0.2,
+    bucket_width: int = 10_000,
+    label_col: str = "lang",
+    n_buckets: int = 1024,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`dsir_select` (the label rides a plain join —
+    single-node; scores are identical, so the histogram/threshold/accounting
+    arithmetic mirrors the Spark plan exactly)."""
+    fb = f"CAST(FLOOR(score_micro / CAST({float(bucket_width)!r} AS DOUBLE)) AS BIGINT)"
+    return f"""
+    WITH scores AS ({dsir_sql(target_pred, n_buckets, table)}),
+    lab AS (
+      SELECT s.doc_id, s.n_tokens, s.score_micro, d.{label_col}
+      FROM scores s JOIN {table} d USING (doc_id)
+      WHERE NOT ({target_pred})),
+    hist AS (SELECT {fb} AS b, COUNT(*) AS n FROM lab GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM hist),
+    cum AS (SELECT b, SUM(n) OVER (ORDER BY b DESC) AS c FROM hist),
+    thr AS (
+      SELECT MAX(b) AS tb FROM cum, tot
+      WHERE c >= CAST(FLOOR(total * CAST({float(keep_frac)!r} AS DOUBLE)) AS BIGINT)),
+    sel AS (SELECT lab.* FROM lab, thr WHERE {fb} >= thr.tb)
+    SELECT {label_col} AS label, COUNT(*) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens,
+           MIN(score_micro) AS min_score
+    FROM sel GROUP BY 1
     """

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators.bloom import bloom_contaminated_docs
 from ..operators.pq import Q, pq_adc_topk, pq_ivf_adc_topk, pq_train_codebook
-from ..operators.importance import dsir_scores, dsir_sql
+from ..operators.importance import dsir_scores, dsir_select, dsir_select_sql, dsir_sql
 from ..operators.nbayes import nb_confusion, nb_confusion_sql
 from ..operators.sharding import shard_manifest, shard_manifest_sql
 from ..session import read_table
@@ -47,6 +47,21 @@ def t_dsir_scores(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     out = dsir_scores(docs, target=F.col("lang") == "en", n_buckets=1024)
     return out.orderBy(F.desc("score_micro"), "doc_id").limit(50)
+
+
+@query(
+    "t_dsir_resample",
+    oracle=dsir_select_sql("lang = 'en'", keep_frac=0.2) + " ORDER BY 1",
+)
+def t_dsir_resample(spark, sf_dir):
+    """DSIR selection step: keep the most-English-like ~20% of the
+    non-English pool via a histogram threshold (no global sort — the
+    corpus-scale shape of top-p%) and account per language for what was
+    kept. Completes the DSIR recipe: score → threshold → resample."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, target=F.col("lang") == "en", keep_frac=0.2, label_col="lang"
+    ).orderBy("label")
 
 
 @query("t_nb_confusion", oracle=nb_confusion_sql("lang", 1024) + " ORDER BY 1, 2")
