@@ -92,21 +92,15 @@ def bloom_contaminated_docs(
     corp = doc_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
     h = F.col("shingle_hash")
     h1, h2, i = _positions(h, m_bits, k)
-    probes = corp.select(id_col, "shingle_hash", h1.alias("h1"), h2.alias("h2")).select(
-        id_col,
-        "shingle_hash",
-        i,
-        F.col("h1"),
-        F.col("h2"),
-    ).select(
-        id_col,
-        "shingle_hash",
-        ((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("pos"),
-    ).select(
-        id_col,
-        "shingle_hash",
-        F.floor(F.col("pos") / WORD).cast("bigint").alias("word_idx"),
-        (F.col("pos") % WORD).alias("bit"),
+    probes = (
+        corp.select(id_col, "shingle_hash", h1.alias("h1"), h2.alias("h2"), i)
+        .withColumn("pos", (F.col("h1") + F.col("i") * F.col("h2")) % m_bits)
+        .select(
+            id_col,
+            "shingle_hash",
+            F.floor(F.col("pos") / WORD).cast("bigint").alias("word_idx"),
+            (F.col("pos") % WORD).alias("bit"),
+        )
     )
     hits = (
         probes.join(F.broadcast(bitmap), "word_idx", "left")
