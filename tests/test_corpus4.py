@@ -309,3 +309,44 @@ def test_dsir_select_keeps_about_the_target_fraction(spark):
     ).filter("lang <> 'en'")
     median = scores.approxQuantile("score_micro", [0.5], 0.0)[0]
     assert min(r["min_score"] for r in sel) > median
+
+
+def test_shard_invariance_property(spark):
+    """Property check over random corpora: for ANY documents (duplicates,
+    empties, budget-sized docs), budget, and fan-out, the two-level prefix
+    sum equals the naive pack and conserves every token."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        docs=st.lists(
+            st.integers(min_value=0, max_value=12),  # tokens per doc
+            min_size=1,
+            max_size=40,
+        ),
+        budget=st.integers(min_value=3, max_value=20),
+        n_ranges=st.sampled_from([1, 3, 16]),
+    )
+    def check(docs, budget, n_ranges):
+        rows = [
+            (i, " ".join(f"t{j}" for j in range(n)) if n else "x")
+            for i, n in enumerate(docs)
+        ]
+        # duplicate text collisions on skey are intended: tie-break is doc_id
+        rows += [(1000 + i, t) for i, (_, t) in enumerate(rows[: len(rows) // 2])]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        a = shard_assignments(df, budget=budget, n_ranges=n_ranges).collect()
+        naive = shard_assignments(df, budget=budget, n_ranges=1).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, naive))
+        total = sum(r["n_tokens"] for r in a)
+        assert total == sum(
+            len(t.split()) for _, t in rows
+        )
+        assert all(0 <= r["shard_id"] <= (total - 1) // budget for r in a)
+
+    check()
