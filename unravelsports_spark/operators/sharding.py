@@ -120,10 +120,14 @@ def shard_manifest(
     )
 
 
-def shard_manifest_sql(budget: int, table: str = "documents") -> str:
-    """DuckDB oracle: the naive single-window cumsum (same algebra)."""
+def shard_manifest_sql(budget: int, table: str = "documents", extra_ctes: str = "") -> str:
+    """DuckDB oracle: the naive single-window cumsum (same algebra).
+
+    ``extra_ctes`` lets a caller prepend CTEs (e.g. the corpus-prep ``kept``
+    chain) and shard their output by passing its name as ``table``."""
+    lead = f"{extra_ctes}," if extra_ctes else ""
     return f"""
-    WITH d AS (
+    WITH {lead} d AS (
       SELECT doc_id,
              CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % {PPM} AS skey,
              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens

@@ -321,7 +321,9 @@ def t_bpe_tokenized_stats(spark, sf_dir):
     )
 
 
-def _prep_e2e_sql() -> str:
+def _prep_kept_ctes() -> str:
+    """The dedup → quality → langid → kept CTE chain, shared by the prep
+    accounting oracle and the prep→shards composition (corpus4)."""
     # langid CASE mirrors plans/pipeline.py:_langid_sql (shared constants)
     from ..operators.text import LANG_STOPWORDS
 
@@ -335,8 +337,7 @@ def _prep_e2e_sql() -> str:
     for lang in langs:
         cond = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
         cases.append(f"WHEN {cond} THEN '{lang}'")
-    return rf"""
-    WITH deduped AS (
+    return rf"""deduped AS (
       SELECT * FROM (
         SELECT doc_id, source, text,
                ROW_NUMBER() OVER (
@@ -352,7 +353,12 @@ def _prep_e2e_sql() -> str:
              {', '.join(score_exprs)}
       FROM deduped),
     lang AS (SELECT *, CASE {' '.join(cases)} END AS predicted_lang FROM scored),
-    kept AS (SELECT * FROM lang WHERE quality_score >= 0.6 AND predicted_lang = 'en')
+    kept AS (SELECT * FROM lang WHERE quality_score >= 0.6 AND predicted_lang = 'en')"""
+
+
+def _prep_e2e_sql() -> str:
+    return f"""
+    WITH {_prep_kept_ctes()}
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality

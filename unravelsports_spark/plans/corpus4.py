@@ -274,6 +274,30 @@ def s_ann_ivfpq(spark, sf_dir):
     return pq_ivf_adc_topk(emb, coarse, codebook, query_int, n_probe=2, top=10)
 
 
+def _prep_to_shards_sql() -> str:
+    from .corpus3 import _prep_kept_ctes
+
+    return shard_manifest_sql(SHARD_BUDGET, table="kept", extra_ctes=_prep_kept_ctes())
+
+
+@query("t_prep_to_shards_e2e", oracle=_prep_to_shards_sql())
+def t_prep_to_shards_e2e(spark, sf_dir):
+    """The full pretraining-data path as ONE certified query: exact dedup →
+    quality gate → language gate → deterministic token-budget shard
+    manifest. Composition of t_corpus_prep_e2e's filter chain (one window +
+    projections, no joins) with the two-level prefix-sum packer — what a
+    user runs to turn a raw document dump into loader-ready shard
+    accounting."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import with_lang_id, with_quality
+
+    d = with_lang_id(with_quality(exact_dedup(read_table(spark, sf_dir, "documents"))))
+    kept = d.filter(
+        (F.col("quality_score") >= 0.6) & (F.col("predicted_lang") == "en")
+    )
+    return shard_manifest(kept, budget=SHARD_BUDGET, n_ranges=64)
+
+
 @query("t_shard_manifest", oracle=shard_manifest_sql(SHARD_BUDGET))
 def t_shard_manifest(spark, sf_dir):
     """Token-budget training-shard manifest over the deterministically
