@@ -41,10 +41,12 @@ HEADLINE = [
     # round-3 additions: BM25 retrieval and span-level dedup
     "t_bm25_topk",
     "d_dup_spans",
-    # round-4 additions: DSIR selection, NB classifier filter, shard packing
+    # round-4 additions: DSIR selection, NB classifier filter, shard packing,
+    # and the composed prep→shards pipeline
     "t_dsir_scores",
     "t_nb_confusion",
     "t_shard_manifest",
+    "t_prep_to_shards_e2e",
 ]
 
 
