@@ -350,3 +350,38 @@ def test_shard_invariance_property(spark):
         assert all(0 <= r["shard_id"] <= (total - 1) // budget for r in a)
 
     check()
+
+
+def test_residual_pq_quantizes_better_than_global(spark):
+    """The point of residual encoding (FAISS IVFPQ): after subtracting the
+    coarse centroid, the same M×k codebook budget quantizes the corpus with
+    strictly less total squared error than PQ on raw vectors."""
+    import numpy as np
+
+    from unravelsports_spark.operators.pq import (
+        Q,
+        pq_train_codebook,
+        pq_train_residual_codebook,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    X = np.floor(np.stack(pdf["embedding"].values).astype(np.float64) * Q).astype(
+        np.int64
+    )
+    coarse = pq_train_codebook(emb, m_subspaces=1, k=8, n_rounds=1)
+    C = np.array(coarse[0])
+    cells = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+    R = X - C[cells]
+
+    def qerr(cb, data):
+        err = 0
+        for m in range(4):
+            sub = data[:, m * 16 : (m + 1) * 16]
+            K = np.array(cb[m])
+            err += ((sub[:, None, :] - K[None, :, :]) ** 2).sum(2).min(1).sum()
+        return err
+
+    global_cb = pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2)
+    residual_cb = pq_train_residual_codebook(emb, coarse, m_subspaces=4, k=16, n_rounds=2)
+    assert qerr(residual_cb, R) < qerr(global_cb, X)

@@ -45,8 +45,13 @@ def nb_confusion(
     """Train multinomial NB on even ``doc_id`` rows, score odd rows; return
     the confusion matrix ``(actual, predicted, n_docs)``.
 
-    Deterministic end-to-end: the split is ``doc_id % 2``, the model is exact
-    integer micro-nat log-probabilities, and argmax ties break by class name.
+    Deterministic end-to-end: the split is ``doc_id % 2``, the model is
+    exact integer micro-nat log-probabilities, and argmax ties break by
+    class name. Documents with ZERO extracted tokens have no likelihood
+    evidence and are excluded from the matrix (a prior-only prediction
+    would certify tokenizer gaps as classifications); both engines drop
+    them identically, and ``tests/test_corpus4.py`` asserts full coverage
+    on the certified corpus.
     """
     df = fan_out(df, id_col)
     is_train = (F.col(id_col) % 2 == 0).alias("is_train")

@@ -74,9 +74,17 @@ def pq_train_codebook(
     Seeds are the ``k`` vectors with smallest ids (deterministic); each round
     collects only the (m, cluster, dim) → (sum, count) sufficient statistics
     (M·k·D/M rows). Empty clusters keep their previous centroid."""
-    dim = len(df.select(vec_col).first()[0])
-    sub_dim = dim // m_subspaces
     iq = df.select(F.col(id_col).alias("_id"), _int_grid(vec_col).alias("iq"))
+    return _train_on_iq(iq, m_subspaces, k, n_rounds)
+
+
+def _train_on_iq(
+    iq: DataFrame, m_subspaces: int, k: int, n_rounds: int
+) -> list[list[list[int]]]:
+    """Core integer Lloyd trainer over a ``(_id, iq: array<bigint>)`` frame —
+    shared by the raw-vector path and the residual path (IVF-PQ)."""
+    dim = len(iq.select("iq").first()[0])
+    sub_dim = dim // m_subspaces
 
     seeds = [
         list(r["iq"])
@@ -267,6 +275,140 @@ def pq_ivf_adc_topk(
         )
     return (
         candidates.select(id_col, "cell", adc.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(top)
+    )
+
+
+def _cell_and_residual(
+    df: DataFrame,
+    coarse_cb: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(vec_id, cell, iq)`` where ``iq`` is the RESIDUAL int vector
+    (quantized vector minus its coarse centroid) — a pure projection against
+    the literal kc×D coarse matrix."""
+    kc = len(coarse_cb[0])
+    cell_dists = F.array(
+        *[
+            F.struct(
+                _dist2(F.col("_raw"), F.array(*[F.lit(x) for x in coarse_cb[0][c]])).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c in range(kc)
+        ]
+    )
+    centroid_matrix = F.array(
+        *[F.array(*[F.lit(x) for x in coarse_cb[0][c]]) for c in range(kc)]
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), _int_grid(vec_col).alias("_raw"))
+        .withColumn("cell", F.array_min(cell_dists)["c"])
+        .withColumn(
+            "iq",
+            F.zip_with(
+                F.col("_raw"),
+                F.element_at(centroid_matrix, F.col("cell") + 1),
+                lambda x, y: x - y,
+            ),
+        )
+        .select(F.col("_id"), F.col("cell").cast("bigint").alias("cell"), "iq")
+    )
+
+
+def pq_train_residual_codebook(
+    df: DataFrame,
+    coarse_cb: list[list[list[int]]],
+    m_subspaces: int = 4,
+    k: int = 16,
+    n_rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Train the PQ codebook on coarse-cell RESIDUALS — the classic FAISS
+    IVFPQ refinement: residual magnitudes are much smaller than raw vectors,
+    so the same k centroids quantize them with less error."""
+    return _train_on_iq(
+        _cell_and_residual(df, coarse_cb, vec_col, id_col).select("_id", "iq"),
+        m_subspaces,
+        k,
+        n_rounds,
+    )
+
+
+def pq_ivf_residual_adc_topk(
+    df: DataFrame,
+    coarse_cb: list[list[list[int]]],
+    codebook: list[list[list[int]]],
+    query_int: list[int],
+    n_probe: int = 2,
+    top: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual IVF-PQ scan: probe the ``n_probe`` cells nearest the query,
+    encode each candidate's RESIDUAL against ``codebook``, and rank by the
+    per-cell ADC table (the query's residual differs per probed cell, so the
+    lookup is kc×M×k ints — still driver-trivial). Exact int64 end-to-end;
+    still a projection + filter + TakeOrderedAndProject."""
+    kc = len(coarse_cb[0])
+    dim = len(coarse_cb[0][0])
+    m_subspaces = len(codebook)
+    k = len(codebook[0])
+    sub_dim = len(codebook[0][0])
+
+    cdist = [
+        sum((query_int[d] - coarse_cb[0][c][d]) ** 2 for d in range(dim))
+        for c in range(kc)
+    ]
+    probes = sorted(range(kc), key=lambda c: (cdist[c], c))[:n_probe]
+    # per-cell query residual → per-(cell, m, code) ADC entries
+    lut = [
+        [
+            [
+                sum(
+                    (
+                        (query_int[m * sub_dim + i] - coarse_cb[0][cell][m * sub_dim + i])
+                        - codebook[m][c][i]
+                    )
+                    ** 2
+                    for i in range(sub_dim)
+                )
+                for c in range(k)
+            ]
+            for m in range(m_subspaces)
+        ]
+        for cell in range(kc)
+    ]
+
+    cand = _cell_and_residual(df, coarse_cb, vec_col, id_col).filter(
+        F.col("cell").isin([int(p) for p in probes])
+    )
+    adc = F.lit(0).cast("bigint")
+    for m in range(m_subspaces):
+        sub = _sub(F.col("iq"), m, sub_dim)
+        dists = F.array(
+            *[
+                F.struct(
+                    _dist2(sub, F.array(*[F.lit(x) for x in codebook[m][c]])).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k)
+            ]
+        )
+        code = F.array_min(dists)["c"]
+        lut_m = F.array(
+            *[
+                F.array(*[F.lit(int(x)).cast("bigint") for x in lut[cell][m]])
+                for cell in range(kc)
+            ]
+        )
+        adc = adc + F.element_at(
+            F.element_at(lut_m, F.col("cell").cast("int") + 1), code + 1
+        )
+    return (
+        cand.select(F.col("_id").alias(id_col), "cell", adc.alias("adc_dist"))
         .orderBy("adc_dist", id_col)
         .limit(top)
     )

@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.bloom import bloom_contaminated_docs
-from ..operators.pq import Q, pq_adc_topk, pq_ivf_adc_topk, pq_train_codebook
+from ..operators.pq import (
+    Q,
+    pq_adc_topk,
+    pq_ivf_adc_topk,
+    pq_ivf_residual_adc_topk,
+    pq_train_codebook,
+    pq_train_residual_codebook,
+)
 from ..operators.importance import dsir_scores, dsir_select, dsir_select_sql, dsir_sql
 from ..operators.nbayes import nb_confusion, nb_confusion_sql
 from ..operators.sharding import shard_manifest, shard_manifest_sql
@@ -255,6 +262,92 @@ def _ivfpq_sql(
     ORDER BY a.adc_dist, a.vec_id
     LIMIT {top}
     """
+
+
+def _ivfpq_residual_sql(
+    kc: int = 8,
+    nc_rounds: int = 1,
+    m_sub: int = 4,
+    k: int = 16,
+    n_rounds: int = 2,
+    sub_dim: int = 16,
+    n_probe: int = 2,
+    top: int = 10,
+) -> str:
+    """DuckDB oracle for s_ann_ivfpq_residual: the FAISS IVFPQ recipe —
+    PQ codebook trained on coarse-cell residuals; ADC uses the query's
+    per-cell residual."""
+    coarse_rounds, ccb = _lloyd_rounds_sql("cdims", "ccb0", nc_rounds, "c")
+    pq_rounds, rcb = _lloyd_rounds_sql("rdims", "rcb0", n_rounds, "r")
+    return f"""
+    WITH iq AS (
+      SELECT vec_id, u.i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {float(Q)!r}) AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    dims AS (SELECT vec_id, pos // {sub_dim} AS m, pos % {sub_dim} AS d, v FROM iq),
+    cdims AS (SELECT vec_id, 0 AS m, pos AS d, v FROM iq),
+    cseeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
+      FROM (SELECT DISTINCT vec_id FROM iq ORDER BY vec_id LIMIT {kc})),
+    ccb0 AS (
+      SELECT d.m, s.cluster, d.d, d.v AS c FROM cseeds s JOIN cdims d USING (vec_id)),
+    {coarse_rounds},
+    {_assign_sql("cdims", ccb, "cells").strip()},
+    q AS (SELECT m, d, v FROM cdims WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    probes AS (
+      SELECT cluster AS cell FROM (
+        SELECT c.cluster,
+               ROW_NUMBER() OVER (ORDER BY SUM((q.v - c.c) * (q.v - c.c)), c.cluster) AS rk
+        FROM {ccb} c JOIN q ON c.d = q.d
+        GROUP BY c.cluster) WHERE rk <= {n_probe}),
+    rdims AS (
+      SELECT d.vec_id, d.m, d.d, d.v - cc.c AS v
+      FROM dims d
+      JOIN cells cl ON d.vec_id = cl.vec_id
+      JOIN {ccb} cc ON cc.cluster = cl.cluster AND cc.d = d.m * {sub_dim} + d.d),
+    rseeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
+      FROM (SELECT DISTINCT vec_id FROM rdims ORDER BY vec_id LIMIT {k})),
+    rcb0 AS (
+      SELECT d.m, s.cluster, d.d, d.v AS c FROM rseeds s JOIN rdims d USING (vec_id)),
+    {pq_rounds},
+    {_assign_sql("rdims", rcb, "rcodes").strip()},
+    qres AS (
+      SELECT cc.cluster AS cell, q.d // {sub_dim} AS m, q.d % {sub_dim} AS d,
+             q.v - cc.c AS v
+      FROM q JOIN {ccb} cc ON cc.d = q.d),
+    lut AS (
+      SELECT qr.cell, c.m, c.cluster, SUM((qr.v - c.c) * (qr.v - c.c)) AS qd
+      FROM {rcb} c JOIN qres qr ON qr.m = c.m AND qr.d = c.d
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT rc.vec_id, CAST(cl.cluster AS BIGINT) AS cell,
+             CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      FROM rcodes rc
+      JOIN cells cl ON rc.vec_id = cl.vec_id
+      JOIN lut l ON l.cell = cl.cluster AND l.m = rc.m AND l.cluster = rc.cluster
+      WHERE cl.cluster IN (SELECT cell FROM probes)
+      GROUP BY 1, 2)
+    SELECT vec_id, cell, adc_dist FROM adc
+    ORDER BY adc_dist, vec_id
+    LIMIT {top}
+    """
+
+
+@query("s_ann_ivfpq_residual", oracle=_ivfpq_residual_sql())
+def s_ann_ivfpq_residual(spark, sf_dir):
+    """Residual IVF-PQ (the exact FAISS IVFPQ recipe): PQ codebook trained
+    on coarse-cell residuals, per-cell query-residual ADC tables, probe
+    pruning. All int64-exact; hash-certified vs a CTE unroll of both
+    codebooks over the residual table."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse = pq_train_codebook(emb, m_subspaces=1, k=8, n_rounds=1)
+    rcb = pq_train_residual_codebook(emb, coarse, m_subspaces=4, k=16, n_rounds=2)
+    qrow = emb.orderBy("vec_id").limit(1).select("embedding").first()[0]
+    import math
+
+    query_int = [int(math.floor(float(v) * Q)) for v in qrow]
+    return pq_ivf_residual_adc_topk(emb, coarse, rcb, query_int, n_probe=2, top=10)
 
 
 @query("s_ann_ivfpq", oracle=_ivfpq_sql())
