@@ -385,3 +385,25 @@ def test_residual_pq_quantizes_better_than_global(spark):
     global_cb = pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2)
     residual_cb = pq_train_residual_codebook(emb, coarse, m_subspaces=4, k=16, n_rounds=2)
     assert qerr(residual_cb, R) < qerr(global_cb, X)
+
+
+def test_corpus_kl_detects_injected_drift(spark):
+    """Smoothed KL is ~0 on an arbitrary split of a homogeneous corpus and
+    must grow when real drift is injected (target docs get an extra token
+    vocabulary); values stay non-negative."""
+    from unravelsports_spark.operators.importance import corpus_kl
+
+    docs = read_table(spark, SF, "documents")
+    base = corpus_kl(docs, target=F.col("doc_id") % 2 == 0).first()
+    assert 0 < base["n_buckets_observed"] <= 1024
+    assert base["kl_tr_micro"] >= 0 and base["kl_rt_micro"] >= 0
+
+    drifted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" zzzdrift zzzdrift zzzdrift")),
+        ).otherwise(F.col("text")),
+    )
+    shifted = corpus_kl(drifted, target=F.col("doc_id") % 2 == 0).first()
+    assert shifted["kl_tr_micro"] > base["kl_tr_micro"]

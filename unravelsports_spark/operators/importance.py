@@ -254,3 +254,115 @@ def dsir_select_sql(
            MIN(score_micro) AS min_score
     FROM sel GROUP BY 1
     """
+
+
+def corpus_kl(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Corpus drift as symmetric smoothed KL divergence between the target
+    slice's and the rest's hashed-unigram distributions — the standard
+    monitor for "did this month's crawl shift away from the reference mix"
+    (and the aggregate DSIR quantity: E_target[log ratio]).
+
+    One row out: ``(n_buckets_observed, kl_tr_micro, kl_rt_micro)`` in
+    micro-nats. Each bucket's term ``p(b) · Δ(b)`` is rounded to an integer
+    micro-nat BEFORE the sum, so the total is an exact BIGINT — the same
+    order-independence discipline as the scoring path. Unobserved buckets
+    are NOT zero under Laplace smoothing when the two slices have different
+    token totals (``Δ₀ = ln((tot_r+B)/(tot_t+B))``), so the ``B − observed``
+    empty buckets enter as one closed-form correction term — dropping them
+    makes the "KL" non-KL (it can go negative; caught by Gibbs' inequality
+    in tests). Reuses the single tokenize pass (tracked-persisted bucket
+    counts)."""
+    dbc = tracked_persist(doc_bucket_counts(df, target, text_col, id_col, n_buckets))
+    stats = dbc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_t"),
+        F.sum(F.when(~F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_r"),
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    b = F.lit(float(n_buckets))
+    p_t = (F.col("c_t") + F.lit(1.0)) / (F.col("tot_t") + b)
+    p_r = (F.col("c_r") + F.lit(1.0)) / (F.col("tot_r") + b)
+    delta = F.round(F.log(p_t) * MICRO) - F.round(F.log(p_r) * MICRO)
+    terms = (
+        stats.withColumn("tot_t", F.sum("c_t").over(w_all))
+        .withColumn("tot_r", F.sum("c_r").over(w_all))
+        .select(
+            F.round(p_t * delta).cast("bigint").alias("kl_tr_term"),
+            F.round(p_r * -delta).cast("bigint").alias("kl_rt_term"),
+            "tot_t",
+            "tot_r",
+        )
+    )
+    agg = terms.agg(
+        F.count("*").alias("n_buckets_observed"),
+        F.sum("kl_tr_term").alias("kl_tr_obs"),
+        F.sum("kl_rt_term").alias("kl_rt_obs"),
+        F.first("tot_t").alias("tot_t"),
+        F.first("tot_r").alias("tot_r"),
+    )
+    # closed-form term for the B - observed empty buckets (all share
+    # p = 1/(tot+B) and the same Δ₀)
+    p_t0 = F.lit(1.0) / (F.col("tot_t") + b)
+    p_r0 = F.lit(1.0) / (F.col("tot_r") + b)
+    d0 = F.round(F.log(p_t0) * MICRO) - F.round(F.log(p_r0) * MICRO)
+    n_empty = F.lit(n_buckets) - F.col("n_buckets_observed")
+    # one ROUND over the whole empty-bucket mass (not per bucket): all B−n
+    # empty buckets share the identical term, so the aggregate is a single
+    # deterministic expression and the quantization loss stays sub-micro
+    return agg.select(
+        "n_buckets_observed",
+        (F.col("kl_tr_obs") + F.round(n_empty * p_t0 * d0).cast("bigint"))
+        .cast("bigint")
+        .alias("kl_tr_micro"),
+        (F.col("kl_rt_obs") + F.round(n_empty * p_r0 * -d0).cast("bigint"))
+        .cast("bigint")
+        .alias("kl_rt_micro"),
+    )
+
+
+def corpus_kl_sql(
+    target_pred: str, n_buckets: int = 1024, table: str = "documents"
+) -> str:
+    """DuckDB oracle computing the identical integer micro-nat KL terms."""
+    nb = f"CAST({float(n_buckets)!r} AS DOUBLE)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, ({target_pred}) AS is_target,
+             CAST(('0x' || substring(md5(t.term), 1, 15)) AS BIGINT) % {n_buckets} AS bucket
+      FROM {table}, unnest(regexp_extract_all(lower(text), '{TERM_RE}')) AS t(term)),
+    stats AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+             SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS c_r
+      FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(c_t) AS tot_t, SUM(c_r) AS tot_r FROM stats),
+    terms AS (
+      SELECT
+        (c_t + CAST(1.0 AS DOUBLE)) / (tot_t + {nb}) AS p_t,
+        (c_r + CAST(1.0 AS DOUBLE)) / (tot_r + {nb}) AS p_r,
+        ROUND(LN((c_t + CAST(1.0 AS DOUBLE)) / (tot_t + {nb})) * 1000000)
+          - ROUND(LN((c_r + CAST(1.0 AS DOUBLE)) / (tot_r + {nb})) * 1000000) AS delta
+      FROM stats, tot),
+    obs AS (
+      SELECT COUNT(*) AS n_obs,
+             CAST(SUM(CAST(ROUND(p_t * delta) AS BIGINT)) AS BIGINT) AS kl_tr_obs,
+             CAST(SUM(CAST(ROUND(p_r * -delta) AS BIGINT)) AS BIGINT) AS kl_rt_obs
+      FROM terms),
+    empties AS (
+      SELECT CAST(1.0 AS DOUBLE) / (tot_t + {nb}) AS p_t0,
+             CAST(1.0 AS DOUBLE) / (tot_r + {nb}) AS p_r0,
+             ROUND(LN(CAST(1.0 AS DOUBLE) / (tot_t + {nb})) * 1000000)
+               - ROUND(LN(CAST(1.0 AS DOUBLE) / (tot_r + {nb})) * 1000000) AS d0
+      FROM tot)
+    SELECT n_obs AS n_buckets_observed,
+           CAST(kl_tr_obs + CAST(ROUND(({n_buckets} - n_obs) * p_t0 * d0) AS BIGINT) AS BIGINT) AS kl_tr_micro,
+           CAST(kl_rt_obs + CAST(ROUND(({n_buckets} - n_obs) * p_r0 * -d0) AS BIGINT) AS BIGINT) AS kl_rt_micro
+    FROM obs, empties
+    """

@@ -25,7 +25,14 @@ from ..operators.pq import (
     pq_train_codebook,
     pq_train_residual_codebook,
 )
-from ..operators.importance import dsir_scores, dsir_select, dsir_select_sql, dsir_sql
+from ..operators.importance import (
+    corpus_kl,
+    corpus_kl_sql,
+    dsir_scores,
+    dsir_select,
+    dsir_select_sql,
+    dsir_sql,
+)
 from ..operators.nbayes import nb_confusion, nb_confusion_sql
 from ..operators.sharding import shard_manifest, shard_manifest_sql
 from ..session import read_table
@@ -54,6 +61,17 @@ def t_dsir_scores(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     out = dsir_scores(docs, target=F.col("lang") == "en", n_buckets=1024)
     return out.orderBy(F.desc("score_micro"), "doc_id").limit(50)
+
+
+@query("t_corpus_kl", oracle=corpus_kl_sql("lang = 'en'", 1024))
+def t_corpus_kl(spark, sf_dir):
+    """Corpus-drift monitor: symmetric smoothed KL divergence between the
+    English slice's and the rest's hashed-unigram distributions, in exact
+    integer micro-nats (per-bucket terms rounded before the sum). The
+    aggregate twin of DSIR scoring — one tokenize pass, a ≤1024-row stats
+    table, one output row."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_kl(docs, target=F.col("lang") == "en", n_buckets=1024)
 
 
 @query(
