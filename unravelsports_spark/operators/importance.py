@@ -304,8 +304,10 @@ def corpus_kl(
         F.count("*").alias("n_buckets_observed"),
         F.sum("kl_tr_term").alias("kl_tr_obs"),
         F.sum("kl_rt_term").alias("kl_rt_obs"),
-        F.first("tot_t").alias("tot_t"),
-        F.first("tot_r").alias("tot_r"),
+        # tot_t/tot_r are constant across rows (window over all); max is the
+        # order-independent way to carry the constant through the agg
+        F.max("tot_t").alias("tot_t"),
+        F.max("tot_r").alias("tot_r"),
     )
     # closed-form term for the B - observed empty buckets (all share
     # p = 1/(tot+B) and the same Δ₀)
