@@ -407,3 +407,72 @@ def test_corpus_kl_detects_injected_drift(spark):
     )
     shifted = corpus_kl(drifted, target=F.col("doc_id") % 2 == 0).first()
     assert shifted["kl_tr_micro"] > base["kl_tr_micro"]
+
+
+def test_bloom_lossless_property_over_random_params(spark):
+    """Hypothesis sweep: losslessness must hold for ANY (m_bits, k) — the
+    exact-confirm join makes Bloom parameters a pure performance knob."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from unravelsports_spark.operators.bloom import bloom_contaminated_docs
+    from unravelsports_spark.operators.filtering import contaminated_docs
+
+    docs = read_table(spark, SF, "documents").limit(120).cache()
+    docs.count()
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    exact = sorted(r[0] for r in contaminated_docs(corpus, bench, n=4).collect())
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        m_bits=st.sampled_from([64, 512, 4096, 1 << 16]),
+        k=st.integers(min_value=1, max_value=7),
+    )
+    def check(m_bits, k):
+        got = sorted(
+            r[0]
+            for r in bloom_contaminated_docs(
+                corpus, bench, n=4, m_bits=m_bits, k=k
+            ).collect()
+        )
+        assert got == exact
+
+    check()
+    docs.unpersist()
+
+
+def test_dsir_score_conservation_identity(spark):
+    """Exact integer invariant: the per-document scores must decompose back
+    to the bucket-level identity Σ_docs score = Σ_b (c_t(b)+c_r(b))·Δ(b) —
+    any drift in the join/agg plumbing breaks this equality exactly."""
+    from unravelsports_spark.operators.importance import (
+        MICRO,
+        doc_bucket_counts,
+        dsir_scores,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    target = F.col("lang") == "en"
+    total_from_docs = (
+        dsir_scores(docs, target=target).agg(F.sum("score_micro")).first()[0]
+    )
+    dbc = doc_bucket_counts(docs, target)
+    stats = dbc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_t"),
+        F.sum(F.when(~F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_r"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    b = F.lit(1024.0)
+    delta = (
+        F.round(F.log((F.col("c_t") + F.lit(1.0)) / (F.sum("c_t").over(w) + b)) * MICRO)
+        - F.round(F.log((F.col("c_r") + F.lit(1.0)) / (F.sum("c_r").over(w) + b)) * MICRO)
+    ).cast("bigint")
+    total_from_buckets = (
+        stats.select(((F.col("c_t") + F.col("c_r")) * delta).alias("t"))
+        .agg(F.sum("t"))
+        .first()[0]
+    )
+    assert total_from_docs == total_from_buckets
