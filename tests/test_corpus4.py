@@ -250,40 +250,21 @@ def test_ivfpq_scan_is_projection_only(spark):
 
 
 def test_ivf_cell_partitioned_layout_prunes_scan(spark, tmp_path):
-    """The 100 TB claim in pq_ivf_adc_topk's docstring, demonstrated: write
-    the corpus partitioned by coarse cell, and the probe filter becomes
-    partition pruning — the scan reads only the probed cells' directories."""
-    import math
-
-    import pyspark.sql.functions as F
-
-    from unravelsports_spark.operators.pq import (
-        Q,
-        _dist2,
-        _int_grid,
-        pq_train_codebook,
+    """The 100 TB claim in pq_ivf_adc_topk's docstring, demonstrated through
+    the public layout API: write the corpus partitioned by coarse cell, and
+    the probe filter becomes partition pruning — the scan reads only the
+    probed cells' directories."""
+    from unravelsports_spark.operators.pq import pq_train_codebook
+    from unravelsports_spark.sources.layout import (
+        read_probed_cells,
+        write_embeddings_by_cell,
     )
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     coarse = pq_train_codebook(emb, m_subspaces=1, k=8, n_rounds=1)
-    cell_dists = F.array(
-        *[
-            F.struct(
-                _dist2(F.col("iq"), F.array(*[F.lit(x) for x in coarse[0][c]])).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c in range(8)
-        ]
-    )
     out = str(tmp_path / "by_cell")
-    (
-        emb.withColumn("iq", _int_grid("embedding"))
-        .withColumn("cell", F.array_min(cell_dists)["c"].cast("bigint"))
-        .drop("iq")
-        .write.partitionBy("cell")
-        .parquet(out)
-    )
-    probed = spark.read.parquet(out).filter(F.col("cell").isin([1, 4]))
+    write_embeddings_by_cell(emb, coarse, out)
+    probed = read_probed_cells(spark, out, [1, 4])
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
     # pruning is effective: only the two probed partitions' rows are read

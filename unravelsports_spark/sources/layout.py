@@ -87,3 +87,34 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_embeddings_by_cell(
+    df,
+    coarse_cb,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Write an embedding table partitioned by its IVF coarse cell — the
+    storage layout that turns ANN probe filters into partition pruning (the
+    scan reads only the probed cells' directories, so a 2-of-64-cell probe
+    touches ~3 % of a 100 TB vector corpus before any operator runs).
+
+    ``coarse_cb`` is a 1-subspace integer codebook from
+    ``operators.pq.pq_train_codebook(m_subspaces=1)``; the cell assignment
+    is the same exact-int projection the query path uses, so reader and
+    writer can never disagree about a vector's cell."""
+    from ..operators.pq import _cell_and_residual
+
+    cells = _cell_and_residual(df, coarse_cb, vec_col, id_col).select(
+        F.col("_id").alias(id_col), "cell"
+    )
+    df.join(cells, id_col).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def read_probed_cells(spark, path: str, cells) -> "F.DataFrame":
+    """Read only the probed cells of a cell-partitioned embedding table —
+    pairs with :func:`write_embeddings_by_cell`; the ``cell`` filter is a
+    partition filter (directory pruning), never a data scan."""
+    return spark.read.parquet(path).filter(F.col("cell").isin([int(c) for c in cells]))
