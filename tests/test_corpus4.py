@@ -457,3 +457,27 @@ def test_dsir_score_conservation_identity(spark):
         .first()[0]
     )
     assert total_from_docs == total_from_buckets
+
+
+def test_partition_count_invariance_of_exact_operators(spark):
+    """SCALING.md's core claim, asserted directly: the integer-exact
+    operators return IDENTICAL rows whether the corpus arrives as 1
+    partition or 32 — partition count (and therefore cluster size) can
+    never change an answer."""
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.operators.importance import corpus_kl, dsir_scores
+    from unravelsports_spark.operators.nbayes import nb_confusion
+    from unravelsports_spark.operators.sharding import shard_manifest
+
+    docs = read_table(spark, SF, "documents")
+    for make in (
+        lambda d: dsir_scores(d, target=F.col("lang") == "en").orderBy("doc_id"),
+        lambda d: corpus_kl(d, target=F.col("lang") == "en"),
+        lambda d: nb_confusion(d, label_col="lang").orderBy("actual", "predicted"),
+        lambda d: shard_manifest(d, budget=4096).orderBy("shard_id"),
+    ):
+        narrow = make(docs.coalesce(1)).collect()
+        release_tracked()
+        wide = make(docs.repartition(32, "doc_id")).collect()
+        release_tracked()
+        assert narrow == wide
