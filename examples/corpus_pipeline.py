@@ -1,0 +1,67 @@
+"""End-to-end LLM training-data pipeline on the synthetic corpus: filter →
+dedup → select → pack — the migration path for a user bringing a corpus
+pipeline to this engine.
+
+Run: python examples/corpus_pipeline.py  [SPARK_GRAFT_SF_DIR overrides the
+default /root/testdata/sf0.001]. Every step is the same operator the
+certified driver queries use.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(spark, sf_dir: str) -> dict:
+    import pyspark.sql.functions as F
+
+    from unravelsports_spark.operators.dedup import exact_dedup
+    from unravelsports_spark.operators.importance import corpus_kl, dsir_select
+    from unravelsports_spark.operators.sharding import shard_manifest
+    from unravelsports_spark.operators.text import with_lang_id, with_quality
+    from unravelsports_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. prep: exact dedup → quality gate → language gate
+    kept = (
+        with_lang_id(with_quality(exact_dedup(docs)))
+        .filter((F.col("quality_score") >= 0.6) & (F.col("predicted_lang") == "en"))
+    )
+    n_kept = kept.count()
+
+    # 2. drift check: how far is the kept slice from the rest of the corpus?
+    kl = corpus_kl(docs, target=F.col("lang") == "en").first()
+
+    # 3. data selection: most-target-like 20% of the non-English pool
+    selected = dsir_select(docs, target=F.col("lang") == "en", keep_frac=0.2)
+    sel_rows = selected.collect()
+
+    # 4. pack the kept docs into fixed-token-budget training shards
+    manifest = shard_manifest(kept, budget=4096).orderBy("shard_id").collect()
+
+    out = {
+        "raw_docs": n_raw,
+        "kept_docs": n_kept,
+        "kl_micro_nats": (kl["kl_tr_micro"], kl["kl_rt_micro"]),
+        "dsir_selected": {r["label"]: r["n_selected"] for r in sel_rows},
+        "n_shards": len(manifest),
+        "shard_tokens": [r["shard_tokens"] for r in manifest],
+    }
+    return out
+
+
+if __name__ == "__main__":
+    from unravelsports_spark.session import get_spark
+
+    spark = get_spark("example-corpus-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    result = main(spark, sf_dir)
+    for k, v in result.items():
+        print(f"{k}: {v}")
+    spark.stop()

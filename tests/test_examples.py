@@ -1,0 +1,25 @@
+"""The examples/ scripts are the migration-path documentation — keep them
+runnable against the public API."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_corpus_pipeline_example(spark):
+    from examples.corpus_pipeline import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    assert out["raw_docs"] > 0
+    assert 0 < out["kept_docs"] <= out["raw_docs"]
+    assert out["n_shards"] >= 1
+    assert sum(out["shard_tokens"]) > 0
+    assert all(n > 0 for n in out["dsir_selected"].values())
+
+
+def test_tracking_pipeline_example(spark):
+    from examples.tracking_pipeline import main
+
+    out = main(spark)
+    assert out["pi_frames"] == out["graphs"] == 240
+    assert out["top_formation"][1] > 0

@@ -82,6 +82,10 @@ def bloom_contaminated_docs(
     :func:`~unravelsports_spark.operators.filtering.contaminated_docs` for
     every parameterization (the confirm join removes false positives; Bloom
     has no false negatives)."""
+    if m_bits < 2 or m_bits % 2:
+        raise ValueError(f"m_bits must be an even integer >= 2, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     bench = tracked_persist(
         doc_shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
         .select("shingle_hash")

@@ -61,6 +61,12 @@ def shard_assignments(
     streaming producer (:func:`streaming_shard_append`), which packs each
     micro-batch onto the tail shard the previous batch left partially full.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_ranges <= 0 or n_ranges > PPM:
+        raise ValueError(f"n_ranges must be in [1, {PPM}], got {n_ranges}")
+    if base_tokens < 0:
+        raise ValueError(f"base_tokens must be >= 0, got {base_tokens}")
     d = df.select(
         F.col(id_col).alias("doc_id"),
         _skey(text_col).alias("skey"),
