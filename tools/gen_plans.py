@@ -50,6 +50,7 @@ NOTES = {
     "s_ann_pq": "PQ encode + ADC rank: pure projection against literal integer centroids ending in TakeOrderedAndProject - zero joins, zero shuffles, corpus read once.",
     "s_ann_ivfpq": "coarse-cell probe filter evaluates in the scan's codegen stage (partition pruning with a cell-partitioned layout); ADC ranks only probed candidates - projection + filter + TakeOrderedAndProject.",
     "t_prep_to_shards_e2e": "dedup window (fingerprint partition) -> quality/langid projections -> skey-range packing window: two inherent corpus shuffles on different keys, everything else map-side.",
+    "s_ann_ivfpq_residual": "residual encoding against literal coarse+PQ codebooks with per-cell ADC tables - still a single projection + filter + TakeOrderedAndProject, zero joins.",
 }
 
 
