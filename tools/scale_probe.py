@@ -47,6 +47,7 @@ def main() -> None:
     )
     from unravelsports_spark.operators.importance import dsir_scores
     from unravelsports_spark.operators.nbayes import nb_confusion
+    from unravelsports_spark.operators.pq import pq_adc_topk, pq_train_codebook
     from unravelsports_spark.operators.retrieval import bm25_scores
     from unravelsports_spark.operators.sharding import shard_manifest
 
@@ -90,6 +91,36 @@ def main() -> None:
     for name, mk in probes.items():
         t_1 = timed(lambda: mk(base))
         t_10 = timed(lambda: mk(big))
+        print(f"{name:28s} {t_1:8.3f} {t_10:8.3f} {t_10 / t_1:6.1f}")
+
+    # ANN family on an embeddings blowup (copies get jittered ids; vectors
+    # reused — ANN cost is per-vector, independent of duplication)
+    emb = read_table(spark, SF_DIR, "embeddings")
+    ebig_dir = tempfile.mkdtemp() + "/embeddings_big"
+    ecopies = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        for i in range(BLOWUP)
+    ]
+    ebig = ecopies[0]
+    for c in ecopies[1:]:
+        ebig = ebig.unionAll(c)
+    ebig.write.mode("overwrite").parquet(ebig_dir)
+    ebig = spark.read.parquet(ebig_dir)
+    print(f"embeddings: {emb.count()} -> {ebig.count()} vectors")
+
+    import math
+
+    def pq_probe(d):
+        cb = pq_train_codebook(d, m_subspaces=4, k=16, n_rounds=2)
+        q = [
+            int(math.floor(float(v) * (1 << 20)))
+            for v in d.orderBy("vec_id").limit(1).first()["embedding"]
+        ]
+        return pq_adc_topk(d, cb, q, top=20)
+
+    for name, mk in {"pq_train+adc_topk": pq_probe}.items():
+        t_1 = timed(lambda: mk(emb))
+        t_10 = timed(lambda: mk(ebig))
         print(f"{name:28s} {t_1:8.3f} {t_10:8.3f} {t_10 / t_1:6.1f}")
     spark.stop()
 

@@ -90,6 +90,14 @@ def _train_on_iq(
         list(r["iq"])
         for r in iq.orderBy("_id").limit(k).select("iq").collect()
     ]
+    if len(seeds) < k:
+        raise ValueError(
+            f"need at least k={k} vectors to seed the codebook, got {len(seeds)}"
+        )
+    if dim % m_subspaces:
+        raise ValueError(
+            f"dimension {dim} is not divisible by m_subspaces={m_subspaces}"
+        )
     codebook = [
         [seeds[c][m * sub_dim : (m + 1) * sub_dim] for c in range(k)]
         for m in range(m_subspaces)
