@@ -1,15 +1,20 @@
-"""Round-4 corpus queries: DSIR importance scoring, hashed-feature Naive
-Bayes train/score, and token-budget shard manifests — the data-selection /
-classifier-filter / shard-packing trio that sits between "filtered corpus"
-and "training run" in a production LLM data pipeline.
+"""Round-4 corpus queries — the stretch between "filtered corpus" and
+"training run" in a production LLM data pipeline: DSIR importance scoring,
+selection, and drift monitoring; a hashed-feature Naive Bayes filter
+trained and scored in Catalyst; token-budget shard manifests (plus the
+dedup→quality→langid→shards composition); Bloom-prefiltered
+decontamination; and the compressed ANN ladder (PQ → IVF-PQ → residual
+IVF-PQ).
 
-All three follow the established engine-parity discipline: md5-derived
-hashes (bit-identical across engines), log terms as integer micro-nats so
-every per-document sum is exact BIGINT arithmetic, deterministic tie-breaks.
-The oracles are the naive single-node formulations; the Spark plans are the
-scale-out decompositions (single tokenize pass + broadcast model tables;
-two-level prefix sum instead of a one-reducer global window) — algebraically
-identical, hash-verified by the driver.
+All follow the established engine-parity discipline: md5-derived hashes
+(bit-identical across engines), log terms as integer micro-nats and
+embeddings quantized to a 2^-20 integer grid so every sum/distance is exact
+int64 arithmetic, deterministic tie-breaks everywhere. The oracles are the
+naive single-node formulations (including CTE-unrolled Lloyd rounds); the
+Spark plans are the scale-out decompositions (single tokenize pass +
+broadcast model tables; two-level prefix sum instead of a one-reducer
+global window; literal-codebook projections instead of joins) —
+algebraically identical, hash-verified by the driver.
 """
 
 from __future__ import annotations
