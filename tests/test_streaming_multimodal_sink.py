@@ -673,3 +673,52 @@ def test_streaming_shard_append_continues_and_replays(spark, tmp_path):
     assert after_df.select("doc_id").distinct().count() == 50
     # batch 0 now holds the full repack; its own partition has no duplicates
     assert after_df.filter("batch_id = 0").count() == 50
+
+
+def test_nb_model_filters_streaming_ingest_same_as_batch(spark, tmp_path):
+    """The production inline-filter pattern: an nb_train model artifact
+    scores streaming micro-batches (foreachBatch + nb_predict) exactly as
+    it scores the same documents in one batch pass."""
+    import pyspark.sql.functions as F
+
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.operators.nbayes import nb_predict, nb_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    model = nb_train(docs, label_col="lang")
+    release_tracked()
+
+    batch_pred = {
+        r["doc_id"]: (r["predicted"], r["score_micro"])
+        for r in nb_predict(docs, model).collect()
+    }
+
+    # stream the same docs in two files -> two micro-batches
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    docs.filter("doc_id % 2 = 0").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    def _score(batch_df, batch_id: int):
+        nb_predict(batch_df, model).write.mode("overwrite").parquet(
+            f"{out}/batch_id={batch_id}"
+        )
+
+    def run(ckpt):
+        q = (
+            stream.writeStream.foreachBatch(_score)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt"))
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+    run(str(tmp_path / "ckpt"))
+
+    stream_pred = {
+        r["doc_id"]: (r["predicted"], r["score_micro"])
+        for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    assert stream_pred == batch_pred
