@@ -132,6 +132,7 @@ def main() -> None:
         )
     oracle_sec: dict[str, float] = {}
     ratio_floor_adj: dict[str, float] = {}
+    ratio_jobs_adj: dict[str, float] = {}
     for name in HEADLINE:
         if name not in ORACLE_SQL:
             continue
@@ -139,6 +140,13 @@ def main() -> None:
         if oracle_sec[name] > 0:
             ratio_floor_adj[name] = round(
                 max(timings[name] - floor, 0.0) / oracle_sec[name], 3
+            )
+            # every Spark job pays the fixed scheduling floor, so n_jobs ×
+            # floor is the upper bound on per-query overhead (jobs partly
+            # overlap, so the truth sits between the two adjustments: the
+            # 1-floor ratio over-counts Spark, the n_jobs ratio under-counts)
+            ratio_jobs_adj[name] = round(
+                max(timings[name] - n_jobs[name] * floor, 0.0) / oracle_sec[name], 3
             )
     con.close()
 
@@ -178,6 +186,17 @@ def main() -> None:
         if oracle_total > 0
         else None
     )
+    agg_ratio_jobs = (
+        round(
+            max(
+                spark_oracle_total - sum(n_jobs[n] for n in oracle_sec) * floor, 0.0
+            )
+            / oracle_total,
+            3,
+        )
+        if oracle_total > 0
+        else None
+    )
     print(
         json.dumps(
             {
@@ -190,9 +209,11 @@ def main() -> None:
                 "n_jobs": n_jobs,
                 "oracle_sec": oracle_sec,
                 "ratio_floor_adj": ratio_floor_adj,
+                "ratio_jobs_adj": ratio_jobs_adj,
                 "oracle_total_sec": oracle_total,
                 "spark_oracle_subset_sec": spark_oracle_total,
                 "agg_ratio_floor_adj": agg_ratio,
+                "agg_ratio_jobs_adj": agg_ratio_jobs,
             }
         )
     )

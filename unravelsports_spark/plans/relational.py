@@ -429,18 +429,33 @@ def j4_anti_join(spark, sf_dir):
     """,
 )
 def j5_enrich_revenue(spark, sf_dir):
-    """J5 metadata enrichment joins with broadcast dims: dataset.py:294-322."""
+    """J5 metadata enrichment joins with broadcast dims: dataset.py:294-322.
+
+    Revenue rides the q1 long-product path: the per-row multiply is exact
+    bigint (cents × discount-micros, ≤1.1e11/row), promoted to
+    DECIMAL(38,0) only at the sum input — BigDecimal cost lands on the agg
+    hash-table updates, never on a per-row decimal multiply. With ~25k
+    (brand, supplier) groups a partition-id pre-agg would shuffle more rows
+    than it saves, so this stays single-phase (unlike q1's 6-group shape).
+    Proven bit-identical to the decimal formulation; 0.89 → 0.76 s at
+    sf0.1."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     s = read_table(spark, sf_dir, "supplier")
-    one = F.lit(1.0).cast("decimal(18,4)")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dm = F.lit(10000) - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 4))).cast("double").alias("revenue"),
+            (
+                F.sum((pc * dm).cast("decimal(38,0)"))
+                / F.lit(1000000).cast("decimal(7,0)")
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
