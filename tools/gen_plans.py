@@ -21,7 +21,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NOTES = {
     "q1_pricing_summary": "filter reaches the scan (PushedFilters), partial+final hash agg, 6-column ReadSchema from an 11-column table.",
-    "j5_enrich_revenue": "both dimension joins are BroadcastHashJoin (no shuffle of the fact side); p_size filter pushed into the part scan.",
+    "j5_enrich_revenue": "both dimension joins are BroadcastHashJoin (no shuffle of the fact side); p_size filter pushed into the part scan; revenue multiplies in exact bigint units, DECIMAL(38,0) only at the sum input.",
     "j2_agg_back_join": "partial agg before the shuffle; the agg-back join shuffles once on the shared key.",
     "a4_argmin_in_group": "min(struct) argmin: partial_min map-side, so the exchange carries one row per group (the window form shuffled every line item). Struct buffers force SortAggregate - the sorts are group-key-only, within partitions.",
     "w4_sessionize": "single window sort per user partition; lag+cumsum sessionization in one pass.",
@@ -39,7 +39,7 @@ NOTES = {
     "a13_rollup": "grouping-set hierarchy via one Expand + one aggregation: subtotals and grand total in a single shuffle.",
     "a12_corr_exact": "correlation from DECIMAL sufficient statistics: map-side-combinable exact sums, closed form evaluated on one row per group.",
     "w9_interpolate_gaps": "gap repair: two IGNORE-NULLS window passes share a single sort per series key; interpolation is pure projection arithmetic.",
-    "q1_pricing_summary": "scaled-long exact sums keep the money aggregation in vectorized long arithmetic (decimal only where 100 TB overflow headroom demands it); filter pushed to scan, partial+final hash agg.",
+    "q1_pricing_summary": "two-phase exact money aggregation: per-row work is pure long arithmetic in a (partition_id, group) pre-agg (whole-stage codegen, overflow-safe partials), DECIMAL(38,0) touches only the tiny partial table; filter pushed to scan.",
     "t_bm25_topk": "round-4 wide rewrite: ZERO explode, ZERO corpus shuffle - per-doc (dl, tf_i) projections cached (n_docs x (|Q|+2) ints), 1-row stats agg broadcast back, scoring is a projection; top-k via TakeOrderedAndProject.",
     "d_dup_spans": "span fingerprints exploded once; duplication counts via one count-window over the fp partitioning (single shuffle, no agg+join-back double compute); per-source rollup is a broadcast join to the pruned documents scan.",
     "d_semdedup_multitable": "four sign-LSH tables via one broadcast plane join + one grouped agg; candidates meet only inside (table, bucket); persisted key table feeds both self-join sides; cosine verify runs on candidates only.",
