@@ -229,6 +229,9 @@ def test_domain_mixture_fact_never_shuffled_for_rates(spark):
     plan = plan_of(spark, "t_domain_mixture")
     # rates are a tiny dim joined by broadcast; corpus-side join is broadcast
     assert "SortMergeJoin" not in plan
+    # the per-domain counts table is persisted so every rates consumer reads
+    # one InMemoryRelation — the corpus-count pass runs once, not per branch
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
 
 def test_kmeans_assign_single_exchange(spark):

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 PPM = 1_000_000
 
 
@@ -39,7 +41,12 @@ def mixture_rates(
     matching ``targets`` (shares summing to 1). Domains absent from
     ``targets`` get rate 0. Returns (domain, n_docs, target_ppm, rate_ppm).
     """
-    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    # one row per domain — persisted so every consumer branch (the T-total
+    # min, the rate projection, and a caller that builds rates twice, e.g.
+    # rates-report + sample in one query) reads one InMemoryRelation instead
+    # of re-scanning and re-aggregating the corpus per branch (the r2/r3
+    # single-lineage fix pattern; was 4 corpus scans in t_domain_mixture)
+    counts = tracked_persist(df.groupBy(domain_col).agg(F.count("*").alias("n_docs")))
     tgt = F.create_map(*[x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))])
     counts = counts.withColumn("_target", F.coalesce(tgt[F.col(domain_col)], F.lit(0.0)))
     # T = min over targeted domains of n_d / target_d  (cross-joined 1-row agg
@@ -68,11 +75,18 @@ def sample_mixture(
     targets: dict[str, float],
     domain_col: str = "source",
     text_col: str = "text",
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministically sample ``df`` to the target mixture: broadcast-join
     the per-domain rates and keep rows whose content-hash ppm falls under the
-    domain's rate. Adds ``rate_ppm`` to the output."""
-    rates = mixture_rates(df, targets, domain_col).select(domain_col, "rate_ppm")
+    domain's rate. Adds ``rate_ppm`` to the output. Pass a precomputed
+    :func:`mixture_rates` frame as ``rates`` when the caller also reports on
+    it — sharing one rates lineage keeps the whole job at the two-scan
+    minimum (one tiny domain-column pass for counts, one full pass to
+    sample)."""
+    if rates is None:
+        rates = mixture_rates(df, targets, domain_col)
+    rates = rates.select(domain_col, "rate_ppm")
     return (
         df.join(F.broadcast(rates), domain_col)
         .filter(_hash_ppm(text_col) < F.col("rate_ppm"))

@@ -111,7 +111,7 @@ def t_domain_mixture(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     rates = mixture_rates(d, MIX_TARGETS)
     sampled = (
-        sample_mixture(d, MIX_TARGETS)
+        sample_mixture(d, MIX_TARGETS, rates=rates)
         .groupBy("source")
         .agg(F.count("*").alias("_n_sampled"))
     )
