@@ -481,3 +481,35 @@ def test_partition_count_invariance_of_exact_operators(spark):
         wide = make(docs.repartition(32, "doc_id")).collect()
         release_tracked()
         assert narrow == wide
+
+
+def test_partition_count_invariance_of_two_phase_money_aggs(spark):
+    """q1/j5 pre-aggregate on spark_partition_id before the exact decimal
+    sum — the partial split must never change the answer. Varying the scan
+    split size changes the partition count (and thus every _pid), so the
+    collected rows must stay bit-identical."""
+    import struct
+
+    from unravelsports_spark.plans import QUERIES
+
+    def rows(name):
+        df = QUERIES[name](spark, SF)
+        out = []
+        for r in sorted(map(tuple, df.collect())):
+            out.append(
+                tuple(
+                    struct.pack("<d", v) if isinstance(v, float) else v for v in r
+                )
+            )
+        return out
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for name in ("q1_pricing_summary", "j5_enrich_revenue"):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+            one = rows(name)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "256k")
+            many = rows(name)
+            assert one == many, name
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
