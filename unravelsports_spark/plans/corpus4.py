@@ -424,3 +424,160 @@ def t_shard_manifest(spark, sf_dir):
     oracle is the naive global cumsum, algebraically identical."""
     docs = read_table(spark, sf_dir, "documents")
     return shard_manifest(docs, budget=SHARD_BUDGET, n_ranges=64)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 late certifications: cross-batch incremental dedup and embedding-
+# space benchmark decontamination — both upgrade tested-only operator
+# families to driver hash-certified queries.
+# ---------------------------------------------------------------------------
+
+_NORM_FP_SQL = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+@query(
+    "d_incremental_dedup",
+    oracle=f"""
+    WITH fpb AS (
+      SELECT doc_id, source, {_NORM_FP_SQL} AS fingerprint
+      FROM (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 2 = 0)),
+    ledger AS (
+      SELECT DISTINCT {_NORM_FP_SQL} AS fingerprint
+      FROM documents WHERE doc_id % 4 = 0),
+    surv AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source, fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM fpb
+        WHERE NOT EXISTS (SELECT 1 FROM ledger l WHERE l.fingerprint = fpb.fingerprint))
+      WHERE rn = 1),
+    nb AS (SELECT source, COUNT(*) AS n_batch FROM fpb GROUP BY source),
+    ns AS (SELECT source, COUNT(*) AS n_survivors, MIN(doc_id) AS min_surv_id
+           FROM surv GROUP BY source)
+    SELECT nb.source, nb.n_batch,
+           COALESCE(ns.n_survivors, 0) AS n_survivors,
+           ns.min_surv_id
+    FROM nb LEFT JOIN ns ON nb.source = ns.source
+    """,
+)
+def d_incremental_dedup(spark, sf_dir):
+    """Cross-batch incremental dedup (operators/dedup.py:incremental_dedup —
+    the streaming-ingest shape of exact dedup, previously tested-only), on
+    the re-crawl scenario every production ingest hits: the arriving batch
+    is the doc_id % 2 == 0 slice plus an id-shifted copy of itself (a
+    re-crawled shard arrives under new ids but identical text), and the
+    ledger holds fingerprints of the previously-ingested doc_id % 4 == 0
+    docs. So the query certifies BOTH mechanisms with guaranteed non-trivial
+    counts: ledger-seen texts (half the batch) drop in the anti-join, and
+    each surviving text arrives twice with different ids — the
+    keep-lowest-id tie-break is what min_surv_id hash-checks.
+
+    100 TB posture: the ledger anti-join is a hash join on the fingerprint —
+    the key both sides are stored by in the durable-ledger deployment — and
+    the within-batch window partitions by fingerprint (no global sort)."""
+    from ..operators.dedup import incremental_dedup, norm_text
+
+    d = read_table(spark, sf_dir, "documents")
+    half = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "text")
+    batch = half.unionAll(
+        half.select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "source", "text"
+        )
+    )
+    ledger = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .select(F.md5(norm_text()).alias("fingerprint"))
+    )
+    surv = incremental_dedup(batch, seen=ledger)
+    n_batch = batch.groupBy("source").agg(F.count("*").alias("n_batch"))
+    n_surv = surv.groupBy("source").agg(
+        F.count("*").alias("n_survivors"), F.min("doc_id").alias("min_surv_id")
+    )
+    return (
+        n_batch.join(F.broadcast(n_surv), "source", "left")
+        .withColumn("n_survivors", F.coalesce(F.col("n_survivors"), F.lit(0)))
+        .select("source", "n_batch", "n_survivors", "min_surv_id")
+    )
+
+
+def _semantic_contamination_sql() -> str:
+    from .pipeline import _cos_sql
+
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v AS p FROM e WHERE vec_id BETWEEN 1 AND 4),
+    buckets AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+                           THEN 1 << (p.plane_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+    be AS (SELECT e.vec_id, e.label, e.v, b.bucket
+           FROM e JOIN buckets b ON e.vec_id = b.vec_id),
+    corp AS (SELECT * FROM be WHERE vec_id % 7 != 0),
+    bench AS (SELECT * FROM be WHERE vec_id % 7 = 0),
+    hits AS (
+      SELECT DISTINCT a.vec_id
+      FROM corp a JOIN bench b ON a.bucket = b.bucket
+      WHERE {_cos_sql('a.v', 'b.v')} >= 0.35)
+    SELECT corp.label, COUNT(*) AS n_corpus,
+           CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM corp LEFT JOIN hits h ON corp.vec_id = h.vec_id
+    GROUP BY corp.label
+    """
+
+
+@query("d_semantic_contamination", oracle=_semantic_contamination_sql())
+def d_semantic_contamination(spark, sf_dir):
+    """Embedding-space benchmark decontamination — the semantic complement
+    of the n-gram d_contamination / d_bloom_decontamination pair: flag
+    corpus vectors whose cosine similarity to ANY benchmark vector (the
+    vec_id % 7 == 0 slice) reaches 0.35, with candidates meeting only
+    inside a sign-LSH bucket (planes drawn from the data so the oracle is
+    SQL-expressible — the d_semdedup_lsh discipline, applied cross-set).
+
+    100 TB posture: one bucket pass over all vectors, persisted; the
+    benchmark side is broadcast (a benchmark is always ≪ the corpus), so
+    the corpus never shuffles and never self-joins; the cosine confirm runs
+    only on bucket-colliding (corpus, bench) pairs."""
+    from ..cache import tracked_persist
+    from .pipeline import _cos_col, _dot_col, _emb
+
+    e = _emb(spark, sf_dir, extra_cols=("label",))
+    planes = e.filter(F.col("vec_id").between(1, 4)).select(
+        F.col("vec_id").alias("plane_id"), F.col("v").alias("p")
+    )
+    buckets = (
+        e.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    _dot_col(F.col("v"), F.col("p")) > 0,
+                    F.expr("shiftleft(1, cast(plane_id as int) - 1)"),
+                ).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+    be = tracked_persist(e.join(buckets, "vec_id"))
+    corp = be.filter(F.col("vec_id") % 7 != 0)
+    bench = be.filter(F.col("vec_id") % 7 == 0)
+    a, b = corp.alias("a"), bench.alias("b")
+    hits = (
+        a.join(F.broadcast(b), F.col("a.bucket") == F.col("b.bucket"))
+        .filter(_cos_col(F.col("a.v"), F.col("b.v")) >= 0.35)
+        .select(F.col("a.vec_id").alias("hit_id"))
+        .distinct()
+    )
+    return (
+        corp.join(hits, corp.vec_id == hits.hit_id, "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_corpus"),
+            F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+        )
+    )
