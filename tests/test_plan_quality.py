@@ -75,6 +75,7 @@ _SWEEP = [
     "d_jaccard_top_pairs", "d_exact_dedup_stats", "d_simhash",
     "d_semdedup_multitable", "t_mixture_temperature", "t_bigram_logprob",
     "t_dsir_scores", "t_nb_confusion", "t_shard_manifest",
+    "d_incremental_dedup", "d_semantic_contamination",
 ]
 
 
