@@ -28,7 +28,7 @@ The corpus never self-joins and never passes twice.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
@@ -122,11 +122,13 @@ def nb_confusion(
         .join(F.broadcast(priors), "label")
         .withColumn("score_micro", F.col("ll_micro") + F.col("prior_micro"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("label"))
-    predicted = (
-        scores.withColumn("_rk", F.row_number().over(w))
-        .filter("_rk = 1")
-        .select("doc_id", "actual", F.col("label").alias("predicted"))
+    # argmax as a combinable aggregation, not a window: min of the struct
+    # (-score, label) is lexicographically "highest score, ties by label
+    # ascending" — deterministic, map-side partial combine, no per-doc sort
+    predicted = scores.groupBy("doc_id", "actual").agg(
+        F.min_by(
+            F.col("label"), F.struct((-F.col("score_micro")).alias("_neg"), F.col("label"))
+        ).alias("predicted")
     )
     return predicted.groupBy("actual", "predicted").agg(
         F.count("*").alias("n_docs")
@@ -267,13 +269,15 @@ def nb_predict(
         .join(F.broadcast(priors), "label")
         .withColumn("score_micro", F.col("ll_micro") + F.col("prior_micro"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("label"))
-    return (
-        scores.withColumn("_rk", F.row_number().over(w))
-        .filter("_rk = 1")
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.col("label").alias("predicted"),
-            "score_micro",
-        )
+    # same combinable argmax as nb_confusion (min of (-score, label) struct)
+    best = scores.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(F.col("label"), F.col("score_micro")),
+            F.struct((-F.col("score_micro")).alias("_neg"), F.col("label")),
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("doc_id").alias(id_col),
+        F.col("_b.label").alias("predicted"),
+        F.col("_b.score_micro").alias("score_micro"),
     )
