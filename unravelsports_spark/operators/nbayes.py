@@ -22,7 +22,8 @@ Scale notes (100 TB): one tokenize pass into a map-side-combinable
 ``(doc_id, label, is_train, bucket, n)`` table, persisted so the grid agg and
 the scoring join share one InMemoryRelation (the r2/r3 single-lineage
 pattern). The model is ≤ classes×B rows — broadcast; scoring is a broadcast
-hash join + combinable sum + one per-doc argmax window over ≤K rows per doc.
+hash join + combinable sum + a combinable min_by argmax (tie-break encoded
+in the ordering struct — no per-doc window sort).
 The corpus never self-joins and never passes twice.
 """
 
