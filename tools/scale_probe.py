@@ -75,9 +75,33 @@ def main() -> None:
     n10 = big.count()
     print(f"corpus: {n1} docs -> {n10} docs ({BLOWUP}x)")
 
+    # duplication-heavy twin: copies keep IDENTICAL text (only ids shift) —
+    # the regime where exact dedup's map-side combine must collapse the
+    # shuffle to ~n1 rows regardless of the duplication factor
+    dup_dir = tempfile.mkdtemp() + "/documents_dup"
+    dcopies = [
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(BLOWUP)
+    ]
+    dup = dcopies[0]
+    for c in dcopies[1:]:
+        dup = dup.unionAll(c)
+    dup.write.mode("overwrite").parquet(dup_dir)
+    dup = spark.read.parquet(dup_dir)
+
+    from unravelsports_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+        norm_text,
+    )
+
     probes = {
         "minhash+lsh_pairs": lambda d: lsh_candidate_pairs(
             minhash_signatures(doc_shingles(d))
+        ),
+        "exact_dedup(all-unique)": lambda d: exact_dedup(d),
+        "incremental_dedup(vs ledger)": lambda d: incremental_dedup(
+            d, seen=base.select(F.md5(norm_text()).alias("fingerprint"))
         ),
         "jaccard_pairs(df-capped)": lambda d: jaccard_pairs(doc_shingles(d)),
         "dsir_scores": lambda d: dsir_scores(d, target=F.col("lang") == "en"),
@@ -92,6 +116,12 @@ def main() -> None:
         t_1 = timed(lambda: mk(base))
         t_10 = timed(lambda: mk(big))
         print(f"{name:28s} {t_1:8.3f} {t_10:8.3f} {t_10 / t_1:6.1f}")
+
+    # dedup on the duplication-heavy corpus: 10x the rows, same distinct
+    # texts — the map-side combine should hold the shuffle near 1x volume
+    t_1 = timed(lambda: exact_dedup(base))
+    t_10 = timed(lambda: exact_dedup(dup))
+    print(f"{'exact_dedup(10x dup-heavy)':28s} {t_1:8.3f} {t_10:8.3f} {t_10 / t_1:6.1f}")
 
     # ANN family on an embeddings blowup (copies get jittered ids; vectors
     # reused — ANN cost is per-vector, independent of duplication)
