@@ -72,7 +72,7 @@ def time_df(make_df, warmup: bool = True, runs: int = 3) -> float:
     return best
 
 
-def time_duck(con, sql: str, runs: int = 3) -> float:
+def time_duck(con, sql: str, runs: int = 5) -> float:
     """Best-of-`runs` DuckDB oracle wall time (first run warms the buffer
     pool and is also counted — DuckDB has no JIT warm-up to exclude)."""
     best = float("inf")
