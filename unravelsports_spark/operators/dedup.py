@@ -219,6 +219,17 @@ def window_fingerprints(
     span repeated *within* a document counts, and the position column lets
     callers report which parts of a document are boilerplate. Same
     zero-shuffle generator pattern: split → sequence → transform → explode.
+
+    Measured negative result (keep md5-per-span): a Karp–Rabin-style
+    polynomial fingerprint over pre-hashed tokens looks asymptotically
+    cheaper, but Catalyst does not common-subexpression-eliminate an array
+    expression referenced inside an outer ``transform`` lambda — the
+    per-token hash array re-evaluates per element_at, turning O(tokens×w)
+    into O(tokens²×w): 0.51 s → 7.5 s at sf0.1. Materializing the array as
+    a column fixes that but a 31-bit modulus (the largest whose mulmod fits
+    int64) birthday-collides at ~10⁶ spans, so it needs a double-hash pass
+    — at which point the JVM-side md5 wins. Benchmark before "optimizing"
+    expression trees.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
