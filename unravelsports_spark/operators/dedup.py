@@ -226,10 +226,11 @@ def window_fingerprints(
     expression referenced inside an outer ``transform`` lambda — the
     per-token hash array re-evaluates per element_at, turning O(tokens×w)
     into O(tokens²×w): 0.51 s → 7.5 s at sf0.1. Materializing the array as
-    a column fixes that but a 31-bit modulus (the largest whose mulmod fits
-    int64) birthday-collides at ~10⁶ spans, so it needs a double-hash pass
-    — at which point the JVM-side md5 wins. Benchmark before "optimizing"
-    expression trees.
+    a column fixes that (0.52 s, parity) but a 31-bit modulus (the largest
+    whose mulmod fits int64) birthday-collides at ~10⁶ spans, and the
+    collision-safe double-hash variant measures 0.61 s — behind md5's
+    0.58 s: JVM md5 over ~60-byte spans is not the bottleneck, the
+    generator machinery is. Benchmark before "optimizing" expression trees.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
