@@ -47,6 +47,27 @@ def test_dsir_scores_every_tokenized_doc(spark):
     assert out.count() == n_docs_with_tokens
 
 
+def test_nb_argmax_tiebreak_picks_lowest_label(spark):
+    """The combinable min_by argmax must break score ties by label
+    ascending (the contract the oracle's ROW_NUMBER ORDER BY encodes).
+    Symmetric training data forces an exact tie: two classes whose training
+    docs are identical word multisets give bit-identical micro-nat scores
+    for any test doc, so every prediction must land on the
+    lexicographically smallest class."""
+    rows = [
+        # train (even ids): class "aa" and class "zz" see the SAME text
+        (0, "aa", "alpha beta gamma"),
+        (2, "zz", "alpha beta gamma"),
+        # held-out (odd ids)
+        (1, "aa", "alpha beta"),
+        (3, "zz", "gamma alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    conf = nb_confusion(df, label_col="lang").collect()
+    assert {r["predicted"] for r in conf} == {"aa"}
+    assert sum(r["n_docs"] for r in conf) == 2
+
+
 def test_nb_confusion_covers_heldout_half_exactly(spark):
     docs = read_table(spark, SF, "documents")
     conf = nb_confusion(docs, label_col="lang")
