@@ -67,9 +67,10 @@ def _assign_formation(coords, templates, labels_by_formation):
     exact total. Selection is IDENTICAL to solving all templates — ties on
     the exact total still resolve to the lowest template index (np.argmin
     semantics), and a bound equal to the incumbent is still evaluated.
-    Measured ~3x fewer Jonker-Volgenant solves on random costs with zero
-    winner changes; the per-frame EFPI path is ~1M solves per 20k frames,
-    so this is its dominant term."""
+    Measured ~3x fewer Jonker-Volgenant solves on random costs and 30%
+    fewer (95,000 → 66,138) on the synthetic tracking kernel probe, with
+    zero winner changes; the per-frame EFPI path is ~1M solves per 20k
+    frames, so this is its dominant term."""
     n = len(coords)
     options = templates.get(n, {})
     if not options:
