@@ -175,6 +175,14 @@ def main() -> None:
     timings["model_efpi_possession"] = round(
         time_df(lambda: QUERIES["m_efpi_possession"](spark, SF_DIR)), 4
     )
+    # the reference's primary EFPI mode: per-frame formation detection over
+    # the sf-sized tracking table — the heaviest model-kernel path
+    # (template-bound pruning + list-based JV solver land here)
+    from unravelsports_spark.models.efpi import EFPI
+
+    timings["model_efpi_frame"] = round(
+        time_df(lambda: EFPI(tracking, settings).fit(every="frame").output), 4
+    )
 
     total = round(sum(timings.values()), 4)
     oracle_total = round(sum(oracle_sec.values()), 4)
