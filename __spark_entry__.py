@@ -22,17 +22,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, SF0001)
 
 
-# Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01/r02
-# or r03). The driver checks a bounded prefix of this dict, so enumerate
+# Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01..
+# r04). The driver checks a bounded prefix of this dict, so enumerate
 # never-certified queries first to widen certification breadth; no keys are
-# renamed. Deliberately NOT listed despite earlier green rows:
-#   - f12_array_agg_sorted: r3 driver err (array column unhashable); output
-#     changed to a joined string this round — needs a fresh driver row.
-#   - d_jaccard_top_pairs: jaccard_pairs grew a max_doc_freq=50 default in r3
-#     after its r1 certification; results at sf0.01 are unchanged (max real
-#     df is 7) but the changed query + oracle pair must re-certify.
+# renamed. Deliberately NOT listed despite earlier green rows: the four
+# r4 hash-fails (t_dsir_scores, t_dsir_resample, t_shard_manifest,
+# t_prep_to_shards_e2e) whose oracle SQL emitted DuckDB HUGEINT columns —
+# fixed with explicit BIGINT casts this round, need fresh driver rows.
 _CERTIFIED = frozenset(
     {
+        # r4 green (CORRECTNESS_r04.json)
+        "d_jaccard_top_pairs", "s_ann_mllib_brp", "d_mllib_minhash_join",
+        "a9_approx_distinct", "f12_array_agg_sorted", "a16_profile",
+        "w10_moving_avg", "o15_morton_key", "j10_full_outer",
+        "st_session_window_native", "f14_variant_json", "f15_sql_text",
+        "t_bm25_topk", "t_unigram_logprob", "t_bigram_logprob",
+        "d_countmin_heavyhitters", "d_dup_spans", "t_bpe_merges",
+        "t_bpe_tokenized_stats", "t_corpus_prep_e2e", "t_mixture_temperature",
+        "d_cluster_keep_best", "d_semdedup_lsh", "d_semdedup_multitable",
+        "d_pagerank", "m_pi_cells", "m_graph_cells", "m_delaunay_cells",
+        "m_af_cells", "m_efpi_cells", "t_corpus_kl", "t_nb_confusion",
+        "d_bloom_decontamination", "s_ann_pq", "s_ann_ivfpq_residual",
+        "s_ann_ivfpq", "d_incremental_dedup", "d_semantic_contamination",
         # r1/r2 green
         "q1_pricing_summary", "p1_p2_project_filter", "f7_f8_conditional_literals",
         "p3_filter_eq", "p4_range_between", "p5_modulo_sample", "p6_conditional_cap",

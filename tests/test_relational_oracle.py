@@ -35,3 +35,32 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql().keys()) <= set(mod.queries().keys())
+
+
+# Driver-hash-safe DuckDB output types. The r4 postmortem: the four r4 hash
+# fails were exactly the four oracles whose SQL emitted un-CAST HUGEINT
+# (INT128) columns (SUM(BIGINT) / window-cumsum derived) — the driver's value
+# hasher serializes INT128 differently from BIGINT even when numerically
+# equal. Arrays hit the same class of issue in r3 (f12_array_agg_sorted).
+_HASHABLE_TYPE_RE = (
+    r"^(BOOLEAN|TINYINT|SMALLINT|INTEGER|BIGINT|FLOAT|DOUBLE|VARCHAR|DATE|"
+    r"TIME|TIMESTAMP( WITH TIME ZONE)?|DECIMAL\(\d+,\d+\)|BLOB)$"
+)
+
+
+def test_no_oracle_emits_hugeint_or_nested(duck):
+    """Every registered oracle must bind to driver-hashable column types —
+    no HUGEINT/UHUGEINT, no LIST/STRUCT/MAP. DESCRIBE only binds (no scan),
+    so this covers all oracles cheaply."""
+    import re
+
+    bad = {}
+    for name, sql in sorted(ORACLE_SQL.items()):
+        desc = duck.execute(f"DESCRIBE ({sql})").fetchall()
+        offending = [
+            (col, typ) for col, typ, *_ in desc
+            if not re.match(_HASHABLE_TYPE_RE, typ)
+        ]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"oracles emitting non-hashable types: {bad}"

@@ -217,8 +217,8 @@ def dsir_sql(
                   - ROUND(LN((c_r + CAST(1.0 AS DOUBLE)) / (tot_r + CAST({float(n_buckets)!r} AS DOUBLE))) * 1000000)
                   AS BIGINT) AS delta_micro
       FROM stats, totals)
-    SELECT d.doc_id, SUM(d.n) AS n_tokens,
-           SUM(d.n * x.delta_micro) AS score_micro
+    SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.n * x.delta_micro) AS BIGINT) AS score_micro
     FROM dbc d JOIN deltas x USING (bucket)
     GROUP BY d.doc_id
     """
@@ -251,7 +251,7 @@ def dsir_select_sql(
     sel AS (SELECT lab.* FROM lab, thr WHERE {fb} >= thr.tb)
     SELECT {label_col} AS label, COUNT(*) AS n_selected,
            CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens,
-           MIN(score_micro) AS min_score
+           CAST(MIN(score_micro) AS BIGINT) AS min_score
     FROM sel GROUP BY 1
     """
 

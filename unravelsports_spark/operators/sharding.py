@@ -143,7 +143,7 @@ def shard_manifest_sql(budget: int, table: str = "documents", extra_ctes: str = 
              SUM(n_tokens) OVER (ORDER BY skey, doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
       FROM d)
-    SELECT (run - n_tokens) // {budget} AS shard_id,
+    SELECT CAST((run - n_tokens) // {budget} AS BIGINT) AS shard_id,
            COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
     FROM runs GROUP BY 1
     """
