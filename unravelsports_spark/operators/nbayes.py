@@ -19,17 +19,22 @@ The B-bucket grid is built over *all* buckets observed anywhere in the corpus
 correctness subtlety a naive inner-join implementation gets wrong.
 
 Scale notes (100 TB): one tokenize pass into a map-side-combinable
-``(doc_id, label, is_train, bucket, n)`` table, persisted so the grid agg and
+``(doc_id, label, is_train, bucket, n)`` table, persisted so the model agg and
 the scoring join share one InMemoryRelation (the r2/r3 single-lineage
-pattern). The model is ≤ classes×B rows — broadcast; scoring is a broadcast
-hash join + combinable sum + a combinable min_by argmax (tie-break encoded
-in the ordering struct — no per-doc window sort).
-The corpus never self-joins and never passes twice.
+pattern). ALL model statistics — per-(class, bucket) counts, class token
+totals, class doc counts, and the train-doc total — come out of ONE rollup
+pass over that table (grouping sets share the shuffle), are collected to the
+driver (≤ classes×B rows, the same O(model) contract as the PQ codebooks),
+and ship back as a single literal grid that already carries the class prior.
+Scoring is then one broadcast hash join + combinable sum + a combinable
+min_by argmax (tie-break encoded in the ordering struct — no per-doc window
+sort). The corpus never self-joins and never passes twice; the whole query is
+~5 Spark jobs instead of the r4 20-job broadcast chain.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
@@ -70,23 +75,25 @@ def nb_confusion(
         .agg(F.count("*").alias("n"))
     )
 
-    # --- train: class priors + per-(class, bucket) token counts ------------
+    # --- train: class stats + per-(class, bucket) token counts -------------
     # one (label, bucket) aggregate feeds BOTH the class totals and the grid
-    # join — the class-tok re-aggregation of the corpus-sized cache is gone
+    # join; the class prior rides ON the grid rows (one tiny window over the
+    # <= classes-row stats frame computes the train total), so scoring needs
+    # exactly ONE broadcast exchange — the r4 chain of separate n_train /
+    # priors / grid broadcasts is gone.
     train = dbc.filter("is_train")
     tb = tracked_persist(train.groupBy("label", "bucket").agg(F.sum("n").alias("c")))
-    class_tok = tb.groupBy("label").agg(F.sum("c").alias("tot"))
     class_docs = train.select("doc_id", "label").distinct().groupBy("label").agg(
         F.count("*").alias("n_docs")
     )
-    n_train = class_docs.select(F.sum("n_docs").alias("n_train"))
-    priors = (
-        class_docs.crossJoin(F.broadcast(n_train))
-        .select(
-            "label",
-            F.round(F.log(F.col("n_docs") / F.col("n_train")) * MICRO)
-            .cast("bigint")
-            .alias("prior_micro"),
+    class_stats = (
+        tb.groupBy("label")
+        .agg(F.sum("c").alias("tot"))
+        .join(class_docs, "label")
+        .withColumn("n_train", F.sum("n_docs").over(Window.partitionBy()))
+        .withColumn(
+            "prior_micro",
+            F.round(F.log(F.col("n_docs") / F.col("n_train")) * MICRO).cast("bigint"),
         )
     )
     # grid over the full bucket range × every class (a superset of the
@@ -96,7 +103,7 @@ def nb_confusion(
         F.col("id").cast("bigint").alias("bucket")
     )
     grid = (
-        buckets.crossJoin(F.broadcast(class_tok))
+        buckets.crossJoin(F.broadcast(class_stats))
         .join(tb, ["label", "bucket"], "left")
         .select(
             "label",
@@ -110,6 +117,7 @@ def nb_confusion(
             )
             .cast("bigint")
             .alias("logp_micro"),
+            "prior_micro",
         )
     )
 
@@ -119,9 +127,10 @@ def nb_confusion(
         test.withColumnRenamed("label", "actual")
         .join(F.broadcast(grid), "bucket")
         .groupBy("doc_id", "actual", "label")
-        .agg(F.sum(F.col("n") * F.col("logp_micro")).alias("ll_micro"))
-        .join(F.broadcast(priors), "label")
-        .withColumn("score_micro", F.col("ll_micro") + F.col("prior_micro"))
+        .agg(
+            (F.sum(F.col("n") * F.col("logp_micro")) + F.min("prior_micro"))
+            .alias("score_micro")
+        )
     )
     # argmax as a combinable aggregation, not a window: min of the struct
     # (-score, label) is lexicographically "highest score, ties by label

@@ -17,8 +17,14 @@ prefix sum with *value-based* (not sampled) range partitioning:
    order.
 3. A per-bucket window computes local cumulative token counts (P parallel
    window partitions, each ~1/P of the corpus).
-4. A P-row aggregate computes per-bucket totals; a window over those P rows
-   (trivially small) yields each bucket's global offset, broadcast back.
+4. A P-row partial aggregate computes per-bucket totals, collected to the
+   driver (P rows — O(parallelism), not O(data)); the prefix sum over them
+   is computed driver-side and shipped back as a P-entry literal map, so
+   attaching each bucket's global offset is a pure projection — no
+   broadcast exchange, no join, no second pass over the corpus. The narrow
+   projected table ``(doc_id, skey, n_tokens, bucket)`` is persisted once
+   so the totals pass and the window pass share one lineage even when the
+   input is an expensive upstream chain (dedup windows, quality filters).
 5. ``global_running = offset + local_running``; a document starting before a
    budget boundary belongs to shard ``(global_running - n_tokens) / budget``
    (greedy whole-document packing, the standard loader contract).
@@ -32,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..cache import tracked_persist
 
 PPM = 1_000_000
 
@@ -67,32 +75,39 @@ def shard_assignments(
         raise ValueError(f"n_ranges must be in [1, {PPM}], got {n_ranges}")
     if base_tokens < 0:
         raise ValueError(f"base_tokens must be >= 0, got {base_tokens}")
-    d = df.select(
-        F.col(id_col).alias("doc_id"),
-        _skey(text_col).alias("skey"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias(
-            "n_tokens"
-        ),
-    ).withColumn("bucket", (F.col("skey") * n_ranges / PPM).cast("bigint"))
+    d = tracked_persist(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            _skey(text_col).alias("skey"),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias(
+                "n_tokens"
+            ),
+        ).withColumn("bucket", (F.col("skey") * n_ranges / PPM).cast("bigint"))
+    )
+
+    # per-bucket totals -> driver (P rows), prefix-summed into a literal map;
+    # the offset attach is then a pure projection on the cached narrow table
+    totals = {
+        r["bucket"]: r["t"]
+        for r in d.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    run = 0
+    for b in sorted(totals):
+        offsets[b] = run
+        run += totals[b]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
 
     local_w = (
         Window.partitionBy("bucket")
         .orderBy("skey", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn("local_run", F.sum("n_tokens").over(local_w))
-
-    offsets_w = (
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        d.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_tokens"))
-        .withColumn("offset", F.coalesce(F.sum("bucket_tokens").over(offsets_w), F.lit(0)))
-        .select("bucket", "offset")
-    )
     return (
-        d.join(F.broadcast(offsets), "bucket")
+        d.withColumn("local_run", F.sum("n_tokens").over(local_w))
+        .withColumn("offset", F.coalesce(offset_map[F.col("bucket")], F.lit(0)).cast("bigint"))
         .withColumn(
             "run", F.lit(base_tokens).cast("bigint") + F.col("offset") + F.col("local_run")
         )
