@@ -88,8 +88,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 1  # never-certified rows-only checks
         return 2  # already green in CORRECTNESS_r01/r02/r03
 
+    def evicting(fn):
+        # Query-boundary cache eviction (VERDICT r4): operators tracked_persist
+        # intermediate tables (LSH buckets, pagerank edges, signatures...);
+        # without a release point a full registry run accumulates cached
+        # relations. Each query call first drops the PREVIOUS query's tracked
+        # caches — safe because the driver has already collected that result,
+        # and unpersist never changes results (plans recompute if re-run).
+        def run(spark, sf_dir, _fn=fn):
+            from unravelsports_spark.cache import release_tracked
+
+            release_tracked()
+            return _fn(spark, sf_dir)
+
+        return run
+
     names = sorted(QUERIES, key=lambda n: (priority(n), list(QUERIES).index(n)))
-    return {name: QUERIES[name] for name in names}
+    return {name: evicting(QUERIES[name]) for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

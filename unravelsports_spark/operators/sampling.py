@@ -35,18 +35,32 @@ def _hash_ppm(col) -> F.Column:
 
 
 def mixture_rates(
-    df: DataFrame, targets: dict[str, float], domain_col: str = "source"
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "source",
+    persist: bool = True,
 ) -> DataFrame:
     """Per-domain keep-rates (ppm) for the largest downsample-only corpus
     matching ``targets`` (shares summing to 1). Domains absent from
     ``targets`` get rate 0. Returns (domain, n_docs, target_ppm, rate_ppm).
+
+    Cache contract (ADVICE r4): with ``persist=True`` the per-domain counts
+    are ``tracked_persist``-ed, and SOMEONE must eventually call
+    ``unravelsports_spark.cache.release_tracked()`` — the plan harness does
+    it per query, the test suite per test. A caller invoking this
+    repeatedly outside that harness (e.g. per micro-batch in an ingest
+    loop) should pass ``persist=False`` to avoid accumulating cached
+    relations; the cost is one extra scan-and-aggregate of ``df`` per
+    consumer branch.
     """
     # one row per domain — persisted so every consumer branch (the T-total
     # min, the rate projection, and a caller that builds rates twice, e.g.
     # rates-report + sample in one query) reads one InMemoryRelation instead
     # of re-scanning and re-aggregating the corpus per branch (the r2/r3
     # single-lineage fix pattern; was 4 corpus scans in t_domain_mixture)
-    counts = tracked_persist(df.groupBy(domain_col).agg(F.count("*").alias("n_docs")))
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    if persist:
+        counts = tracked_persist(counts)
     tgt = F.create_map(*[x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))])
     counts = counts.withColumn("_target", F.coalesce(tgt[F.col(domain_col)], F.lit(0.0)))
     # T = min over targeted domains of n_d / target_d  (cross-joined 1-row agg

@@ -18,7 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.sampling import PPM, mixture_rates, sample_mixture
-from ..operators.similarity import kmeans_fit_distributed, with_nearest_centroid
+from ..operators.similarity import with_nearest_centroid
 from ..operators.vocab import tfidf_terms, vocab_topk
 from ..session import read_table
 from .relational import dec, dsum, query
@@ -202,19 +202,10 @@ def s_kmeans_assign(spark, sf_dir):
     )
 
 
-@query("s_kmeans_fit")
-def s_kmeans_fit(spark, sf_dir):
-    """Full distributed Lloyd's (3 rounds, k=8) then final cluster profile.
-    Iterative — not SQL-expressible, rows-only check; the per-round math is
-    covered exactly by s_kmeans_assign and tests/test_vocab.py convergence
-    assertions."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit_distributed(emb, k=8, iters=3)
-    assigned = with_nearest_centroid(emb, centroids)
-    return assigned.groupBy("cell").agg(
-        F.count("*").alias("n_members"),
-        F.round(dsum("d2", 8), 4).alias("inertia"),
-    )
+# NOTE: s_kmeans_fit moved to plans/corpus4.py in round 5 — it now runs the
+# exact int64 Lloyd (2^-20 grid, the PQ trainer with one subspace) and is
+# hash-certified against a CTE-unrolled DuckDB oracle. The float-path
+# operator (kmeans_fit_distributed) remains tested in tests/test_vocab.py.
 
 
 @query(

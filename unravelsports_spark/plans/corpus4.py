@@ -442,7 +442,7 @@ _NORM_FP_SQL = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
       SELECT doc_id, source, {_NORM_FP_SQL} AS fingerprint
       FROM (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 0
             UNION ALL
-            SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 2 = 0)),
+            SELECT doc_id + (1::BIGINT << 40), source, text FROM documents WHERE doc_id % 2 = 0)),
     ledger AS (
       SELECT DISTINCT {_NORM_FP_SQL} AS fingerprint
       FROM documents WHERE doc_id % 4 = 0),
@@ -483,7 +483,7 @@ def d_incremental_dedup(spark, sf_dir):
     half = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "text")
     batch = half.unionAll(
         half.select(
-            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "source", "text"
+            (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "source", "text"
         )
     )
     ledger = (
@@ -580,4 +580,81 @@ def d_semantic_contamination(spark, sf_dir):
                 "n_contaminated"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 certification: s_kmeans_fit on the exact int64 grid — the same
+# 2^-20 quantization + floor-mean Lloyd discipline that made the PQ family
+# hash-certifiable (the float-path operator kmeans_fit_distributed stays
+# tested in tests/test_vocab.py; this query is its certifiable twin).
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ROUNDS = 3
+
+
+def _kmeans_fit_sql(k: int = _KM_K, n_rounds: int = _KM_ROUNDS) -> str:
+    """DuckDB oracle: CTE-unrolled integer Lloyd (single subspace = plain
+    k-means over the whole vector), then the final assignment's cluster
+    profile. Same _assign/_update CTE builders as the PQ oracles."""
+    rounds_sql, cb = _lloyd_rounds_sql("dims", "cb0", n_rounds, "")
+    return f"""
+    WITH iq AS (
+      SELECT vec_id, u.i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {float(Q)!r}) AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    dims AS (SELECT vec_id, 0 AS m, pos AS d, v FROM iq),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
+      FROM (SELECT DISTINCT vec_id FROM iq ORDER BY vec_id LIMIT {k})),
+    cb0 AS (
+      SELECT d.m, s.cluster, d.d, d.v AS c FROM seeds s JOIN dims d USING (vec_id)),
+    {rounds_sql},
+    final_d AS (
+      SELECT d.vec_id, c.cluster, SUM((d.v - c.c) * (d.v - c.c)) AS d2
+      FROM dims d JOIN {cb} c ON d.m = c.m AND d.d = c.d
+      GROUP BY d.vec_id, c.cluster),
+    best AS (
+      SELECT vec_id, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      FROM final_d)
+    SELECT cluster AS cell, COUNT(*) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM best WHERE rk = 1 GROUP BY 1
+    """
+
+
+@query("s_kmeans_fit", oracle=_kmeans_fit_sql())
+def s_kmeans_fit(spark, sf_dir):
+    """Distributed Lloyd's (3 rounds, k=8) on the 2^-20 integer grid, then
+    the trained model's cluster profile ``(cell, n_members, inertia)`` —
+    exact int64 end-to-end, hash-certified against a CTE unroll of the
+    identical rounds (previously the lone rows-only relational entry).
+
+    Scale shape: per round, assignment is a zero-join projection against
+    literal centroids and the update shuffle carries k x D sufficient-stat
+    rows, not the corpus; the final profile is one map-side-combinable agg.
+    """
+    from ..operators.pq import _dist2, _int_grid
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    codebook = pq_train_codebook(
+        emb, m_subspaces=1, k=_KM_K, n_rounds=_KM_ROUNDS
+    )
+    cents = codebook[0]
+    iq = emb.select(_int_grid("embedding").alias("iq"))
+    dists = F.array(
+        *[
+            F.struct(
+                _dist2(F.col("iq"), F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(cents)
+        ]
+    )
+    return (
+        iq.select(F.array_min(dists).alias("b"))
+        .groupBy(F.col("b.c").cast("bigint").alias("cell"))
+        .agg(F.count("*").alias("n_members"), F.sum("b.d").alias("inertia"))
     )

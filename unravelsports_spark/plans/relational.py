@@ -133,7 +133,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_disc_price"),
             F.round((F.sum("q_units") / 100.0) / F.sum("cnt"), 6).alias("avg_qty"),
-            F.sum("cnt").alias("count_order"),
+            # overflow guard (ADVICE r4): the step-1 bigint partial is only
+            # safe while a scan partition stays under ~8e7 rows (8e7 × 1.1e11
+            # = 8.8e18 < 2^63); a coalesced or unsplittable-gzip input can
+            # exceed that and non-ANSI sum would wrap SILENTLY. assert_true
+            # yields NULL (+0) when fine and fails the query loudly when the
+            # assumption breaks — zero cost on the happy path.
+            (
+                F.sum("cnt")
+                + F.coalesce(
+                    F.assert_true(
+                        F.max("cnt") <= F.lit(80_000_000),
+                        F.lit(
+                            "q1 partial-sum guard: a scan partition holds >8e7 "
+                            "rows; dp_units partials may overflow int64 — split "
+                            "the input or lower spark.sql.files.maxPartitionBytes"
+                        ),
+                    ).cast("bigint"),
+                    F.lit(0),
+                )
+            ).alias("count_order"),
         )
     )
 

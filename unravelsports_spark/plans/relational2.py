@@ -253,14 +253,21 @@ def a15_hll_sketch_union(spark, sf_dir):
     per-source sketches built in one pass, then unioned into a global
     distinct estimate — the re-aggregatable distinct-counting pattern at
     100 TB (store per-partition sketches, merge on demand; never recount).
-    Sketch bytes are buildtime-dependent, so this is rows-only checked; the
-    estimate accuracy bound is asserted in tests/test_vocab.py. Measured
-    (round 4): the union estimate differs by ±1 across master/partition
-    configs — datasketches state is insertion-grouping-sensitive — so unlike
-    a9/MLlib-LSH (plans/snapshots.py) this one cannot carry a snapshot
-    oracle."""
+
+    Determinism (round 5): datasketches estimates are
+    insertion-GROUPING-sensitive — the r4 formulation's partial aggregates
+    split each source's rows across scan partitions, and merging the
+    resulting intermediate sketches moved the estimate ±1 with the
+    master/partition config. Repartitioning by source FIRST makes every
+    partial aggregate build its source's sketch complete (one partition
+    holds all of a source's rows; HLL insertion itself is set-determined,
+    order-independent), after which the union merges n_sources fully-built
+    sketches — measured stable across local[4]/local[32], shuffle
+    partitions 4/32/200, and 4m-128m scan splits, so the query now carries
+    a snapshot oracle in plans/snapshots.py like a9/MLlib-LSH. The
+    accuracy bound stays asserted in tests/test_vocab.py."""
     d = read_table(spark, sf_dir, "documents")
-    per_source = d.groupBy("source").agg(
+    per_source = d.select("source", "text").repartition("source").groupBy("source").agg(
         F.expr("hll_sketch_agg(text)").alias("sk"),
         F.countDistinct("text").alias("exact_distinct"),
     )

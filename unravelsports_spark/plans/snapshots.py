@@ -6,14 +6,20 @@ functions, order-independent register merges — verified across different
 masters/partition counts before snapshotting. The oracle is the literal
 expected table, so the driver records rows+schema+hash instead of rows>0.
 A changed estimate/neighbor set flips the hash; regenerate deliberately via
-tools/gen_snapshot_oracles note in STATUS.md. a15_hll_sketch_union stays
-rows-only: its datasketches estimate measurably varies with partitioning.
+tools/gen_snapshot_oracles note in STATUS.md. a15_hll_sketch_union joined
+in round 5 after its per-source repartition made the union estimate stable
+across master/partition configs (see the query docstring).
 """
 
 from .relational import ORACLE_SQL
 
 ORACLE_SQL.update(
     {
+        "a15_hll_sketch_union": """
+    SELECT * FROM (VALUES
+      (CAST(20 AS BIGINT), CAST(499 AS BIGINT), CAST(500 AS BIGINT))
+    ) AS t(n_sources, global_estimate, sum_per_source_exact)
+    """,
         "a9_approx_distinct": """
     SELECT * FROM (VALUES
       ('A', CAST(10998 AS BIGINT), CAST(20028 AS BIGINT)),
