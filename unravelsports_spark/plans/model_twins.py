@@ -130,6 +130,46 @@ def m_efpi_cells(spark, sf_dir):
     )
 
 
+
+
+@query("m_savgol_cells")
+def m_savgol_cells(spark, sf_dir):
+    """Generic Savitzky-Golay kernel twin (W6, VERDICT r4 item 7): window 7
+    / POLYORDER 2 — the pinv polynomial path the closed-form poly-1 oracle
+    (w6_savgol_oracle) cannot reach — run through the same grouped Arrow
+    kernel shape as m_savgol_events on a deterministic 2-group series,
+    rounded to 6 decimals against a literal VALUES oracle."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..functions.savgol import savgol_filter
+
+    rows = [
+        (g, i, float((i * 37 + g * 13) % 11)) for g in (0, 1) for i in range(12)
+    ]
+    src = spark.createDataFrame(rows, "g long, idx long, value double")
+    schema = T.StructType(
+        [
+            T.StructField("g", T.LongType()),
+            T.StructField("idx", T.LongType()),
+            T.StructField("value_smooth", T.DoubleType()),
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx", kind="stable")
+        return pd.DataFrame(
+            {
+                "g": pdf["g"],
+                "idx": pdf["idx"],
+                "value_smooth": savgol_filter(pdf["value"].to_numpy(), 7, 2).round(6),
+            }
+        )
+
+    return src.groupBy("g").applyInPandas(smooth, schema)
+
+
 # Literal VALUES oracles snapshotted from the golden-verified kernel outputs
 # (regenerate with tools/gen_model_twin_oracles.py after any intended kernel
 # change; an unintended change flips the driver hash instead).
@@ -137,6 +177,34 @@ from .relational import ORACLE_SQL
 
 ORACLE_SQL.update(
     {
+        "m_savgol_cells": """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0.785714 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3.214286 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(4.857143 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(5.714286 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(5.0 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(4.285714 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(6 AS BIGINT), CAST(6.714286 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(6.0 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(6.333333 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(9 AS BIGINT), CAST(5.357143 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(3.857143 AS DOUBLE)),
+      (CAST(0 AS BIGINT), CAST(11 AS BIGINT), CAST(1.833333 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(3.571429 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(5.214286 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(6.071429 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(6.142857 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(3.857143 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(3.666667 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(4.0 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(7 AS BIGINT), CAST(3.285714 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(8 AS BIGINT), CAST(5.714286 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(9 AS BIGINT), CAST(5.785714 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(5.071429 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(11 AS BIGINT), CAST(3.571429 AS DOUBLE))
+    ) AS t(g, idx, value_smooth)
+    """,
         "m_pi_cells": """
     SELECT * FROM (VALUES
       (CAST(0 AS BIGINT), CAST(3.839938 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(11 AS BIGINT), CAST(11 AS BIGINT)),
