@@ -223,3 +223,48 @@ def test_pagerank_reference_parity(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
     # bridge nodes (2, 3) outrank the pendant (6)
     assert got[2] > got[6] and got[3] > got[6]
+
+
+def test_merge_via_regex_equals_fold(spark):
+    """The regex merge application (hot path) must be byte-identical to the
+    fold specification on adversarial token sequences: adjacent runs
+    ("a a a a"), interleaved pairs, pairs at string start/end, merged-token
+    operands (round-2 merges like ("a~b", "c")), and tokens that are
+    substrings of others ("ab" vs "b")."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from unravelsports_spark.operators.bpe import SEP, _fold_merge, _merge_via_regex
+
+    cases = [
+        (["a", "a", "a"], ("a", "a")),
+        (["a", "a", "a", "a"], ("a", "a")),
+        (["a", "b", "a", "b"], ("a", "b")),
+        (["x", "a", "b", "a", "b", "y"], ("a", "b")),
+        (["a", "b"], ("a", "b")),
+        (["b", "a"], ("a", "b")),
+        (["ab", "c", "b", "c"], ("b", "c")),
+        (["a~b", "c", "a~b", "c"], ("a~b", "c")),
+        (["b", "ab", "b"], ("ab", "b")),
+        (["a"], ("a", "a")),
+    ]
+    rng = random.Random(7)
+    vocab = ["a", "b", "ab", "ba", "c", "a~b"]
+    for _ in range(30):
+        seq = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+        pair = (rng.choice(vocab), rng.choice(vocab))
+        cases.append((seq, pair))
+
+    rows = [(i, SEP.join(seq), a, b) for i, (seq, (a, b)) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, s string, a string, b string")
+    for i, (seq, (a, b)) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(
+                _fold_merge(F.split(F.col("s"), SEP), a, b).alias("fold"),
+                _merge_via_regex(F.col("s"), a, b).alias("rx"),
+            )
+            .first()
+        )
+        assert got["fold"] == got["rx"], (seq, (a, b), got)

@@ -44,12 +44,12 @@ NOTES = {
     "d_dup_spans": "span fingerprints exploded once; duplication counts via one count-window over the fp partitioning (single shuffle, no agg+join-back double compute); per-source rollup is a broadcast join to the pruned documents scan.",
     "d_semdedup_multitable": "four sign-LSH tables via one broadcast plane join + one grouped agg; candidates meet only inside (table, bucket); persisted key table feeds both self-join sides; cosine verify runs on candidates only.",
     "t_dsir_scores": "single tokenize pass into a persisted (doc, bucket, n) aggregate; the <=1024-row log-ratio table broadcasts back; per-doc scores are exact BIGINT sums (integer micro-nats) - no Generate at top level, no SortMergeJoin.",
-    "t_nb_confusion": "train AND inference in one plan: class x bucket grid (<=5k rows) built from the same cached token aggregate, broadcast to the scoring join; argmax is a per-doc window over <=K rows; corpus tokenized once.",
-    "t_shard_manifest": "two-level distributed prefix sum: fixed-boundary range buckets partition the corpus window (no single-reducer global sort); only the P-row offset table uses a global window; shard ids are exact integer arithmetic.",
+    "t_nb_confusion": "train AND inference in one plan: class x bucket grid (<=5k rows) built from the same cached token aggregate with the class prior riding on the grid rows (single broadcast exchange, r5); argmax is a combinable min_by, no per-doc window; corpus tokenized once.",
+    "t_shard_manifest": "two-level distributed prefix sum: fixed-boundary range buckets partition the corpus window (no single-reducer global sort); the P-row bucket totals are collected once and the prefix-summed offsets return as a literal map projection (r5: no offsets broadcast join); shard ids are exact integer arithmetic.",
     "d_bloom_decontamination": "relational Bloom bitmap (bit_or aggregation, m/32 rows) broadcasts; k double-hash probes prune corpus shingles before the exact confirm join - same oracle as d_contamination, certifying losslessness.",
     "s_ann_pq": "PQ encode + ADC rank: pure projection against literal integer centroids ending in TakeOrderedAndProject - zero joins, zero shuffles, corpus read once.",
     "s_ann_ivfpq": "coarse-cell probe filter evaluates in the scan's codegen stage (partition pruning with a cell-partitioned layout); ADC ranks only probed candidates - projection + filter + TakeOrderedAndProject.",
-    "t_prep_to_shards_e2e": "dedup window (fingerprint partition) -> quality/langid projections -> skey-range packing window: two inherent corpus shuffles on different keys, everything else map-side.",
+    "t_prep_to_shards_e2e": "dedup window (fingerprint partition) -> quality/langid projections -> skey-range packing window: two inherent corpus shuffles on different keys, everything else map-side; the narrow (id, skey, n_tokens, bucket) projection is persisted once so the offsets pass does not recompute the dedup chain (r5).",
     "s_ann_ivfpq_residual": "residual encoding against literal coarse+PQ codebooks with per-cell ADC tables - still a single projection + filter + TakeOrderedAndProject, zero joins.",
 }
 

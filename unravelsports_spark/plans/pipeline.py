@@ -358,6 +358,89 @@ def _dot_col(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket")):
+    """Within-bucket pairwise cosine verify, vectorized per bucket group.
+
+    Input: one row per (vector, bucket-key) with columns ``vec_id``, ``v``
+    (double array) and ``n2`` (the vector's self-dot, precomputed with the
+    fold order of :func:`_dot_col`). Output: one ``b_id`` row per verified
+    pair (the larger vec_id of a pair with cosine >= threshold), duplicates
+    possible across buckets — ``.distinct()`` downstream.
+
+    This is the scale-correct shape for LSH-style verify: vectors cross the
+    wire once per (vector, table) — ~|keys| rows — instead of once per
+    CANDIDATE PAIR (the pair-join attach ships O(pairs) x dim doubles;
+    measured 550 MB vs 4 MB at sf0.1, 2.1 s vs 0.6 s). Inside a group the
+    (n, n) dot matrix accumulates one dim at a time in ascending order, so
+    every pair's dot is the identical left-to-right IEEE add sequence as
+    the scalar fold — oracle thresholds cannot flip; cos divides by
+    sqrt(n2_i)*sqrt(n2_j) exactly as the JVM expression."""
+    import numpy as np
+    import pandas as pd
+
+    def verify(_key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"b_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy())[order]
+        n2 = pdf["n2"].to_numpy()[order]
+        acc = np.zeros((n, n))
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            acc = acc + col[:, None] * col[None, :]
+        denom = np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :]
+        cos = acc / denom
+        i, j = np.where(np.triu(cos >= threshold, k=1))
+        return pd.DataFrame({"b_id": ids[j]})
+
+    return bev.groupBy(*group_cols).applyInPandas(verify, "b_id bigint")
+
+
+def _pair_cosine_filter(df, threshold, keep_cols, va="va", vb="vb", na2="na2", nb2="nb2"):
+    """Keep the rows of a candidate-pair frame whose cosine >= threshold,
+    computed in vectorized Arrow batches.
+
+    Spark's higher-order ``aggregate`` fold is interpreted per element
+    (measured ~3 s for 5e5 pairs x 64 dims at sf0.1), and unrolling the dot
+    into a 64-term expression chain breaks whole-stage codegen (worse). The
+    Arrow path does ONE dim-length Python loop of whole-column numpy ops per
+    batch: ``acc = 0.0; acc = acc + A[:, d] * B[:, d]`` in ascending dim
+    order — the identical left-to-right IEEE add sequence as the
+    ``_dot_col`` fold, so every pair's cosine is bit-identical to the
+    all-JVM form and the oracle threshold compare cannot flip. Per-vector
+    self-dots arrive precomputed (columns ``na2``/``nb2``); np.sqrt is
+    correctly rounded like java.lang.Math.sqrt. Measured 0.64 s for the
+    same verify (4.4x)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    cols = list(keep_cols) + [va, vb, na2, nb2]
+
+    def verify(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.stack(pdf[va].to_numpy())
+            B = np.stack(pdf[vb].to_numpy())
+            acc = np.zeros(n)
+            for d in range(A.shape[1]):
+                acc = acc + A[:, d] * B[:, d]
+            cos = acc / (
+                np.sqrt(pdf[na2].to_numpy()) * np.sqrt(pdf[nb2].to_numpy())
+            )
+            kept = pdf.loc[cos >= threshold, list(keep_cols)]
+            if len(kept):
+                yield kept
+
+    return df.select(*cols).mapInPandas(verify, out_schema)
+
+
 def _cos_col(a, b):
     return _dot_col(a, b) / (F.sqrt(_dot_col(a, a)) * F.sqrt(_dot_col(b, b)))
 
