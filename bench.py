@@ -47,6 +47,20 @@ HEADLINE = [
     "t_nb_confusion",
     "t_shard_manifest",
     "t_prep_to_shards_e2e",
+    # round-5 additions: the data-HEAVY pipeline queries (DuckDB itself
+    # spends 0.4-5 s at sf0.1 on these, so the ratios measure plan quality
+    # rather than local-mode scheduling floors): dup-graph analytics,
+    # OR-amplified SemDeDup, exact-Jaccard inverted index, BPE training +
+    # tokenization, and the composed corpus-prep chain
+    "d_pagerank",
+    "d_dup_clusters",
+    "d_cluster_keep_best",
+    "d_minhash_signatures",
+    "d_jaccard_top_pairs",
+    "d_semdedup_multitable",
+    "t_bpe_merges",
+    "t_bpe_tokenized_stats",
+    "t_corpus_prep_e2e",
 ]
 
 
