@@ -176,12 +176,17 @@ def jaccard_pairs(
     the join is already bounded, so Jaccard stays exact over the full sets.
     """
     if candidates is None and max_doc_freq is not None:
-        w = Window.partitionBy("shingle_hash")
-        shingled = (
-            shingled.withColumn("_df", F.count("*").over(w))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
+        # anti-join against the HOT shingles only (df > cap): the hot list
+        # is tiny by construction (boilerplate shingles), so it broadcasts,
+        # and the cap costs one map-side-combinable count agg instead of a
+        # full sort-based count window over every shingle row
+        hot = (
+            shingled.groupBy("shingle_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle_hash")
         )
+        shingled = shingled.join(F.broadcast(hot), "shingle_hash", "left_anti")
     from ..cache import tracked_persist
 
     # the (capped) shingle table feeds THREE consumers — the per-doc sizes
