@@ -50,6 +50,11 @@ NOTES = {
     "s_ann_pq": "PQ encode + ADC rank: pure projection against literal integer centroids ending in TakeOrderedAndProject - zero joins, zero shuffles, corpus read once.",
     "s_ann_ivfpq": "coarse-cell probe filter evaluates in the scan's codegen stage (partition pruning with a cell-partitioned layout); ADC ranks only probed candidates - projection + filter + TakeOrderedAndProject.",
     "t_prep_to_shards_e2e": "dedup window (fingerprint partition) -> quality/langid projections -> skey-range packing window: two inherent corpus shuffles on different keys, everything else map-side; the narrow (id, skey, n_tokens, bucket) projection is persisted once so the offsets pass does not recompute the dedup chain (r5).",
+    "d_jaccard_top_pairs": "inverted-index join with the df > cap hot-shingle anti-join (one combinable count agg + broadcast, r5 - no sort-based count window); the capped shingle table is persisted once for its three consumers (sizes + both self-join sides).",
+    "d_minhash_signatures": "one shingle pass into 32 partial-min-combinable minhash aggregates; the signature table is the persisted artifact every LSH consumer reads.",
+    "d_cluster_keep_best": "large-star/small-star connected components over the LSH pair graph, then one min_by struct argmax per cluster - no window, no all-pairs.",
+    "t_corpus_prep_e2e": "dedup fingerprint window -> quality/langid projections in one codegen stage; one corpus shuffle total.",
+    "d_semdedup_lsh": "sign-LSH bucket self-join on the persisted bucketed-vector table; candidates meet only inside buckets; cosine verify on candidates only.",
     "s_ann_ivfpq_residual": "residual encoding against literal coarse+PQ codebooks with per-cell ADC tables - still a single projection + filter + TakeOrderedAndProject, zero joins.",
 }
 
