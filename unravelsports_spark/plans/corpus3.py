@@ -617,36 +617,19 @@ def d_semdedup_multitable(spark, sf_dir):
     from .pipeline import _cos_col, _dot_col, _emb
 
     e = _emb(spark, sf_dir, extra_cols=("label",))
-    # the 16 plane vectors are O(model): collect once and evaluate all 16
-    # sign dots in ONE literal projection — no crossJoin, no groupBy, no
-    # shuffle for the key build (same fold order as the joined form, so the
-    # bucket bits are bit-identical to the oracle's). stack() unpivots the 4
-    # per-table buckets to the (vec_id, tbl, bucket) join-key rows.
+    # the 16 plane vectors are O(model): collect once, then all 16 sign
+    # dots evaluate in one vectorized Arrow pass (_sign_lsh_keys) with the
+    # exact _dot_col accumulation order — no crossJoin, no groupBy, no
+    # shuffle for the key build, and no interpreted HOF lambda.
+    from .pipeline import _sign_lsh_keys
+
     plane_rows = {
         r["vec_id"]: list(r["v"])
         for r in e.filter(F.col("vec_id").between(1, 16)).select("vec_id", "v").collect()
     }
-
-    def lit_dot(plane):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        return _dot_col(F.col("v"), arr)
-
-    def tbl_bucket(t):
-        bits = [
-            F.when(lit_dot(plane_rows[t * 4 + i + 1]) > 0, F.lit(1 << i)).otherwise(0)
-            for i in range(4)
-        ]
-        b = bits[0]
-        for x in bits[1:]:
-            b = b + x
-        return b.cast("bigint")
-
-    stack_args = ", ".join(f"CAST({t} AS BIGINT), _b{t}" for t in range(4))
     keys = tracked_persist(
-        e.select(
-            "vec_id", *[tbl_bucket(t).alias(f"_b{t}") for t in range(4)]
-        ).select(
-            "vec_id", F.expr(f"stack(4, {stack_args}) AS (tbl, bucket)")
+        _sign_lsh_keys(
+            e, [plane_rows[i + 1] for i in range(16)], n_tables=4, bits_per_table=4
         )
     )
     # within-bucket pairwise verify (plans/pipeline.py:_bucket_cosine_removed):
