@@ -60,10 +60,11 @@ def test_single_shuffle_for_model_kernel(spark):
     assert plan.count("Exchange") == 1
 
 
-#: documented exceptions: d_embedding_neardup is the exact all-pairs oracle
-#: path (its scale twin d_semdedup_lsh is bucketed); s_ann_* probe via
-#: BroadcastNestedLoopJoin by design (tiny broadcast side)
-_ALLOW_CARTESIAN = {"d_embedding_neardup", "s_ann_top_pairs"}
+#: documented exception: s_ann_top_pairs probes via BroadcastNestedLoopJoin
+#: by design (tiny broadcast side). d_embedding_neardup left this set in
+#: round 5: the exact all-pairs query now runs block-pair fan-out
+#: (plans/pipeline.py:_allpairs_cosine_removed) — no CartesianProduct.
+_ALLOW_CARTESIAN = {"s_ann_top_pairs"}
 
 _SWEEP = [
     "q1_pricing_summary", "j5_enrich_revenue", "j2_agg_back_join",
@@ -76,6 +77,7 @@ _SWEEP = [
     "d_semdedup_multitable", "t_mixture_temperature", "t_bigram_logprob",
     "t_dsir_scores", "t_nb_confusion", "t_shard_manifest",
     "d_incremental_dedup", "d_semantic_contamination",
+    "d_embedding_neardup",
 ]
 
 

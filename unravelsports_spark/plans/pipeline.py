@@ -401,6 +401,61 @@ def _sign_lsh_keys(e, planes, n_tables, bits_per_table, v_col="v", id_col="vec_i
     )
 
 
+def _allpairs_cosine_removed(ev, threshold, n_blocks=8):
+    """EXACT all-pairs cosine >= threshold (emit the larger id of each hit)
+    via block-pair fan-out — the scale shape for brute-force all-pairs:
+
+    vectors land in ``n_blocks`` hash blocks; every unordered block pair
+    (bi <= bj) is one task group receiving both blocks' vectors (each
+    vector is replicated n_blocks times — O(n·B) rows moved, never O(n²)),
+    and each group computes its (n, n) cosine matrix vectorized. A pair is
+    counted exactly once: same-block pairs in the (b, b) group, cross-block
+    pairs (masked to blk_x != blk_y) in the (bi, bj) group. Memory per task
+    is (2n/B)² doubles — B tunes the task grid to the cluster. Dots
+    accumulate dim-at-a-time in ascending order (the `_dot_col` fold
+    sequence), so results are bit-identical to the scalar form; ``n2`` is
+    the precomputed per-vector self-dot. Replaced an interpreted HOF
+    cosine over the joined pair table: 69 s -> ~1 s at sf0.1."""
+    import numpy as np
+    import pandas as pd
+
+    nb = n_blocks
+    blk = (F.col("vec_id") % nb).cast("int")
+    group_ids = F.array(
+        *[
+            F.least(blk, F.lit(o)) * nb + F.greatest(blk, F.lit(o))
+            for o in range(nb)
+        ]
+    )
+    fanned = ev.select(
+        "vec_id", "v", "n2", blk.alias("blk"), F.explode(group_ids).alias("g")
+    )
+
+    def verify(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        g = int(key[0])
+        bi, bj = g // nb, g % nb
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"b_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy())[order]
+        n2 = pdf["n2"].to_numpy()[order]
+        blks = pdf["blk"].to_numpy()[order]
+        acc = np.zeros((n, n))
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            acc = acc + col[:, None] * col[None, :]
+        cos = acc / (np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :])
+        mask = np.triu(cos >= threshold, k=1)
+        if bi != bj:
+            mask &= blks[:, None] != blks[None, :]
+        i, j = np.where(mask)
+        return pd.DataFrame({"b_id": ids[j]})
+
+    return fanned.groupBy("g").applyInPandas(verify, "b_id bigint")
+
+
 def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket")):
     """Within-bucket pairwise cosine verify, vectorized per bucket group.
 
@@ -511,18 +566,16 @@ def _emb(spark, sf_dir, extra_cols=()):
 )
 def d_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate removal: a vector is dropped when any
-    lower-id vector is within cosine >= 0.4; per-label survivor stats. The
-    all-pairs join here is the exact small-N oracle path — at corpus scale the
-    candidate set is pruned first by an LSH sign-bucket (see s_ann_lsh /
-    operators/similarity.py) so only same-bucket pairs meet the cosine."""
+    lower-id vector is within cosine >= 0.4; per-label survivor stats.
+    This is the EXACT all-pairs query (the LSH-pruned scale twin is
+    d_semdedup_lsh); exactness doesn't excuse an O(n²)-row join, so the
+    pairs run through the block-pair fan-out (_allpairs_cosine_removed):
+    O(n·B) rows moved, (n/B)²-sized vectorized matrix tasks, bit-identical
+    per-pair arithmetic. r4's cross-join + interpreted HOF cosine took 69 s
+    at sf0.1; this runs ~1 s against the identical oracle."""
     e = _emb(spark, sf_dir, extra_cols=("label",))
-    a, b = e.alias("a"), e.alias("b")
-    removed = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(_cos_col(F.col("a.v"), F.col("b.v")) >= 0.4)
-        .select(F.col("b.vec_id").alias("b_id"))
-        .distinct()
-    )
+    ev = e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
+    removed = _allpairs_cosine_removed(ev, threshold=0.4, n_blocks=8).distinct()
     return (
         e.join(removed, e.vec_id == removed.b_id, "left")
         .groupBy("label")
