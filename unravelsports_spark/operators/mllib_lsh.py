@@ -57,11 +57,27 @@ def minhash_similarity_join(
     text_col: str = "text",
     num_features: int = 1 << 16,
     num_tables: int = 4,
+    shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
+    """MinHashLSH approxSimilarityJoin over word ``shingle_n``-gram SETS.
+
+    Shingles, not unigram tokens, are the load-bearing choice: arbitrary
+    documents share most of a language's common words, so unigram Jaccard
+    between unrelated documents is far from 0 and the minhash collision
+    probability (= the Jaccard similarity) barely prunes — measured at
+    sf0.1 the unigram form produced a near-quadratic candidate set and
+    525 s of exact re-checks; the 3-gram form is sub-second. n-grams make
+    unrelated documents near-disjoint, which is what gives LSH its
+    sub-quadratic candidate bound at corpus scale."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = df.select(id_col, F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("tokens"))
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.when(
+        F.size(t) >= shingle_n, F.sequence(F.lit(0), F.size(t) - shingle_n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, shingle_n)))
+    toks = df.select(id_col, grams.alias("tokens"))
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(toks).filter(F.size("tokens") > 0)
     model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=seed).fit(feats)

@@ -102,36 +102,24 @@ def m_savgol_events(spark, sf_dir):
     """W6 Savitzky–Golay smoothing (kloppy_polars.py:313-380) applied as a
     grouped Arrow kernel to each user's value series over the events table —
     a polynomial fit per centered window, not expressible as a SQL frame
-    aggregate, hence rows-only. Partition key = user_id: at 100 TB this is
-    the same one-shuffle-then-embarrassingly-parallel shape as kinematics."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from ..functions.savgol import savgol_filter
-
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_id", T.LongType()),
-            T.StructField("value_smooth", T.DoubleType()),
-        ]
-    )
-
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "value_smooth": savgol_filter(pdf["value"].to_numpy(), 7, 1).round(6),
-            }
-        )
-
+    aggregate, hence rows-only (the hash-certified twin is m_savgol_cells).
+    Bucketed kernel (functions/savgol.py:savgol_by_key): one Arrow crossing
+    per key-bucket, per-series boundaries walked in numpy — at 100 TB the
+    same one-shuffle-then-embarrassingly-parallel shape as kinematics."""
+    from ..functions.savgol import savgol_by_key
     from ..session import read_table
 
     events = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    return events.groupBy("user_id").applyInPandas(smooth, schema)
+    return savgol_by_key(
+        events,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        out_cols=["user_id", "event_id"],
+        window_length=7,
+        polyorder=1,
+        ndigits=6,
+    )
 
 
 @query("m_graph_convert_delaunay")

@@ -1037,31 +1037,19 @@ def j6_label_join(spark, sf_dir):
     """,
 )
 def w6_savgol_oracle(spark, sf_dir):
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from ..functions.savgol import savgol_filter
-
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_id", T.LongType()),
-            T.StructField("value_smooth", T.DoubleType()),
-        ]
-    )
-
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "value_smooth": savgol_filter(pdf["value"].to_numpy(), 7, 1).round(4),
-            }
-        )
+    from ..functions.savgol import savgol_by_key
 
     events = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    return events.groupBy("user_id").applyInPandas(smooth, schema)
+    return savgol_by_key(
+        events,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        out_cols=["user_id", "event_id"],
+        window_length=7,
+        polyorder=1,
+        ndigits=4,
+    )
 
 
 # ---------------------------------------------------------------------------

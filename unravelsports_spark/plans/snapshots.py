@@ -43,56 +43,31 @@ ORACLE_SQL.update(
     """,
         "d_mllib_minhash_join": """
     SELECT * FROM (VALUES
-      (CAST(20 AS BIGINT), CAST(63 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(22 AS BIGINT), CAST(411 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(32 AS BIGINT), CAST(258 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(57 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(98 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(100 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(111 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(142 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(147 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(167 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(173 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(216 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(233 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(251 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(264 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(272 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(274 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(280 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(294 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(299 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(311 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(319 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(328 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(354 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(417 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(426 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(429 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(441 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(453 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(463 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(56 AS BIGINT), CAST(466 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(98 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(100 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(111 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(142 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(147 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(167 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(173 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(216 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(233 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(251 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(264 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(272 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(274 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(280 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(294 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(299 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(311 AS BIGINT), CAST(0.0 AS DOUBLE)),
-      (CAST(57 AS BIGINT), CAST(319 AS BIGINT), CAST(0.0 AS DOUBLE))
+      (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(0.01087 AS DOUBLE)),
+      (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(0.01087 AS DOUBLE)),
+      (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(0.01087 AS DOUBLE)),
+      (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(0.012195 AS DOUBLE)),
+      (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(0.012658 AS DOUBLE)),
+      (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(0.012987 AS DOUBLE)),
+      (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(0.013158 AS DOUBLE)),
+      (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(0.014286 AS DOUBLE)),
+      (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(0.016667 AS DOUBLE)),
+      (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(0.017241 AS DOUBLE)),
+      (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(0.017544 AS DOUBLE)),
+      (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(0.02381 AS DOUBLE)),
+      (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(0.02439 AS DOUBLE)),
+      (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(0.025974 AS DOUBLE)),
+      (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(0.026316 AS DOUBLE)),
+      (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(0.027027 AS DOUBLE)),
+      (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(0.028571 AS DOUBLE)),
+      (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(0.028571 AS DOUBLE)),
+      (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(0.033333 AS DOUBLE)),
+      (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(0.033333 AS DOUBLE)),
+      (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(0.038462 AS DOUBLE)),
+      (CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST(0.041667 AS DOUBLE)),
+      (CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST(0.043478 AS DOUBLE)),
+      (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(0.045455 AS DOUBLE)),
+      (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(0.1 AS DOUBLE))
     ) AS t(id_a, id_b, jaccard_dist)
     """,
     }
