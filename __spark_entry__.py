@@ -40,7 +40,7 @@ _CERTIFIED = frozenset(
         "a9_approx_distinct", "f12_array_agg_sorted", "a16_profile",
         "w10_moving_avg", "o15_morton_key", "j10_full_outer",
         "st_session_window_native", "f14_variant_json", "f15_sql_text",
-        "t_bm25_topk", "t_unigram_logprob", "t_bigram_logprob",
+        "t_bm25_topk", "t_unigram_logprob", 
         "d_countmin_heavyhitters", "d_dup_spans", 
         "t_corpus_prep_e2e", "t_mixture_temperature",
         "d_cluster_keep_best", "d_semdedup_lsh", 

@@ -220,17 +220,14 @@ def bigram_logprob(
     vocabulary size, and the per-doc scoring table all derive — one tokenize
     pass total (the round-3 lineage-recompute fix, as in :func:`bm25_scores`)."""
     arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    idx = F.when(F.size(arr) >= 1, F.sequence(F.lit(0), F.size(arr) - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    prs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(arr, i + 1).alias("term"),
-            # NULL marks "last token of doc": a unigram occurrence with no
-            # following bigram — lets one exploded table carry both counts
-            F.when(i + 2 <= F.size(arr), F.element_at(arr, i + 2)).alias("term2"),
-        ),
+    # arrays_zip pads the shorter array with NULL, so zipping the token
+    # array with its own 1-shifted slice yields (term_i, term_{i+1}) pairs
+    # where the LAST position's term2 is NULL — the "unigram occurrence
+    # with no following bigram" sentinel — with zero higher-order lambdas
+    # (the transform/element_at form cost ~10 s of fresh-plan compile)
+    prs = F.arrays_zip(
+        arr.alias("term"),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("term2"),
     )
     positions = df.select(id_col, F.explode(prs).alias("p")).select(
         id_col, F.col("p.term").alias("term"), F.col("p.term2").alias("term2")
