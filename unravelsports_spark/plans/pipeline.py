@@ -496,49 +496,6 @@ def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket")):
     return bev.groupBy(*group_cols).applyInPandas(verify, "b_id bigint")
 
 
-def _pair_cosine_filter(df, threshold, keep_cols, va="va", vb="vb", na2="na2", nb2="nb2"):
-    """Keep the rows of a candidate-pair frame whose cosine >= threshold,
-    computed in vectorized Arrow batches.
-
-    Spark's higher-order ``aggregate`` fold is interpreted per element
-    (measured ~3 s for 5e5 pairs x 64 dims at sf0.1), and unrolling the dot
-    into a 64-term expression chain breaks whole-stage codegen (worse). The
-    Arrow path does ONE dim-length Python loop of whole-column numpy ops per
-    batch: ``acc = 0.0; acc = acc + A[:, d] * B[:, d]`` in ascending dim
-    order — the identical left-to-right IEEE add sequence as the
-    ``_dot_col`` fold, so every pair's cosine is bit-identical to the
-    all-JVM form and the oracle threshold compare cannot flip. Per-vector
-    self-dots arrive precomputed (columns ``na2``/``nb2``); np.sqrt is
-    correctly rounded like java.lang.Math.sqrt. Measured 0.64 s for the
-    same verify (4.4x)."""
-    import numpy as np
-    import pandas as pd
-
-    out_schema = ", ".join(
-        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
-    )
-    cols = list(keep_cols) + [va, vb, na2, nb2]
-
-    def verify(batches):
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            A = np.stack(pdf[va].to_numpy())
-            B = np.stack(pdf[vb].to_numpy())
-            acc = np.zeros(n)
-            for d in range(A.shape[1]):
-                acc = acc + A[:, d] * B[:, d]
-            cos = acc / (
-                np.sqrt(pdf[na2].to_numpy()) * np.sqrt(pdf[nb2].to_numpy())
-            )
-            kept = pdf.loc[cos >= threshold, list(keep_cols)]
-            if len(kept):
-                yield kept
-
-    return df.select(*cols).mapInPandas(verify, out_schema)
-
-
 def _cos_col(a, b):
     return _dot_col(a, b) / (F.sqrt(_dot_col(a, a)) * F.sqrt(_dot_col(b, b)))
 
