@@ -1,0 +1,188 @@
+"""Head-to-head properties for the round-5 vectorized Arrow kernels.
+
+Each kernel's docstring claims bit-identical results vs the expression/fold
+form it replaced; these tests make those claims executable on seeded random
+inputs (plus the structural edge cases: singleton buckets, empty block
+pairs, cross-table duplicate candidates, bucket-count invariance)."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rand_vecs(n, dim, seed):
+    rng = random.Random(seed)
+    return [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(n)
+    ]
+
+
+def test_allpairs_cosine_matches_bruteforce(spark):
+    """Block-pair fan-out == naive all-pairs (every pair exactly once,
+    identical threshold decisions), across block counts including nb=1."""
+    from unravelsports_spark.plans.pipeline import _allpairs_cosine_removed, _dot_col
+
+    rows = _rand_vecs(61, 8, seed=3)
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    ev = e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
+
+    # naive reference in python floats (same left-to-right accumulation)
+    vecs = {i: v for i, v in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    thr = 0.2
+    expected = sorted(
+        j
+        for i in vecs
+        for j in vecs
+        if i < j and dot(vecs[i], vecs[j]) / (math.sqrt(dot(vecs[i], vecs[i])) * math.sqrt(dot(vecs[j], vecs[j]))) >= thr
+    )
+    # b_id is emitted once per verified PAIR (a vector similar to several
+    # lower-id vectors repeats; .distinct() is the caller's contract), so
+    # compare the full multiset: each qualifying pair exactly once.
+    from collections import Counter
+
+    for nb in (1, 2, 8):
+        got = Counter(
+            r["b_id"]
+            for r in _allpairs_cosine_removed(ev, threshold=thr, n_blocks=nb).collect()
+        )
+        assert got == Counter(expected), f"nb={nb}"
+
+
+def test_bucket_cosine_handles_singletons_and_duplicates(spark):
+    """Cross-table duplicate candidates are allowed (distinct downstream);
+    singleton buckets yield nothing; pair decisions match the scalar form."""
+    from unravelsports_spark.plans.pipeline import _bucket_cosine_removed, _dot_col
+
+    rows = _rand_vecs(20, 4, seed=9)
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    ev = e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
+    # table 0: everyone in one bucket; table 1: vec_id parity buckets;
+    # vec 19 isolated in its own bucket (singleton)
+    keys = spark.createDataFrame(
+        [(i, 0, 0) for i in range(19)]
+        + [(i, 1, i % 2) for i in range(19)]
+        + [(19, 2, 99)],
+        "vec_id long, tbl long, bucket long",
+    )
+    bev = keys.join(ev, "vec_id")
+    got = sorted(
+        set(r["b_id"] for r in _bucket_cosine_removed(bev, threshold=0.3).collect())
+    )
+    vecs = {i: v for i, v in rows}
+
+    def cos(a, b):
+        def dot(x, y):
+            acc = 0.0
+            for p, q in zip(x, y):
+                acc = acc + p * q
+            return acc
+
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    expected = sorted(
+        set(
+            j
+            for i in range(19)
+            for j in range(19)
+            if i < j and cos(vecs[i], vecs[j]) >= 0.3
+        )
+    )
+    assert got == expected
+    assert 19 not in got  # the singleton bucket can't produce a pair
+
+
+def test_sign_lsh_keys_match_expression_form(spark):
+    """The Arrow sign-dot bucket bits == the literal-array JVM expression."""
+    from unravelsports_spark.plans.pipeline import _dot_col, _sign_lsh_keys
+
+    rows = _rand_vecs(40, 6, seed=11)
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    planes = [rows[i][1] for i in range(8)]
+    got = {
+        (r["vec_id"], r["tbl"]): r["bucket"]
+        for r in _sign_lsh_keys(e, planes, n_tables=2, bits_per_table=4).collect()
+    }
+    # expression reference
+    def lit_dot(plane):
+        return _dot_col(F.col("v"), F.array(*[F.lit(float(x)) for x in plane]))
+
+    for t in range(2):
+        bits = [
+            F.when(lit_dot(planes[t * 4 + i]) > 0, F.lit(1 << i)).otherwise(0)
+            for i in range(4)
+        ]
+        b = bits[0]
+        for x in bits[1:]:
+            b = b + x
+        ref = {r["vec_id"]: r["b"] for r in e.select("vec_id", b.alias("b")).collect()}
+        for vid, bucket in ref.items():
+            assert got[(vid, t)] == bucket, (vid, t)
+
+
+def test_with_codes_matches_scalar_assignment(spark):
+    """Arrow int64 assignment == scalar fold semantics (ties -> lowest
+    cluster), on a fixture with engineered exact ties."""
+    from unravelsports_spark.operators.pq import _with_codes
+
+    # 2 subspaces of 3 dims; cluster 1 duplicates cluster 0 in subspace 0 so
+    # every vector TIES between them there -> code must be 0
+    codebook = [
+        [[0, 0, 0], [0, 0, 0], [5, 5, 5]],
+        [[1, 2, 3], [3, 2, 1], [0, 0, 0]],
+    ]
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.randint(-10, 10) for _ in range(6)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, iq array<bigint>")
+    got = {r["vec_id"]: (r["a0"], r["a1"]) for r in _with_codes(df, codebook).collect()}
+
+    def assign(sub, cents):
+        best = None
+        for c, cent in enumerate(cents):
+            d = sum((a - b) ** 2 for a, b in zip(sub, cent))
+            if best is None or d < best[0]:
+                best = (d, c)
+        return best[1]
+
+    for vid, iq in rows:
+        exp = (assign(iq[:3], codebook[0]), assign(iq[3:], codebook[1]))
+        assert got[vid] == exp, vid
+        assert got[vid][0] != 1  # the engineered tie resolves to cluster 0
+
+
+def test_savgol_by_key_bucket_invariant(spark):
+    """n_buckets must not change any smoothed value (same per-series math
+    regardless of which kernel call a series lands in)."""
+    from unravelsports_spark.functions.savgol import savgol_by_key
+
+    rng = random.Random(13)
+    rows = [
+        (k, i, float(i), rng.uniform(-5, 5))
+        for k in range(9)
+        for i in range(rng.randint(3, 20))
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts double, value double")
+
+    def run(nb):
+        return sorted(
+            map(
+                tuple,
+                savgol_by_key(
+                    df, "user_id", ["ts", "event_id"], "value",
+                    ["user_id", "event_id"], 7, 2, 6, n_buckets=nb,
+                ).collect(),
+            )
+        )
+
+    assert run(1) == run(4) == run(32)
