@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 
 def _dense_vec_col(col: str):
     from pyspark.ml.functions import array_to_vector
@@ -81,7 +83,12 @@ def minhash_similarity_join(
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(toks).filter(F.size("tokens") > 0)
     model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=seed).fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_dist")
+    # transform ONCE and persist: approxSimilarityJoin re-runs the minhash
+    # UDF over each input that lacks the hashes column — for a self-join
+    # that's the corpus hashed twice more on top of fit; passing the
+    # pre-transformed frame makes it hash the corpus exactly once
+    hashed = tracked_persist(model.transform(feats))
+    joined = model.approxSimilarityJoin(hashed, hashed, max_jaccard_distance, distCol="jaccard_dist")
     return (
         joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
         .select(
