@@ -110,6 +110,9 @@ def main() -> None:
             d, ["join", "hash", "vector", "customer", "slow"]
         ),
         "shard_manifest": lambda d: shard_manifest(d, budget=4096),
+        "bpe_train(5 merges)": lambda d: __import__(
+            "unravelsports_spark.operators.bpe", fromlist=["bpe_train_merges"]
+        ).bpe_train_merges(d, num_merges=5),
     }
     print(f"{'operator':28s} {'1x sec':>8s} {'10x sec':>8s} {'ratio':>6s}")
     for name, mk in probes.items():
@@ -148,7 +151,24 @@ def main() -> None:
         ]
         return pq_adc_topk(d, cb, q, top=20)
 
-    for name, mk in {"pq_train+adc_topk": pq_probe}.items():
+    from unravelsports_spark.plans.corpus3 import semdedup_multitable_stats
+    from unravelsports_spark.plans.pipeline import _emb  # noqa: F401
+
+    def _as_e(d):
+        return d.select(
+            "vec_id", "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+
+    for name, mk in {
+        "pq_train+adc_topk": pq_probe,
+        # bits scale with the corpus: +log2(10) ~ 4 bits per table at 10x
+        # keeps expected bucket sizes constant (the sign-LSH operating rule)
+        "semdedup_multitable": lambda d: semdedup_multitable_stats(
+            _as_e(d),
+            bits_per_table=(4 if d is emb else 7),
+        ),
+    }.items():
         t_1 = timed(lambda: mk(emb))
         t_10 = timed(lambda: mk(ebig))
         print(f"{name:28s} {t_1:8.3f} {t_10:8.3f} {t_10 / t_1:6.1f}")

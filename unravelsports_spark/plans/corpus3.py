@@ -604,32 +604,40 @@ def _semdedup_multitable_sql() -> str:
     """
 
 
-@query("d_semdedup_multitable", oracle=_semdedup_multitable_sql())
-def d_semdedup_multitable(spark, sf_dir):
-    """OR-amplified SemDeDup: 4 independent sign-LSH tables of 4 planes
-    each; a pair is a candidate if it collides in ANY table (union via the
-    (table, bucket) join key — exactly the MinHash banding trick applied to
-    sign bits), then candidates-only cosine verification. Takes single-table
-    pair recall at cosine 0.4 from ~16% to ~50%; more tables amplify
-    further at linear cost, never all-pairs."""
+def semdedup_multitable_stats(
+    e, threshold: float = 0.4, n_tables: int = 4, bits_per_table: int = 4
+) -> "F.DataFrame":
+    """OR-amplified SemDeDup over a ``(vec_id, label, v)`` frame:
+    ``n_tables`` independent sign-LSH tables of ``bits_per_table`` planes
+    each (planes = vectors with vec_id 1..n_tables*bits_per_table); a pair
+    is a candidate if it collides in ANY table, then candidates-only cosine
+    verification, per-label survivor stats. Extracted from the query so
+    tools/scale_probe.py can drive it on blown-up corpora.
+
+    SIZE THE BITS TO THE CORPUS: expected bucket size is n / 2^bits, and
+    the within-bucket verify is quadratic in it — growing the corpus 10x
+    at fixed bits measured 33x wall, while adding log2(10) ≈ 3-4 bits per
+    table keeps bucket sizes (and per-pair work ∝ n) constant. That is the
+    standard sign-LSH operating rule; the certified query keeps 4x4 so the
+    oracle stays SQL-small."""
     from ..cache import tracked_persist
+    from .pipeline import _bucket_cosine_removed, _dot_col, _sign_lsh_keys
 
-    from .pipeline import _cos_col, _dot_col, _emb
-
-    e = _emb(spark, sf_dir, extra_cols=("label",))
-    # the 16 plane vectors are O(model): collect once, then all 16 sign
-    # dots evaluate in one vectorized Arrow pass (_sign_lsh_keys) with the
-    # exact _dot_col accumulation order — no crossJoin, no groupBy, no
-    # shuffle for the key build, and no interpreted HOF lambda.
-    from .pipeline import _sign_lsh_keys
-
+    n_planes = n_tables * bits_per_table
+    # the plane vectors are O(model): collect once, then all sign dots
+    # evaluate in one vectorized Arrow pass (_sign_lsh_keys) with the exact
+    # _dot_col accumulation order — no crossJoin, no groupBy, no shuffle
+    # for the key build, and no interpreted HOF lambda.
     plane_rows = {
         r["vec_id"]: list(r["v"])
-        for r in e.filter(F.col("vec_id").between(1, 16)).select("vec_id", "v").collect()
+        for r in e.filter(F.col("vec_id").between(1, n_planes)).select("vec_id", "v").collect()
     }
     keys = tracked_persist(
         _sign_lsh_keys(
-            e, [plane_rows[i + 1] for i in range(16)], n_tables=4, bits_per_table=4
+            e,
+            [plane_rows[i + 1] for i in range(n_planes)],
+            n_tables=n_tables,
+            bits_per_table=bits_per_table,
         )
     )
     # within-bucket pairwise verify (plans/pipeline.py:_bucket_cosine_removed):
@@ -639,11 +647,9 @@ def d_semdedup_multitable(spark, sf_dir):
     # computed in one vectorized Arrow group — same pairs, same bit-exact
     # per-pair fold arithmetic (per-vector self-dots precomputed with the
     # _dot_col order), dedup across tables via the id-level distinct.
-    from .pipeline import _bucket_cosine_removed, _dot_col
-
     ev = e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
     bev = keys.join(F.broadcast(ev), "vec_id")
-    removed = _bucket_cosine_removed(bev, threshold=0.4).distinct()
+    removed = _bucket_cosine_removed(bev, threshold=threshold).distinct()
     return (
         e.join(removed, e.vec_id == removed.b_id, "left")
         .groupBy("label")
@@ -652,6 +658,20 @@ def d_semdedup_multitable(spark, sf_dir):
             F.sum(F.when(F.col("b_id").isNotNull(), 1).otherwise(0)).alias("n_removed"),
         )
     )
+
+
+@query("d_semdedup_multitable", oracle=_semdedup_multitable_sql())
+def d_semdedup_multitable(spark, sf_dir):
+    """OR-amplified SemDeDup: 4 independent sign-LSH tables of 4 planes
+    each; a pair is a candidate if it collides in ANY table (union via the
+    (table, bucket) join key — exactly the MinHash banding trick applied to
+    sign bits), then candidates-only cosine verification. Takes single-table
+    pair recall at cosine 0.4 from ~16% to ~50%; more tables amplify
+    further at linear cost, never all-pairs. Body in
+    :func:`semdedup_multitable_stats` (shared with the 10x blowup probe)."""
+    from .pipeline import _emb
+
+    return semdedup_multitable_stats(_emb(spark, sf_dir, extra_cols=("label",)))
 
 
 def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:

@@ -484,14 +484,25 @@ def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket")):
         ids = pdf["vec_id"].to_numpy()[order]
         V = np.stack(pdf["v"].to_numpy())[order]
         n2 = pdf["n2"].to_numpy()[order]
-        acc = np.zeros((n, n))
-        for d in range(V.shape[1]):
-            col = V[:, d]
-            acc = acc + col[:, None] * col[None, :]
-        denom = np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :]
-        cos = acc / denom
-        i, j = np.where(np.triu(cos >= threshold, k=1))
-        return pd.DataFrame({"b_id": ids[j]})
+        sq = np.sqrt(n2)
+        hits = []
+        # row-blocked matrix: peak memory is (block, n) doubles no matter
+        # how large a skewed bucket gets; per-entry arithmetic identical
+        block = max(1, min(n, (1 << 22) // max(n, 1)))  # ~32 MB per buffer
+        for s in range(0, n, block):
+            e_ = min(s + block, n)
+            acc = np.zeros((e_ - s, n))
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                acc = acc + col[s:e_, None] * col[None, :]
+            cos = acc / (sq[s:e_, None] * sq[None, :])
+            mask = cos >= threshold
+            # strict upper triangle in GLOBAL indices: j > i
+            bi, bj = np.where(mask)
+            keep = bj > (bi + s)
+            hits.append(ids[bj[keep]])
+        out = np.concatenate(hits) if hits else np.array([], dtype="int64")
+        return pd.DataFrame({"b_id": out})
 
     return bev.groupBy(*group_cols).applyInPandas(verify, "b_id bigint")
 
