@@ -442,16 +442,26 @@ def _allpairs_cosine_removed(ev, threshold, n_blocks=8):
         V = np.stack(pdf["v"].to_numpy())[order]
         n2 = pdf["n2"].to_numpy()[order]
         blks = pdf["blk"].to_numpy()[order]
-        acc = np.zeros((n, n))
-        for d in range(V.shape[1]):
-            col = V[:, d]
-            acc = acc + col[:, None] * col[None, :]
-        cos = acc / (np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :])
-        mask = np.triu(cos >= threshold, k=1)
-        if bi != bj:
-            mask &= blks[:, None] != blks[None, :]
-        i, j = np.where(mask)
-        return pd.DataFrame({"b_id": ids[j]})
+        sq = np.sqrt(n2)
+        hits = []
+        # row-blocked like _bucket_cosine_removed: (block, n) buffers bound
+        # task memory even when n_blocks under-partitions a huge corpus
+        block = max(1, min(n, (1 << 22) // max(n, 1)))
+        for s in range(0, n, block):
+            e_ = min(s + block, n)
+            acc = np.zeros((e_ - s, n))
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                acc = acc + col[s:e_, None] * col[None, :]
+            cos = acc / (sq[s:e_, None] * sq[None, :])
+            mask = cos >= threshold
+            if bi != bj:
+                mask &= blks[s:e_, None] != blks[None, :]
+            ri, rj = np.where(mask)
+            keep = rj > (ri + s)
+            hits.append(ids[rj[keep]])
+        out = np.concatenate(hits) if hits else np.array([], dtype="int64")
+        return pd.DataFrame({"b_id": out})
 
     return fanned.groupBy("g").applyInPandas(verify, "b_id bigint")
 
