@@ -22,7 +22,29 @@ _SEED = 17
 
 
 def _tracking(spark):
-    return synthetic_tracking_df(spark, n_frames=_N_FRAMES, seed=_SEED)
+    """The seeded synthetic tracking fixture, staged to parquet once per
+    process: createDataFrame re-serialized the full 100k-row pandas table
+    driver->JVM on EVERY query call (~2.5 s of each model query's wall was
+    fixture shipping, not engine work); reading the staged parquet is also
+    the realistic input shape — a scan, with column pruning available."""
+    import os
+    import tempfile
+
+    global _TRACKING_PATH
+    if _TRACKING_PATH is None or not os.path.exists(_TRACKING_PATH):
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_tracking_{_N_FRAMES}_{_SEED}"
+        )
+        done = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(done):
+            synthetic_tracking_df(spark, n_frames=_N_FRAMES, seed=_SEED).write.mode(
+                "overwrite"
+            ).parquet(path)
+        _TRACKING_PATH = path
+    return spark.read.parquet(_TRACKING_PATH)
+
+
+_TRACKING_PATH = None
 
 
 def _settings():
