@@ -78,6 +78,11 @@ _SWEEP = [
     "t_dsir_scores", "t_nb_confusion", "t_shard_manifest",
     "d_incremental_dedup", "d_semantic_contamination",
     "d_embedding_neardup",
+    # round-5 bench-headline additions — the data-heavy set must stay free
+    # of cartesian products and row-at-a-time Python too
+    "d_pagerank", "d_dup_clusters", "d_cluster_keep_best",
+    "d_minhash_signatures", "t_corpus_prep_e2e", "t_prep_to_shards_e2e",
+    "t_bpe_tokenized_stats", "w9_interpolate_gaps", "t_repetition_stats",
 ]
 
 
