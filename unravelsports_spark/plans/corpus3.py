@@ -715,3 +715,75 @@ def d_pagerank(spark, sf_dir):
     sigs = minhash_signatures(shingled, num_hashes=8)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     return pagerank(pairs, iters=3, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: certified recall of the OR-amplified SemDeDup candidate generator
+# vs ground truth — the docstring's "~16% -> ~50% pair recall" claim as a
+# hash-checked number instead of prose.
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_recall_sql() -> str:
+    from .pipeline import _cos_sql
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact_removed AS (
+      SELECT DISTINCT b.vec_id AS b_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= 0.4),
+    planes AS (SELECT vec_id AS plane_id, v AS p FROM e WHERE vec_id BETWEEN 1 AND 16),
+    keys AS (
+      SELECT e.vec_id, (p.plane_id - 1) // 4 AS tbl,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+                           THEN 1 << CAST((p.plane_id - 1) % 4 AS INT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id, (p.plane_id - 1) // 4),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                             AND a.vec_id < b.vec_id),
+    lsh_removed AS (
+      SELECT DISTINCT c.id_b AS b_id
+      FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
+      WHERE {_cos_sql('ea.v', 'eb.v')} >= 0.4)
+    SELECT
+      (SELECT COUNT(*) FROM exact_removed) AS n_exact,
+      (SELECT COUNT(*) FROM lsh_removed) AS n_lsh,
+      (SELECT COUNT(*) FROM exact_removed x
+        WHERE EXISTS (SELECT 1 FROM lsh_removed l WHERE l.b_id = x.b_id)) AS n_common
+    """
+
+
+@query("d_semdedup_recall", oracle=_semdedup_recall_sql())
+def d_semdedup_recall(spark, sf_dir):
+    """Removal-set recall of the 4x4-bit OR-amplified SemDeDup vs exact
+    ground truth at cosine 0.4: (n_exact, n_lsh, n_common) as exact BIGINTs
+    — n_lsh ⊆ n_exact by construction (every LSH removal is cosine-verified),
+    so n_common == n_lsh and n_lsh / n_exact IS the amplified recall the
+    family's docstrings claim. Ground truth runs through the block-pair
+    fan-out (never a cartesian join); the LSH side is the certified
+    multitable path."""
+    from .pipeline import _allpairs_cosine_removed, _bucket_cosine_removed, _dot_col, _emb, _sign_lsh_keys
+    from ..cache import tracked_persist
+
+    e = _emb(spark, sf_dir)
+    ev = tracked_persist(
+        e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
+    )
+    exact = _allpairs_cosine_removed(ev, threshold=0.4, n_blocks=8).distinct()
+    plane_rows = {
+        r["vec_id"]: list(r["v"])
+        for r in e.filter(F.col("vec_id").between(1, 16)).select("vec_id", "v").collect()
+    }
+    keys = _sign_lsh_keys(
+        e, [plane_rows[i + 1] for i in range(16)], n_tables=4, bits_per_table=4
+    )
+    bev = keys.join(F.broadcast(ev), "vec_id")
+    lsh = _bucket_cosine_removed(bev, threshold=0.4).distinct()
+    exact_c = exact.count()
+    lsh_c = lsh.count()
+    common = exact.join(lsh, "b_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(exact_c, lsh_c, common)], "n_exact bigint, n_lsh bigint, n_common bigint"
+    )
