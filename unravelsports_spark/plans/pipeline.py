@@ -431,7 +431,7 @@ def _allpairs_cosine_removed(ev, threshold, n_blocks=8):
         "vec_id", "v", "n2", blk.alias("blk"), F.explode(group_ids).alias("g")
     )
 
-    def verify(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def verify(key, pdf):
         g = int(key[0])
         bi, bj = g // nb, g % nb
         n = len(pdf)
@@ -486,7 +486,7 @@ def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket")):
     import numpy as np
     import pandas as pd
 
-    def verify(_key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def verify(_key, pdf):
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"b_id": pd.Series([], dtype="int64")})
