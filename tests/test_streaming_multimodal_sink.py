@@ -722,3 +722,90 @@ def test_nb_model_filters_streaming_ingest_same_as_batch(spark, tmp_path):
         for r in spark.read.parquet(out).drop("batch_id").collect()
     }
     assert stream_pred == batch_pred
+
+
+def test_incremental_semdedup_two_batch_equals_batch(spark):
+    """Chaining incremental_semdedup over an id-ordered split must keep
+    exactly the vectors the one-shot batch path keeps (ledger semantics
+    reduce to the larger-id-of-each-pair rule when batches arrive in id
+    order)."""
+    from pyspark.sql import functions as F
+
+    from unravelsports_spark.operators.similarity import (
+        _bucket_cosine_removed,
+        _dot,
+        _sign_lsh_keys,
+        incremental_semdedup,
+    )
+    from unravelsports_spark.session import read_table
+
+    from .conftest import SF_CORRECT
+
+    e = read_table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    planes = [
+        list(r["v"])
+        for r in e.filter(F.col("vec_id").between(1, 16)).orderBy("vec_id").collect()
+    ]
+    # one-shot batch removal set
+    keys = _sign_lsh_keys(e, planes, n_tables=4, bits_per_table=4)
+    ev = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
+    bev = keys.join(F.broadcast(ev), "vec_id")
+    removed = {
+        r["b_id"]
+        for r in _bucket_cosine_removed(bev, threshold=0.4).distinct().collect()
+    }
+    all_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    batch_survivors = all_ids - removed
+
+    mid = sorted(all_ids)[len(all_ids) // 2]
+    b1 = e.filter(F.col("vec_id") <= mid)
+    b2 = e.filter(F.col("vec_id") > mid)
+    s1 = incremental_semdedup(b1, planes).persist()
+    s2 = incremental_semdedup(b2, planes, seen=s1)
+    inc_survivors = {r["vec_id"] for r in s1.select("vec_id").distinct().collect()} | {
+        r["vec_id"] for r in s2.select("vec_id").distinct().collect()
+    }
+    assert inc_survivors == batch_survivors
+
+
+def test_streaming_semdedup_foreachbatch(spark, tmp_path):
+    """foreachBatch embedding near-dup ledger: a batch-2 vector nearly
+    identical to a batch-1 survivor is dropped; a novel vector survives;
+    the ledger holds survivors in bucketed format."""
+    from unravelsports_spark.streaming.windows import streaming_semdedup
+
+    dim = 8
+    planes = [[1.0 if d == (i % dim) else 0.01 for d in range(dim)] for i in range(16)]
+    A = [1.0, 0.1, -0.2, 0.3, 0.0, 0.5, -0.1, 0.2]
+    B = [-0.9, 0.8, 0.1, -0.7, 0.2, -0.3, 0.9, -0.5]
+    A2 = [x * 1.001 for x in A]  # cosine ~1 with A -> must drop
+    C = [0.0, -1.0, 0.9, 0.8, -0.6, 0.1, 0.4, -0.9]
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1, A), (2, B)], "vec_id bigint, v array<double>").write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("vec_id bigint, v array<double>").parquet(src)
+    q = streaming_semdedup(
+        stream, planes, ledger, out, str(tmp_path / "ckpt"), threshold=0.8
+    ).start()
+    q.awaitTermination(120)
+    assert sorted(r.vec_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    spark.createDataFrame(
+        [(10, A2), (11, C)], "vec_id bigint, v array<double>"
+    ).write.mode("append").parquet(src)
+    q = streaming_semdedup(
+        stream, planes, ledger, out, str(tmp_path / "ckpt"), threshold=0.8
+    ).start()
+    q.awaitTermination(120)
+    assert sorted(r.vec_id for r in spark.read.parquet(out).collect()) == [1, 2, 11]
+    led = spark.read.parquet(ledger)
+    assert set(led.columns) >= {"vec_id", "tbl", "bucket", "v", "n2"}
+    assert sorted(
+        r.vec_id for r in led.select("vec_id").distinct().collect()
+    ) == [1, 2, 11]

@@ -276,3 +276,230 @@ def kmeans_fit_distributed(
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         centroids = new
     return centroids
+
+
+def _sign_lsh_keys(e, planes, n_tables, bits_per_table, v_col="v", id_col="vec_id"):
+    """(vec_id, tbl, bucket) sign-LSH keys for ``n_tables`` tables of
+    ``bits_per_table`` hyperplanes each, vectorized in Arrow batches.
+
+    ``planes[t * bits_per_table + i]`` is hyperplane i of table t (a plain
+    float list — O(model), collected once by the caller). Each sign bit is
+    ``dot(v, plane) > 0`` with the dot accumulated one dimension at a time
+    in ascending order — the identical IEEE add sequence as the
+    ``_dot_col`` fold the oracle mirrors, so boundary signs cannot flip.
+    Replaces a 16-literal-array HOF projection whose lambda interpreted
+    ~2M steps per pass."""
+    import numpy as np
+    import pandas as pd
+
+    P = [np.asarray(p, dtype=float) for p in planes]
+
+    def keys(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf[v_col].to_numpy())
+            frames = []
+            for t in range(n_tables):
+                bucket = np.zeros(n, dtype=np.int64)
+                for i in range(bits_per_table):
+                    p = P[t * bits_per_table + i]
+                    acc = np.zeros(n)
+                    for d in range(V.shape[1]):
+                        acc = acc + V[:, d] * p[d]
+                    bucket |= (acc > 0).astype(np.int64) << i
+                frames.append(
+                    pd.DataFrame(
+                        {"vec_id": pdf[id_col], "tbl": t, "bucket": bucket}
+                    )
+                )
+            yield pd.concat(frames)
+
+    return e.select(id_col, v_col).mapInPandas(
+        keys, "vec_id bigint, tbl bigint, bucket bigint"
+    )
+
+
+def _allpairs_cosine_removed(ev, threshold, n_blocks=8):
+    """EXACT all-pairs cosine >= threshold (emit the larger id of each hit)
+    via block-pair fan-out — the scale shape for brute-force all-pairs:
+
+    vectors land in ``n_blocks`` hash blocks; every unordered block pair
+    (bi <= bj) is one task group receiving both blocks' vectors (each
+    vector is replicated n_blocks times — O(n·B) rows moved, never O(n²)),
+    and each group computes its (n, n) cosine matrix vectorized. A pair is
+    counted exactly once: same-block pairs in the (b, b) group, cross-block
+    pairs (masked to blk_x != blk_y) in the (bi, bj) group. Memory per task
+    is (2n/B)² doubles — B tunes the task grid to the cluster. Dots
+    accumulate dim-at-a-time in ascending order (the `_dot_col` fold
+    sequence), so results are bit-identical to the scalar form; ``n2`` is
+    the precomputed per-vector self-dot. Replaced an interpreted HOF
+    cosine over the joined pair table: 69 s -> ~1 s at sf0.1."""
+    import numpy as np
+    import pandas as pd
+
+    nb = n_blocks
+    blk = (F.col("vec_id") % nb).cast("int")
+    group_ids = F.array(
+        *[
+            F.least(blk, F.lit(o)) * nb + F.greatest(blk, F.lit(o))
+            for o in range(nb)
+        ]
+    )
+    fanned = ev.select(
+        "vec_id", "v", "n2", blk.alias("blk"), F.explode(group_ids).alias("g")
+    )
+
+    def verify(key, pdf):
+        g = int(key[0])
+        bi, bj = g // nb, g % nb
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"b_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy())[order]
+        n2 = pdf["n2"].to_numpy()[order]
+        blks = pdf["blk"].to_numpy()[order]
+        sq = np.sqrt(n2)
+        hits = []
+        # row-blocked like _bucket_cosine_removed: (block, n) buffers bound
+        # task memory even when n_blocks under-partitions a huge corpus
+        block = max(1, min(n, (1 << 22) // max(n, 1)))
+        for s in range(0, n, block):
+            e_ = min(s + block, n)
+            acc = np.zeros((e_ - s, n))
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                acc = acc + col[s:e_, None] * col[None, :]
+            cos = acc / (sq[s:e_, None] * sq[None, :])
+            mask = cos >= threshold
+            if bi != bj:
+                mask &= blks[s:e_, None] != blks[None, :]
+            ri, rj = np.where(mask)
+            keep = rj > (ri + s)
+            hits.append(ids[rj[keep]])
+        out = np.concatenate(hits) if hits else np.array([], dtype="int64")
+        return pd.DataFrame({"b_id": out})
+
+    return fanned.groupBy("g").applyInPandas(verify, "b_id bigint")
+
+
+def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket"), new_col=None):
+    """Within-bucket pairwise cosine verify, vectorized per bucket group.
+
+    Input: one row per (vector, bucket-key) with columns ``vec_id``, ``v``
+    (double array) and ``n2`` (the vector's self-dot, precomputed with the
+    fold order of :func:`_dot_col`). Output: one ``b_id`` row per verified
+    pair (the larger vec_id of a pair with cosine >= threshold), duplicates
+    possible across buckets — ``.distinct()`` downstream.
+
+    ``new_col`` switches on LEDGER semantics for incremental SemDeDup: rows
+    where ``bev[new_col]`` is False are previously-kept ledger vectors —
+    they are never removed themselves, and a NEW vector is removed when it
+    verifies against ANY ledger vector (either id order) or against a
+    lower-id new vector. With every row new (or ``new_col=None``) this
+    reduces exactly to the batch larger-id-of-each-pair rule.
+
+    This is the scale-correct shape for LSH-style verify: vectors cross the
+    wire once per (vector, table) — ~|keys| rows — instead of once per
+    CANDIDATE PAIR (the pair-join attach ships O(pairs) x dim doubles;
+    measured 550 MB vs 4 MB at sf0.1, 2.1 s vs 0.6 s). Inside a group the
+    (n, n) dot matrix accumulates one dim at a time in ascending order, so
+    every pair's dot is the identical left-to-right IEEE add sequence as
+    the scalar fold — oracle thresholds cannot flip; cos divides by
+    sqrt(n2_i)*sqrt(n2_j) exactly as the JVM expression."""
+    import numpy as np
+    import pandas as pd
+
+    def verify(_key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"b_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy())[order]
+        n2 = pdf["n2"].to_numpy()[order]
+        new = (
+            pdf[new_col].to_numpy()[order]
+            if new_col is not None
+            else np.ones(n, dtype=bool)
+        )
+        sq = np.sqrt(n2)
+        hits = []
+        # row-blocked matrix: peak memory is (block, n) doubles no matter
+        # how large a skewed bucket gets; per-entry arithmetic identical
+        block = max(1, min(n, (1 << 22) // max(n, 1)))  # ~32 MB per buffer
+        for s in range(0, n, block):
+            e_ = min(s + block, n)
+            acc = np.zeros((e_ - s, n))
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                acc = acc + col[s:e_, None] * col[None, :]
+            cos = acc / (sq[s:e_, None] * sq[None, :])
+            mask = cos >= threshold
+            bi, bj = np.where(mask)
+            gi = bi + s  # global row (i) index
+            # a removal of ids[j] needs: j NEW, and (i below j in id order)
+            # OR (i is a ledger vector, any order); i == j excluded by both
+            keep = new[bj] & ((bj > gi) | ~new[gi])
+            hits.append(ids[bj[keep]])
+        out = np.concatenate(hits) if hits else np.array([], dtype="int64")
+        return pd.DataFrame({"b_id": out})
+
+    return bev.groupBy(*group_cols).applyInPandas(verify, "b_id bigint")
+
+
+def incremental_semdedup(
+    new_batch: DataFrame,
+    planes,
+    seen: DataFrame | None = None,
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    bits_per_table: int = 4,
+    id_col: str = "vec_id",
+    v_col: str = "v",
+) -> DataFrame:
+    """Cross-batch SemDeDup: drop vectors of ``new_batch`` that are within
+    ``cosine >= threshold`` of any previously-KEPT vector in ``seen`` (the
+    bucketed-vector ledger from earlier batches) or of a lower-id survivor
+    candidate inside the batch — the embedding analogue of
+    ``dedup.incremental_dedup`` for streaming ingest.
+
+    ``planes`` is the fixed hyperplane model (``n_tables * bits_per_table``
+    float lists — O(model), decided once for the pipeline's lifetime so
+    every batch buckets identically). ``seen`` rows are LEDGER FORMAT:
+    ``(vec_id, tbl, bucket, v, n2)`` — exactly what this function returns
+    for its survivors, so the output of batch N appends directly as the
+    ledger of batch N+1. Candidates only meet inside a (table, bucket), the
+    ledger is stored BY its join key, and the verify is the row-blocked
+    group-matrix kernel — nothing all-pairs at any batch count.
+
+    With ``seen=None`` and all ids ascending this reproduces the batch
+    multitable removal set exactly (tested: two-batch chaining == one
+    batch)."""
+    keys = _sign_lsh_keys(
+        new_batch.select(F.col(id_col).alias("vec_id"), F.col(v_col).alias("v")),
+        planes,
+        n_tables=n_tables,
+        bits_per_table=bits_per_table,
+    )
+    ev = new_batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(v_col).alias("v"),
+        _dot(F.col(v_col), F.col(v_col)).alias("n2"),
+    )
+    bev_new = keys.join(F.broadcast(ev), "vec_id").select(
+        "vec_id", "tbl", "bucket", "v", "n2"
+    )
+    if seen is None:
+        bev = bev_new.withColumn("_new", F.lit(True))
+    else:
+        bev = (
+            seen.select("vec_id", "tbl", "bucket", "v", "n2")
+            .withColumn("_new", F.lit(False))
+            .unionByName(bev_new.withColumn("_new", F.lit(True)))
+        )
+    removed = _bucket_cosine_removed(bev, threshold, new_col="_new").distinct()
+    return bev_new.join(removed, bev_new.vec_id == removed.b_id, "left_anti")

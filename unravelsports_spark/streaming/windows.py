@@ -139,6 +139,63 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_semdedup(
+    stream_df,
+    planes,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    bits_per_table: int = 4,
+    id_col: str = "vec_id",
+    v_col: str = "v",
+):
+    """Exactly-once EMBEDDING near-dup ingestion via ``foreachBatch`` — the
+    SemDeDup twin of :func:`streaming_incremental_dedup`: every micro-batch
+    buckets its vectors with the pipeline's fixed hyperplane model
+    (``planes`` — chosen once, so all batches bucket identically),
+    verifies candidates against the durable bucketed-vector ledger plus
+    lower-id in-batch survivors (operators/similarity.py:
+    incremental_semdedup), writes the surviving vectors to ``out_dir`` and
+    their ledger-format rows (vec_id, tbl, bucket, v, n2) to the ledger.
+
+    Same exactly-once discipline as the text dedup: both writes are keyed
+    by ``batch_id`` with overwrite semantics, and a replayed batch excludes
+    its own ledger partition. The ledger is stored BY the (tbl, bucket)
+    join key it is probed on — at 100 TB the per-batch verify touches only
+    the buckets the new vectors hash into, never the full history."""
+    from ..operators.similarity import incremental_semdedup
+
+    def _process(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        seen = _read_ledger(spark, ledger_dir, exclude_batch=batch_id)
+        kept = incremental_semdedup(
+            batch_df,
+            planes,
+            seen=seen,
+            threshold=threshold,
+            n_tables=n_tables,
+            bits_per_table=bits_per_table,
+            id_col=id_col,
+            v_col=v_col,
+        )
+        kept.persist()
+        try:
+            kept.write.mode("overwrite").parquet(f"{ledger_dir}/batch_id={batch_id}")
+            kept.select("vec_id", "v").dropDuplicates(["vec_id"]).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch_id={batch_id}")
+        finally:
+            kept.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def _read_ledger(spark, ledger_dir: str, exclude_batch: int | None = None):
     """Read a batch-partitioned dedup ledger, excluding ``exclude_batch``'s
     own partition (replay self-exclusion). Returns None if the ledger doesn't
