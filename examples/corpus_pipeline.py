@@ -37,6 +37,23 @@ def main(spark, sf_dir: str) -> dict:
     # 2. drift check: how far is the kept slice from the rest of the corpus?
     kl = corpus_kl(docs, target=F.col("lang") == "en").first()
 
+    # 2b. semantic dedup on the embedding table (SemDeDup): sign-LSH bucket
+    # candidates, within-bucket cosine verify — the same incremental
+    # operator the streaming ingest wrapper chains batch-to-batch
+    from unravelsports_spark.operators.similarity import incremental_semdedup
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    planes = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id").between(1, 16)).orderBy("vec_id").collect()
+    ]
+    n_emb = emb.count()
+    n_emb_kept = (
+        incremental_semdedup(emb, planes).select("vec_id").distinct().count()
+    )
+
     # 3. data selection: most-target-like 20% of the non-English pool
     selected = dsir_select(docs, target=F.col("lang") == "en", keep_frac=0.2)
     sel_rows = selected.collect()
@@ -48,6 +65,7 @@ def main(spark, sf_dir: str) -> dict:
         "raw_docs": n_raw,
         "kept_docs": n_kept,
         "kl_micro_nats": (kl["kl_tr_micro"], kl["kl_rt_micro"]),
+        "semdedup_vectors": (n_emb, n_emb_kept),
         "dsir_selected": {r["label"]: r["n_selected"] for r in sel_rows},
         "n_shards": len(manifest),
         "shard_tokens": [r["shard_tokens"] for r in manifest],
