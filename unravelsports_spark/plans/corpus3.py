@@ -771,7 +771,11 @@ def d_semdedup_recall(spark, sf_dir):
     ev = tracked_persist(
         e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
     )
-    exact = _allpairs_cosine_removed(ev, threshold=0.4, n_blocks=8).distinct()
+    # both removal sets are read three times (their count + the overlap
+    # join) — persist so each kernel pipeline executes once
+    exact = tracked_persist(
+        _allpairs_cosine_removed(ev, threshold=0.4, n_blocks=8).distinct()
+    )
     plane_rows = {
         r["vec_id"]: list(r["v"])
         for r in e.filter(F.col("vec_id").between(1, 16)).select("vec_id", "v").collect()
@@ -780,7 +784,7 @@ def d_semdedup_recall(spark, sf_dir):
         e, [plane_rows[i + 1] for i in range(16)], n_tables=4, bits_per_table=4
     )
     bev = keys.join(F.broadcast(ev), "vec_id")
-    lsh = _bucket_cosine_removed(bev, threshold=0.4).distinct()
+    lsh = tracked_persist(_bucket_cosine_removed(bev, threshold=0.4).distinct())
     exact_c = exact.count()
     lsh_c = lsh.count()
     common = exact.join(lsh, "b_id", "left_semi").count()
