@@ -51,7 +51,11 @@ def main(spark, sf_dir: str) -> dict:
     ]
     n_emb = emb.count()
     n_emb_kept = (
-        incremental_semdedup(emb, planes).select("vec_id").distinct().count()
+        incremental_semdedup(emb, planes)
+        .filter("kept")
+        .select("vec_id")
+        .distinct()
+        .count()
     )
 
     # 3. data selection: most-target-like 20% of the non-English pool

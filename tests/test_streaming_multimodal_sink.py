@@ -725,16 +725,14 @@ def test_nb_model_filters_streaming_ingest_same_as_batch(spark, tmp_path):
 
 
 def test_incremental_semdedup_two_batch_equals_batch(spark):
-    """Chaining incremental_semdedup over an id-ordered split must keep
-    exactly the vectors the one-shot batch path keeps (ledger semantics
-    reduce to the larger-id-of-each-pair rule when batches arrive in id
-    order)."""
+    """Chaining incremental_semdedup over an id-ordered split with the FULL
+    ledger (exact mode: removed rows stay witnesses) must keep exactly the
+    vectors the one-shot batch path keeps."""
     from pyspark.sql import functions as F
 
     from unravelsports_spark.operators.similarity import (
         _bucket_cosine_removed,
-        _dot,
-        _sign_lsh_keys,
+        _sign_lsh_bev,
         incremental_semdedup,
     )
     from unravelsports_spark.session import read_table
@@ -748,10 +746,8 @@ def test_incremental_semdedup_two_batch_equals_batch(spark):
         list(r["v"])
         for r in e.filter(F.col("vec_id").between(1, 16)).orderBy("vec_id").collect()
     ]
-    # one-shot batch removal set
-    keys = _sign_lsh_keys(e, planes, n_tables=4, bits_per_table=4)
-    ev = e.select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2"))
-    bev = keys.join(F.broadcast(ev), "vec_id")
+    # one-shot batch removal set (fused bev kernel — no key/vector re-join)
+    bev = _sign_lsh_bev(e, planes, n_tables=4, bits_per_table=4)
     removed = {
         r["b_id"]
         for r in _bucket_cosine_removed(bev, threshold=0.4).distinct().collect()
@@ -763,11 +759,46 @@ def test_incremental_semdedup_two_batch_equals_batch(spark):
     b1 = e.filter(F.col("vec_id") <= mid)
     b2 = e.filter(F.col("vec_id") > mid)
     s1 = incremental_semdedup(b1, planes).persist()
-    s2 = incremental_semdedup(b2, planes, seen=s1)
-    inc_survivors = {r["vec_id"] for r in s1.select("vec_id").distinct().collect()} | {
-        r["vec_id"] for r in s2.select("vec_id").distinct().collect()
-    }
+    s2 = incremental_semdedup(b2, planes, seen=s1)  # seen = ALL rows: exact
+    inc_survivors = {
+        r["vec_id"] for r in s1.filter("kept").select("vec_id").distinct().collect()
+    } | {r["vec_id"] for r in s2.filter("kept").select("vec_id").distinct().collect()}
     assert inc_survivors == batch_survivors
+
+
+def test_incremental_semdedup_removed_witness_chain(spark):
+    """The adversarial similarity chain from ADVICE r5: sim(1,2) >= t,
+    sim(2,3) >= t, sim(1,3) < t, split {1,2} | {3}. Exact mode (full
+    ledger) reproduces the one-shot result {1} because removed vector 2
+    still witnesses 3's removal; kept-only chaining keeps {1,3} — the
+    documented greedy-kept divergence."""
+    import math
+
+    from unravelsports_spark.operators.similarity import incremental_semdedup
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]  # 1 table x 2 bits; all vecs bucket 3
+    kw = dict(threshold=0.8, n_tables=1, bits_per_table=2)
+    rows = [(1, at(10)), (2, at(40)), (3, at(70))]
+    schema = "vec_id bigint, v array<double>"
+    full = spark.createDataFrame(rows, schema)
+
+    one_shot = incremental_semdedup(full, planes, **kw)
+    assert sorted(
+        r["vec_id"] for r in one_shot.filter("kept").select("vec_id").distinct().collect()
+    ) == [1]
+
+    b1 = spark.createDataFrame(rows[:2], schema)
+    b2 = spark.createDataFrame(rows[2:], schema)
+    s1 = incremental_semdedup(b1, planes, **kw).persist()
+    exact = incremental_semdedup(b2, planes, seen=s1, **kw)
+    assert [r["vec_id"] for r in exact.filter("kept").select("vec_id").collect()] == []
+
+    greedy = incremental_semdedup(b2, planes, seen=s1.filter("kept"), **kw)
+    assert [r["vec_id"] for r in greedy.filter("kept").select("vec_id").collect()] == [3]
 
 
 def test_streaming_semdedup_foreachbatch(spark, tmp_path):
@@ -805,7 +836,12 @@ def test_streaming_semdedup_foreachbatch(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(r.vec_id for r in spark.read.parquet(out).collect()) == [1, 2, 11]
     led = spark.read.parquet(ledger)
-    assert set(led.columns) >= {"vec_id", "tbl", "bucket", "v", "n2"}
+    assert set(led.columns) >= {"vec_id", "tbl", "bucket", "v", "n2", "kept"}
+    # exact ledger mode: ALL vectors land in the ledger, dropped ones
+    # flagged kept=false (they remain removal witnesses)
     assert sorted(
         r.vec_id for r in led.select("vec_id").distinct().collect()
+    ) == [1, 2, 10, 11]
+    assert sorted(
+        r.vec_id for r in led.filter("kept").select("vec_id").distinct().collect()
     ) == [1, 2, 11]

@@ -129,6 +129,71 @@ def test_sign_lsh_keys_match_expression_form(spark):
             assert got[(vid, t)] == bucket, (vid, t)
 
 
+def test_bucket_cosine_partitioned_matches_grouped(spark):
+    """partitions=N (repartition + per-partition pandas groupby) must emit
+    the same removal multiset-up-to-distinct as the per-group applyInPandas
+    path, for plain AND ledger (new_col) semantics, at several widths."""
+    from unravelsports_spark.plans.pipeline import _bucket_cosine_removed, _dot_col
+
+    rows = _rand_vecs(60, 5, seed=21)
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    ev = e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
+    keys = spark.createDataFrame(
+        [(i, t, (i * (t + 3)) % 7) for i, _ in rows for t in range(3)],
+        "vec_id long, tbl long, bucket long",
+    )
+    bev = keys.join(ev, "vec_id")
+    ref = set(r["b_id"] for r in _bucket_cosine_removed(bev, 0.3).distinct().collect())
+    for nparts in (1, 3, 16):
+        got = set(
+            r["b_id"]
+            for r in _bucket_cosine_removed(bev, 0.3, partitions=nparts)
+            .distinct()
+            .collect()
+        )
+        assert got == ref, nparts
+    # ledger semantics: mark low ids as previously-kept ledger rows
+    bev_l = bev.withColumn("_new", F.col("vec_id") >= 30)
+    ref_l = set(
+        r["b_id"]
+        for r in _bucket_cosine_removed(bev_l, 0.3, new_col="_new").distinct().collect()
+    )
+    got_l = set(
+        r["b_id"]
+        for r in _bucket_cosine_removed(bev_l, 0.3, new_col="_new", partitions=5)
+        .distinct()
+        .collect()
+    )
+    assert got_l == ref_l
+
+
+def test_sign_lsh_bev_matches_keys_plus_join(spark):
+    """The fused bev kernel == _sign_lsh_keys + (v, n2) attach, bit-exact
+    (same bucket bits, same fold-order self-dot)."""
+    from unravelsports_spark.plans.pipeline import _dot_col, _sign_lsh_bev, _sign_lsh_keys
+
+    rows = _rand_vecs(40, 6, seed=11)
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    planes = [rows[i][1] for i in range(8)]
+    keys = {
+        (r["vec_id"], r["tbl"]): r["bucket"]
+        for r in _sign_lsh_keys(e, planes, n_tables=2, bits_per_table=4).collect()
+    }
+    n2 = {
+        r["vec_id"]: r["n2"]
+        for r in e.select(
+            "vec_id", _dot_col(F.col("v"), F.col("v")).alias("n2")
+        ).collect()
+    }
+    fused = _sign_lsh_bev(e, planes, n_tables=2, bits_per_table=4).collect()
+    assert len(fused) == len(keys)
+    vecs = dict(rows)
+    for r in fused:
+        assert keys[(r["vec_id"], r["tbl"])] == r["bucket"]
+        assert n2[r["vec_id"]] == r["n2"]  # bit-exact, not approx
+        assert list(r["v"]) == list(vecs[r["vec_id"]])
+
+
 def test_with_codes_matches_scalar_assignment(spark):
     """Arrow int64 assignment == scalar fold semantics (ties -> lowest
     cluster), on a fixture with engineered exact ties."""

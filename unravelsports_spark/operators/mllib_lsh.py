@@ -71,7 +71,14 @@ def minhash_similarity_join(
     sf0.1 the unigram form produced a near-quadratic candidate set and
     525 s of exact re-checks; the 3-gram form is sub-second. n-grams make
     unrelated documents near-disjoint, which is what gives LSH its
-    sub-quadratic candidate bound at corpus scale."""
+    sub-quadratic candidate bound at corpus scale.
+
+    Documents shorter than ``shingle_n`` tokens fall back to their single
+    whole-document gram (the joined token string) instead of an empty gram
+    set — otherwise the non-empty filter below would silently exclude 1-2
+    token docs from the near-dup join entirely (ADVICE r5). Two such docs
+    are near-dups only when identical, which is what a single-element set
+    under Jaccard expresses."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -79,6 +86,9 @@ def minhash_similarity_join(
         F.size(t) >= shingle_n, F.sequence(F.lit(0), F.size(t) - shingle_n)
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, shingle_n)))
+    grams = F.when(F.size(t) >= shingle_n, grams).otherwise(
+        F.array(F.concat_ws(" ", t))
+    )
     toks = df.select(id_col, grams.alias("tokens"))
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(toks).filter(F.size("tokens") > 0)

@@ -321,6 +321,77 @@ def _sign_lsh_keys(e, planes, n_tables, bits_per_table, v_col="v", id_col="vec_i
     )
 
 
+def _sign_lsh_bev(e, planes, n_tables, bits_per_table, v_col="v", id_col="vec_id"):
+    """Fused sign-LSH bucketing: ONE Arrow pass over the corpus emitting
+    ledger-format rows ``(vec_id, tbl, bucket, v, n2)`` — the direct input
+    of :func:`_bucket_cosine_removed`.
+
+    Fuses what used to be two passes plus a join (``_sign_lsh_keys`` then
+    ``keys.join(ev, vec_id)`` to re-attach the vector and its self-dot):
+    the vector is already in hand while the sign bits are computed, so the
+    kernel emits it alongside the keys and the join disappears entirely.
+    That join was also the scale hazard flagged in ADVICE r5 — a broadcast
+    of the FULL embedding corpus; now nothing is broadcast and the only
+    shuffle is the (tbl, bucket) verify grouping, carrying exactly the rows
+    this emits (~n_tables x n, the LSH-replication minimum).
+
+    Arithmetic is bit-compatible with the expression form: each sign dot
+    and the ``n2`` self-dot accumulate one dimension at a time in ascending
+    order — the identical left-to-right IEEE sequence as the ``_dot_col``
+    fold the oracles mirror."""
+    import numpy as np
+    import pandas as pd
+
+    P = [np.asarray(p, dtype=float) for p in planes]
+
+    def bev(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=float) for v in pdf[v_col]])
+            n2 = np.zeros(n)
+            for d in range(V.shape[1]):
+                n2 = n2 + V[:, d] * V[:, d]
+            vlist = list(V)  # row views; reused across tables
+            frames = []
+            for t in range(n_tables):
+                bucket = np.zeros(n, dtype=np.int64)
+                for i in range(bits_per_table):
+                    p = P[t * bits_per_table + i]
+                    acc = np.zeros(n)
+                    for d in range(V.shape[1]):
+                        acc = acc + V[:, d] * p[d]
+                    bucket |= (acc > 0).astype(np.int64) << i
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf[id_col].to_numpy(),
+                            "tbl": t,
+                            "bucket": bucket,
+                            "v": vlist,
+                            "n2": n2,
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return e.select(id_col, v_col).mapInPandas(
+        bev, "vec_id bigint, tbl bigint, bucket bigint, v array<double>, n2 double"
+    )
+
+
+def auto_bits_per_table(n_rows: int, target_bucket: int = 64, min_bits: int = 4, max_bits: int = 24) -> int:
+    """The sign-LSH operating rule as code: pick ``bits_per_table`` so the
+    expected bucket size ``n / 2^bits`` stays ~``target_bucket`` as the
+    corpus grows — i.e. bits grow by log2(growth), keeping the quadratic
+    within-bucket verify linear in n overall. Used programmatically by
+    tools/scale_probe.py so scale runs never rely on hand-set bits."""
+    import math
+
+    return max(min_bits, min(max_bits, int(math.ceil(math.log2(max(2.0, n_rows / float(target_bucket)))))))
+
+
 def _allpairs_cosine_removed(ev, threshold, n_blocks=8):
     """EXACT all-pairs cosine >= threshold (emit the larger id of each hit)
     via block-pair fan-out — the scale shape for brute-force all-pairs:
@@ -340,7 +411,11 @@ def _allpairs_cosine_removed(ev, threshold, n_blocks=8):
     import pandas as pd
 
     nb = n_blocks
-    blk = (F.col("vec_id") % nb).cast("int")
+    # pmod, not %: Spark's % preserves sign, and a NEGATIVE block id never
+    # pairs with another negative block under the least/greatest group-id
+    # scheme below (o ranges over 0..nb-1) — pairs would be silently missed
+    # for negative vec_ids (ADVICE r5)
+    blk = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
     group_ids = F.array(
         *[
             F.least(blk, F.lit(o)) * nb + F.greatest(blk, F.lit(o))
@@ -386,7 +461,7 @@ def _allpairs_cosine_removed(ev, threshold, n_blocks=8):
     return fanned.groupBy("g").applyInPandas(verify, "b_id bigint")
 
 
-def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket"), new_col=None):
+def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket"), new_col=None, partitions=None):
     """Within-bucket pairwise cosine verify, vectorized per bucket group.
 
     Input: one row per (vector, bucket-key) with columns ``vec_id``, ``v``
@@ -409,14 +484,28 @@ def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket"), new_col
     (n, n) dot matrix accumulates one dim at a time in ascending order, so
     every pair's dot is the identical left-to-right IEEE add sequence as
     the scalar fold — oracle thresholds cannot flip; cos divides by
-    sqrt(n2_i)*sqrt(n2_j) exactly as the JVM expression."""
+    sqrt(n2_i)*sqrt(n2_j) exactly as the JVM expression.
+
+    ``partitions``: when set, groups are verified by a PARTITION-grouped
+    pass instead of per-group applyInPandas — ``repartition(partitions,
+    *group_cols)`` (one shuffle either way; the groupBy reuses the
+    clustering) then one ``mapInPandas`` call per partition running a
+    pandas groupby internally. Identical output and per-pair arithmetic;
+    the win is one Arrow/pandas round-trip per PARTITION instead of per
+    GROUP (~0.3 s at sf0.1's 64 tiny groups; at scale, thousands of
+    auto-sized buckets per task stop paying per-group overhead). Memory
+    bound: a task materializes its whole partition (~|bev| / partitions
+    rows) plus the 32 MB row-blocked matrix buffers — size ``partitions``
+    so partitions fit executor memory; per-group applyInPandas (the
+    default) bounds by the largest single group instead, which is the
+    safer shape when bucket skew is unknown."""
     import numpy as np
     import pandas as pd
 
-    def verify(_key, pdf):
+    def _emit(pdf):
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"b_id": pd.Series([], dtype="int64")})
+            return None
         order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
         ids = pdf["vec_id"].to_numpy()[order]
         V = np.stack(pdf["v"].to_numpy())[order]
@@ -445,10 +534,37 @@ def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket"), new_col
             # OR (i is a ledger vector, any order); i == j excluded by both
             keep = new[bj] & ((bj > gi) | ~new[gi])
             hits.append(ids[bj[keep]])
-        out = np.concatenate(hits) if hits else np.array([], dtype="int64")
-        return pd.DataFrame({"b_id": out})
+        return np.concatenate(hits) if hits else None
 
-    return bev.groupBy(*group_cols).applyInPandas(verify, "b_id bigint")
+    if partitions is None:
+        def verify(_key, pdf):
+            out = _emit(pdf)
+            if out is None:
+                return pd.DataFrame({"b_id": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"b_id": out})
+
+        return bev.groupBy(*group_cols).applyInPandas(verify, "b_id bigint")
+
+    gcols = list(group_cols)
+
+    def verify_partition(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        outs = []
+        for _, g in pdf.groupby(gcols, sort=False):
+            out = _emit(g)
+            if out is not None:
+                outs.append(out)
+        all_out = np.concatenate(outs) if outs else np.array([], dtype="int64")
+        yield pd.DataFrame({"b_id": all_out})
+
+    return bev.repartition(partitions, *gcols).mapInPandas(
+        verify_partition, "b_id bigint"
+    )
 
 
 def incremental_semdedup(
@@ -461,37 +577,42 @@ def incremental_semdedup(
     id_col: str = "vec_id",
     v_col: str = "v",
 ) -> DataFrame:
-    """Cross-batch SemDeDup: drop vectors of ``new_batch`` that are within
-    ``cosine >= threshold`` of any previously-KEPT vector in ``seen`` (the
-    bucketed-vector ledger from earlier batches) or of a lower-id survivor
-    candidate inside the batch — the embedding analogue of
-    ``dedup.incremental_dedup`` for streaming ingest.
+    """Cross-batch SemDeDup: flag vectors of ``new_batch`` that are within
+    ``cosine >= threshold`` of any previously-SEEN vector in the ``seen``
+    ledger or of a lower-id vector inside the batch — the embedding
+    analogue of ``dedup.incremental_dedup`` for streaming ingest.
+
+    Returns ALL of the batch's ledger-format rows
+    ``(vec_id, tbl, bucket, v, n2, kept)``; survivors are
+    ``.filter("kept")``. The caller chooses the chaining semantics by what
+    it feeds back as the next batch's ``seen``:
+
+    - **exact** (chain the FULL returned frame, removed rows included):
+      every seen vector — kept or not — remains a removal witness, exactly
+      matching the one-shot batch rule "drop j iff some lower-id i in a
+      shared bucket has cos >= t" for id-ordered splits, including chains
+      where the witness was itself removed (sim(1,2) >= t, sim(2,3) >= t,
+      sim(1,3) < t drops BOTH 2 and 3 regardless of batch boundaries).
+      Ledger size is O(corpus) rows — same asymptotics as survivors-only.
+    - **greedy-kept** (chain only ``.filter("kept")``): a new vector is
+      dropped only when a KEPT vector witnesses it. Smaller ledger, but
+      batch-boundary-dependent: in the chain above, {1,2}|{3} keeps {1,3}
+      while one shot keeps {1}. Equivalent to exact only when no removed
+      vector is the sole witness for a later removal.
 
     ``planes`` is the fixed hyperplane model (``n_tables * bits_per_table``
     float lists — O(model), decided once for the pipeline's lifetime so
-    every batch buckets identically). ``seen`` rows are LEDGER FORMAT:
-    ``(vec_id, tbl, bucket, v, n2)`` — exactly what this function returns
-    for its survivors, so the output of batch N appends directly as the
-    ledger of batch N+1. Candidates only meet inside a (table, bucket), the
-    ledger is stored BY its join key, and the verify is the row-blocked
-    group-matrix kernel — nothing all-pairs at any batch count.
-
-    With ``seen=None`` and all ids ascending this reproduces the batch
-    multitable removal set exactly (tested: two-batch chaining == one
-    batch)."""
-    keys = _sign_lsh_keys(
+    every batch buckets identically). ``seen`` rows need
+    ``(vec_id, tbl, bucket, v, n2)``; an extra ``kept`` column is ignored
+    (ledger rows are witness-only either way and are never re-emitted).
+    Candidates only meet inside a (table, bucket), the ledger is stored BY
+    its join key, the key build is the fused one-pass ``_sign_lsh_bev``
+    kernel (nothing broadcast, nothing all-pairs at any batch count)."""
+    bev_new = _sign_lsh_bev(
         new_batch.select(F.col(id_col).alias("vec_id"), F.col(v_col).alias("v")),
         planes,
         n_tables=n_tables,
         bits_per_table=bits_per_table,
-    )
-    ev = new_batch.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(v_col).alias("v"),
-        _dot(F.col(v_col), F.col(v_col)).alias("n2"),
-    )
-    bev_new = keys.join(F.broadcast(ev), "vec_id").select(
-        "vec_id", "tbl", "bucket", "v", "n2"
     )
     if seen is None:
         bev = bev_new.withColumn("_new", F.lit(True))
@@ -502,4 +623,6 @@ def incremental_semdedup(
             .unionByName(bev_new.withColumn("_new", F.lit(True)))
         )
     removed = _bucket_cosine_removed(bev, threshold, new_col="_new").distinct()
-    return bev_new.join(removed, bev_new.vec_id == removed.b_id, "left_anti")
+    return bev_new.join(removed, bev_new.vec_id == removed.b_id, "left").select(
+        "vec_id", "tbl", "bucket", "v", "n2", F.col("b_id").isNull().alias("kept")
+    )

@@ -371,12 +371,23 @@ def t_corpus_prep_e2e(spark, sf_dir):
     """End-to-end corpus prep in one job: exact dedup (min-id per
     fingerprint) → composite quality gate (>= 0.6) → language gate (en) →
     per-source doc/token accounting. Composition of the individual
-    operators — one window + pure projections + one final agg, no joins."""
+    operators — one agg shuffle + pure projections + one final agg, no
+    joins. Quality/langid are computed BEFORE the dedup aggregate: the
+    per-doc scores are pure functions of the text, so the survivor's values
+    are identical, and the aggregate is a CollapseProject barrier — the
+    heavy tokenize/regex expressions run exactly once per input row instead
+    of being inlined (and so re-evaluated) into the post-dedup filter and
+    the accounting projection."""
     from ..operators.dedup import exact_dedup
     from ..operators.text import with_lang_id, with_quality
 
-    d = exact_dedup(read_table(spark, sf_dir, "documents"))
-    d = with_lang_id(with_quality(d))
+    d = with_lang_id(with_quality(read_table(spark, sf_dir, "documents")))
+    # narrow payload: only the accounting columns ride the dedup shuffle —
+    # Catalyst can't prune struct fields through the min_by buffer, so
+    # without this the full text shuffles twice for no reader
+    d = exact_dedup(
+        d, payload_cols=["source", "n_tokens", "quality_score", "predicted_lang"]
+    )
     kept = d.filter((F.col("quality_score") >= 0.6) & (F.col("predicted_lang") == "en"))
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -605,7 +616,7 @@ def _semdedup_multitable_sql() -> str:
 
 
 def semdedup_multitable_stats(
-    e, threshold: float = 0.4, n_tables: int = 4, bits_per_table: int = 4
+    e, threshold: float = 0.4, n_tables: int = 4, bits_per_table: int = 4, planes=None
 ) -> "F.DataFrame":
     """OR-amplified SemDeDup over a ``(vec_id, label, v)`` frame:
     ``n_tables`` independent sign-LSH tables of ``bits_per_table`` planes
@@ -617,39 +628,38 @@ def semdedup_multitable_stats(
     SIZE THE BITS TO THE CORPUS: expected bucket size is n / 2^bits, and
     the within-bucket verify is quadratic in it — growing the corpus 10x
     at fixed bits measured 33x wall, while adding log2(10) ≈ 3-4 bits per
-    table keeps bucket sizes (and per-pair work ∝ n) constant. That is the
-    standard sign-LSH operating rule; the certified query keeps 4x4 so the
-    oracle stays SQL-small."""
-    from ..cache import tracked_persist
-    from .pipeline import _bucket_cosine_removed, _dot_col, _sign_lsh_keys
+    table keeps bucket sizes (and per-pair work ∝ n) constant. That rule is
+    code now (`operators.similarity.auto_bits_per_table`, applied
+    programmatically by tools/scale_probe.py); the certified query keeps
+    4x4 so the oracle stays SQL-small. Pass ``planes`` to override the
+    data-derived plane vectors (scale runs need more planes than the
+    corpus carries as rows)."""
+    from .pipeline import _bucket_cosine_removed, _sign_lsh_bev
 
     n_planes = n_tables * bits_per_table
-    # the plane vectors are O(model): collect once, then all sign dots
-    # evaluate in one vectorized Arrow pass (_sign_lsh_keys) with the exact
-    # _dot_col accumulation order — no crossJoin, no groupBy, no shuffle
-    # for the key build, and no interpreted HOF lambda.
-    plane_rows = {
-        r["vec_id"]: list(r["v"])
-        for r in e.filter(F.col("vec_id").between(1, n_planes)).select("vec_id", "v").collect()
-    }
-    keys = tracked_persist(
-        _sign_lsh_keys(
-            e,
-            [plane_rows[i + 1] for i in range(n_planes)],
-            n_tables=n_tables,
-            bits_per_table=bits_per_table,
-        )
-    )
-    # within-bucket pairwise verify (plans/pipeline.py:_bucket_cosine_removed):
-    # instead of materializing the half-million candidate-PAIR table and
-    # shipping 2 x dim doubles per pair, each vector joins its bucket keys
-    # once (|keys| rows) and the (n, n) cosine matrix of every bucket is
-    # computed in one vectorized Arrow group — same pairs, same bit-exact
-    # per-pair fold arithmetic (per-vector self-dots precomputed with the
-    # _dot_col order), dedup across tables via the id-level distinct.
-    ev = e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
-    bev = keys.join(F.broadcast(ev), "vec_id")
-    removed = _bucket_cosine_removed(bev, threshold=threshold).distinct()
+    if planes is None:
+        # the plane vectors are O(model): collect once (vec_ids 1..n_planes
+        # double as the hyperplane model so the DuckDB oracle can rebuild it)
+        plane_rows = {
+            r["vec_id"]: list(r["v"])
+            for r in e.filter(F.col("vec_id").between(1, n_planes)).select("vec_id", "v").collect()
+        }
+        planes = [plane_rows[i + 1] for i in range(n_planes)]
+    # fused key build + within-bucket verify: ONE Arrow pass emits
+    # (vec_id, tbl, bucket, v, n2) directly (_sign_lsh_bev — no key/vector
+    # re-join, and in particular no full-corpus broadcast, the ADVICE r5
+    # hazard), then each (tbl, bucket) group computes its (n, n) cosine
+    # matrix vectorized — same pairs, same bit-exact per-pair fold
+    # arithmetic, dedup across tables via the id-level distinct. The only
+    # shuffle in the whole chain is the verify grouping of ~n_tables x n
+    # ledger rows.
+    # partition-grouped verify: one Python call per partition (pandas
+    # groupby inside) instead of per bucket — task count follows the scan's
+    # input parallelism, so it scales with the corpus while sf0.1's 64 tiny
+    # buckets stop paying 64 Arrow round-trips
+    nparts = max(4, e.rdd.getNumPartitions())
+    bev = _sign_lsh_bev(e, planes, n_tables=n_tables, bits_per_table=bits_per_table)
+    removed = _bucket_cosine_removed(bev, threshold=threshold, partitions=nparts).distinct()
     return (
         e.join(removed, e.vec_id == removed.b_id, "left")
         .groupBy("label")
@@ -764,13 +774,11 @@ def d_semdedup_recall(spark, sf_dir):
     family's docstrings claim. Ground truth runs through the block-pair
     fan-out (never a cartesian join); the LSH side is the certified
     multitable path."""
-    from .pipeline import _allpairs_cosine_removed, _bucket_cosine_removed, _dot_col, _emb, _sign_lsh_keys
+    from .pipeline import _allpairs_cosine_removed, _bucket_cosine_removed, _dot_col, _emb, _sign_lsh_bev
     from ..cache import tracked_persist
 
     e = _emb(spark, sf_dir)
-    ev = tracked_persist(
-        e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
-    )
+    ev = e.select("vec_id", "v", _dot_col(F.col("v"), F.col("v")).alias("n2"))
     # both removal sets are read three times (their count + the overlap
     # join) — persist so each kernel pipeline executes once
     exact = tracked_persist(
@@ -780,11 +788,16 @@ def d_semdedup_recall(spark, sf_dir):
         r["vec_id"]: list(r["v"])
         for r in e.filter(F.col("vec_id").between(1, 16)).select("vec_id", "v").collect()
     }
-    keys = _sign_lsh_keys(
+    # fused key build: one Arrow pass emits the bucketed-vector rows with
+    # (v, n2) in hand — no corpus-wide key/vector re-join (ADVICE r5)
+    bev = _sign_lsh_bev(
         e, [plane_rows[i + 1] for i in range(16)], n_tables=4, bits_per_table=4
     )
-    bev = keys.join(F.broadcast(ev), "vec_id")
-    lsh = tracked_persist(_bucket_cosine_removed(bev, threshold=0.4).distinct())
+    lsh = tracked_persist(
+        _bucket_cosine_removed(
+            bev, threshold=0.4, partitions=max(4, e.rdd.getNumPartitions())
+        ).distinct()
+    )
     exact_c = exact.count()
     lsh_c = lsh.count()
     common = exact.join(lsh, "b_id", "left_semi").count()

@@ -407,7 +407,14 @@ def t_prep_to_shards_e2e(spark, sf_dir):
     from ..operators.dedup import exact_dedup
     from ..operators.text import with_lang_id, with_quality
 
-    d = with_lang_id(with_quality(exact_dedup(read_table(spark, sf_dir, "documents"))))
+    # scores before the dedup aggregate: identical survivor values, and the
+    # agg barrier stops CollapseProject re-evaluating the heavy text
+    # expressions downstream (see t_corpus_prep_e2e); the payload keeps
+    # text because the shard packer re-keys and counts from it
+    d = exact_dedup(
+        with_lang_id(with_quality(read_table(spark, sf_dir, "documents"))),
+        payload_cols=["doc_id", "text", "quality_score", "predicted_lang"],
+    )
     kept = d.filter(
         (F.col("quality_score") >= 0.6) & (F.col("predicted_lang") == "en")
     )

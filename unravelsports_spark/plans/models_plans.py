@@ -21,25 +21,52 @@ _N_FRAMES = 100
 _SEED = 17
 
 
+def _generator_token() -> str:
+    """Content token for the staged fixture path: a hash of the generator's
+    SOURCE, so changing synthetic_tracking_df invalidates every previously
+    staged directory automatically (ADVICE r5 — (n_frames, seed) alone would
+    silently reuse stale data across code changes)."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(synthetic_tracking_df)
+    return hashlib.sha256(src.encode()).hexdigest()[:12]
+
+
 def _tracking(spark):
     """The seeded synthetic tracking fixture, staged to parquet once per
     process: createDataFrame re-serialized the full 100k-row pandas table
     driver->JVM on EVERY query call (~2.5 s of each model query's wall was
     fixture shipping, not engine work); reading the staged parquet is also
-    the realistic input shape — a scan, with column pruning available."""
+    the realistic input shape — a scan, with column pruning available.
+
+    The path embeds a generator-source hash (stale-fixture guard) and the
+    write goes to a process-unique temp dir then an atomic rename, so
+    concurrent pytest/bench processes never observe a half-written
+    directory: rename either succeeds (this process staged it) or fails
+    because a racing process won, in which case its complete copy is used."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     global _TRACKING_PATH
     if _TRACKING_PATH is None or not os.path.exists(_TRACKING_PATH):
         path = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_tracking_{_N_FRAMES}_{_SEED}"
+            tempfile.gettempdir(),
+            f"spark_graft_tracking_{_N_FRAMES}_{_SEED}_{_generator_token()}",
         )
         done = os.path.join(path, "_SUCCESS")
         if not os.path.exists(done):
+            staging = f"{path}.{uuid.uuid4().hex}.tmp"
             synthetic_tracking_df(spark, n_frames=_N_FRAMES, seed=_SEED).write.mode(
                 "overwrite"
-            ).parquet(path)
+            ).parquet(staging)
+            try:
+                os.rename(staging, path)
+            except OSError:
+                # a concurrent process renamed first; its copy is complete
+                shutil.rmtree(staging, ignore_errors=True)
         _TRACKING_PATH = path
     return spark.read.parquet(_TRACKING_PATH)
 

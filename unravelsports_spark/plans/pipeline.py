@@ -357,7 +357,9 @@ def _cos_sql(a: str, b: str) -> str:
 from ..operators.similarity import (  # noqa: F401  (re-exports: plans and tests import these from here)
     _allpairs_cosine_removed,
     _bucket_cosine_removed,
+    _sign_lsh_bev,
     _sign_lsh_keys,
+    auto_bits_per_table,
 )
 
 

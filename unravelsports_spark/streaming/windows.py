@@ -150,15 +150,24 @@ def streaming_semdedup(
     bits_per_table: int = 4,
     id_col: str = "vec_id",
     v_col: str = "v",
+    ledger_mode: str = "all",
 ):
     """Exactly-once EMBEDDING near-dup ingestion via ``foreachBatch`` — the
     SemDeDup twin of :func:`streaming_incremental_dedup`: every micro-batch
     buckets its vectors with the pipeline's fixed hyperplane model
     (``planes`` — chosen once, so all batches bucket identically),
     verifies candidates against the durable bucketed-vector ledger plus
-    lower-id in-batch survivors (operators/similarity.py:
+    lower-id in-batch vectors (operators/similarity.py:
     incremental_semdedup), writes the surviving vectors to ``out_dir`` and
-    their ledger-format rows (vec_id, tbl, bucket, v, n2) to the ledger.
+    ledger-format rows (vec_id, tbl, bucket, v, n2, kept) to the ledger.
+
+    ``ledger_mode`` picks the chaining semantics (see incremental_semdedup):
+    ``"all"`` (default) persists every row — removed vectors stay removal
+    witnesses, so output is EXACTLY the one-shot batch removal set for
+    id-ordered arrival, independent of micro-batch boundaries; ``"kept"``
+    persists survivors only — smaller ledger, greedy kept-only semantics
+    (batch-boundary-dependent when a removed vector is the sole witness
+    for a later one).
 
     Same exactly-once discipline as the text dedup: both writes are keyed
     by ``batch_id`` with overwrite semantics, and a replayed batch excludes
@@ -167,10 +176,13 @@ def streaming_semdedup(
     the buckets the new vectors hash into, never the full history."""
     from ..operators.similarity import incremental_semdedup
 
+    if ledger_mode not in ("all", "kept"):
+        raise ValueError(f"ledger_mode must be 'all' or 'kept', got {ledger_mode!r}")
+
     def _process(batch_df, batch_id: int):
         spark = batch_df.sparkSession
         seen = _read_ledger(spark, ledger_dir, exclude_batch=batch_id)
-        kept = incremental_semdedup(
+        flagged = incremental_semdedup(
             batch_df,
             planes,
             seen=seen,
@@ -180,14 +192,17 @@ def streaming_semdedup(
             id_col=id_col,
             v_col=v_col,
         )
-        kept.persist()
+        flagged.persist()
         try:
-            kept.write.mode("overwrite").parquet(f"{ledger_dir}/batch_id={batch_id}")
-            kept.select("vec_id", "v").dropDuplicates(["vec_id"]).write.mode(
-                "overwrite"
-            ).parquet(f"{out_dir}/batch_id={batch_id}")
+            ledger_rows = flagged if ledger_mode == "all" else flagged.filter("kept")
+            ledger_rows.write.mode("overwrite").parquet(
+                f"{ledger_dir}/batch_id={batch_id}"
+            )
+            flagged.filter("kept").select("vec_id", "v").dropDuplicates(
+                ["vec_id"]
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         finally:
-            kept.unpersist()
+            flagged.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_process)
