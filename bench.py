@@ -61,6 +61,11 @@ HEADLINE = [
     "t_bpe_merges",
     "t_bpe_tokenized_stats",
     "t_corpus_prep_e2e",
+    # round-6 additions: the langid argmax rewrite (DuckDB spends ~2.5 s on
+    # the equivalent CASE at sf0.1) and the certified ANN-recall panel
+    # (brute-force ground truth for 20 queries + the IVF/IVFPQ retrievals)
+    "t_langid_confusion",
+    "s_ann_recall",
 ]
 
 

@@ -135,6 +135,83 @@ def test_custom_features_and_validation(tracking, settings):
         SoccerGraphConverter(tracking, settings, node_feature_funcs=[my_edge])
 
 
+def test_custom_features_with_additional_cols_and_opts(tracking, settings, spark):
+    """The full plugin surface end-to-end, mirroring the reference's custom-
+    feature test (tests/test_soccer.py:265-312): DEFAULT features plus a
+    custom node and a custom edge feature that consume an
+    additional_feature_cols column, with feature_opts threaded into the
+    kernel and two global feature cols attached to the ball row. Values are
+    asserted against direct NumPy computation, not just shapes."""
+    from pyspark.sql import functions as F
+
+    ds = (
+        tracking.withColumn("fake_graph_feature_a", F.lit(1.0))
+        .withColumn("fake_graph_feature_b", F.lit(0.12))
+        # row-dependent (not constant) so the per-node wiring is actually
+        # proven: crc32 of the object id on a small grid
+        .withColumn(
+            "fake_additional_feature_a", (F.crc32(F.col("id")) % 7).cast("double") / 10.0
+        )
+    )
+
+    @graph_feature(feature_type="node", is_custom=True)
+    def custom_node_feature(**kw):
+        return kw["fake_additional_feature_a"] * kw["scale"]
+
+    @graph_feature(feature_type="edge", is_custom=True)
+    def custom_edge_feature(**kw):
+        a = kw["fake_additional_feature_a"]
+        return a[None, :] + a[:, None]
+
+    conv = SoccerGraphConverter(
+        ds,
+        settings,
+        node_feature_funcs=list(DEFAULT_NODE_FEATURES) + [custom_node_feature],
+        edge_feature_funcs=list(DEFAULT_EDGE_FEATURES) + [custom_edge_feature],
+        feature_opts={"scale": 2.0},
+        global_feature_cols=["fake_graph_feature_a", "fake_graph_feature_b"],
+        additional_feature_cols=["fake_additional_feature_a"],
+    )
+    out = conv.to_graph_frames().collect()
+    r = next(r for r in out if r.frame_id == 0)
+    # 15 default node cols + 1 custom + 2 global = 18; 6 default edge + 1
+    assert r.x_shape_1 == 18
+    assert r.e_shape_1 == 7
+
+    import zlib
+
+    add = np.array([(zlib.crc32(o.encode()) % 7) / 10.0 for o in r.object_ids])
+    x = np.array(r.x)
+    np.testing.assert_allclose(x[:, 15], add * 2.0, rtol=1e-12)  # opts applied
+    ball_row = list(r.object_ids).index("ball")
+    assert x[ball_row, 16] == 1.0 and abs(x[ball_row, 17] - 0.12) < 1e-12
+    # custom edge channel == outer sum of the additional col at adj nonzeros
+    adj = np.array(r.a)
+    nz = np.where(adj == 1)
+    e = np.array(r.e)
+    np.testing.assert_allclose(e[:, 6], (add[None, :] + add[:, None])[nz], rtol=1e-12)
+
+    # reserved feature_opts key raises (kernel contract)
+    with pytest.raises(Exception):
+        SoccerGraphConverter(
+            ds, settings, feature_opts={"settings": None},
+            node_feature_funcs=[custom_node_feature],
+            additional_feature_cols=["fake_additional_feature_a"],
+        ).to_graph_frames().collect()
+
+    # wrong shape from a custom node func raises inside the kernel
+    @graph_feature(feature_type="node", is_custom=True)
+    def bad_shape(**kw):
+        a = kw["fake_additional_feature_a"]
+        return np.append(a, 0.0)  # (N+1,) where (N,) or (N, k) expected
+
+    with pytest.raises(Exception):
+        SoccerGraphConverter(
+            ds, settings, node_feature_funcs=[bad_shape],
+            additional_feature_cols=["fake_additional_feature_a"],
+        ).to_graph_frames().collect()
+
+
 def test_prediction_mode_without_labels(tracking, settings):
     ds = tracking.drop("label")
     with pytest.raises(ValueError):

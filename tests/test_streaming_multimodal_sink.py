@@ -801,6 +801,110 @@ def test_incremental_semdedup_removed_witness_chain(spark):
     assert [r["vec_id"] for r in greedy.filter("kept").select("vec_id").collect()] == [3]
 
 
+def test_streaming_semdedup_many_batches_compaction_and_replay(spark, tmp_path):
+    """N micro-batches of embedding ingest == the one-shot batch removal set
+    (exact ledger mode, id-ordered arrival); mid-stream ledger compaction
+    (`compact_dedup_ledger`) changes no subsequent decision; and replaying
+    the final batch (checkpoint delete + same source) is idempotent —
+    output and ledger key sets are unchanged. Pins the ledger-growth
+    contract: after compaction the ledger holds exactly one row per
+    (vec_id, tbl, bucket) key ever ingested."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from unravelsports_spark.operators.similarity import incremental_semdedup
+    from unravelsports_spark.streaming.windows import (
+        compact_dedup_ledger,
+        streaming_semdedup,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_per, n_batches = 6, 12, 5
+    rows = []
+    vid = 0
+    base_vecs = []
+    for b in range(n_batches):
+        batch = []
+        for i in range(n_per):
+            if base_vecs and (vid % 3 == 0):
+                # near-copy of an EARLIER vector (cosine ~1): must drop
+                src = base_vecs[vid % len(base_vecs)]
+                v = [x * (1.0 + 0.0001 * (i + 1)) for x in src]
+            else:
+                v = [float(x) for x in rng.normal(size=dim)]
+                base_vecs.append(v)
+            batch.append((vid, v))
+            vid += 1
+        rows.append(batch)
+    planes = [[float(x) for x in rng.normal(size=dim)] for i in range(8)]
+    kw = dict(threshold=0.95, n_tables=2, bits_per_table=4)
+    schema = "vec_id bigint, v array<double>"
+
+    # ground truth: one-shot batch over everything
+    all_df = spark.createDataFrame([r for b in rows for r in b], schema)
+    expected = sorted(
+        r["vec_id"]
+        for r in incremental_semdedup(all_df, planes, **kw)
+        .filter("kept").select("vec_id").distinct().collect()
+    )
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_semdedup(stream, planes, ledger, out, ckpt, **kw).start()
+        q.awaitTermination(180)
+
+    import shutil
+
+    ckpt_snapshot = str(tmp_path / "ckpt_snapshot")
+    for b, batch in enumerate(rows):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+        if b == n_batches - 1:
+            # snapshot the checkpoint BEFORE the last batch commits — the
+            # crash-replay scenario (ledger/out written, checkpoint lost)
+            shutil.copytree(ckpt, ckpt_snapshot)
+        run_stream()
+        if b == 2:  # compact mid-stream (the maintenance window)
+            n = compact_dedup_ledger(
+                spark, ledger, ["vec_id", "tbl", "bucket", "v", "n2", "kept"]
+            )
+            led = spark.read.parquet(ledger)
+            assert led.count() == n
+            # exactly one row per ingested (vec_id, tbl) pair so far
+            assert n == (b + 1) * n_per * kw["n_tables"]
+
+    got = sorted(
+        r["vec_id"] for r in spark.read.parquet(out).select("vec_id").distinct().collect()
+    )
+    assert got == expected
+
+    # ledger holds EVERY ingested vector (exact mode), kept rows = survivors
+    led = spark.read.parquet(ledger)
+    assert led.select("vec_id").distinct().count() == n_batches * n_per
+    assert sorted(
+        r["vec_id"] for r in led.filter("kept").select("vec_id").distinct().collect()
+    ) == expected
+
+    # replay idempotence: restore the pre-final-batch checkpoint and re-run —
+    # structured streaming redelivers the LAST batch under its original
+    # batch_id; the batch-id-keyed overwrites and ledger self-exclusion
+    # converge to the identical output and ledger key set
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_snapshot, ckpt)
+    run_stream()
+    got2 = sorted(
+        r["vec_id"] for r in spark.read.parquet(out).select("vec_id").distinct().collect()
+    )
+    assert got2 == expected
+    led2 = spark.read.parquet(ledger)
+    assert led2.select("vec_id", "tbl", "bucket").distinct().count() == \
+        n_batches * n_per * kw["n_tables"]
+
+
 def test_streaming_semdedup_foreachbatch(spark, tmp_path):
     """foreachBatch embedding near-dup ledger: a batch-2 vector nearly
     identical to a batch-1 survivor is dropped; a novel vector survives;

@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Empirical scaling probe: run the heavy corpus operators on the sf0.1
-documents table and on a 10x synthetic blowup, and report the wall-time
-ratio. Near-linear ratios (~10x work -> ~10x time, minus fixed per-job
-cost) are the local-mode evidence that no operator hides a quadratic term;
-a bucketing/skew bug shows up here as a 30-100x blowup long before it
-burns a cluster.
+tables and on synthetic 10x / 100x blowups, and report wall-time ratios.
+Near-linear ratios (~10x work -> ~10x time, minus fixed per-job cost) are
+the local-mode evidence that no operator hides a quadratic term; a
+bucketing/skew bug shows up here as a 30-100x blowup long before it burns
+a cluster. The headline chains (minhash/LSH, jaccard, incremental dedup,
+SemDeDup) are probed across BOTH decades — "survives 100x" is measured,
+not asserted — and SemDeDup's sign-bit count is sized PROGRAMMATICALLY
+from the corpus row count (operators.similarity.auto_bits_per_table), so
+the scale run exercises the exact operating rule a deployment would.
 
 Run: python tools/scale_probe.py          (writes nothing; prints a table)
+Env: SPARK_GRAFT_BLOWUPS="10,100" (default), SPARK_GRAFT_SF_DIR
 """
 
 from __future__ import annotations
@@ -24,7 +29,9 @@ from unravelsports_spark.cache import release_tracked  # noqa: E402
 from unravelsports_spark.session import get_spark, read_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BLOWUP = int(os.environ.get("SPARK_GRAFT_BLOWUP", "10"))
+BLOWUPS = [
+    int(x) for x in os.environ.get("SPARK_GRAFT_BLOWUPS", "10,100").split(",")
+]
 
 
 def timed(mk, runs: int = 2) -> float:
@@ -38,72 +45,124 @@ def timed(mk, runs: int = 2) -> float:
     return best
 
 
+def blow_up(base, factor: int, name: str, retext):
+    """factor copies with distinct ids. ``retext`` picks the text regime:
+
+    - None: identical texts (dup-heavy — exact-dedup's adversarial corpus)
+    - "suffix": one appended tag per copy — texts hash distinct but stay
+      NEAR-duplicates (Jaccard ~0.98 across copies), so every LSH bucket
+      holds ~factor copies and the candidate-PAIR count grows ~factor² per
+      doc group. That output growth is semantically required (those pairs
+      ARE near-dups) — the adversarial regime for pair generators.
+    - "interleave": the copy tag woven between every word — all shingles
+      differ across copies, near-dup density stays CONSTANT as the corpus
+      grows. This is the regime that isolates the algorithm's scaling from
+      output-size scaling."""
+    spark = base.sparkSession
+    out = tempfile.mkdtemp() + f"/{name}_{factor}x"
+    copies = []
+    for i in range(factor):
+        c = base
+        for col in ("doc_id", "vec_id"):
+            if col in base.columns:
+                c = c.withColumn(col, F.col(col) + F.lit(i * (1 << 40)))
+        if retext == "suffix":
+            c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
+        elif retext == "interleave":
+            c = c.withColumn(
+                "text",
+                F.array_join(F.split(F.col("text"), " "), f" copytag{i} "),
+            )
+        elif retext is not None:
+            raise ValueError(retext)
+        copies.append(c)
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionAll(c)
+    big.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def fmt_row(name: str, walls: list[float]) -> str:
+    cells = " ".join(f"{w:8.2f}" for w in walls)
+    ratios = " ".join(
+        f"{walls[i + 1] / walls[i]:5.1f}" for i in range(len(walls) - 1)
+    )
+    return f"{name:30s} {cells}  per-decade: {ratios}"
+
+
 def main() -> None:
     from unravelsports_spark.operators.dedup import (
         doc_shingles,
+        exact_dedup,
+        incremental_dedup,
         jaccard_pairs,
         lsh_candidate_pairs,
         minhash_signatures,
+        norm_text,
     )
     from unravelsports_spark.operators.importance import dsir_scores
     from unravelsports_spark.operators.nbayes import nb_confusion
     from unravelsports_spark.operators.pq import pq_adc_topk, pq_train_codebook
     from unravelsports_spark.operators.retrieval import bm25_scores
     from unravelsports_spark.operators.sharding import shard_manifest
+    from unravelsports_spark.operators.similarity import auto_bits_per_table
+    from unravelsports_spark.plans.corpus3 import semdedup_multitable_stats
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     base = read_table(spark, SF_DIR, "documents")
     n1 = base.count()
-
-    # 10x blowup: copies get distinct ids and a copy tag appended to the
-    # text so hashes/shingles differ (otherwise dedup collapses the corpus
-    # and the probe measures nothing)
-    big_dir = tempfile.mkdtemp() + "/documents_big"
-    copies = [
-        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * (1 << 40))).withColumn(
-            "text", F.concat(F.col("text"), F.lit(f" copytag{i}"))
-        )
-        for i in range(BLOWUP)
-    ]
-    big = copies[0]
-    for c in copies[1:]:
-        big = big.unionAll(c)
-    big.write.mode("overwrite").parquet(big_dir)
-    big = spark.read.parquet(big_dir)
-    n10 = big.count()
-    print(f"corpus: {n1} docs -> {n10} docs ({BLOWUP}x)")
-
-    # duplication-heavy twin: copies keep IDENTICAL text (only ids shift) —
-    # the regime where exact dedup's map-side combine must collapse the
-    # shuffle to ~n1 rows regardless of the duplication factor
-    dup_dir = tempfile.mkdtemp() + "/documents_dup"
-    dcopies = [
-        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * (1 << 40)))
-        for i in range(BLOWUP)
-    ]
-    dup = dcopies[0]
-    for c in dcopies[1:]:
-        dup = dup.unionAll(c)
-    dup.write.mode("overwrite").parquet(dup_dir)
-    dup = spark.read.parquet(dup_dir)
-
-    from unravelsports_spark.operators.dedup import (
-        exact_dedup,
-        incremental_dedup,
-        norm_text,
+    doc_scales = {1: base}       # suffix regime: near-dup-heavy
+    uniq_scales = {1: base}      # interleave regime: constant dup density
+    for f in BLOWUPS:
+        doc_scales[f] = blow_up(base, f, "documents", retext="suffix")
+        uniq_scales[f] = blow_up(base, f, "documents_uniq", retext="interleave")
+    print(
+        f"documents: {n1} docs; blowups: "
+        + ", ".join(f"{f}x={doc_scales[f].count()}" for f in BLOWUPS)
     )
 
-    probes = {
-        "minhash+lsh_pairs": lambda d: lsh_candidate_pairs(
+    factors = [1] + BLOWUPS
+    header = " ".join(f"{f:>7d}x" for f in factors)
+    print(f"{'chain':30s} {header}")
+
+    # pair generators on the UNIQUE-scaled corpus: isolates algorithmic
+    # scaling (on the near-dup-heavy corpus the candidate-pair OUTPUT grows
+    # ~copies² per doc group — measured separately below)
+    ledger = base.select(F.md5(norm_text()).alias("fingerprint"))
+    for name, mk in {
+        "minhash+lsh_pairs(uniq)": lambda d: lsh_candidate_pairs(
             minhash_signatures(doc_shingles(d))
         ),
+        "jaccard_pairs(uniq)": lambda d: jaccard_pairs(doc_shingles(d)),
+    }.items():
+        walls = [timed(lambda s=s: mk(uniq_scales[s])) for s in factors]
+        print(fmt_row(name, walls))
+    for name, mk in {
+        "jaccard_pairs(dup-heavy)": lambda d: jaccard_pairs(doc_shingles(d)),
+        "incremental_dedup(vs ledger)": lambda d: incremental_dedup(d, seen=ledger),
         "exact_dedup(all-unique)": lambda d: exact_dedup(d),
-        "incremental_dedup(vs ledger)": lambda d: incremental_dedup(
-            d, seen=base.select(F.md5(norm_text()).alias("fingerprint"))
+    }.items():
+        walls = [timed(lambda s=s: mk(doc_scales[s])) for s in factors]
+        print(fmt_row(name, walls))
+    # near-dup-heavy minhash at the first decade only: its candidate-pair
+    # count is ~copies²/2 per doc group by construction (those pairs ARE
+    # near-dups), so wall tracks OUTPUT size, which is the correct bound
+    walls = [
+        timed(lambda: lsh_candidate_pairs(minhash_signatures(doc_shingles(base)))),
+        timed(
+            lambda: lsh_candidate_pairs(
+                minhash_signatures(doc_shingles(doc_scales[BLOWUPS[0]]))
+            )
         ),
-        "jaccard_pairs(df-capped)": lambda d: jaccard_pairs(doc_shingles(d)),
+    ]
+    print(fmt_row(f"minhash+lsh(dup-heavy {BLOWUPS[0]}x)", walls))
+
+    # --- single-decade sanity for the remaining operators ----------------
+    first = BLOWUPS[0]
+    others = {
         "dsir_scores": lambda d: dsir_scores(d, target=F.col("lang") == "en"),
         "nb_confusion": lambda d: nb_confusion(d, label_col="lang"),
         "bm25_scores": lambda d: bm25_scores(
@@ -114,32 +173,24 @@ def main() -> None:
             "unravelsports_spark.operators.bpe", fromlist=["bpe_train_merges"]
         ).bpe_train_merges(d, num_merges=5),
     }
-    print(f"{'operator':28s} {'1x sec':>8s} {'10x sec':>8s} {'ratio':>6s}")
-    for name, mk in probes.items():
-        t_1 = timed(lambda: mk(base))
-        t_10 = timed(lambda: mk(big))
-        print(f"{name:28s} {t_1:8.3f} {t_10:8.3f} {t_10 / t_1:6.1f}")
+    for name, mk in others.items():
+        walls = [timed(lambda: mk(base)), timed(lambda: mk(doc_scales[first]))]
+        print(fmt_row(f"{name} ({first}x)", walls))
 
-    # dedup on the duplication-heavy corpus: 10x the rows, same distinct
-    # texts — the map-side combine should hold the shuffle near 1x volume
-    t_1 = timed(lambda: exact_dedup(base))
-    t_10 = timed(lambda: exact_dedup(dup))
-    print(f"{'exact_dedup(10x dup-heavy)':28s} {t_1:8.3f} {t_10:8.3f} {t_10 / t_1:6.1f}")
+    # duplication-heavy twin: copies keep IDENTICAL text (only ids shift) —
+    # the regime where exact dedup's map-side combine must collapse the
+    # shuffle to ~n1 rows regardless of the duplication factor
+    dup = blow_up(base, first, "documents_dup", retext=None)
+    walls = [timed(lambda: exact_dedup(base)), timed(lambda: exact_dedup(dup))]
+    print(fmt_row(f"exact_dedup({first}x dup-heavy)", walls))
 
-    # ANN family on an embeddings blowup (copies get jittered ids; vectors
-    # reused — ANN cost is per-vector, independent of duplication)
+    # --- ANN / embedding family ------------------------------------------
     emb = read_table(spark, SF_DIR, "embeddings")
-    ebig_dir = tempfile.mkdtemp() + "/embeddings_big"
-    ecopies = [
-        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * (1 << 40)))
-        for i in range(BLOWUP)
-    ]
-    ebig = ecopies[0]
-    for c in ecopies[1:]:
-        ebig = ebig.unionAll(c)
-    ebig.write.mode("overwrite").parquet(ebig_dir)
-    ebig = spark.read.parquet(ebig_dir)
-    print(f"embeddings: {emb.count()} -> {ebig.count()} vectors")
+    emb_scales = {1: emb}
+    for f in BLOWUPS:
+        emb_scales[f] = blow_up(emb, f, "embeddings", retext=None)
+    counts = {f: emb_scales[f].count() for f in [1] + BLOWUPS}
+    print("embeddings: " + ", ".join(f"{f}x={c}" for f, c in counts.items()))
 
     import math
 
@@ -151,8 +202,8 @@ def main() -> None:
         ]
         return pq_adc_topk(d, cb, q, top=20)
 
-    from unravelsports_spark.plans.corpus3 import semdedup_multitable_stats
-    from unravelsports_spark.plans.pipeline import _emb  # noqa: F401
+    walls = [timed(lambda: pq_probe(emb)), timed(lambda: pq_probe(emb_scales[first]))]
+    print(fmt_row(f"pq_train+adc_topk ({first}x)", walls))
 
     def _as_e(d):
         return d.select(
@@ -160,18 +211,22 @@ def main() -> None:
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
 
-    for name, mk in {
-        "pq_train+adc_topk": pq_probe,
-        # bits scale with the corpus: +log2(10) ~ 4 bits per table at 10x
-        # keeps expected bucket sizes constant (the sign-LSH operating rule)
-        "semdedup_multitable": lambda d: semdedup_multitable_stats(
-            _as_e(d),
-            bits_per_table=(4 if d is emb else 7),
-        ),
-    }.items():
-        t_1 = timed(lambda: mk(emb))
-        t_10 = timed(lambda: mk(ebig))
-        print(f"{name:28s} {t_1:8.3f} {t_10:8.3f} {t_10 / t_1:6.1f}")
+    # SemDeDup across every decade with PROGRAMMATIC bit sizing: bits grow
+    # log2 with the corpus so expected bucket sizes (and the quadratic
+    # verify's per-row work) stay constant. Planes are data vectors
+    # (vec_id 1..n_planes — present at every blowup since the base copy
+    # keeps its ids).
+    walls, bits_used = [], []
+    for f in factors:
+        e = _as_e(emb_scales[f])
+        bits = auto_bits_per_table(counts[f])
+        bits_used.append(bits)
+        walls.append(
+            timed(lambda e=e, b=bits: semdedup_multitable_stats(e, bits_per_table=b))
+        )
+    print(fmt_row("semdedup_multitable(auto bits)", walls))
+    print(f"{'':30s} auto bits/table at " + ", ".join(
+        f"{f}x: {b}" for f, b in zip(factors, bits_used)))
     spark.stop()
 
 

@@ -83,7 +83,11 @@ def bpe_train_merges(
     """Learn ``num_merges`` BPE merges on the corpus → one row per merge:
     (step, left_tok, right_tok, pair_count). Integer-exact and
     deterministic (ties by lexicographic pair), so the unrolled DuckDB
-    oracle reproduces the identical merge sequence."""
+    oracle reproduces the identical merge sequence.
+
+    Driver payload bound: each round collects exactly ONE argmax row (the
+    winning pair) — ``num_merges`` rows total regardless of corpus size;
+    the pair counting itself is a map-side-combinable distributed agg."""
     spark = df.sparkSession
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     cur = (

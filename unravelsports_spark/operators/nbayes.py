@@ -202,7 +202,9 @@ def nb_train(
     [(label, prior_micro)...], "n_buckets": B}`` — ≤ classes×B rows of
     integer micro-nats, the broadcastable artifact a production pipeline
     ships to its ingest filter (same contract as the PQ codebooks: the
-    model is O(kB), the corpus never moves)."""
+    model is O(kB), the corpus never moves). Driver payload bound: the
+    three collects pull ≤ classes, ≤ classes, and ≤ classes×B aggregate
+    rows respectively — never per-document rows."""
     conf_input = df.select(
         F.col(id_col).alias(id_col), F.col(label_col).alias(label_col),
         F.col(text_col).alias(text_col),

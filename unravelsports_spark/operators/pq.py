@@ -112,8 +112,11 @@ def pq_train_codebook(
     """Lloyd-train the PQ codebook; returns ``codebook[m][c] = int centroid``.
 
     Seeds are the ``k`` vectors with smallest ids (deterministic); each round
-    collects only the (m, cluster, dim) → (sum, count) sufficient statistics
-    (M·k·D/M rows). Empty clusters keep their previous centroid."""
+    collects only the (m, cluster, dim) → (sum, count) sufficient statistics.
+    Driver payload bound: exactly k·D rows per round (M subspaces × k
+    clusters × D/M dims) — independent of corpus size; the assignment pass
+    is a zero-join literal-codebook projection. Empty clusters keep their
+    previous centroid."""
     iq = df.select(F.col(id_col).alias("_id"), _int_grid(vec_col).alias("iq"))
     return _train_on_iq(iq, m_subspaces, k, n_rounds)
 

@@ -665,3 +665,191 @@ def s_kmeans_fit(spark, sf_dir):
         .groupBy(F.col("b.c").cast("bigint").alias("cell"))
         .agg(F.count("*").alias("n_members"), F.sum("b.d").alias("inertia"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: certified ANN recall — the IVF and IVF-PQ approximation quality
+# as hash-checked exact counts against ground truth (the s_ann_* twins
+# certify the VALUES each method returns; this certifies how much of the
+# true top-k those values cover), mirroring d_semdedup_recall.
+# ---------------------------------------------------------------------------
+
+_ANN_RECALL_NQ = 20  # query vectors (vec_id < 20), top-10 each
+_ANN_RECALL_K = 10
+
+
+def _ann_recall_sql() -> str:
+    from .pipeline import _cos_sql
+
+    nq, k = _ANN_RECALL_NQ, _ANN_RECALL_K
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {nq}),
+    allp AS (
+      SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                                ORDER BY {_cos_sql('e.v', 'q.qv')} DESC, e.vec_id) AS rk
+      FROM e CROSS JOIN qs q),
+    exact AS (SELECT qid, vec_id FROM allp WHERE rk <= {k}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+      FROM e CROSS JOIN c),
+    cells AS (SELECT vec_id, v, cid AS cell FROM scored WHERE rn = 1),
+    qcells AS (
+      SELECT q.qid, q.qv, c.cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                                ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.cid) AS prk
+      FROM qs q CROSS JOIN c),
+    probes AS (SELECT 1 AS p UNION ALL SELECT 2),
+    ret AS (
+      SELECT pr.p, qc.qid, cells.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY pr.p, qc.qid
+                                ORDER BY {_cos_sql('cells.v', 'qc.qv')} DESC,
+                                         cells.vec_id) AS rk
+      FROM qcells qc
+      JOIN cells ON cells.cell = qc.cell
+      CROSS JOIN probes pr
+      WHERE qc.prk <= pr.p),
+    retk AS (SELECT p, qid, vec_id FROM ret WHERE rk <= {k}),
+    ivf AS (
+      SELECT 'ivf_p' || CAST(p AS VARCHAR) AS method,
+             (SELECT COUNT(*) FROM exact) AS n_exact,
+             COUNT(*) AS n_retrieved,
+             CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM exact x
+               WHERE x.qid = retk.qid AND x.vec_id = retk.vec_id)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      FROM retk GROUP BY p),
+    iq AS (
+      SELECT vec_id, u.i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {float(Q)!r}) AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    qint AS (SELECT pos, v FROM iq WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    l2 AS (
+      SELECT iq.vec_id, SUM((iq.v - qint.v) * (iq.v - qint.v)) AS d2
+      FROM iq JOIN qint USING (pos) GROUP BY iq.vec_id),
+    gt AS (SELECT vec_id FROM l2 ORDER BY d2, vec_id LIMIT {k}),
+    pqret AS (SELECT vec_id FROM ({{ivfpq}})),
+    ivfpq AS (
+      SELECT 'ivfpq_p2' AS method,
+             (SELECT COUNT(*) FROM gt) AS n_exact,
+             (SELECT COUNT(*) FROM pqret) AS n_retrieved,
+             (SELECT COUNT(*) FROM gt g
+               WHERE EXISTS (SELECT 1 FROM pqret r WHERE r.vec_id = g.vec_id))
+               AS n_common)
+    SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_retrieved AS BIGINT) AS n_retrieved,
+           CAST(n_common AS BIGINT) AS n_common
+    FROM ivf
+    UNION ALL
+    SELECT method, CAST(n_exact AS BIGINT), CAST(n_retrieved AS BIGINT),
+           CAST(n_common AS BIGINT)
+    FROM ivfpq
+    """.replace("{ivfpq}", _ivfpq_sql())
+
+
+@query("s_ann_recall", oracle=_ann_recall_sql())
+def s_ann_recall(spark, sf_dir):
+    """Certified ANN recall (VERDICT r5 #4): for the IVF path, the top-10
+    retrieved sets of 20 query vectors at probe depths 1 and 2 are compared
+    against exact brute-force cosine top-10 ground truth; for IVF-PQ, the
+    certified s_ann_ivfpq retrieval (8 coarse cells, probe 2, int64 ADC) is
+    compared against exact integer-grid L2 top-10. Output is exact counts
+    (method, n_exact, n_retrieved, n_common) — n_common / n_exact IS the
+    recall, as a hash-checked number rather than prose. Probe depth 2
+    beating depth 1 is the multi-probe amplification claim, certified.
+
+    Scale shape: ground truth fans the 20 broadcast queries over one corpus
+    scan (never a corpus x corpus product); IVF candidate generation is the
+    same broadcast-centroid argmax the s_ann_ivf query certifies; the
+    overlap counts are semi-join aggregates. Collected values are bounded
+    driver state (4 count scalars per method)."""
+    from pyspark.sql import Window
+
+    from ..cache import release_tracked, tracked_persist
+    from .pipeline import _cos_col, _emb
+
+    nq, k = _ANN_RECALL_NQ, _ANN_RECALL_K
+    e = _emb(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    w_exact = Window.partitionBy("qid").orderBy(
+        _cos_col(F.col("v"), F.col("qv")).desc(), F.col("vec_id")
+    )
+    exact = tracked_persist(
+        e.crossJoin(F.broadcast(qs))
+        .withColumn("rk", F.row_number().over(w_exact))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vec_id")
+    )
+    c = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        _cos_col(F.col("v"), F.col("cv")).desc(), F.col("cid")
+    )
+    cells = tracked_persist(
+        e.crossJoin(F.broadcast(c))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        _cos_col(F.col("qv"), F.col("cv")).desc(), F.col("cid")
+    )
+    qcells = (
+        qs.crossJoin(F.broadcast(c))
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= 2)
+        .select("qid", "qv", F.col("cid").alias("cell"), "prk")
+    )
+    n_exact = exact.count()
+    rows = []
+    for p in (1, 2):
+        w_ret = Window.partitionBy("qid").orderBy(
+            _cos_col(F.col("v"), F.col("qv")).desc(), F.col("vec_id")
+        )
+        retk = tracked_persist(
+            cells.join(
+                F.broadcast(qcells.filter(F.col("prk") <= p)), "cell"
+            )
+            .withColumn("rk", F.row_number().over(w_ret))
+            .filter(F.col("rk") <= k)
+            .select("qid", "vec_id")
+        )
+        n_ret = retk.count()
+        n_common = retk.join(exact, ["qid", "vec_id"], "left_semi").count()
+        rows.append((f"ivf_p{p}", n_exact, n_ret, n_common))
+    # IVF-PQ branch: certified retrieval vs exact integer-grid L2 top-k
+    import math
+
+    from ..operators.pq import _dist2, _int_grid
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse = pq_train_codebook(emb, m_subspaces=1, k=8, n_rounds=1)
+    codebook = pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2)
+    qrow = emb.orderBy("vec_id").limit(1).select("embedding").first()[0]
+    query_int = [int(math.floor(float(v) * Q)) for v in qrow]
+    pqret = tracked_persist(
+        pq_ivf_adc_topk(emb, coarse, codebook, query_int, n_probe=2, top=k).select(
+            "vec_id"
+        )
+    )
+    qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in query_int])
+    gt = tracked_persist(
+        emb.select("vec_id", _dist2(_int_grid("embedding"), qlit).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
+    rows.append(
+        ("ivfpq_p2", gt.count(), pqret.count(), gt.join(pqret, "vec_id", "left_semi").count())
+    )
+    release_tracked()
+    return spark.createDataFrame(
+        rows, "method string, n_exact bigint, n_retrieved bigint, n_common bigint"
+    )

@@ -70,6 +70,65 @@ def m_graph_cells(spark, sf_dir):
     )
 
 
+@query("m_graph_custom_cells")
+def m_graph_custom_cells(spark, sf_dir):
+    """Plugin-surface twin (VERDICT r5 #6): the FULL custom-feature contract
+    through SoccerGraphConverter — a user @graph_feature node feature scaled
+    by ``feature_opts``, a custom edge feature, both consuming an
+    ``additional_feature_cols`` column (crc32 of the object id — per-node,
+    not constant, so the wiring is load-bearing), plus two
+    ``global_feature_cols`` attached to the ball row. Mirrors reference
+    tests/test_soccer.py:265-312. Cells: shapes, the custom node value of
+    the first node, the custom edge channel of the first edge, and the
+    global cell on the ball row (the last node)."""
+    from ..functions.graph_features import (
+        DEFAULT_EDGE_FEATURES,
+        DEFAULT_NODE_FEATURES,
+        graph_feature,
+    )
+    from ..models.graph_converter import SoccerGraphConverter
+    from ..settings import GraphSettings
+
+    from .models_plans import AWAY, HOME
+
+    @graph_feature(feature_type="node", is_custom=True)
+    def custom_node_feature(**kw):
+        return kw["fake_additional_feature_a"] * kw["scale"]
+
+    @graph_feature(feature_type="edge", is_custom=True)
+    def custom_edge_feature(**kw):
+        a = kw["fake_additional_feature_a"]
+        return a[None, :] + a[:, None]
+
+    ds = (
+        _tracking(spark)
+        .withColumn("fake_graph_feature_a", F.lit(1.0))
+        .withColumn("fake_graph_feature_b", F.lit(0.12))
+        .withColumn(
+            "fake_additional_feature_a",
+            (F.crc32(F.col("id")) % 7).cast("double") / 10.0,
+        )
+    )
+    gs = GraphSettings(home_team_id=HOME, away_team_id=AWAY)
+    out = SoccerGraphConverter(
+        ds,
+        gs,
+        node_feature_funcs=list(DEFAULT_NODE_FEATURES) + [custom_node_feature],
+        edge_feature_funcs=list(DEFAULT_EDGE_FEATURES) + [custom_edge_feature],
+        feature_opts={"scale": 2.0},
+        global_feature_cols=["fake_graph_feature_a", "fake_graph_feature_b"],
+        additional_feature_cols=["fake_additional_feature_a"],
+    ).to_graph_frames()
+    return out.filter(F.col("frame_id") < 5).select(
+        F.col("frame_id").cast("long").alias("frame_id"),
+        F.col("x_shape_1").cast("long").alias("x_shape_1"),
+        F.col("e_shape_1").cast("long").alias("e_shape_1"),
+        F.round(F.col("x")[0][15], 6).alias("x_custom_00"),
+        F.round(F.col("e")[0][6], 6).alias("e_custom_00"),
+        F.round(F.element_at(F.col("x"), F.col("x_shape_0").cast("int"))[16], 6).alias("x_global_ball"),
+    )
+
+
 @query("m_delaunay_cells")
 def m_delaunay_cells(spark, sf_dir):
     """Delaunay adjacency (K3) twin: per-graph edge counts are the Delaunay
@@ -237,6 +296,15 @@ ORACLE_SQL.update(
     SELECT * FROM (VALUES
       (CAST(100 AS BIGINT), CAST(2300 AS BIGINT), CAST(15648 AS BIGINT), CAST(2300 AS BIGINT), CAST(154 AS BIGINT), CAST(158 AS BIGINT))
     ) AS t(n_graphs, sum_a0, sum_e0, sum_x0, min_e0, max_e0)
+    """,
+        "m_graph_custom_cells": """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(18 AS BIGINT), CAST(7 AS BIGINT), CAST(0.6 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+      (CAST(1 AS BIGINT), CAST(18 AS BIGINT), CAST(7 AS BIGINT), CAST(0.6 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+      (CAST(2 AS BIGINT), CAST(18 AS BIGINT), CAST(7 AS BIGINT), CAST(0.6 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST(18 AS BIGINT), CAST(7 AS BIGINT), CAST(0.6 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST(18 AS BIGINT), CAST(7 AS BIGINT), CAST(0.6 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(1.0 AS DOUBLE))
+    ) AS t(frame_id, x_shape_1, e_shape_1, x_custom_00, e_custom_00, x_global_ball)
     """,
         "m_af_cells": """
     SELECT * FROM (VALUES
