@@ -97,6 +97,18 @@ def test_no_cartesian_products_or_row_udfs_in_sweep(spark):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_minhash_signatures_single_exchange_no_hofs(spark):
+    """The minhash chain's round-6 shape: ONE exchange (the doc groupBy,
+    with map-side partial_min so each partition ships one row per doc) and
+    ZERO interpreted higher-order functions — gram construction is
+    explode(arrays_zip(slices)) + relational concat_ws, and the needless
+    pre-aggregation distinct (min is duplicate-insensitive) is gone."""
+    plan = plan_of(spark, "d_minhash_signatures")
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan
+    assert "lambdafunction" not in plan
+
+
 def test_lsh_band_join_reuses_one_signature_lineage(spark):
     """The shingle→minhash subtree is the most expensive stage of the dedup
     pipeline; the band self-join must read it from one persisted

@@ -54,10 +54,15 @@ def blow_up(base, factor: int, name: str, retext):
       holds ~factor copies and the candidate-PAIR count grows ~factor² per
       doc group. That output growth is semantically required (those pairs
       ARE near-dups) — the adversarial regime for pair generators.
-    - "interleave": the copy tag woven between every word — all shingles
-      differ across copies, near-dup density stays CONSTANT as the corpus
-      grows. This is the regime that isolates the algorithm's scaling from
-      output-size scaling."""
+    - "prefix": the copy tag prefixed onto every word — all shingles
+      differ across copies while the WITHIN-copy shingle-collision
+      structure is exactly the base corpus's, so near-dup density stays
+      CONSTANT as the corpus grows. This is the regime that isolates the
+      algorithm's scaling from output-size scaling. (Two earlier attempts
+      failed instructively: a suffix tag leaves copies near-identical —
+      quadratic pair output by construction — and an interleaved tag
+      creates (tag, word, tag) shingles shared by every same-copy doc
+      containing that word anywhere, an intra-copy collision explosion.)"""
     spark = base.sparkSession
     out = tempfile.mkdtemp() + f"/{name}_{factor}x"
     copies = []
@@ -68,10 +73,9 @@ def blow_up(base, factor: int, name: str, retext):
                 c = c.withColumn(col, F.col(col) + F.lit(i * (1 << 40)))
         if retext == "suffix":
             c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
-        elif retext == "interleave":
+        elif retext == "prefix":
             c = c.withColumn(
-                "text",
-                F.array_join(F.split(F.col("text"), " "), f" copytag{i} "),
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}_$1")
             )
         elif retext is not None:
             raise ValueError(retext)
@@ -115,10 +119,10 @@ def main() -> None:
     base = read_table(spark, SF_DIR, "documents")
     n1 = base.count()
     doc_scales = {1: base}       # suffix regime: near-dup-heavy
-    uniq_scales = {1: base}      # interleave regime: constant dup density
+    uniq_scales = {1: base}      # prefix regime: constant dup density
     for f in BLOWUPS:
         doc_scales[f] = blow_up(base, f, "documents", retext="suffix")
-        uniq_scales[f] = blow_up(base, f, "documents_uniq", retext="interleave")
+        uniq_scales[f] = blow_up(base, f, "documents_uniq", retext="prefix")
     print(
         f"documents: {n1} docs; blowups: "
         + ", ".join(f"{f}x={doc_scales[f].count()}" for f in BLOWUPS)
@@ -134,7 +138,7 @@ def main() -> None:
     ledger = base.select(F.md5(norm_text()).alias("fingerprint"))
     for name, mk in {
         "minhash+lsh_pairs(uniq)": lambda d: lsh_candidate_pairs(
-            minhash_signatures(doc_shingles(d))
+            minhash_signatures(doc_shingles(d, distinct=False))
         ),
         "jaccard_pairs(uniq)": lambda d: jaccard_pairs(doc_shingles(d)),
     }.items():
@@ -151,10 +155,14 @@ def main() -> None:
     # count is ~copies²/2 per doc group by construction (those pairs ARE
     # near-dups), so wall tracks OUTPUT size, which is the correct bound
     walls = [
-        timed(lambda: lsh_candidate_pairs(minhash_signatures(doc_shingles(base)))),
         timed(
             lambda: lsh_candidate_pairs(
-                minhash_signatures(doc_shingles(doc_scales[BLOWUPS[0]]))
+                minhash_signatures(doc_shingles(base, distinct=False))
+            )
+        ),
+        timed(
+            lambda: lsh_candidate_pairs(
+                minhash_signatures(doc_shingles(doc_scales[BLOWUPS[0]], distinct=False))
             )
         ),
     ]

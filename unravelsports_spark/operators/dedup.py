@@ -69,30 +69,51 @@ def exact_dedup(
 
 
 def doc_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle_hash).
+    """Word n-gram shingles per document → (id, shingle_hash).
 
     The explode+md5 map stage is CPU-bound; if the scan under-partitions
     (small corpora arrive as one file → one partition), fan out to cluster
     parallelism first. One cheap shuffle of raw docs; a no-op at scale where
-    the scan already has ≥ cores partitions."""
+    the scan already has ≥ cores partitions.
+
+    Gram construction is ``explode(arrays_zip(n shifted slices))`` followed
+    by a relational ``concat_ws`` — whole-stage codegen end to end. The
+    earlier ``transform(idx, i -> concat_ws(slice(...)))`` form interpreted
+    its lambda once per shingle (~37M interpreted steps at the 100x probe
+    scale); zip slices are exact-length so the zip never pads with nulls
+    and the produced strings are identical.
+
+    ``distinct`` (default True) gives SET semantics — required for Jaccard
+    and posting-list consumers. MinHash consumers should pass False:
+    ``min`` is duplicate-insensitive, so the distinct's full-width shuffle
+    (one row per (doc, shingle) across the wire) is pure waste there — the
+    signature aggregation's map-side partial min reduces each partition to
+    one row per (doc, hash-column) before any exchange. Same signatures,
+    one corpus-wide shuffle fewer."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, F.col(id_col))
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    # guard: sequence(0, negative) would count DOWN in Spark — short docs get
-    # an empty shingle set instead
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return (
-        df.select(id_col, F.explode(grams).alias("shingle"))
+    # each slice has exact length size-n+1 (clamped at 0 for short docs), so
+    # arrays_zip never pads and short docs yield an empty shingle set
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    slices = [F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(n)]
+    out = (
+        df.select(id_col, F.explode(F.arrays_zip(*slices)).alias("_g"))
+        .select(
+            id_col,
+            F.concat_ws(" ", *[F.col(f"_g.t{i}") for i in range(n)]).alias("shingle"),
+        )
         .withColumn("shingle_hash", hash64(F.col("shingle")))
         .select(id_col, "shingle_hash")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

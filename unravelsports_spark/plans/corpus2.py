@@ -356,7 +356,7 @@ def d_pair_degrees(spark, sf_dir):
     not plagiarism). Runs on the pruned LSH pair set, never all-pairs."""
     from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
 
-    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"), distinct=False)
     pairs = lsh_candidate_pairs(minhash_signatures(shingled, num_hashes=8), bands=4, rows_per_band=2)
     ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
         pairs.select(F.col("id_b").alias("doc_id"))
@@ -561,7 +561,7 @@ def d_triangle_count(spark, sf_dir):
     touching the full corpus."""
     from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
 
-    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"), distinct=False)
     pairs = lsh_candidate_pairs(
         minhash_signatures(shingled, num_hashes=8), bands=4, rows_per_band=2
     ).select("id_a", "id_b")

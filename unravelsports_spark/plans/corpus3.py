@@ -492,7 +492,7 @@ def d_cluster_keep_best(spark, sf_dir):
     from ..operators.text import with_quality
 
     docs = read_table(spark, sf_dir, "documents")
-    shingled = doc_shingles(docs)
+    shingled = doc_shingles(docs, distinct=False)
     sigs = minhash_signatures(shingled, num_hashes=8)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     cc = connected_components(pairs)
@@ -721,7 +721,7 @@ def d_pagerank(spark, sf_dir):
     round(9) keep both engines bit-identical."""
     from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
 
-    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"), distinct=False)
     sigs = minhash_signatures(shingled, num_hashes=8)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     return pagerank(pairs, iters=3, damping=0.85)

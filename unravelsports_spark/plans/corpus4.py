@@ -762,68 +762,96 @@ def s_ann_recall(spark, sf_dir):
     recall, as a hash-checked number rather than prose. Probe depth 2
     beating depth 1 is the multi-probe amplification claim, certified.
 
-    Scale shape: ground truth fans the 20 broadcast queries over one corpus
-    scan (never a corpus x corpus product); IVF candidate generation is the
-    same broadcast-centroid argmax the s_ann_ivf query certifies; the
-    overlap counts are semi-join aggregates. Collected values are bounded
-    driver state (4 count scalars per method)."""
+    Scale shape: ALL pairwise cosines against the O(model) query panel and
+    centroid set come from ONE vectorized Arrow pass each over the corpus
+    (operators/similarity.py:_cosine_vs_refs — never a corpus x corpus
+    product, no interpreted per-pair folds); the query-to-centroid probe
+    table is O(model) driver arithmetic with the identical dim-ascending
+    IEEE accumulation; the overlap counts are single-action join
+    aggregates. Collected values are bounded driver state (the 20-query /
+    40-centroid panels and 4 count scalars per method)."""
+    import math
+
     from pyspark.sql import Window
 
     from ..cache import release_tracked, tracked_persist
-    from .pipeline import _cos_col, _emb
+    from ..operators.similarity import _cosine_vs_refs
+    from .pipeline import _emb
 
     nq, k = _ANN_RECALL_NQ, _ANN_RECALL_K
     e = _emb(spark, sf_dir)
-    qs = e.filter(F.col("vec_id") < nq).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
+    queries = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < nq).select("vec_id", "v").collect()
+    ]
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "v").collect()
+    ]
+    # one corpus pass per panel: (vec_id, qid, cosine) and (vec_id, cid, cosine)
+    pairs = tracked_persist(_cosine_vs_refs(e, queries, ref_id_name="qid"))
     w_exact = Window.partitionBy("qid").orderBy(
-        _cos_col(F.col("v"), F.col("qv")).desc(), F.col("vec_id")
+        F.col("cosine").desc(), F.col("vec_id")
     )
     exact = tracked_persist(
-        e.crossJoin(F.broadcast(qs))
-        .withColumn("rk", F.row_number().over(w_exact))
+        pairs.withColumn("rk", F.row_number().over(w_exact))
         .filter(F.col("rk") <= k)
         .select("qid", "vec_id")
     )
-    c = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(
-        _cos_col(F.col("v"), F.col("cv")).desc(), F.col("cid")
-    )
+    # nearest centroid per vector: max cosine, ties to the lowest cid
     cells = tracked_persist(
-        e.crossJoin(F.broadcast(c))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
+        _cosine_vs_refs(e, cents, ref_id_name="cid")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("cosine"), (-F.col("cid")).alias("nc"))
+            ).alias("cell")
+        )
     )
-    w_probe = Window.partitionBy("qid").orderBy(
-        _cos_col(F.col("qv"), F.col("cv")).desc(), F.col("cid")
-    )
-    qcells = (
-        qs.crossJoin(F.broadcast(c))
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= 2)
-        .select("qid", "qv", F.col("cid").alias("cell"), "prk")
-    )
+    # query probe cells: O(model) driver arithmetic, same dim-ascending
+    # accumulation as the kernel/oracle so the probe ranking cannot diverge
+    def _cos(a, b):
+        dot = n2a = n2b = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n2a += x * x
+            n2b += y * y
+        return dot / (math.sqrt(n2a) * math.sqrt(n2b))
+
+    qcell_rows = []
+    for qid, qv in queries:
+        ranked = sorted(
+            ((-_cos(qv, cv), cid) for cid, cv in cents)
+        )[:2]
+        for prk, (_, cid) in enumerate(ranked, start=1):
+            qcell_rows.append((int(qid), int(cid), prk))
+    qcells = spark.createDataFrame(qcell_rows, "qid bigint, cell bigint, prk int")
+
     n_exact = exact.count()
     rows = []
+    hit = exact.withColumn("_hit", F.lit(1))
     for p in (1, 2):
         w_ret = Window.partitionBy("qid").orderBy(
-            _cos_col(F.col("v"), F.col("qv")).desc(), F.col("vec_id")
+            F.col("cosine").desc(), F.col("vec_id")
         )
-        retk = tracked_persist(
-            cells.join(
-                F.broadcast(qcells.filter(F.col("prk") <= p)), "cell"
-            )
+        retk = (
+            cells.join(F.broadcast(qcells.filter(F.col("prk") <= p)), "cell")
+            .join(pairs, ["vec_id", "qid"])
             .withColumn("rk", F.row_number().over(w_ret))
             .filter(F.col("rk") <= k)
             .select("qid", "vec_id")
         )
-        n_ret = retk.count()
-        n_common = retk.join(exact, ["qid", "vec_id"], "left_semi").count()
-        rows.append((f"ivf_p{p}", n_exact, n_ret, n_common))
+        # one action per probe depth: retrieved count and ground-truth
+        # overlap from a single left-join aggregate
+        r = (
+            retk.join(F.broadcast(hit), ["qid", "vec_id"], "left")
+            .agg(
+                F.count("*").alias("n_ret"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_common"),
+            )
+            .first()
+        )
+        rows.append((f"ivf_p{p}", n_exact, r["n_ret"], int(r["n_common"])))
     # IVF-PQ branch: certified retrieval vs exact integer-grid L2 top-k
     import math
 
@@ -834,21 +862,31 @@ def s_ann_recall(spark, sf_dir):
     codebook = pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2)
     qrow = emb.orderBy("vec_id").limit(1).select("embedding").first()[0]
     query_int = [int(math.floor(float(v) * Q)) for v in qrow]
-    pqret = tracked_persist(
-        pq_ivf_adc_topk(emb, coarse, codebook, query_int, n_probe=2, top=k).select(
-            "vec_id"
-        )
-    )
+    pqret = pq_ivf_adc_topk(
+        emb, coarse, codebook, query_int, n_probe=2, top=k
+    ).select("vec_id")
     qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in query_int])
-    gt = tracked_persist(
+    gt = (
         emb.select("vec_id", _dist2(_int_grid("embedding"), qlit).alias("d2"))
         .orderBy("d2", "vec_id")
         .limit(k)
         .select("vec_id")
     )
-    rows.append(
-        ("ivfpq_p2", gt.count(), pqret.count(), gt.join(pqret, "vec_id", "left_semi").count())
+    # single action: gt and the retrieval are both top-k (tiny); the full
+    # outer join counts both sides and the overlap at once
+    r = (
+        gt.withColumn("_g", F.lit(1))
+        .join(pqret.withColumn("_p", F.lit(1)), "vec_id", "full_outer")
+        .agg(
+            F.sum(F.coalesce(F.col("_g"), F.lit(0))).alias("n_gt"),
+            F.sum(F.coalesce(F.col("_p"), F.lit(0))).alias("n_ret"),
+            F.sum(
+                F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)
+            ).alias("n_common"),
+        )
+        .first()
     )
+    rows.append(("ivfpq_p2", int(r["n_gt"]), int(r["n_ret"]), int(r["n_common"])))
     release_tracked()
     return spark.createDataFrame(
         rows, "method string, n_exact bigint, n_retrieved bigint, n_common bigint"

@@ -209,7 +209,7 @@ def _minhash_sql(num_hashes: int = 8) -> str:
 
 @query("d_minhash_signatures", oracle=_minhash_sql())
 def d_minhash_signatures(spark, sf_dir):
-    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"), distinct=False)
     return minhash_signatures(shingled, num_hashes=8)
 
 
@@ -231,7 +231,7 @@ def _lsh_sql(bands: int = 4, rows_per_band: int = 2) -> str:
 
 @query("d_lsh_candidate_pairs", oracle=_lsh_sql())
 def d_lsh_candidate_pairs(spark, sf_dir):
-    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"), distinct=False)
     sigs = minhash_signatures(shingled, num_hashes=8)
     return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
@@ -256,7 +256,7 @@ def d_dup_clusters(spark, sf_dir):
     keep/drop dedup decisions at corpus scale."""
     from ..operators.components import connected_components
 
-    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"), distinct=False)
     sigs = minhash_signatures(shingled, num_hashes=8)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     cc = connected_components(pairs)
