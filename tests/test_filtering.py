@@ -102,3 +102,44 @@ def test_contamination_semantics(spark):
     assert flagged == [10, 12]
     plan = contaminated_docs(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_lang_scores_regex_equals_filter_form(spark):
+    """The anchored-regex stopword counter (operators/text.py:lang_scores)
+    must equal the whitespace-token filter form on adversarial texts:
+    punctuation-attached tokens, prefix stopwords (le/les, e/en), repeats,
+    mixed whitespace, empties, and randomized token soups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from unravelsports_spark.operators.text import LANG_STOPWORDS, lang_scores, tokens
+
+    fixed = [
+        "", " ", "the", "the the", "the, and", ",the and.", "le les les",
+        "e en e", "the\tand\nof", "  the  ", "xthe they the", "thee the",
+        "der die und das", "le la les de et un", "el los que de y en",
+    ]
+    rng = random.Random(41)
+    vocab = (
+        [s for stops in LANG_STOPWORDS.values() for s in stops]
+        + ["xyz", "the,", "(the)", "thex", "e.", "les!", "qu'il", "42"]
+    )
+    rand = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fixed + rand)], "doc_id long, text string"
+    )
+    rx = lang_scores("text")
+    toks = tokens(F.lower(F.col("text")))
+    def filt_count(stops):
+        arr = F.array(*[F.lit(s) for s in stops])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    filt = {lang: filt_count(stops) for lang, stops in LANG_STOPWORDS.items()}
+    cols = [rx[l].alias(f"r_{l}") for l in rx] + [filt[l].alias(f"h_{l}") for l in filt]
+    for row in df.select("doc_id", "text", *cols).collect():
+        for lang in LANG_STOPWORDS:
+            assert row[f"r_{lang}"] == row[f"h_{lang}"], (row["text"], lang)

@@ -251,3 +251,52 @@ def test_savgol_by_key_bucket_invariant(spark):
         )
 
     assert run(1) == run(4) == run(32)
+
+
+def test_doc_shingles_short_docs_and_distinct_modes(spark):
+    """The arrays_zip gram rewrite: docs shorter than n yield no shingles
+    (zip of exact-length slices, never null-padded); distinct=False keeps
+    multiset rows whose min-aggregation is unchanged."""
+    from unravelsports_spark.operators.dedup import doc_shingles, minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three"),
+         (5, "a b c d"), (6, "  x   y  z  "), (7, "p p p p p")],
+        "doc_id long, text string",
+    )
+    for dist in (True, False):
+        got = {
+            r["doc_id"]: r["count"]
+            for r in doc_shingles(df, distinct=dist).groupBy("doc_id").count().collect()
+        }
+        if dist:
+            assert got == {4: 1, 5: 2, 6: 1, 7: 1}  # 'p p p' x3 dedups
+        else:
+            assert got == {4: 1, 5: 2, 6: 1, 7: 3}
+    # minhash signatures identical across the two modes (min is
+    # duplicate-insensitive) — the property the distinct=False fast path
+    # relies on
+    a = sorted(map(tuple, minhash_signatures(doc_shingles(df, distinct=True)).collect()))
+    b = sorted(map(tuple, minhash_signatures(doc_shingles(df, distinct=False)).collect()))
+    assert a == b
+
+
+def test_cosine_vs_refs_matches_expression_form(spark):
+    """_cosine_vs_refs == the _dot_col cosine expression, bit-exact."""
+    from unravelsports_spark.operators.similarity import _cosine_vs_refs
+    from unravelsports_spark.plans.pipeline import _cos_col
+
+    rows = _rand_vecs(30, 5, seed=33)
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    refs = [(int(i), v) for i, v in rows[:4]]
+    got = {
+        (r["vec_id"], r["ref_id"]): r["cosine"]
+        for r in _cosine_vs_refs(e, refs).collect()
+    }
+    assert len(got) == 30 * 4
+    for rid, rv in refs:
+        ref_lit = F.array(*[F.lit(float(x)) for x in rv])
+        for r in e.select(
+            "vec_id", _cos_col(F.col("v"), ref_lit).alias("c")
+        ).collect():
+            assert got[(r["vec_id"], rid)] == r["c"], (r["vec_id"], rid)
