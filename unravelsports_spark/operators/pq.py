@@ -125,35 +125,46 @@ def _train_on_iq(
     iq: DataFrame, m_subspaces: int, k: int, n_rounds: int
 ) -> list[list[list[int]]]:
     """Core integer Lloyd trainer over a ``(_id, iq: array<bigint>)`` frame —
-    shared by the raw-vector path and the residual path (IVF-PQ)."""
-    dim = len(iq.select("iq").first()[0])
-    sub_dim = dim // m_subspaces
+    shared by the raw-vector path and the residual path (IVF-PQ).
 
-    seeds = [
-        list(r["iq"])
-        for r in iq.orderBy("_id").limit(k).select("iq").collect()
-    ]
-    if len(seeds) < k:
-        raise ValueError(
-            f"need at least k={k} vectors to seed the codebook, got {len(seeds)}"
-        )
-    if dim % m_subspaces:
-        raise ValueError(
-            f"dimension {dim} is not divisible by m_subspaces={m_subspaces}"
-        )
-    codebook = [
-        [seeds[c][m * sub_dim : (m + 1) * sub_dim] for c in range(k)]
-        for m in range(m_subspaces)
-    ]
+    The int-grid frame is persisted for the training's lifetime (released
+    in the ``finally``): every round scans it, plus the dim probe and the
+    seed collect — without the cache each of those actions re-ran the
+    upstream quantization lineage (residual path: a join) from the source.
+    Same discipline as MLlib's trainers; cached footprint is the corpus's
+    int arrays, the thing a multi-pass trainer must hold anyway."""
+    iq = iq.persist()
+    try:
+        dim = len(iq.select("iq").first()[0])
+        sub_dim = dim // m_subspaces
 
-    for _ in range(n_rounds):
-        assigned = _with_codes(iq.select("iq"), codebook)
-        stats = _round_stats(assigned, m_subspaces, sub_dim)
-        new_cb = [[list(c) for c in cb] for cb in codebook]
-        for r in stats:
-            new_cb[r["m"]][r["cluster"]][r["d"]] = r["c_int"]
-        codebook = new_cb
-    return codebook
+        seeds = [
+            list(r["iq"])
+            for r in iq.orderBy("_id").limit(k).select("iq").collect()
+        ]
+        if len(seeds) < k:
+            raise ValueError(
+                f"need at least k={k} vectors to seed the codebook, got {len(seeds)}"
+            )
+        if dim % m_subspaces:
+            raise ValueError(
+                f"dimension {dim} is not divisible by m_subspaces={m_subspaces}"
+            )
+        codebook = [
+            [seeds[c][m * sub_dim : (m + 1) * sub_dim] for c in range(k)]
+            for m in range(m_subspaces)
+        ]
+
+        for _ in range(n_rounds):
+            assigned = _with_codes(iq.select("iq"), codebook)
+            stats = _round_stats(assigned, m_subspaces, sub_dim)
+            new_cb = [[list(c) for c in cb] for cb in codebook]
+            for r in stats:
+                new_cb[r["m"]][r["cluster"]][r["d"]] = r["c_int"]
+            codebook = new_cb
+        return codebook
+    finally:
+        iq.unpersist()
 
 
 def _round_stats(assigned: DataFrame, m_subspaces: int, sub_dim: int):
