@@ -62,10 +62,11 @@ _CERTIFIED = frozenset(
         "m_af_cells", "t_corpus_kl",
         "d_bloom_decontamination",
         "d_semantic_contamination",
-        # r3 green (CORRECTNESS_r03.json). The five oldest r3 entries
-        # (s_ann_lsh, s_ann_ivf, f9_json_extract, o12_row_synthesis,
-        # j8_asof_join) also rotate this round — the window has room after
-        # the r1/r2 cohort, so retire the next-oldest certs too.
+        # r3 green (CORRECTNESS_r03.json). Three of the oldest r3 entries
+        # (s_ann_lsh, s_ann_ivf, j8_asof_join) also rotate this round —
+        # sized so priority-0 + rows-only exactly fills the 50-slot driver
+        # window alongside the new t_full_pipeline_e2e.
+        "f9_json_extract", "o12_row_synthesis",
         "mm_decode_stats", "mm_decode_real", "st_sliding_window",
         "st_session_window", "j6_label_join", "t_bpe_token_stats", "t_pii_scrub",
         "t_url_domains", "d_contamination", "j8f_asof_forward",

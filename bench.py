@@ -66,6 +66,9 @@ HEADLINE = [
     # (brute-force ground truth for 20 queries + the IVF/IVFPQ retrievals)
     "t_langid_confusion",
     "s_ann_recall",
+    # the full-pipeline flagship: lexical gates + embedding SemDeDup gate +
+    # shard packing, one certified query
+    "t_full_pipeline_e2e",
 ]
 
 

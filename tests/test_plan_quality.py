@@ -83,6 +83,7 @@ _SWEEP = [
     "d_pagerank", "d_dup_clusters", "d_cluster_keep_best",
     "d_minhash_signatures", "t_corpus_prep_e2e", "t_prep_to_shards_e2e",
     "t_bpe_tokenized_stats", "w9_interpolate_gaps", "t_repetition_stats",
+    "t_full_pipeline_e2e", "s_ann_recall",
 ]
 
 

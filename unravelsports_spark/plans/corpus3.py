@@ -589,29 +589,38 @@ def d_semdedup_lsh(spark, sf_dir):
     )
 
 
-def _semdedup_multitable_sql() -> str:
+def _semdedup_removed_ctes(suffix: str = "") -> str:
+    """The 4x4-bit OR-amplified SemDeDup removal-set CTE chain (suffixable
+    so it composes with other CTE families without name collisions) —
+    ends with ``removed{suffix}(b_id)``."""
     from .pipeline import _cos_sql
 
-    return f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    planes AS (SELECT vec_id AS plane_id, v AS p FROM e WHERE vec_id BETWEEN 1 AND 16),
-    keys AS (
-      SELECT e.vec_id, (p.plane_id - 1) // 4 AS tbl,
-             CAST(SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+    s = suffix
+    return f"""e{s} AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes{s} AS (SELECT vec_id AS plane_id, v AS p FROM e{s} WHERE vec_id BETWEEN 1 AND 16),
+    keys{s} AS (
+      SELECT e{s}.vec_id, (p.plane_id - 1) // 4 AS tbl,
+             CAST(SUM(CASE WHEN list_dot_product(e{s}.v, p.p) > 0
                            THEN 1 << CAST((p.plane_id - 1) % 4 AS INT) ELSE 0 END) AS BIGINT) AS bucket
-      FROM e CROSS JOIN planes p GROUP BY e.vec_id, (p.plane_id - 1) // 4),
-    cand AS (
+      FROM e{s} CROSS JOIN planes{s} p GROUP BY e{s}.vec_id, (p.plane_id - 1) // 4),
+    cand{s} AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      FROM keys{s} a JOIN keys{s} b ON a.tbl = b.tbl AND a.bucket = b.bucket
                              AND a.vec_id < b.vec_id),
-    removed AS (
+    removed{s} AS (
       SELECT DISTINCT c.id_b AS b_id
-      FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
-      WHERE {_cos_sql('ea.v', 'eb.v')} >= 0.4)
-    SELECT e.label, COUNT(*) AS n_vecs,
+      FROM cand{s} c JOIN e{s} ea ON c.id_a = ea.vec_id JOIN e{s} eb ON c.id_b = eb.vec_id
+      WHERE {_cos_sql('ea.v', 'eb.v')} >= 0.4)"""
+
+
+def _semdedup_multitable_sql() -> str:
+    return f"""
+    WITH el AS (SELECT vec_id, label FROM embeddings),
+    {_semdedup_removed_ctes()}
+    SELECT el.label, COUNT(*) AS n_vecs,
            CAST(SUM(CASE WHEN r.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-    FROM e LEFT JOIN removed r ON e.vec_id = r.b_id
-    GROUP BY e.label
+    FROM el LEFT JOIN removed r ON el.vec_id = r.b_id
+    GROUP BY el.label
     """
 
 

@@ -891,3 +891,66 @@ def s_ann_recall(spark, sf_dir):
     return spark.createDataFrame(
         rows, "method string, n_exact bigint, n_retrieved bigint, n_common bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: the FULL training-data pipeline as one certified query — lexical
+# gates, semantic (embedding) dedup gate, and loader-ready shard packing
+# composed end-to-end. Each stage's oracle already exists as a certified CTE
+# family; this composes them verbatim, so any stage drift breaks this hash
+# too.
+# ---------------------------------------------------------------------------
+
+
+def _full_pipeline_sql() -> str:
+    from .corpus3 import _prep_kept_ctes, _semdedup_removed_ctes
+
+    extra = f"""{_prep_kept_ctes()},
+    {_semdedup_removed_ctes('s')},
+    kept2 AS (
+      SELECT k.doc_id, k.text FROM kept k
+      WHERE NOT EXISTS (SELECT 1 FROM removeds r WHERE r.b_id = k.doc_id))"""
+    return shard_manifest_sql(SHARD_BUDGET, table="kept2", extra_ctes=extra)
+
+
+@query("t_full_pipeline_e2e", oracle=_full_pipeline_sql())
+def t_full_pipeline_e2e(spark, sf_dir):
+    """The whole pretraining-data path, one certified query: exact dedup →
+    quality gate → language gate (the lexical funnel), then the SEMANTIC
+    gate — documents whose embedding (vec_id == doc_id) lands in the
+    OR-amplified SemDeDup removal set are dropped too (docs without an
+    embedding pass through) — then the deterministic token-budget shard
+    manifest over the survivors. Composes the certified
+    t_corpus_prep_e2e / d_semdedup_multitable / t_shard_manifest pieces;
+    the oracle reuses their CTE builders verbatim.
+
+    Scale shape: every stage keeps its certified plan — narrow-payload
+    dedup aggregate, one fused Arrow pass + (tbl, bucket)-grouped verify
+    for the embedding side, a BROADCAST anti-join for the semantic gate
+    (the removal set is ~n_removed ids — model-sized next to the corpus),
+    and the two-level prefix-sum packer. No new shuffle shapes."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import with_lang_id, with_quality
+    from .corpus3 import semdedup_multitable_stats  # noqa: F401 (family doc)
+    from .pipeline import _bucket_cosine_removed, _emb, _sign_lsh_bev
+
+    d = with_lang_id(with_quality(read_table(spark, sf_dir, "documents")))
+    kept = exact_dedup(
+        d, payload_cols=["doc_id", "text", "quality_score", "predicted_lang"]
+    ).filter((F.col("quality_score") >= 0.6) & (F.col("predicted_lang") == "en"))
+
+    e = _emb(spark, sf_dir)
+    plane_rows = {
+        r["vec_id"]: list(r["v"])
+        for r in e.filter(F.col("vec_id").between(1, 16)).select("vec_id", "v").collect()
+    }
+    bev = _sign_lsh_bev(
+        e, [plane_rows[i + 1] for i in range(16)], n_tables=4, bits_per_table=4
+    )
+    removed = _bucket_cosine_removed(
+        bev, threshold=0.4, partitions=max(4, e.rdd.getNumPartitions())
+    ).distinct()
+    kept2 = kept.join(
+        F.broadcast(removed), kept.doc_id == removed.b_id, "left_anti"
+    ).select("doc_id", "text")
+    return shard_manifest(kept2, budget=SHARD_BUDGET, n_ranges=64)
