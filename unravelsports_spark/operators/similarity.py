@@ -397,6 +397,8 @@ def _cosine_vs_refs(e, refs, id_col="vec_id", v_col="v", ref_id_name="ref_id"):
     import numpy as np
     import pandas as pd
 
+    if not refs:
+        raise ValueError("refs must be a non-empty list of (ref_id, vector)")
     rids = np.asarray([int(r) for r, _ in refs], dtype="int64")
     R = np.stack([np.asarray(v, dtype=float) for _, v in refs])
     m, dim = R.shape

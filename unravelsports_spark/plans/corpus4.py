@@ -926,9 +926,12 @@ def t_full_pipeline_e2e(spark, sf_dir):
 
     Scale shape: every stage keeps its certified plan — narrow-payload
     dedup aggregate, one fused Arrow pass + (tbl, bucket)-grouped verify
-    for the embedding side, a BROADCAST anti-join for the semantic gate
-    (the removal set is ~n_removed ids — model-sized next to the corpus),
-    and the two-level prefix-sum packer. No new shuffle shapes."""
+    for the embedding side, an equi-key anti-join for the semantic gate
+    (NO broadcast hint: the removal set is a corpus-sized FRACTION — up to
+    ~half the vectors on dup-heavy crawls — so forcing a broadcast would
+    hit the driver/broadcast limits the r5 ADVICE flagged; AQE picks
+    broadcast itself when the set is actually small), and the two-level
+    prefix-sum packer. No new shuffle shapes."""
     from ..operators.dedup import exact_dedup
     from ..operators.text import with_lang_id, with_quality
     from .corpus3 import semdedup_multitable_stats  # noqa: F401 (family doc)
@@ -950,7 +953,7 @@ def t_full_pipeline_e2e(spark, sf_dir):
     removed = _bucket_cosine_removed(
         bev, threshold=0.4, partitions=max(4, e.rdd.getNumPartitions())
     ).distinct()
-    kept2 = kept.join(
-        F.broadcast(removed), kept.doc_id == removed.b_id, "left_anti"
-    ).select("doc_id", "text")
+    kept2 = kept.join(removed, kept.doc_id == removed.b_id, "left_anti").select(
+        "doc_id", "text"
+    )
     return shard_manifest(kept2, budget=SHARD_BUDGET, n_ranges=64)
