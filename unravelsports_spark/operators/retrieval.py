@@ -184,8 +184,12 @@ def unigram_logprob(
         F.log((F.col("c_t") + F.lit(1.0)) / (F.col("t_total") + F.col("v_size"))), 6
     )
     term_lp = term_counts.crossJoin(F.broadcast(corpus)).withColumn("lp", lp)
+    # no broadcast hint on the term table: it is VOCABULARY-sized, which at
+    # web scale is unbounded (noise/typo tail) — a forced broadcast would
+    # hit the hard limit; AQE still broadcasts it whenever it is actually
+    # small (all local runs), and the fallback is a plain term-keyed join
     per_doc = (
-        doc_terms.join(F.broadcast(term_lp.select("term", "lp")), "term")
+        doc_terms.join(term_lp.select("term", "lp"), "term")
         .groupBy(id_col)
         .agg(
             F.sum(F.round(F.col("lp") * F.col("tf"), 6).cast("decimal(20,6)"))

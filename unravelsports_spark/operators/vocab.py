@@ -89,11 +89,13 @@ def doc_top_terms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document (rank ties broken by term asc —
     fully deterministic). One extra shuffle vs tfidf_terms (the join back
-    of idf onto (doc, term) rows); idf is a term-level dimension, small
-    relative to the corpus, so it broadcasts."""
+    of idf onto (doc, term) rows); idf is a term-level dimension — small
+    relative to the corpus but VOCABULARY-sized, so it carries no forced
+    broadcast hint (AQE broadcasts it when small; at web scale the noise
+    tail can push a vocabulary past the broadcast hard limit)."""
     tf = term_frequencies(df, text_col, id_col)
     idf = tfidf_terms(df, text_col, id_col).select("term", "idf")
-    scored = tf.join(F.broadcast(idf), "term").withColumn(
+    scored = tf.join(idf, "term").withColumn(
         "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))

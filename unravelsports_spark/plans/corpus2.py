@@ -627,8 +627,10 @@ def t_bigram_pmi(spark, sf_dir):
     w2 = F.split(F.col("bg"), " ").getItem(1)
     j = (
         bic.withColumn("w1", w1).withColumn("w2", w2)
-        .join(F.broadcast(unic.selectExpr("w as w1", "c as c1")), "w1")
-        .join(F.broadcast(unic.selectExpr("w as w2", "c as c2")), "w2")
+        # unigram counts are vocabulary-sized — no forced broadcast (AQE
+        # broadcasts when genuinely small; see retrieval.py term_lp note)
+        .join(unic.selectExpr("w as w1", "c as c1"), "w1")
+        .join(unic.selectExpr("w as w2", "c as c2"), "w2")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(btot))
     )
