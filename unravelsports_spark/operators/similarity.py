@@ -254,28 +254,37 @@ def kmeans_fit_distributed(
 
     At 100 TB this is the textbook scalable k-means loop (the same shape
     MLlib uses): cost per iteration = one scan + one shuffle of k×dim rows.
-    Empty cells keep their previous centroid.
+    The projected input is persisted for the training's lifetime (released
+    in the finally) so each round scans the cache, not the upstream
+    lineage — the same discipline as the PQ trainer. Empty cells keep
+    their previous centroid.
     """
-    init_rows = df.select(id_col, emb_col).orderBy(id_col).limit(k).collect()
-    centroids = np.asarray([[float(v) for v in r[1]] for r in init_rows], dtype=float)
-    for _ in range(iters):
-        assigned = with_ivf_cell(df.select(id_col, emb_col), centroids, emb_col, id_col=id_col)
-        stats = (
-            assigned.select("cell", F.posexplode(emb_col).alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
-            .collect()
+    base = df.select(id_col, emb_col).persist()
+    try:
+        init_rows = base.orderBy(id_col).limit(k).collect()
+        centroids = np.asarray(
+            [[float(v) for v in r[1]] for r in init_rows], dtype=float
         )
-        new = centroids.copy()
-        sums = np.zeros_like(centroids)
-        counts = np.zeros(len(centroids), dtype=np.int64)
-        for r in stats:
-            sums[r["cell"], r["pos"]] = r["s"]
-            counts[r["cell"]] = r["n"]
-        nonempty = counts > 0
-        new[nonempty] = sums[nonempty] / counts[nonempty, None]
-        centroids = new
-    return centroids
+        for _ in range(iters):
+            assigned = with_ivf_cell(base, centroids, emb_col, id_col=id_col)
+            stats = (
+                assigned.select("cell", F.posexplode(emb_col).alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new = centroids.copy()
+            sums = np.zeros_like(centroids)
+            counts = np.zeros(len(centroids), dtype=np.int64)
+            for r in stats:
+                sums[r["cell"], r["pos"]] = r["s"]
+                counts[r["cell"]] = r["n"]
+            nonempty = counts > 0
+            new[nonempty] = sums[nonempty] / counts[nonempty, None]
+            centroids = new
+        return centroids
+    finally:
+        base.unpersist()
 
 
 def _sign_lsh_keys(e, planes, n_tables, bits_per_table, v_col="v", id_col="vec_id"):
