@@ -957,3 +957,103 @@ def t_full_pipeline_e2e(spark, sf_dir):
         "doc_id", "text"
     )
     return shard_manifest(kept2, budget=SHARD_BUDGET, n_ranges=64)
+
+
+# ---------------------------------------------------------------------------
+# Round-6: banding recall for the text MinHash/LSH path — the s_ann_recall
+# counterpart on the lexical side. Ground truth is EXACT set-Jaccard >= 1/2
+# via integer cross-multiplication (2c >= |A|+|B|-c — no float thresholds to
+# flip), candidates are the certified banding generator at two (bands, rows)
+# operating points, so the bands-vs-rows precision/recall trade-off becomes
+# hash-checked counts instead of prose.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_sql() -> str:
+    from .pipeline import _SHINGLE_SQL, _lsh_sql
+
+    def counts(tag: str, cand: str) -> str:
+        return f"""
+    SELECT '{tag}' AS method,
+           (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM {cand}) AS n_candidates,
+           (SELECT COUNT(*) FROM exact e WHERE EXISTS (
+              SELECT 1 FROM {cand} c
+              WHERE c.id_a = e.id_a AND c.id_b = e.id_b)) AS n_common"""
+
+    return (
+        _SHINGLE_SQL
+        + f""",
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM shingled a JOIN shingled b
+        ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.doc_id
+      JOIN sizes sb ON i.id_b = sb.doc_id
+      WHERE 2 * i.c >= sa.n + sb.n - i.c),
+    c42 AS (SELECT * FROM ({_lsh_sql(4, 2)})),
+    c24 AS (SELECT * FROM ({_lsh_sql(2, 4)}))
+    {counts('b4r2', 'c42')}
+    UNION ALL
+    {counts('b2r4', 'c24')}
+    """
+    )
+
+
+@query("d_lsh_recall", oracle=_lsh_recall_sql())
+def d_lsh_recall(spark, sf_dir):
+    """MinHash banding recall vs exact Jaccard ground truth: pairs with
+    true set-Jaccard >= 1/2 (integer comparison — 2·|A∩B| >= |A∪B|), and
+    how many of them each banding configuration surfaces as candidates.
+    4 bands × 2 rows (high recall, more false candidates) vs 2 bands × 4
+    rows (precise, lower recall) over the same 8 minhashes — the
+    probability-of-collision trade-off every LSH deployment tunes,
+    certified as exact counts.
+
+    Scale shape: ground truth uses the UN-capped inverted-index join —
+    that is the exact-ground-truth cost (quadratic per posting list, the
+    thing the df cap exists to avoid) and belongs in a recall audit, not a
+    production path; the candidate sides are the certified banding
+    generator (map-side-combined signatures, band-bucket self-join).
+    Collected driver state: 4 count scalars per configuration."""
+    from ..cache import release_tracked, tracked_persist
+    from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = tracked_persist(doc_shingles(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = tracked_persist(
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.count()
+    sigs = tracked_persist(
+        minhash_signatures(doc_shingles(docs, distinct=False), num_hashes=8)
+    )
+    rows = []
+    for tag, bands, rpb in (("b4r2", 4, 2), ("b2r4", 2, 4)):
+        cand = tracked_persist(lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rpb))
+        n_cand = cand.count()
+        n_common = exact.join(cand, ["id_a", "id_b"], "left_semi").count()
+        rows.append((tag, n_exact, n_cand, n_common))
+    release_tracked()
+    return spark.createDataFrame(
+        rows, "method string, n_exact bigint, n_candidates bigint, n_common bigint"
+    )
