@@ -1044,9 +1044,9 @@ def d_lsh_recall(spark, sf_dir):
         .select("id_a", "id_b")
     )
     n_exact = exact.count()
-    sigs = tracked_persist(
-        minhash_signatures(doc_shingles(docs, distinct=False), num_hashes=8)
-    )
+    # no outer persist: lsh_candidate_pairs tracked-persists the signature
+    # lineage itself, and both banding configs pass the same frame
+    sigs = minhash_signatures(doc_shingles(docs, distinct=False), num_hashes=8)
     rows = []
     for tag, bands, rpb in (("b4r2", 4, 2), ("b2r4", 2, 4)):
         cand = tracked_persist(lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rpb))
