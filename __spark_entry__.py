@@ -23,20 +23,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01..
-# r05). The driver checks a bounded prefix of this dict, so enumerate
+# r06). The driver checks a bounded prefix of this dict, so enumerate
 # never-certified queries first to widen certification breadth; no keys are
-# renamed. Round-6 ROTATION (VERDICT r5 #1): the ~30 queries whose latest
-# green dated to rounds 1-2 are deliberately NOT listed — they re-certify on
-# current code this round even though nothing in their plans changed — along
-# with every query whose plan or shared operator changed in round 6: the
-# langid-rewrite users (t_corpus_prep_e2e, t_prep_to_shards_e2e,
-# t_filter_funnel, t_langid_confusion), the SemDeDup fused-kernel family
-# (d_semdedup_multitable, d_semdedup_recall, d_embedding_neardup), the
-# short-doc-fallback MinHash join (d_mllib_minhash_join), and the two new
-# queries (s_ann_recall, m_graph_custom_cells).
+# renamed. Round-7 ROTATION: the window re-certifies, in order of risk,
+# (a) the seven queries whose plans changed in round 6 without a hash check
+# (ADVICE r6 #2: d_pagerank, d_pair_degrees, d_triangle_count,
+# d_cluster_keep_best, t_bigram_pmi, t_unigram_logprob, t_vocab_top100),
+# (b) every query round 7 touches (the with_lang_id SQL-builder refactor
+# users t_langid_confusion / t_corpus_prep_e2e / t_prep_to_shards_e2e /
+# t_full_pipeline_e2e, and the empty-doc-excluding d_mllib_minhash_join),
+# and (c) 32 of the 37 remaining r3-cohort greens — the oldest
+# certifications left. The 5 r3 leftovers (a14_cube, d_edit_distance,
+# f11_string_agg, f13_bitwise_agg, w8_rank_distributions) are the ONLY
+# pre-r5 certs still standing and rotate in round 8.
 _CERTIFIED = frozenset(
     {
-        # r5 green (CORRECTNESS_r05.json), unchanged in r6
+        # r6 green (CORRECTNESS_r06.json), untouched by round-7 changes
+        "a5_conditional_sum", "a7_global_distinct", "d_dup_clusters",
+        "d_embedding_neardup", "d_exact_dedup_stats", "d_lsh_candidate_pairs",
+        "d_lsh_recall", "d_minhash_signatures", "d_semdedup_multitable",
+        "d_semdedup_recall", "d_simhash", "f1_string_ops", "f2_temporal_trunc",
+        "f3_math_ops", "f4_null_handling", "f5_casts", "f6_array_ops",
+        "j8_asof_join", "m_graph_custom_cells", "o11_concat_key", "o5_top_k_limit",
+        "o6_union_all", "o8_unpivot", "o9_explode_tokens", "s_ann_bruteforce",
+        "s_ann_ivf", "s_ann_lsh", "s_ann_recall", "s_ann_top_pairs",
+        "t_filter_funnel", "t_fingerprint", "t_quality_by_source", "t_token_stats",
+        "w1_lag_diff", "w2_partitioned_min", "w3_rank_topk", "w4_sessionize",
+        "w5_tumbling_window", "w7_row_index",
+        # r5 green (CORRECTNESS_r05.json), unchanged since
         "q1_pricing_summary", "d_jaccard_top_pairs", "w6_savgol_oracle",
         "t_repetition_stats", "t_sequence_packing", "a15_hll_sketch_union",
         "w9_interpolate_gaps", "t_bigram_logprob", "t_bpe_merges",
@@ -49,35 +63,22 @@ _CERTIFIED = frozenset(
         "p7_sign_flip", "p8_bool_derive", "j1_dim_join", "j2_agg_back_join",
         "j3_semi_join", "j4_anti_join", "j5_enrich_revenue", "j7_distinct_join",
         "a2_distinct_count", "a3_group_stats", "a4_argmin_in_group",
-        # r4 green (CORRECTNESS_r04.json)
+        # r4 green (CORRECTNESS_r04.json), minus the ADVICE r6 rotation set
         "s_ann_mllib_brp",
         "a9_approx_distinct", "f12_array_agg_sorted", "a16_profile",
         "w10_moving_avg", "o15_morton_key", "j10_full_outer",
         "st_session_window_native", "f14_variant_json", "f15_sql_text",
-        "t_bm25_topk", "t_unigram_logprob",
+        "t_bm25_topk",
         "d_countmin_heavyhitters", "d_dup_spans",
         "t_mixture_temperature",
-        "d_cluster_keep_best", "d_semdedup_lsh",
-        "d_pagerank", "m_pi_cells", "m_graph_cells", "m_delaunay_cells",
+        "d_semdedup_lsh",
+        "m_pi_cells", "m_graph_cells", "m_delaunay_cells",
         "m_af_cells", "t_corpus_kl",
         "d_bloom_decontamination",
         "d_semantic_contamination",
-        # r3 green (CORRECTNESS_r03.json). Three of the oldest r3 entries
-        # (s_ann_lsh, s_ann_ivf, j8_asof_join) also rotate this round —
-        # sized so priority-0 + rows-only exactly fills the 50-slot driver
-        # window alongside the new t_full_pipeline_e2e.
-        "f9_json_extract", "o12_row_synthesis",
-        "mm_decode_stats", "mm_decode_real", "st_sliding_window",
-        "st_session_window", "j6_label_join", "t_bpe_token_stats", "t_pii_scrub",
-        "t_url_domains", "d_contamination", "j8f_asof_forward",
-        "mm_audio_real", "k_salted_agg", "j9_interval_join", "t_tfidf_terms",
-        "t_vocab_top100", "t_domain_mixture", "a10_quantiles", "s_kmeans_assign",
-        "t_sentences", "t_chunking", "mm_video_real", "d_pair_degrees",
-        "w11_scd2_intervals", "a17_sortedness", "a18_outliers", "mm_gif_real",
-        "d_triangle_count", "t_bigram_pmi",
-        "d_minhash_accuracy", "o13_reservoir_sample", "a11_histogram",
-        "a12_corr_exact", "a13_rollup", "o14_pivot", "w8_rank_distributions",
-        "d_edit_distance", "a14_cube", "f11_string_agg", "f13_bitwise_agg",
+        # r3 leftovers (rotate in round 8)
+        "a14_cube", "d_edit_distance", "f11_string_agg", "f13_bitwise_agg",
+        "w8_rank_distributions",
     }
 )
 

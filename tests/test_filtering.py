@@ -143,3 +143,50 @@ def test_lang_scores_regex_equals_filter_form(spark):
     for row in df.select("doc_id", "text", *cols).collect():
         for lang in LANG_STOPWORDS:
             assert row[f"r_{lang}"] == row[f"h_{lang}"], (row["text"], lang)
+
+
+def test_with_lang_id_shares_pattern_and_quotes_column(spark):
+    """ADVICE r6: with_lang_id's SQL form must (a) use the exact pattern
+    object lang_scores uses (no hand-doubled twin that can drift), (b)
+    backtick the column reference so names needing quoting parse, and (c)
+    pick exactly the argmax of lang_scores with first-wins ties."""
+    from pyspark.sql import functions as F
+
+    from unravelsports_spark.operators.text import (
+        LANG_STOPWORDS, lang_scores, with_lang_id,
+    )
+
+    texts = [
+        "the quick brown fox and the dog",          # en
+        "der hund und die katze ist nicht da",      # de
+        "le chat et la souris dans le jardin est",  # fr
+        "el perro y el gato en la casa por que",    # es
+        "il cane e il gatto che non sono qui",      # it
+        "zzz qqq www",                              # no stopwords -> tie -> en
+        "", "   ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.predicted_lang for r in with_lang_id(df).collect()
+    }
+    # expected = first-max over lang_scores (the Column form)
+    scores = lang_scores("text")
+    rows = df.select(
+        "doc_id", *[scores[l].alias(l) for l in LANG_STOPWORDS]
+    ).collect()
+    langs = list(LANG_STOPWORDS)
+    for r in rows:
+        best = max(langs, key=lambda l: (r[l], -langs.index(l)))
+        assert got[r.doc_id] == best, (r.doc_id, got[r.doc_id], best)
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
+    assert got[3] == "es" and got[4] == "it" and got[5] == "en"
+
+    # a column name that REQUIRES backticks must parse and work
+    odd = df.withColumnRenamed("text", "text col")
+    got_odd = {
+        r.doc_id: r.predicted_lang
+        for r in with_lang_id(odd, text_col="text col").collect()
+    }
+    assert got_odd == got

@@ -339,3 +339,37 @@ def test_approx_distinct_within_rsd(spark):
     }
     for r in rows:
         assert abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.05
+
+
+def test_minhash_join_excludes_empty_docs(spark):
+    """ADVICE r6: empty/whitespace-only docs must NOT enter the MinHash
+    near-dup join (the old unconditional short-doc fallback gave them all
+    the identical '' gram -> mutual Jaccard-1.0 candidates, quadratic among
+    empty docs at crawl scale). Non-empty short docs keep the whole-doc
+    fallback: identical 1-token docs still pair."""
+    import pandas as pd
+
+    from unravelsports_spark.operators.mllib_lsh import minhash_similarity_join
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "",            # empty -> excluded
+                    "   \t ",      # whitespace-only -> excluded
+                    "hello",       # short, non-empty -> whole-doc gram
+                    "hello",       # identical twin -> pairs with 3
+                    "one two three four five six seven",
+                    "one two three four five six seven",
+                ],
+            }
+        )
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_similarity_join(df, max_jaccard_distance=0.5).collect()
+    }
+    assert (3, 4) in pairs and (5, 6) in pairs
+    flat = {i for p in pairs for i in p}
+    assert 1 not in flat and 2 not in flat

@@ -73,12 +73,16 @@ def minhash_similarity_join(
     unrelated documents near-disjoint, which is what gives LSH its
     sub-quadratic candidate bound at corpus scale.
 
-    Documents shorter than ``shingle_n`` tokens fall back to their single
-    whole-document gram (the joined token string) instead of an empty gram
-    set — otherwise the non-empty filter below would silently exclude 1-2
-    token docs from the near-dup join entirely (ADVICE r5). Two such docs
-    are near-dups only when identical, which is what a single-element set
-    under Jaccard expresses."""
+    NON-EMPTY documents shorter than ``shingle_n`` tokens fall back to
+    their single whole-document gram (the joined token string) instead of
+    an empty gram set — otherwise the non-empty filter below would silently
+    exclude 1-2 token docs from the near-dup join entirely (ADVICE r5).
+    Two such docs are near-dups only when identical, which is what a
+    single-element set under Jaccard expresses. Empty/whitespace-only
+    documents get an EMPTY gram set and are excluded by the filter: the
+    unconditional fallback gave every contentless doc the identical ''
+    gram, making all of them mutual Jaccard-1.0 candidates — a quadratic
+    candidate blowup among empty docs at crawl scale (ADVICE r6)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -87,7 +91,9 @@ def minhash_similarity_join(
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, shingle_n)))
     grams = F.when(F.size(t) >= shingle_n, grams).otherwise(
-        F.array(F.concat_ws(" ", t))
+        F.when(
+            F.trim(F.col(text_col)) != "", F.array(F.concat_ws(" ", t))
+        ).otherwise(F.array().cast("array<string>"))
     )
     toks = df.select(id_col, grams.alias("tokens"))
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=num_features, binary=True)

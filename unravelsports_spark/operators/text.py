@@ -71,6 +71,25 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 6))
 
 
+def _stopword_pattern(stops: list[str]) -> str:
+    """The anchored stopword-alternation regex, built ONCE and shared by
+    `lang_scores` (Column form) and `with_lang_id` (SQL-text form) so the
+    two formulations can never drift (ADVICE r6)."""
+    return r"(?<=^|\s)(?:" + "|".join(stops) + r")(?=\s|$)"
+
+
+def _sql_string_literal(s: str) -> str:
+    """Escape an arbitrary string for a Spark SQL single-quoted literal
+    (backslashes doubled, quotes backslash-escaped) — default parser mode,
+    where backslash is the literal escape character."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_identifier(name: str) -> str:
+    """Backtick-quote a column name for SQL text (inner backticks doubled)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def lang_scores(text_col: str = "text") -> dict[str, SqlCol]:
     """Per-language stopword occurrence counts.
 
@@ -86,7 +105,7 @@ def lang_scores(text_col: str = "text") -> dict[str, SqlCol]:
     c = F.trim(F.lower(F.col(text_col)))
     out = {}
     for lang, stops in LANG_STOPWORDS.items():
-        pat = r"(?<=^|\s)(?:" + "|".join(stops) + r")(?=\s|$)"
+        pat = _stopword_pattern(stops)
         out[lang] = F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
     return out
 
@@ -108,13 +127,14 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "predicted_la
     call (~100 ms of driver latency each time a plan embeds it); F.expr
     parses the same tree in a single call (~30 ms, measured)."""
     langs = list(LANG_STOPWORDS)
+    col_sql = _sql_identifier(text_col)
     scores = []
     for lang in langs:
-        # same anchored regex as lang_scores (backslashes doubled for the
-        # SQL string literal)
-        pat = r"(?<=^|\\s)(?:" + "|".join(LANG_STOPWORDS[lang]) + r")(?=\\s|$)"
+        # the SAME pattern object lang_scores uses, escaped programmatically
+        # for the SQL literal (ADVICE r6: no hand-doubled backslash twin)
+        pat = _sql_string_literal(_stopword_pattern(LANG_STOPWORDS[lang]))
         scores.append(
-            f"size(regexp_extract_all(trim(lower({text_col})), '{pat}', 0))"
+            f"size(regexp_extract_all(trim(lower({col_sql})), {pat}, 0))"
         )
     arr_sql = "array(" + ", ".join(scores) + ")"
     names = "array(" + ", ".join(f"'{lang}'" for lang in langs) + ")"
