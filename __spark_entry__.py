@@ -32,10 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (b) every query round 7 touches (the with_lang_id SQL-builder refactor
 # users t_langid_confusion / t_corpus_prep_e2e / t_prep_to_shards_e2e /
 # t_full_pipeline_e2e, and the empty-doc-excluding d_mllib_minhash_join),
-# and (c) 32 of the 37 remaining r3-cohort greens — the oldest
-# certifications left. The 5 r3 leftovers (a14_cube, d_edit_distance,
-# f11_string_agg, f13_bitwise_agg, w8_rank_distributions) are the ONLY
-# pre-r5 certs still standing and rotate in round 8.
+# plus the pq.py perf-rewrite consumers (single-pass _round_stats, fused
+# seed/dim collect: s_ann_pq, s_ann_ivfpq, s_ann_ivfpq_residual,
+# s_kmeans_fit, s_ann_recall), and (c) 27 of the 37 remaining r3-cohort
+# greens — the oldest certifications left. The 10 r3 leftovers (a14_cube,
+# d_edit_distance, f11_string_agg, f13_bitwise_agg, w8_rank_distributions,
+# a13_rollup, o14_pivot, a12_corr_exact, a11_histogram,
+# o13_reservoir_sample) are the ONLY pre-r5 certs still standing and
+# rotate in round 8.
 _CERTIFIED = frozenset(
     {
         # r6 green (CORRECTNESS_r06.json), untouched by round-7 changes
@@ -46,7 +50,7 @@ _CERTIFIED = frozenset(
         "f3_math_ops", "f4_null_handling", "f5_casts", "f6_array_ops",
         "j8_asof_join", "m_graph_custom_cells", "o11_concat_key", "o5_top_k_limit",
         "o6_union_all", "o8_unpivot", "o9_explode_tokens", "s_ann_bruteforce",
-        "s_ann_ivf", "s_ann_lsh", "s_ann_recall", "s_ann_top_pairs",
+        "s_ann_ivf", "s_ann_lsh", "s_ann_top_pairs",
         "t_filter_funnel", "t_fingerprint", "t_quality_by_source", "t_token_stats",
         "w1_lag_diff", "w2_partitioned_min", "w3_rank_topk", "w4_sessionize",
         "w5_tumbling_window", "w7_row_index",
@@ -55,9 +59,8 @@ _CERTIFIED = frozenset(
         "t_repetition_stats", "t_sequence_packing", "a15_hll_sketch_union",
         "w9_interpolate_gaps", "t_bigram_logprob", "t_bpe_merges",
         "t_bpe_tokenized_stats", "m_efpi_cells", "m_savgol_cells",
-        "t_dsir_scores", "t_dsir_resample", "t_nb_confusion", "s_ann_pq",
-        "s_ann_ivfpq_residual", "s_ann_ivfpq", "t_shard_manifest",
-        "s_kmeans_fit", "d_incremental_dedup",
+        "t_dsir_scores", "t_dsir_resample", "t_nb_confusion",
+        "t_shard_manifest", "d_incremental_dedup",
         "p1_p2_project_filter", "f7_f8_conditional_literals",
         "p3_filter_eq", "p4_range_between", "p5_modulo_sample", "p6_conditional_cap",
         "p7_sign_flip", "p8_bool_derive", "j1_dim_join", "j2_agg_back_join",
@@ -78,7 +81,8 @@ _CERTIFIED = frozenset(
         "d_semantic_contamination",
         # r3 leftovers (rotate in round 8)
         "a14_cube", "d_edit_distance", "f11_string_agg", "f13_bitwise_agg",
-        "w8_rank_distributions",
+        "w8_rank_distributions", "a13_rollup", "o14_pivot", "a12_corr_exact",
+        "a11_histogram", "o13_reservoir_sample",
     }
 )
 

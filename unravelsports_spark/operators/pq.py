@@ -108,6 +108,7 @@ def pq_train_codebook(
     n_rounds: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    iq_df: DataFrame | None = None,
 ) -> list[list[list[int]]]:
     """Lloyd-train the PQ codebook; returns ``codebook[m][c] = int centroid``.
 
@@ -116,8 +117,18 @@ def pq_train_codebook(
     Driver payload bound: exactly k·D rows per round (M subspaces × k
     clusters × D/M dims) — independent of corpus size; the assignment pass
     is a zero-join literal-codebook projection. Empty clusters keep their
-    previous centroid."""
-    iq = df.select(F.col(id_col).alias("_id"), _int_grid(vec_col).alias("iq"))
+    previous centroid.
+
+    ``iq_df`` (optional): a pre-built ``(_id, iq: array<bigint>)`` int-grid
+    frame — pass the SAME (ideally persisted) frame to multiple trainings
+    and the ADC scans so the quantization projection runs once per caller,
+    not once per step; a caller-persisted frame is left cached (see
+    ``_train_on_iq``)."""
+    iq = (
+        iq_df
+        if iq_df is not None
+        else df.select(F.col(id_col).alias("_id"), _int_grid(vec_col).alias("iq"))
+    )
     return _train_on_iq(iq, m_subspaces, k, n_rounds)
 
 
@@ -132,12 +143,14 @@ def _train_on_iq(
     seed collect — without the cache each of those actions re-ran the
     upstream quantization lineage (residual path: a join) from the source.
     Same discipline as MLlib's trainers; cached footprint is the corpus's
-    int arrays, the thing a multi-pass trainer must hold anyway."""
-    iq = iq.persist()
+    int arrays, the thing a multi-pass trainer must hold anyway. A frame
+    the CALLER already persisted is respected — left cached on exit, so one
+    cache can serve several trainings plus the retrieval scans."""
+    caller_cached = iq.is_cached
+    if not caller_cached:
+        iq = iq.persist()
     try:
-        dim = len(iq.select("iq").first()[0])
-        sub_dim = dim // m_subspaces
-
+        # dim comes from the seed rows — no separate first() probe job
         seeds = [
             list(r["iq"])
             for r in iq.orderBy("_id").limit(k).select("iq").collect()
@@ -146,6 +159,8 @@ def _train_on_iq(
             raise ValueError(
                 f"need at least k={k} vectors to seed the codebook, got {len(seeds)}"
             )
+        dim = len(seeds[0])
+        sub_dim = dim // m_subspaces
         if dim % m_subspaces:
             raise ValueError(
                 f"dimension {dim} is not divisible by m_subspaces={m_subspaces}"
@@ -164,26 +179,33 @@ def _train_on_iq(
             codebook = new_cb
         return codebook
     finally:
-        iq.unpersist()
+        if not caller_cached:
+            iq.unpersist()
 
 
 def _round_stats(assigned: DataFrame, m_subspaces: int, sub_dim: int):
-    """Per-(subspace, cluster, dim) floor-mean sufficient statistics."""
-    parts = []
-    for m in range(m_subspaces):
-        parts.append(
-            assigned.select(
+    """Per-(subspace, cluster, dim) floor-mean sufficient statistics.
+
+    All M subspaces explode out of ONE pass over ``assigned``: the earlier
+    union-of-M-projections form physically re-executed the Arrow assignment
+    subtree once per union branch (Spark does not share a common subplan
+    across union children), so an M=4 training ran the assignment pass 4x
+    per round. Same rows, one assignment pass."""
+    m_structs = F.array(
+        *[
+            F.struct(
                 F.lit(m).alias("m"),
                 F.col(f"a{m}").alias("cluster"),
-                # posexplode positions are 0-based — they ARE the dim index
-                F.posexplode(_sub(F.col("iq"), m, sub_dim)).alias("d", "v"),
-            ).select("m", "cluster", "d", "v")
-        )
-    all_parts = parts[0]
-    for p in parts[1:]:
-        all_parts = all_parts.unionAll(p)
+                _sub(F.col("iq"), m, sub_dim).alias("vals"),
+            )
+            for m in range(m_subspaces)
+        ]
+    )
     return (
-        all_parts.groupBy("m", "cluster", "d")
+        assigned.select(F.explode(m_structs).alias("s"))
+        # posexplode positions are 0-based — they ARE the dim index
+        .select("s.m", "s.cluster", F.posexplode("s.vals").alias("d", "v"))
+        .groupBy("m", "cluster", "d")
         .agg(F.floor(F.sum("v") / F.count("*")).cast("bigint").alias("c_int"))
         .collect()
     )
@@ -243,6 +265,7 @@ def pq_ivf_adc_topk(
     top: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    iq_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ scan: coarse cells prune the corpus to ``n_probe`` probed
     inverted lists, then the PQ ADC ranks only those candidates — the
@@ -268,7 +291,13 @@ def pq_ivf_adc_topk(
     ]
     probes = sorted(range(kc), key=lambda c: (cdist[c], c))[:n_probe]
 
-    iq = df.select(F.col(id_col).alias(id_col), _int_grid(vec_col).alias("iq"))
+    # iq_df: optional pre-built (id_col, iq) int-grid frame — same sharing
+    # contract as pq_train_codebook
+    iq = (
+        iq_df
+        if iq_df is not None
+        else df.select(F.col(id_col).alias(id_col), _int_grid(vec_col).alias("iq"))
+    )
     candidates = (
         _with_codes(iq, coarse_cb, prefix="_cell")
         .withColumn("cell", F.col("_cell0").cast("bigint"))

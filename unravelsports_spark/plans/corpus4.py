@@ -763,33 +763,51 @@ def s_ann_recall(spark, sf_dir):
     beating depth 1 is the multi-probe amplification claim, certified.
 
     Scale shape: ALL pairwise cosines against the O(model) query panel and
-    centroid set come from ONE vectorized Arrow pass each over the corpus
-    (operators/similarity.py:_cosine_vs_refs — never a corpus x corpus
-    product, no interpreted per-pair folds); the query-to-centroid probe
-    table is O(model) driver arithmetic with the identical dim-ascending
-    IEEE accumulation; the overlap counts are single-action join
-    aggregates. Collected values are bounded driver state (the 20-query /
-    40-centroid panels and 4 count scalars per method)."""
+    centroid set come from ONE shared vectorized Arrow pass over the corpus
+    (operators/similarity.py:_cosine_vs_refs with both panels stacked —
+    centroid ids ride offset by 2^40 so roles can't collide; never a
+    corpus x corpus product, no interpreted per-pair folds); the
+    query-to-centroid probe table is O(model) driver arithmetic with the
+    identical dim-ascending IEEE accumulation; BOTH probe depths resolve in
+    ONE window + aggregate action (depth is a partition key, not a loop).
+    The panel collect is one action; the IVF-PQ branch quantizes the corpus
+    to the int grid ONCE into a persisted frame shared by the coarse
+    training, the PQ training, the query row, the ADC retrieval, and the
+    exact ground truth. Collected values are bounded driver state (the
+    20-query / 40-centroid panels, k·D training stats per round, and 4
+    count scalars per method)."""
     import math
 
     from pyspark.sql import Window
 
     from ..cache import release_tracked, tracked_persist
+    from ..operators.pq import _int_grid
     from ..operators.similarity import _cosine_vs_refs
     from .pipeline import _emb
 
     nq, k = _ANN_RECALL_NQ, _ANN_RECALL_K
     e = _emb(spark, sf_dir)
-    queries = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") < nq).select("vec_id", "v").collect()
-    ]
+    # ONE panel collect (queries: vec_id < nq; centroids: vec_id % 50 == 0
+    # — a vector may serve both roles, e.g. vec_id 0)
+    panel = (
+        e.filter((F.col("vec_id") < nq) | (F.col("vec_id") % 50 == 0))
+        .select("vec_id", "v")
+        .collect()
+    )
+    queries = [(r["vec_id"], list(r["v"])) for r in panel if r["vec_id"] < nq]
     cents = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "v").collect()
+        (r["vec_id"], list(r["v"])) for r in panel if r["vec_id"] % 50 == 0
     ]
-    # one corpus pass per panel: (vec_id, qid, cosine) and (vec_id, cid, cosine)
-    pairs = tracked_persist(_cosine_vs_refs(e, queries, ref_id_name="qid"))
+    # ONE corpus pass for both panels: centroid ref ids offset by 2^40
+    _OFF = 1 << 40
+    combined = tracked_persist(
+        _cosine_vs_refs(
+            e,
+            list(queries) + [(cid + _OFF, cv) for cid, cv in cents],
+            ref_id_name="rid",
+        )
+    )
+    pairs = combined.filter(F.col("rid") < _OFF).withColumnRenamed("rid", "qid")
     w_exact = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -800,7 +818,8 @@ def s_ann_recall(spark, sf_dir):
     )
     # nearest centroid per vector: max cosine, ties to the lowest cid
     cells = tracked_persist(
-        _cosine_vs_refs(e, cents, ref_id_name="cid")
+        combined.filter(F.col("rid") >= _OFF)
+        .select("vec_id", (F.col("rid") - _OFF).alias("cid"), "cosine")
         .groupBy("vec_id")
         .agg(
             F.max_by(
@@ -825,49 +844,63 @@ def s_ann_recall(spark, sf_dir):
         )[:2]
         for prk, (_, cid) in enumerate(ranked, start=1):
             qcell_rows.append((int(qid), int(cid), prk))
-    qcells = spark.createDataFrame(qcell_rows, "qid bigint, cell bigint, prk int")
 
     n_exact = exact.count()
     rows = []
     hit = exact.withColumn("_hit", F.lit(1))
-    for p in (1, 2):
-        w_ret = Window.partitionBy("qid").orderBy(
-            F.col("cosine").desc(), F.col("vec_id")
+    # BOTH probe depths in one action: a probe at rank prk participates in
+    # every depth p >= prk, so depth becomes a partition key of a single
+    # window + one grouped aggregate (was: one window + one agg per depth)
+    probed = spark.createDataFrame(
+        [
+            (qid, cid, p)
+            for qid, cid, prk in qcell_rows
+            for p in (1, 2)
+            if prk <= p
+        ],
+        "qid bigint, cell bigint, p int",
+    )
+    w_ret = Window.partitionBy("p", "qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    retk = (
+        cells.join(F.broadcast(probed), "cell")
+        .join(pairs, ["vec_id", "qid"])
+        .withColumn("rk", F.row_number().over(w_ret))
+        .filter(F.col("rk") <= k)
+        .select("p", "qid", "vec_id")
+    )
+    per_depth = (
+        retk.join(F.broadcast(hit), ["qid", "vec_id"], "left")
+        .groupBy("p")
+        .agg(
+            F.count("*").alias("n_ret"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_common"),
         )
-        retk = (
-            cells.join(F.broadcast(qcells.filter(F.col("prk") <= p)), "cell")
-            .join(pairs, ["vec_id", "qid"])
-            .withColumn("rk", F.row_number().over(w_ret))
-            .filter(F.col("rk") <= k)
-            .select("qid", "vec_id")
-        )
-        # one action per probe depth: retrieved count and ground-truth
-        # overlap from a single left-join aggregate
-        r = (
-            retk.join(F.broadcast(hit), ["qid", "vec_id"], "left")
-            .agg(
-                F.count("*").alias("n_ret"),
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_common"),
-            )
-            .first()
-        )
-        rows.append((f"ivf_p{p}", n_exact, r["n_ret"], int(r["n_common"])))
-    # IVF-PQ branch: certified retrieval vs exact integer-grid L2 top-k
-    import math
+        .collect()
+    )
+    for r in sorted(per_depth, key=lambda r: r["p"]):
+        rows.append((f"ivf_p{r['p']}", n_exact, r["n_ret"], int(r["n_common"])))
+    # IVF-PQ branch: certified retrieval vs exact integer-grid L2 top-k.
+    # The corpus quantizes to the int grid ONCE; the persisted frame feeds
+    # both trainings, the query row, the ADC retrieval, and the ground
+    # truth (identical values to per-step quantization by construction:
+    # double-cast of the float32 source then FLOOR*2^20, see operators/pq).
+    from ..operators.pq import _dist2
 
-    from ..operators.pq import _dist2, _int_grid
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    coarse = pq_train_codebook(emb, m_subspaces=1, k=8, n_rounds=1)
-    codebook = pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2)
-    qrow = emb.orderBy("vec_id").limit(1).select("embedding").first()[0]
-    query_int = [int(math.floor(float(v) * Q)) for v in qrow]
+    iq = tracked_persist(
+        e.select(F.col("vec_id").alias("_id"), _int_grid("v").alias("iq"))
+    )
+    coarse = pq_train_codebook(None, m_subspaces=1, k=8, n_rounds=1, iq_df=iq)
+    codebook = pq_train_codebook(None, m_subspaces=4, k=16, n_rounds=2, iq_df=iq)
+    query_int = [int(v) for v in iq.orderBy("_id").limit(1).select("iq").first()[0]]
+    iq_named = iq.select(F.col("_id").alias("vec_id"), "iq")
     pqret = pq_ivf_adc_topk(
-        emb, coarse, codebook, query_int, n_probe=2, top=k
+        None, coarse, codebook, query_int, n_probe=2, top=k, iq_df=iq_named
     ).select("vec_id")
     qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in query_int])
     gt = (
-        emb.select("vec_id", _dist2(_int_grid("embedding"), qlit).alias("d2"))
+        iq_named.select("vec_id", _dist2(F.col("iq"), qlit).alias("d2"))
         .orderBy("d2", "vec_id")
         .limit(k)
         .select("vec_id")
