@@ -181,3 +181,57 @@ def test_video_rejects_non_avi(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         video_stats(df).collect()
+
+
+# -- MP4 (ISO BMFF) muxer ----------------------------------------------------
+
+
+def test_mp4_roundtrip_and_box_structure(tmp_path):
+    """MJPEG MP4: frames recover byte-exact via the sample table, the
+    top-level box sizes telescope to the file length exactly, and every
+    stco offset points at a JPEG SOI marker."""
+    from unravelsports_spark.sources.mp4 import read_mjpeg_mp4, write_mjpeg_mp4
+
+    frames = [encode_jpeg(_gradient(32, 48), 85) for _ in range(5)]
+    path = str(tmp_path / "clip.mp4")
+    write_mjpeg_mp4(path, frames, 48, 32, fps=10)
+    raw = open(path, "rb").read()
+    # top-level boxes: ftyp, mdat, moov — sizes sum to the file
+    pos, tops = 0, []
+    while pos < len(raw):
+        size = struct.unpack(">I", raw[pos:pos + 4])[0]
+        tops.append(raw[pos + 4:pos + 8])
+        pos += size
+    assert pos == len(raw)
+    assert tops == [b"ftyp", b"mdat", b"moov"]
+    back = read_mjpeg_mp4(path)
+    assert back == frames
+    for f in back:
+        assert f[:2] == b"\xff\xd8"  # SOI at every stco offset
+        assert decode_jpeg(f).shape == (32, 48, 3)
+
+
+def test_mp4_sample_entry_signals_mjpeg(tmp_path):
+    """The stsd sample entry must be mp4v with esds objectTypeIndication
+    0x6C (ISO/IEC 10918-1 JPEG) — what ffmpeg/VLC key MJPEG decode on."""
+    from unravelsports_spark.sources.mp4 import write_mjpeg_mp4
+
+    frames = [encode_jpeg(_gradient(16, 16), 85)]
+    path = str(tmp_path / "one.mp4")
+    write_mjpeg_mp4(path, frames, 16, 16, fps=25)
+    raw = open(path, "rb").read()
+    i = raw.index(b"mp4v")
+    assert i > 0
+    j = raw.index(b"esds", i)
+    # fullbox header (4) + ES tag 0x03 + 4-byte length + ES_ID(2)+flags(1)
+    # + DecoderConfig tag 0x04 + 4-byte length + OTI byte
+    es = raw[j + 4 + 4:]
+    assert es[0] == 0x03 and es[8] == 0x04
+    assert es[13] == 0x6C
+
+
+def test_mp4_refuses_empty(tmp_path):
+    from unravelsports_spark.sources.mp4 import write_mjpeg_mp4
+
+    with pytest.raises(ValueError):
+        write_mjpeg_mp4(str(tmp_path / "x.mp4"), [], 8, 8)

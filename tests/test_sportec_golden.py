@@ -199,3 +199,27 @@ def test_to_video_real_sportec(sportec, tmp_path):
     assert len(frames) == 5
     img = decode_jpeg(frames[0])
     assert img.ndim == 3 and img.shape[2] == 3 and img.shape[0] > 100
+
+
+def test_to_mp4_real_sportec(sportec, tmp_path):
+    """MP4 sink (S5 closed): the same 5 DFL frames → standard ISO BMFF MP4
+    whose sample table recovers decodable JPEG frames, pixel-identical to
+    the AVI sink's frames (same renderer, same encoder)."""
+    from unravelsports_spark.functions.jpegcodec import decode_jpeg
+    from unravelsports_spark.sources.avi import read_mjpeg_avi
+    from unravelsports_spark.sources.media import to_mp4, to_video
+    from unravelsports_spark.sources.mp4 import read_mjpeg_mp4
+
+    df, settings = sportec
+    fids = [r.frame_id for r in
+            df.select("frame_id").distinct().orderBy("frame_id").limit(5).collect()]
+    gid = df.head().game_id
+    out = to_mp4(df, gid, fids, str(tmp_path / "clip.mp4"),
+                 home_team_id=settings.home_team_id, fps=5)
+    frames = read_mjpeg_mp4(out)
+    assert len(frames) == 5
+    img = decode_jpeg(frames[0])
+    assert img.ndim == 3 and img.shape[2] == 3 and img.shape[0] > 100
+    avi = to_video(df, gid, fids, str(tmp_path / "clip.avi"),
+                   home_team_id=settings.home_team_id, fps=5)
+    assert frames == read_mjpeg_avi(avi)

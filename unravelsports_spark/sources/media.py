@@ -6,9 +6,10 @@ work. This module keeps that API surface with a dependency-free renderer:
 select the frame(s) relationally (Catalyst prunes/pushes down), collect ONLY
 those rows (guarded — see ``max_rows``), rasterize pitch + players + velocity
 vectors with numpy, and encode through the pure-Python PNG writer
-(functions/imagecodec.py). ``to_mp4`` stays environment-gated (no ffmpeg
-here); ``to_png_sequence`` provides the frame-dump equivalent a video encoder
-would consume.
+(functions/imagecodec.py). Video export is real and dependency-free in BOTH
+containers: ``to_video`` muxes MJPEG-AVI (sources/avi.py) and ``to_mp4``
+muxes a standard ISO BMFF MP4 (sources/mp4.py); ``to_png_sequence`` remains
+the raw frame dump.
 """
 
 from __future__ import annotations
@@ -262,11 +263,34 @@ def to_video(
     return write_mjpeg_avi(out_path, jpegs, dims[0], dims[1], fps=fps)
 
 
-def to_mp4(*args, **kwargs):
-    raise NotImplementedError(
-        "MP4 export needs ffmpeg/imageio (not in this environment); use "
-        "to_video (MJPEG AVI, playable everywhere) or to_png_sequence"
-    )
+def to_mp4(
+    tracking: DataFrame,
+    game_id: str,
+    frame_ids: Iterable[int],
+    out_path: str,
+    home_team_id: str,
+    fps: int = 25,
+    quality: int = 85,
+    max_frames: int = 500,
+    **render_kw,
+) -> str:
+    """Tracking frames → standard MP4, no ffmpeg: the numpy renderer's
+    frames JPEG-encode through functions/jpegcodec.py and mux into an ISO
+    BMFF container (sources/mp4.py) whose sample entry signals MJPEG the
+    same way ffmpeg does (mp4v + esds OTI 0x6C) — the direct equivalent of
+    the reference's FFMpegWriter MP4 export (graph_converter.py:1302)."""
+    from ..functions.jpegcodec import encode_jpeg
+    from .mp4 import write_mjpeg_mp4
+
+    frame_ids = list(frame_ids)
+    if len(frame_ids) > max_frames:
+        raise ValueError(f"{len(frame_ids)} frames exceeds max_frames={max_frames}")
+    jpegs, dims = [], None
+    for fid in frame_ids:
+        img = render_frame(collect_frame(tracking, game_id, fid), home_team_id, **render_kw)
+        dims = dims or (img.shape[1], img.shape[0])
+        jpegs.append(encode_jpeg(img, quality=quality))
+    return write_mjpeg_mp4(out_path, jpegs, dims[0], dims[1], fps=fps)
 
 
 def plot_frame(
