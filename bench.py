@@ -69,6 +69,9 @@ HEADLINE = [
     # the full-pipeline flagship: lexical gates + embedding SemDeDup gate +
     # shard packing, one certified query
     "t_full_pipeline_e2e",
+    # round-7 addition: hybrid retrieval (BM25 top-k + dense cosine top-k
+    # fused by reciprocal rank) — the RAG first-stage ranker
+    "t_hybrid_rrf",
 ]
 
 

@@ -204,8 +204,19 @@ def test_media_staging_and_nearest_frame(spark, tmp_path):
     with pytest.raises(ValueError, match="max_frames"):
         to_png_sequence(tracking, "game_0", range(600), str(tmp_path / "x"),
                         home_team_id=HOME)
-    with pytest.raises(NotImplementedError):
-        to_mp4()
+    # to_mp4 is real now (sources/mp4.py): 2 frames mux into a standard
+    # ISO BMFF file whose sample table recovers decodable JPEGs
+    from unravelsports_spark.functions.jpegcodec import decode_jpeg
+    from unravelsports_spark.sources.mp4 import read_mjpeg_mp4
+
+    mp4 = to_mp4(tracking, "game_0", [0, 1], str(tmp_path / "clip.mp4"),
+                 home_team_id=HOME, fps=5)
+    frames = read_mjpeg_mp4(mp4)
+    assert len(frames) == 2
+    assert decode_jpeg(frames[0]).shape == (int(74 * 6), int(111 * 6), 3)
+    with pytest.raises(ValueError, match="max_frames"):
+        to_mp4(tracking, "game_0", range(600), str(tmp_path / "y.mp4"),
+               home_team_id=HOME)
 
 
 def test_gnn_loader_batches(spark):

@@ -210,14 +210,35 @@ def main() -> None:
         ]
         return pq_adc_topk(d, cb, q, top=20)
 
-    walls = [timed(lambda: pq_probe(emb)), timed(lambda: pq_probe(emb_scales[first]))]
-    print(fmt_row(f"pq_train+adc_topk ({first}x)", walls))
+    # the PQ chain across BOTH decades: training is a fixed number of
+    # linear assignment passes + k·D driver stats, ADC a single projection
+    # top-k — either going super-linear here means the trainer or the scan
+    # picked up a join/shuffle it must not have
+    walls = [timed(lambda f=f: pq_probe(emb_scales[f])) for f in factors]
+    print(fmt_row("pq_train+adc_topk", walls))
 
     def _as_e(d):
         return d.select(
             "vec_id", "label",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+
+    # brute-force dense retrieval (the t_hybrid_rrf / s_ann_bruteforce
+    # dense side): ONE _cosine_vs_refs Arrow pass + TakeOrderedAndProject —
+    # the linear-scan baseline every ANN variant is judged against
+    from unravelsports_spark.operators.similarity import _cosine_vs_refs
+
+    def dense_probe(d):
+        e = _as_e(d)
+        q = e.orderBy("vec_id").limit(1).select("vec_id", "v").first()
+        return (
+            _cosine_vs_refs(e, [(q["vec_id"], list(q["v"]))], ref_id_name="qid")
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(20)
+        )
+
+    walls = [timed(lambda f=f: dense_probe(emb_scales[f])) for f in factors]
+    print(fmt_row("dense_cosine_topk", walls))
 
     # SemDeDup across every decade with PROGRAMMATIC bit sizing: bits grow
     # log2 with the corpus so expected bucket sizes (and the quadratic

@@ -1090,3 +1090,108 @@ def d_lsh_recall(spark, sf_dir):
     return spark.createDataFrame(
         rows, "method string, n_exact bigint, n_candidates bigint, n_common bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: hybrid retrieval — BM25 lexical top-k fused with dense-cosine
+# top-k by reciprocal-rank fusion (Cormack et al. 2009), the standard RAG
+# first-stage ranker. Composes the certified t_bm25_topk scoring CTEs and
+# the certified s_ann_bruteforce cosine ordering; both ranked lists and the
+# fused scores are hash-exact.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60       # the canonical RRF damping constant
+_RRF_DEPTH = 20   # per-ranker candidate depth
+_RRF_TOP = 10     # fused output size
+
+
+def _hybrid_rrf_sql() -> str:
+    from .corpus3 import _bm25_sql
+    from .pipeline import _cos_sql
+
+    d, top, kk = _RRF_DEPTH, _RRF_TOP, _RRF_K
+    one = "CAST(1.0 AS DOUBLE)"
+    return f"""
+    WITH lexk AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM ({_bm25_sql()})),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e
+          WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    dense AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY {_cos_sql('e.v', 'q.qv')} DESC,
+                                vec_id) AS r_dense
+      FROM e, q),
+    densek AS (SELECT vec_id, r_dense FROM dense WHERE r_dense <= {d}),
+    fused AS (
+      SELECT COALESCE(l.doc_id, dn.vec_id) AS doc_id,
+             CAST((l.doc_id IS NOT NULL) AS INTEGER)
+               + CAST((dn.vec_id IS NOT NULL) AS INTEGER) AS n_lists,
+             ROUND(COALESCE({one} / ({kk} + l.r_lex), 0)
+                   + COALESCE({one} / ({kk} + dn.r_dense), 0), 6) AS rrf
+      FROM lexk l FULL OUTER JOIN densek dn ON l.doc_id = dn.vec_id)
+    SELECT doc_id, n_lists, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {top}
+    """
+
+
+@query("t_hybrid_rrf", oracle=_hybrid_rrf_sql())
+def t_hybrid_rrf(spark, sf_dir):
+    """Hybrid first-stage retrieval (engine addition §2.12): the BM25
+    top-20 for the fixed lexical query and the cosine top-20 for the
+    corpus's first embedding (vec_id == doc_id, as in t_full_pipeline_e2e)
+    fuse by reciprocal rank — rrf = Σ 1/(60 + rank) over the rankings that
+    retrieved the doc — and the top-10 fused docs come back with how many
+    rankers found them. Both ranks use full (score DESC, id) tie-breaks,
+    so the fused ordering is engine-exact.
+
+    Scale shape: the lexical side is the certified zero-explode BM25 plan
+    (compact per-doc stats + broadcast 1-row corpus agg +
+    TakeOrderedAndProject); the dense side is ONE _cosine_vs_refs Arrow
+    pass against the O(1) query panel + TakeOrderedAndProject. Ranks
+    materialize on the two ≤20-row lists (row_number windows AFTER the
+    top-k, so no single-partition window ever sees the corpus); the fusion
+    is a 20x20 full-outer join. Driver state: one query vector."""
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import bm25_scores
+    from ..operators.similarity import _cosine_vs_refs
+    from .corpus3 import BM25_TERMS
+    from .pipeline import _emb
+
+    d = read_table(spark, sf_dir, "documents")
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lexk = (
+        bm25_scores(d, list(BM25_TERMS))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("doc_id", "r_lex")
+    )
+    e = _emb(spark, sf_dir)
+    qrow = e.orderBy("vec_id").limit(1).select("vec_id", "v").first()
+    w_dense = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    densek = (
+        _cosine_vs_refs(e, [(qrow["vec_id"], list(qrow["v"]))], ref_id_name="qid")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("r_dense", F.row_number().over(w_dense))
+        .select(F.col("vec_id").alias("doc_id"), "r_dense")
+    )
+    fused = lexk.join(densek, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dense")), F.lit(0.0)),
+        6,
+    )
+    n_lists = (
+        F.when(F.col("r_lex").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("r_dense").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        fused.select("doc_id", n_lists.alias("n_lists"), rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
