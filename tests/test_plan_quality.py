@@ -281,3 +281,25 @@ def test_edit_distance_pruned_scan(spark):
     plan = plan_of(spark, "d_edit_distance")
     # only doc_id + text reach the scan (no lang/source/n_chars)
     assert "n_chars" not in plan and "source" not in plan
+
+
+def test_hybrid_rrf_topk_before_windows(spark):
+    """t_hybrid_rrf: both per-ranker top-ks must end in
+    TakeOrderedAndProject (per-partition heaps) BEFORE any row_number
+    window touches the lists, so no corpus-sized single-partition window
+    exists; the BM25 side keeps its zero-explode plan and the fusion join
+    runs on the two ≤20-row lists."""
+    plan = plan_of(spark, "t_hybrid_rrf")
+    # lex top-20, dense top-20, fused top-10: all three per-partition heaps
+    assert plan.count("TakeOrderedAndProject") == 3
+    # every Window sits directly on a TakeOrderedAndProject (the ≤20-row
+    # ranked list), never on an Exchange from a corpus-sized input
+    import re
+
+    for m in re.finditer(r"Window \[row_number\(\)", plan):
+        tail = plan[m.end():]
+        nxt = tail.split("+- ", 2)[1]
+        assert nxt.startswith("TakeOrderedAndProject"), nxt[:60]
+    assert "Generate" not in plan  # BM25 stays explode-free end to end
+    # (the 20x20 full-outer fusion join is a SortMergeJoin — Spark cannot
+    # broadcast full outer — which is fine on two limit-bounded lists)
