@@ -65,6 +65,40 @@ def main(spark, sf_dir: str) -> dict:
     # 4. pack the kept docs into fixed-token-budget training shards
     manifest = shard_manifest(kept, budget=4096).orderBy("shard_id").collect()
 
+    # 5. hybrid retrieval over the cleaned corpus: BM25 lexical top-k and
+    # dense cosine top-k fused by reciprocal rank — the RAG first-stage
+    # ranker (same operators as the certified t_hybrid_rrf query)
+    from pyspark.sql import Window
+
+    from unravelsports_spark.operators.retrieval import bm25_scores
+    from unravelsports_spark.operators.similarity import _cosine_vs_refs
+
+    lexk = (
+        bm25_scores(docs, ["join", "hash", "vector"])
+        .orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+        .withColumn("r_lex", F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), "doc_id")))
+        .select("doc_id", "r_lex")
+    )
+    qrow = emb.orderBy("vec_id").limit(1).select("vec_id", "v").first()
+    densek = (
+        _cosine_vs_refs(emb, [(qrow["vec_id"], list(qrow["v"]))], ref_id_name="qid")
+        .orderBy(F.col("cosine").desc(), "vec_id").limit(10)
+        .withColumn("r_dense", F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), "vec_id")))
+        .select(F.col("vec_id").alias("doc_id"), "r_dense")
+    )
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0))
+    )
+    hybrid = [
+        (r["doc_id"], round(r["rrf"], 6))
+        for r in lexk.join(densek, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id").limit(5).collect()
+    ]
+
     out = {
         "raw_docs": n_raw,
         "kept_docs": n_kept,
@@ -73,6 +107,7 @@ def main(spark, sf_dir: str) -> dict:
         "dsir_selected": {r["label"]: r["n_selected"] for r in sel_rows},
         "n_shards": len(manifest),
         "shard_tokens": [r["shard_tokens"] for r in manifest],
+        "hybrid_top5": hybrid,
     }
     return out
 

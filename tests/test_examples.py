@@ -15,6 +15,9 @@ def test_corpus_pipeline_example(spark):
     assert out["n_shards"] >= 1
     assert sum(out["shard_tokens"]) > 0
     assert all(n > 0 for n in out["dsir_selected"].values())
+    assert len(out["hybrid_top5"]) == 5
+    scores = [s for _, s in out["hybrid_top5"]]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
 
 
 def test_tracking_pipeline_example(spark):

@@ -126,6 +126,44 @@ except ImportError:  # pragma: no cover
     pass
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.binary(min_size=2, max_size=4000), min_size=1, max_size=12),
+        st.integers(1, 4096),
+        st.integers(1, 4096),
+        st.integers(1, 120),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_mp4_mux_roundtrip_property(payloads, w, h, fps):
+        """The ISO BMFF sample table must recover arbitrary frame payloads
+        byte-exactly at any (width, height, fps), and the top-level box
+        sizes must telescope to the file length exactly."""
+        import os
+        import struct as _struct
+        import tempfile
+
+        from unravelsports_spark.sources.mp4 import read_mjpeg_mp4, write_mjpeg_mp4
+
+        fd, path = tempfile.mkstemp(suffix=".mp4")
+        os.close(fd)
+        try:
+            write_mjpeg_mp4(path, payloads, w, h, fps=fps)
+            raw = open(path, "rb").read()
+            pos = 0
+            while pos < len(raw):
+                pos += _struct.unpack(">I", raw[pos:pos + 4])[0]
+            assert pos == len(raw)
+            assert read_mjpeg_mp4(path) == payloads
+        finally:
+            os.unlink(path)
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 # -- video payload column (MJPEG-AVI in Spark) --------------------------------
 
 
