@@ -56,6 +56,7 @@ NOTES = {
     "t_corpus_prep_e2e": "dedup fingerprint window -> quality/langid projections in one codegen stage; one corpus shuffle total.",
     "d_semdedup_lsh": "sign-LSH bucket self-join on the persisted bucketed-vector table; candidates meet only inside buckets; cosine verify on candidates only.",
     "s_ann_ivfpq_residual": "residual encoding against literal coarse+PQ codebooks with per-cell ADC tables - still a single projection + filter + TakeOrderedAndProject, zero joins.",
+    "t_hybrid_rrf": "r7 hybrid retrieval: BM25 keeps its zero-explode wide plan, the dense side is one Arrow cosine pass; BOTH rankers end in TakeOrderedAndProject and every row_number window sits on a limit-bounded <=20-row list; the fusion full-outer join touches only the two lists.",
 }
 
 
