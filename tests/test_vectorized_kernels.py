@@ -300,3 +300,24 @@ def test_cosine_vs_refs_matches_expression_form(spark):
             "vec_id", _cos_col(F.col("v"), ref_lit).alias("c")
         ).collect():
             assert got[(r["vec_id"], rid)] == r["c"], (r["vec_id"], rid)
+
+
+def test_pq_train_codebooks_equals_sequential(spark):
+    """The fused multi-codebook trainer must return EXACTLY the codebooks
+    the single trainers produce (shared max-k seed prefix, fused per-round
+    stats) — the job-count optimization cannot move a single int."""
+    from unravelsports_spark.operators.pq import (
+        _int_grid, pq_train_codebook, pq_train_codebooks,
+    )
+    from unravelsports_spark.session import read_table
+
+    from .conftest import SF_CORRECT
+
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    iq = emb.select(F.col("vec_id").alias("_id"), _int_grid("embedding").alias("iq"))
+    fused = pq_train_codebooks(iq, [(1, 8, 1), (4, 16, 2)])
+    solo = [
+        pq_train_codebook(emb, m_subspaces=1, k=8, n_rounds=1),
+        pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2),
+    ]
+    assert fused == solo

@@ -183,6 +183,129 @@ def _train_on_iq(
             iq.unpersist()
 
 
+def _with_multi_codes(df: DataFrame, tagged, iq_col: str = "iq"):
+    """`_with_codes` for several codebooks in ONE Arrow pass: ``tagged`` is
+    a list of (prefix, codebook); appends every codebook's per-subspace
+    assignment columns. Identical int64 argmin semantics per codebook."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    plans = []
+    fields = list(df.schema.fields)
+    for prefix, codebook in tagged:
+        m_subspaces = len(codebook)
+        sub_dim = len(codebook[0][0])
+        C = [np.asarray(codebook[m], dtype=np.int64) for m in range(m_subspaces)]
+        plans.append((prefix, m_subspaces, sub_dim, C))
+        fields += [
+            T.StructField(f"{prefix}{m}", T.IntegerType()) for m in range(m_subspaces)
+        ]
+    schema = T.StructType(fields)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            IQ = np.stack(pdf[iq_col].to_numpy()).astype(np.int64)
+            out = pdf.copy()
+            for prefix, m_subspaces, sub_dim, C in plans:
+                for m in range(m_subspaces):
+                    S = IQ[:, m * sub_dim : (m + 1) * sub_dim]
+                    diff = S[:, None, :] - C[m][None, :, :]
+                    dist = (diff * diff).sum(axis=2)
+                    out[f"{prefix}{m}"] = dist.argmin(axis=1).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(assign, schema)
+
+
+def pq_train_codebooks(
+    iq_df: DataFrame, specs: list[tuple[int, int, int]]
+) -> list[list[list[list[int]]]]:
+    """Train SEVERAL independent codebooks over one ``(_id, iq)`` int-grid
+    frame with shared driver actions: ONE seed collect (the max-k prefix
+    seeds every spec — seeds are the smallest-id vectors, so spec i's
+    seeds are exactly the first k_i rows) and, per training round, ONE
+    fused assignment pass + ONE stats collect covering every spec still
+    in training. Each ``specs`` entry is (m_subspaces, k, n_rounds);
+    returns the codebooks in order, each EXACTLY equal to what
+    ``pq_train_codebook`` would produce alone (identical seeds, identical
+    per-round floor-mean updates — equality-tested). Driver payload bound
+    per round: Σ_active k_i·D stats rows.
+
+    This is the job-count optimization for callers like s_ann_ivfpq /
+    s_ann_recall that train a coarse quantizer AND a PQ codebook over the
+    same corpus: 2 seed collects + 3 stats collects become 1 + 2."""
+    caller_cached = iq_df.is_cached
+    if not caller_cached:
+        iq_df = iq_df.persist()
+    try:
+        k_max = max(k for _, k, _ in specs)
+        seeds = [
+            list(r["iq"])
+            for r in iq_df.orderBy("_id").limit(k_max).select("iq").collect()
+        ]
+        if len(seeds) < k_max:
+            raise ValueError(
+                f"need at least k={k_max} vectors to seed the codebooks, "
+                f"got {len(seeds)}"
+            )
+        dim = len(seeds[0])
+        books = []
+        for m_subspaces, k, _ in specs:
+            if dim % m_subspaces:
+                raise ValueError(
+                    f"dimension {dim} is not divisible by m_subspaces={m_subspaces}"
+                )
+            sd = dim // m_subspaces
+            books.append(
+                [[seeds[c][m * sd : (m + 1) * sd] for c in range(k)]
+                 for m in range(m_subspaces)]
+            )
+        for rnd in range(max(r for _, _, r in specs)):
+            active = [i for i, (_, _, r) in enumerate(specs) if rnd < r]
+            tagged = [(f"s{i}_", books[i]) for i in active]
+            assigned = _with_multi_codes(iq_df.select("iq"), tagged)
+            stats = _multi_round_stats(
+                assigned,
+                [(f"s{i}_", len(books[i]), dim // specs[i][0]) for i in active],
+            )
+            for i in active:
+                new_cb = [[list(c) for c in cb] for cb in books[i]]
+                for r in stats:
+                    if r["tag"] == f"s{i}_":
+                        new_cb[r["m"]][r["cluster"]][r["d"]] = r["c_int"]
+                books[i] = new_cb
+        return books
+    finally:
+        if not caller_cached:
+            iq_df.unpersist()
+
+
+def _multi_round_stats(assigned: DataFrame, tagged_shapes):
+    """`_round_stats` across several codebooks in one pass/collect:
+    ``tagged_shapes`` is (prefix, m_subspaces, sub_dim) per codebook; rows
+    carry the prefix as ``tag``."""
+    m_structs = []
+    for tag, m_subspaces, sub_dim in tagged_shapes:
+        for m in range(m_subspaces):
+            m_structs.append(
+                F.struct(
+                    F.lit(tag).alias("tag"),
+                    F.lit(m).alias("m"),
+                    F.col(f"{tag}{m}").alias("cluster"),
+                    _sub(F.col("iq"), m, sub_dim).alias("vals"),
+                )
+            )
+    return (
+        assigned.select(F.explode(F.array(*m_structs)).alias("s"))
+        .select("s.tag", "s.m", "s.cluster", F.posexplode("s.vals").alias("d", "v"))
+        .groupBy("tag", "m", "cluster", "d")
+        .agg(F.floor(F.sum("v") / F.count("*")).cast("bigint").alias("c_int"))
+        .collect()
+    )
+
+
 def _round_stats(assigned: DataFrame, m_subspaces: int, sub_dim: int):
     """Per-(subspace, cluster, dim) floor-mean sufficient statistics.
 

@@ -379,15 +379,26 @@ def s_ann_ivfpq(spark, sf_dir):
     the corpus to 2 probed inverted lists, PQ ADC ranks only those
     candidates — the FAISS-style layout where, with a cell-partitioned
     parquet layout, the probe filter becomes partition pruning. Exact int64
-    end-to-end; hash-certified vs a CTE unroll of both codebooks."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    coarse = pq_train_codebook(emb, m_subspaces=1, k=8, n_rounds=1)
-    codebook = pq_train_codebook(emb, m_subspaces=4, k=16, n_rounds=2)
-    qrow = emb.orderBy("vec_id").limit(1).select("embedding").first()[0]
-    import math
+    end-to-end; hash-certified vs a CTE unroll of both codebooks.
 
-    query_int = [int(math.floor(float(v) * Q)) for v in qrow]
-    return pq_ivf_adc_topk(emb, coarse, codebook, query_int, n_probe=2, top=10)
+    r7: the two independent codebooks train through the FUSED trainer
+    (pq_train_codebooks — one shared seed collect, one assignment pass +
+    stats collect per round covering both; equality-tested identical to
+    sequential training) over one persisted int-grid frame that the ADC
+    scan and query row reuse."""
+    from ..cache import tracked_persist
+    from ..operators.pq import _int_grid, pq_train_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    iq = tracked_persist(
+        emb.select(F.col("vec_id").alias("_id"), _int_grid("embedding").alias("iq"))
+    )
+    coarse, codebook = pq_train_codebooks(iq, [(1, 8, 1), (4, 16, 2)])
+    query_int = [int(v) for v in iq.orderBy("_id").limit(1).select("iq").first()[0]]
+    return pq_ivf_adc_topk(
+        None, coarse, codebook, query_int, n_probe=2, top=10,
+        iq_df=iq.select(F.col("_id").alias("vec_id"), "iq"),
+    )
 
 
 def _prep_to_shards_sql() -> str:
@@ -886,13 +897,14 @@ def s_ann_recall(spark, sf_dir):
     # both trainings, the query row, the ADC retrieval, and the ground
     # truth (identical values to per-step quantization by construction:
     # double-cast of the float32 source then FLOOR*2^20, see operators/pq).
-    from ..operators.pq import _dist2
+    from ..operators.pq import _dist2, pq_train_codebooks
 
     iq = tracked_persist(
         e.select(F.col("vec_id").alias("_id"), _int_grid("v").alias("iq"))
     )
-    coarse = pq_train_codebook(None, m_subspaces=1, k=8, n_rounds=1, iq_df=iq)
-    codebook = pq_train_codebook(None, m_subspaces=4, k=16, n_rounds=2, iq_df=iq)
+    # fused trainer: one shared seed collect, one assignment+stats job per
+    # round for BOTH codebooks (equality-tested == sequential training)
+    coarse, codebook = pq_train_codebooks(iq, [(1, 8, 1), (4, 16, 2)])
     query_int = [int(v) for v in iq.orderBy("_id").limit(1).select("iq").first()[0]]
     iq_named = iq.select(F.col("_id").alias("vec_id"), "iq")
     pqret = pq_ivf_adc_topk(
