@@ -856,12 +856,13 @@ def s_ann_recall(spark, sf_dir):
         for prk, (_, cid) in enumerate(ranked, start=1):
             qcell_rows.append((int(qid), int(cid), prk))
 
-    n_exact = exact.count()
     rows = []
     hit = exact.withColumn("_hit", F.lit(1))
-    # BOTH probe depths in one action: a probe at rank prk participates in
-    # every depth p >= prk, so depth becomes a partition key of a single
-    # window + one grouped aggregate (was: one window + one agg per depth)
+    # BOTH probe depths AND the ground-truth size in one action: a probe at
+    # rank prk participates in every depth p >= prk, so depth becomes a
+    # partition key of a single window + one grouped aggregate, and the
+    # exact count rides along as a p=0 union branch (one job instead of
+    # count + per-depth aggs)
     probed = spark.createDataFrame(
         [
             (qid, cid, p)
@@ -888,9 +889,16 @@ def s_ann_recall(spark, sf_dir):
             F.count("*").alias("n_ret"),
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_common"),
         )
+        .unionByName(
+            exact.groupBy(F.lit(0).alias("p")).agg(
+                F.count("*").alias("n_ret"),
+                F.lit(0).cast("bigint").alias("n_common"),
+            )
+        )
         .collect()
     )
-    for r in sorted(per_depth, key=lambda r: r["p"]):
+    n_exact = next(int(r["n_ret"]) for r in per_depth if r["p"] == 0)
+    for r in sorted((x for x in per_depth if x["p"] > 0), key=lambda r: r["p"]):
         rows.append((f"ivf_p{r['p']}", n_exact, r["n_ret"], int(r["n_common"])))
     # IVF-PQ branch: certified retrieval vs exact integer-grid L2 top-k.
     # The corpus quantizes to the int grid ONCE; the persisted frame feeds
@@ -905,7 +913,17 @@ def s_ann_recall(spark, sf_dir):
     # fused trainer: one shared seed collect, one assignment+stats job per
     # round for BOTH codebooks (equality-tested == sequential training)
     coarse, codebook = pq_train_codebooks(iq, [(1, 8, 1), (4, 16, 2)])
-    query_int = [int(v) for v in iq.orderBy("_id").limit(1).select("iq").first()[0]]
+    # the min-id query vector is already IN the collected panel (vec_ids
+    # start below nq), so quantize it driver-side with the identical
+    # floor(double * 2^20) — no separate first() job; panel-emptiness
+    # falls back to the frame probe for safety
+    if queries:
+        qv_min = min(queries, key=lambda t: t[0])[1]
+        query_int = [int(math.floor(float(x) * Q)) for x in qv_min]
+    else:  # pragma: no cover — nq>0 queries always exist on the testdata
+        query_int = [
+            int(v) for v in iq.orderBy("_id").limit(1).select("iq").first()[0]
+        ]
     iq_named = iq.select(F.col("_id").alias("vec_id"), "iq")
     pqret = pq_ivf_adc_topk(
         None, coarse, codebook, query_int, n_probe=2, top=k, iq_df=iq_named
