@@ -79,11 +79,13 @@ _CERTIFIED = frozenset(
         "m_af_cells", "t_corpus_kl",
         "d_bloom_decontamination",
         "d_semantic_contamination",
-        # r3 leftovers (rotate in round 8; d_minhash_accuracy deferred to
-        # make window room for the new t_hybrid_rrf certification)
+        # r3 leftovers (rotate in round 8; d_minhash_accuracy and
+        # a17_sortedness deferred to make window room for the new
+        # t_hybrid_rrf / t_ngram_novelty certifications)
         "a14_cube", "d_edit_distance", "f11_string_agg", "f13_bitwise_agg",
         "w8_rank_distributions", "a13_rollup", "o14_pivot", "a12_corr_exact",
         "a11_histogram", "o13_reservoir_sample", "d_minhash_accuracy",
+        "a17_sortedness",
     }
 )
 

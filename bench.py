@@ -69,9 +69,11 @@ HEADLINE = [
     # the full-pipeline flagship: lexical gates + embedding SemDeDup gate +
     # shard packing, one certified query
     "t_full_pipeline_e2e",
-    # round-7 addition: hybrid retrieval (BM25 top-k + dense cosine top-k
-    # fused by reciprocal rank) — the RAG first-stage ranker
+    # round-7 additions: hybrid retrieval (BM25 top-k + dense cosine top-k
+    # fused by reciprocal rank — the RAG first-stage ranker) and corpus
+    # novelty by source (shingle-df memorization metric)
     "t_hybrid_rrf",
+    "t_ngram_novelty",
 ]
 
 

@@ -1225,3 +1225,85 @@ def t_hybrid_rrf(spark, sf_dir):
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: n-gram novelty — the memorization/duplication metric LLM corpus
+# audits report: what fraction of each source's distinct 3-gram shingles
+# appear in NO other document. Exact integer output (parts-per-million via
+# integer division), composed over the shared shingle CTE.
+# ---------------------------------------------------------------------------
+
+
+def _ngram_novelty_sql() -> str:
+    from .pipeline import _SHINGLE_SQL
+
+    return f"""{_SHINGLE_SQL},
+    dfc AS (SELECT shingle_hash, COUNT(*) AS df, MIN(doc_id) AS d
+            FROM shingled GROUP BY 1),
+    uniq AS (SELECT d AS doc_id, COUNT(*) AS n_uniq FROM dfc
+             WHERE df = 1 GROUP BY 1),
+    tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY 1),
+    agg AS (
+      SELECT d.source, COUNT(*) AS n_docs,
+             CAST(COALESCE(SUM(t.n_sh), 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(SUM(u.n_uniq), 0) AS BIGINT) AS n_unique
+      FROM documents d
+      LEFT JOIN tot t USING (doc_id)
+      LEFT JOIN uniq u USING (doc_id)
+      GROUP BY d.source)
+    SELECT source, n_docs, n_shingles, n_unique,
+           CAST(CASE WHEN n_shingles > 0
+                THEN (1000000 * n_unique) // n_shingles ELSE 0 END
+                AS BIGINT) AS novelty_ppm
+    FROM agg ORDER BY source
+    """
+
+
+@query("t_ngram_novelty", oracle=_ngram_novelty_sql())
+def t_ngram_novelty(spark, sf_dir):
+    """Corpus novelty by source (engine addition §2.12): the fraction of
+    each source's distinct 3-gram shingles that occur in NO other document
+    — high novelty means unique text, low novelty means the source is
+    largely reassembled from shingles seen elsewhere (the memorization /
+    near-duplication signal corpus audits report). Exact integers
+    end-to-end: counts plus parts-per-million via integer division.
+
+    Scale shape: NO posting-list join-back — a shingle's uniqueness
+    collapses inside ONE map-side-combinable aggregate (count + min
+    doc_id per shingle: df=1 rows carry their only document), so the
+    corpus-wide shingle table shuffles once for that agg and once for the
+    per-doc totals; everything downstream is |docs|-sized. The final
+    source rollup joins two compact per-doc frames to the pruned
+    documents scan."""
+    from ..cache import tracked_persist
+    from ..operators.dedup import doc_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = tracked_persist(doc_shingles(docs))
+    uniq = (
+        sh.groupBy("shingle_hash")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("d"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("d").alias("doc_id"))
+        .agg(F.count("*").alias("n_uniq"))
+    )
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    agg = (
+        docs.select("doc_id", "source")
+        .join(tot, "doc_id", "left")
+        .join(uniq, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_sh"), F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce(F.sum("n_uniq"), F.lit(0)).cast("bigint").alias("n_unique"),
+        )
+    )
+    ppm = F.when(
+        F.col("n_shingles") > 0,
+        F.expr("div(1000000 * n_unique, n_shingles)"),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return agg.select(
+        "source", "n_docs", "n_shingles", "n_unique", ppm.alias("novelty_ppm")
+    ).orderBy("source")
