@@ -70,10 +70,12 @@ HEADLINE = [
     # shard packing, one certified query
     "t_full_pipeline_e2e",
     # round-7 additions: hybrid retrieval (BM25 top-k + dense cosine top-k
-    # fused by reciprocal rank — the RAG first-stage ranker) and corpus
-    # novelty by source (shingle-df memorization metric)
+    # fused by reciprocal rank — the RAG first-stage ranker), corpus
+    # novelty by source (shingle-df memorization metric), and
+    # label-propagation communities on the near-dup graph
     "t_hybrid_rrf",
     "t_ngram_novelty",
+    "d_label_communities",
 ]
 
 

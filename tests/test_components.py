@@ -78,3 +78,19 @@ def test_connected_components_two_cliques_bridge(spark):
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert all(c == 0 for c in got.values())
     assert set(got) == set(range(1, 5)) | set(range(10, 15))
+
+
+def test_label_propagation_triangles_with_bridge(spark):
+    """Hand-traced 3-round synchronous LPA with lowest-label ties: two
+    triangles joined by one bridge edge resolve to one community per
+    triangle — finer than connected components (which would merge all 6)."""
+    from unravelsports_spark.operators.components import label_propagation
+
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(4, 5), (4, 6), (5, 6)]
+    df = spark.createDataFrame(tri1 + tri2 + [(3, 4)], "id_a int, id_b int")
+    got = {r["id"]: r["label"] for r in label_propagation(df, iters=3).collect()}
+    # traced by hand: l3 = {1:1, 2:1, 3:1, 4:3, 5:3, 6:3}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    comps = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert len(set(comps.values())) == 1  # CC merges what LPA separates

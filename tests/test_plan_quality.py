@@ -84,9 +84,9 @@ _SWEEP = [
     "d_minhash_signatures", "t_corpus_prep_e2e", "t_prep_to_shards_e2e",
     "t_bpe_tokenized_stats", "w9_interpolate_gaps", "t_repetition_stats",
     "t_full_pipeline_e2e", "s_ann_recall",
-    # round-7: hybrid RRF retrieval (BM25 + dense cosine fusion) and
-    # shingle-df corpus novelty
-    "t_hybrid_rrf", "t_ngram_novelty",
+    # round-7: hybrid RRF retrieval (BM25 + dense cosine fusion),
+    # shingle-df corpus novelty, and label-propagation communities
+    "t_hybrid_rrf", "t_ngram_novelty", "d_label_communities",
 ]
 
 

@@ -130,3 +130,45 @@ def pagerank(
             )
         )
     return ranks.select(F.col("src").alias("id"), "pr")
+
+
+def label_propagation(
+    pairs: DataFrame,
+    iters: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Synchronous label propagation on an undirected pair graph →
+    (id, label): community detection at finer granularity than connected
+    components — a template family and the pages quoting it land in one
+    component but separate communities. Labels start as node ids; each
+    round every node adopts its neighbors' most frequent label, ties to
+    the LOWEST label (fully deterministic synchronous variant, so a
+    fixed iteration count is hash-certifiable cross-engine — the
+    classic near-linear community algorithm of Raghavan et al. 2007).
+
+    Scale shape: per round one hash join (symmetric edges ⋈ labels on the
+    neighbor id — both sides partitioned by node id, co-partitioned once
+    on a cluster) and two map-side-combinable aggregations ((id, label)
+    vote counts, then a combinable max_by argmax per node — no window, no
+    global sort). Edges persist across rounds; all arithmetic is exact
+    integers."""
+    from ..cache import tracked_persist
+
+    edges = tracked_persist(
+        _sym(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(iters):
+        votes = edges.join(
+            labels, edges.dst == labels.id
+        ).select(edges.src.alias("id"), "label")
+        counted = votes.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        labels = counted.groupBy("id").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+    return labels

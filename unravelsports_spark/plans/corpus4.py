@@ -1307,3 +1307,72 @@ def t_ngram_novelty(spark, sf_dir):
     return agg.select(
         "source", "n_docs", "n_shingles", "n_unique", ppm.alias("novelty_ppm")
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-7: label-propagation communities over the LSH near-dup candidate
+# graph — finer structure than connected components (a boilerplate family
+# and the pages quoting it share a component but not a community). The
+# synchronous min-tie variant is deterministic, so 3 unrolled iterations
+# certify exactly.
+# ---------------------------------------------------------------------------
+
+
+def _label_communities_sql(iters: int = 3) -> str:
+    from .pipeline import _lsh_sql
+
+    parts = [
+        "WITH pairs AS (" + _lsh_sql() + ")",
+        """sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs)""",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""v{i} AS (SELECT e.src AS id, l.label, COUNT(*) AS cnt
+               FROM sym e JOIN l{i - 1} l ON e.dst = l.id GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""l{i} AS (SELECT id, label FROM (
+                 SELECT id, label,
+                        ROW_NUMBER() OVER (PARTITION BY id
+                                           ORDER BY cnt DESC, label ASC) AS rk
+                 FROM v{i}) WHERE rk = 1)"""
+        )
+    parts.append(
+        f"""sizes AS (SELECT label, COUNT(*) AS community_size
+             FROM l{iters} GROUP BY label)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+    SELECT community_size, CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM sizes GROUP BY community_size ORDER BY community_size"""
+    )
+
+
+@query("d_label_communities", oracle=_label_communities_sql())
+def d_label_communities(spark, sf_dir):
+    """Community-size histogram of the LSH near-dup candidate graph under
+    3 rounds of synchronous label propagation
+    (operators/components.py:label_propagation) — the near-linear
+    community detector, deterministic via lowest-label tie-breaks so both
+    engines produce identical labels. Complements d_dup_clusters
+    (connected components) with sub-component structure.
+
+    Scale shape: per round one co-partitioned hash join + two combinable
+    aggregations (vote counts, per-node max_by argmax — no window over
+    the corpus); the histogram is two more tiny combinable aggs."""
+    from ..operators.components import label_propagation
+    from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"), distinct=False)
+    sigs = minhash_signatures(shingled, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    labels = label_propagation(pairs, iters=3)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return (
+        sizes.groupBy("community_size")
+        .agg(F.count("*").alias("n_communities"))
+        .orderBy("community_size")
+    )
