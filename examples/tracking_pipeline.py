@@ -46,11 +46,25 @@ def main(spark) -> dict:
         .first()
     )
 
+    # media export: the same 3 frames to a standard MP4 (no ffmpeg —
+    # sources/mp4.py muxes the numpy renderer's JPEG frames)
+    import tempfile
+
+    from unravelsports_spark.sources.media import to_mp4
+    from unravelsports_spark.sources.mp4 import read_mjpeg_mp4
+
+    clip = to_mp4(
+        tracking, "game_0", [0, 1, 2],
+        tempfile.mktemp(suffix=".mp4"), home_team_id=HOME, fps=5,
+    )
+    n_video_frames = len(read_mjpeg_mp4(clip))
+
     tracking.unpersist()
     return {
         "pi_frames": n_pi_frames,
         "graphs": n_graphs,
         "top_formation": (top_formation["formation"], top_formation["n"]),
+        "video_frames": n_video_frames,
     }
 
 

@@ -94,3 +94,46 @@ def test_label_propagation_triangles_with_bridge(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
     comps = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert len(set(comps.values())) == 1  # CC merges what LPA separates
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Engine LPA == a direct Python implementation of the same synchronous
+    min-tie recurrence on random graphs, and every community sits inside
+    one connected component (LPA refines CC, never crosses it)."""
+    from unravelsports_spark.operators.components import label_propagation
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(4, 12)
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(rng.randint(n, 3 * n))
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        if not edges:
+            continue
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        labels = {v: v for v in nbrs}
+        for _ in range(3):
+            nxt = {}
+            for v in nbrs:
+                cnt = {}
+                for u in nbrs[v]:
+                    cnt[labels[u]] = cnt.get(labels[u], 0) + 1
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                nxt[v] = best
+            labels = nxt
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        got = {r["id"]: r["label"] for r in label_propagation(df, iters=3).collect()}
+        assert got == labels, (trial, edges, got, labels)
+        comps = {r["id"]: r["component"] for r in connected_components(df).collect()}
+        comp_of = lambda v: comps.get(v, v)
+        by_label = {}
+        for v, l in got.items():
+            by_label.setdefault(l, set()).add(comp_of(v))
+        assert all(len(cs) == 1 for cs in by_label.values())

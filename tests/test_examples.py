@@ -26,3 +26,4 @@ def test_tracking_pipeline_example(spark):
     out = main(spark)
     assert out["pi_frames"] == out["graphs"] == 240
     assert out["top_formation"][1] > 0
+    assert out["video_frames"] == 3
