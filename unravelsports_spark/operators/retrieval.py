@@ -76,6 +76,7 @@ def bm25_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_stats: tuple[int, int, dict[str, int]] | None = None,
 ) -> DataFrame:
     """Per-document BM25 score for ``query_terms``.
 
@@ -119,16 +120,31 @@ def bm25_scores(
             *[tf_of(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
         )
     )
-    stats = per_doc.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
-            .cast("long")
-            .alias(f"df_{i}")
-            for i in range(len(terms))
-        ],
-    )
+    if corpus_stats is None:
+        stats = per_doc.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+                .cast("long")
+                .alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        )
+    else:
+        # incremental-index mode: (n_docs, sum_dl, {term: df}) supplied
+        # externally — e.g. summed from the streaming term-stats ledger
+        # (streaming/windows.py:streaming_term_stats). The stats row has
+        # the identical schema and integer values, so scoring is
+        # bit-identical to the self-computed path; the scored frame can be
+        # any subset (a fresh batch) while idf/avgdl reflect the whole
+        # indexed corpus.
+        n_docs, sum_dl, dfs = corpus_stats
+        stats = df.sparkSession.createDataFrame(
+            [tuple([int(n_docs), int(sum_dl)] + [int(dfs.get(t, 0)) for t in terms])],
+            "n_docs long, sum_dl long, "
+            + ", ".join(f"df_{i} long" for i in range(len(terms))),
+        )
     scored = per_doc.crossJoin(F.broadcast(stats))
 
     def term_score(i: int):

@@ -465,3 +465,88 @@ def streaming_shard_append(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+# -- incremental retrieval index: streaming BM25 corpus statistics -----------
+
+
+def streaming_term_stats(
+    stream_df,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Maintain the BM25 corpus statistics incrementally over a document
+    stream: every micro-batch appends its MERGEABLE per-term deltas to a
+    durable parquet ledger — one row per distinct term (term, df, tf:
+    documents containing it and total occurrences in the batch) plus one
+    corpus row (term NULL: df = batch doc count, tf = batch token total).
+    ``term_stats_from_ledger`` sums the partitions into (n_docs, sum_dl,
+    {term: df}) — exactly what ``bm25_scores(corpus_stats=...)`` consumes —
+    so fresh documents score against an always-current index without EVER
+    re-scanning the corpus: the 100 TB retrieval-index shape (stats are
+    associative integer sums, so they merge across batches, shards, and
+    clusters alike). Assumes each document arrives in exactly one batch
+    (dedup upstream via streaming_incremental_dedup).
+
+    Exactly-once: the single write is keyed by ``batch_id`` with overwrite
+    semantics — a replayed batch overwrites its own partition, so deltas
+    can never double-count."""
+    from ..operators.retrieval import TOKEN_RE
+
+    def _process(batch_df, batch_id: int):
+        arr = F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+        )
+        # per-term df from exploded DISTINCT-per-doc tokens and tf from the
+        # raw explode — no synthetic row ids (monotonically_increasing_id
+        # next to a generator evaluates per GENERATED row, silently turning
+        # a doc count into an occurrence count); every df>0 term has tf>0,
+        # so the inner join loses nothing. Corpus row counts empty docs too.
+        df_rows = (
+            batch_df.select(F.explode(F.array_distinct(arr)).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        tf_rows = (
+            batch_df.select(F.explode(arr).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("tf"))
+        )
+        per_term = df_rows.join(tf_rows, "term")
+        corpus = batch_df.select(F.size(arr).alias("dl")).agg(
+            F.count("*").cast("long").alias("df"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tf"),
+        ).select(F.lit(None).cast("string").alias("term"), "df", "tf")
+        out = per_term.select("term", "df", "tf").unionByName(corpus)
+        out.write.mode("overwrite").parquet(f"{ledger_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def term_stats_from_ledger(
+    spark, ledger_dir: str, terms: Sequence[str]
+) -> tuple[int, int, dict[str, int]]:
+    """Sum the term-stats ledger into ``(n_docs, sum_dl, {term: df})`` for
+    ``bm25_scores(corpus_stats=...)``. One combinable aggregation over the
+    ledger; only the requested terms' rows leave the executors."""
+    led = _read_ledger(spark, ledger_dir)
+    if led is None:
+        return 0, 0, {t: 0 for t in terms}
+    corpus = led.filter(F.col("term").isNull()).agg(
+        F.coalesce(F.sum("df"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("tf"), F.lit(0)).alias("sum_dl"),
+    ).first()
+    rows = (
+        led.filter(F.col("term").isin([str(t) for t in terms]))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    dfs = {t: 0 for t in terms}
+    dfs.update({r["term"]: int(r["df"]) for r in rows})
+    return int(corpus["n_docs"]), int(corpus["sum_dl"]), dfs
