@@ -34,12 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # t_full_pipeline_e2e, and the empty-doc-excluding d_mllib_minhash_join),
 # plus the pq.py perf-rewrite consumers (single-pass _round_stats, fused
 # seed/dim collect: s_ann_pq, s_ann_ivfpq, s_ann_ivfpq_residual,
-# s_kmeans_fit, s_ann_recall), and (c) 27 of the 37 remaining r3-cohort
-# greens — the oldest certifications left. The 10 r3 leftovers (a14_cube,
-# d_edit_distance, f11_string_agg, f13_bitwise_agg, w8_rank_distributions,
-# a13_rollup, o14_pivot, a12_corr_exact, a11_histogram,
-# o13_reservoir_sample) are the ONLY pre-r5 certs still standing and
-# rotate in round 8.
+# s_kmeans_fit, s_ann_recall) and the three NEW r7 queries (t_hybrid_rrf,
+# t_ngram_novelty, d_label_communities), and (c) 24 of the 37 remaining
+# r3-cohort greens — the oldest certifications left. Round-8 rotation
+# debt, counted exactly: 13 r3 leftovers (the block at the end of this
+# set) AND the 22 standing r4-cohort greens (s_ann_mllib_brp through
+# d_semantic_contamination below) are the pre-r5 certs still standing —
+# rotate the r3 block plus the oldest r4 entries next round.
 _CERTIFIED = frozenset(
     {
         # r6 green (CORRECTNESS_r06.json), untouched by round-7 changes

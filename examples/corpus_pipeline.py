@@ -67,36 +67,28 @@ def main(spark, sf_dir: str) -> dict:
 
     # 5. hybrid retrieval over the cleaned corpus: BM25 lexical top-k and
     # dense cosine top-k fused by reciprocal rank — the RAG first-stage
-    # ranker (same operators as the certified t_hybrid_rrf query)
-    from pyspark.sql import Window
-
-    from unravelsports_spark.operators.retrieval import bm25_scores
+    # ranker, through the SAME rank_topk/rrf_fuse operators the certified
+    # t_hybrid_rrf query runs (one formula, no drift)
+    from unravelsports_spark.operators.retrieval import (
+        bm25_scores,
+        rank_topk,
+        rrf_fuse,
+    )
     from unravelsports_spark.operators.similarity import _cosine_vs_refs
 
-    lexk = (
-        bm25_scores(docs, ["join", "hash", "vector"])
-        .orderBy(F.col("bm25").desc(), "doc_id").limit(10)
-        .withColumn("r_lex", F.row_number().over(
-            Window.orderBy(F.col("bm25").desc(), "doc_id")))
-        .select("doc_id", "r_lex")
+    lexk = rank_topk(
+        bm25_scores(docs, ["join", "hash", "vector"]),
+        "bm25", "doc_id", depth=10, rank_name="r_lex",
     )
     qrow = emb.orderBy("vec_id").limit(1).select("vec_id", "v").first()
-    densek = (
+    densek = rank_topk(
         _cosine_vs_refs(emb, [(qrow["vec_id"], list(qrow["v"]))], ref_id_name="qid")
-        .orderBy(F.col("cosine").desc(), "vec_id").limit(10)
-        .withColumn("r_dense", F.row_number().over(
-            Window.orderBy(F.col("cosine").desc(), "vec_id")))
-        .select(F.col("vec_id").alias("doc_id"), "r_dense")
-    )
-    rrf = (
-        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0))
+        .withColumnRenamed("vec_id", "doc_id"),
+        "cosine", "doc_id", depth=10, rank_name="r_dense",
     )
     hybrid = [
-        (r["doc_id"], round(r["rrf"], 6))
-        for r in lexk.join(densek, "doc_id", "full_outer")
-        .select("doc_id", rrf.alias("rrf"))
-        .orderBy(F.col("rrf").desc(), "doc_id").limit(5).collect()
+        (r["doc_id"], r["rrf"])
+        for r in rrf_fuse([lexk, densek], top=5).collect()
     ]
 
     out = {

@@ -48,16 +48,22 @@ def main(spark) -> dict:
 
     # media export: the same 3 frames to a standard MP4 (no ffmpeg —
     # sources/mp4.py muxes the numpy renderer's JPEG frames)
+    import os
+    import shutil
     import tempfile
 
     from unravelsports_spark.sources.media import to_mp4
     from unravelsports_spark.sources.mp4 import read_mjpeg_mp4
 
-    clip = to_mp4(
-        tracking, "game_0", [0, 1, 2],
-        tempfile.mktemp(suffix=".mp4"), home_team_id=HOME, fps=5,
-    )
-    n_video_frames = len(read_mjpeg_mp4(clip))
+    out_dir = tempfile.mkdtemp(prefix="tracking_clip_")
+    try:
+        clip = to_mp4(
+            tracking, "game_0", [0, 1, 2],
+            os.path.join(out_dir, "clip.mp4"), home_team_id=HOME, fps=5,
+        )
+        n_video_frames = len(read_mjpeg_mp4(clip))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     tracking.unpersist()
     return {

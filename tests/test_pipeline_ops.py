@@ -373,3 +373,16 @@ def test_minhash_join_excludes_empty_docs(spark):
     assert (3, 4) in pairs and (5, 6) in pairs
     flat = {i for p in pairs for i in p}
     assert 1 not in flat and 2 not in flat
+
+    # shingle_n=1: split('') == [''] satisfies size >= 1, so the emptiness
+    # guard must be OUTSIDE the short-doc fallback or empty docs sneak back
+    # in via the main gram branch (r7 review finding)
+    uni = {
+        (r.id_a, r.id_b)
+        for r in minhash_similarity_join(
+            df, max_jaccard_distance=0.5, shingle_n=1
+        ).collect()
+    }
+    uni_flat = {i for p in uni for i in p}
+    assert 1 not in uni_flat and 2 not in uni_flat
+    assert (3, 4) in uni

@@ -90,10 +90,16 @@ def minhash_similarity_join(
         F.size(t) >= shingle_n, F.sequence(F.lit(0), F.size(t) - shingle_n)
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, shingle_n)))
-    grams = F.when(F.size(t) >= shingle_n, grams).otherwise(
-        F.when(
-            F.trim(F.col(text_col)) != "", F.array(F.concat_ws(" ", t))
-        ).otherwise(F.array().cast("array<string>"))
+    # emptiness is a property of the DOCUMENT, not the fallback branch:
+    # guard it outermost so shingle_n=1 (where split('') = [''] satisfies
+    # size >= shingle_n and would take the main branch with the '' gram)
+    # cannot re-admit contentless docs
+    grams = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(
+        F.when(F.size(t) >= shingle_n, grams).otherwise(
+            F.array(F.concat_ws(" ", t))
+        )
     )
     toks = df.select(id_col, grams.alias("tokens"))
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=num_features, binary=True)

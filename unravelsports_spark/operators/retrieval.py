@@ -140,6 +140,13 @@ def bm25_scores(
         # any subset (a fresh batch) while idf/avgdl reflect the whole
         # indexed corpus.
         n_docs, sum_dl, dfs = corpus_stats
+        if int(n_docs) <= 0:
+            # an empty index would make norm_len a NULL-producing 0/0 and
+            # every score silently coalesce to 0.000000 — fail loudly
+            raise ValueError(
+                "corpus_stats has n_docs <= 0 (empty index) — ingest at "
+                "least one batch before scoring against the ledger"
+            )
         stats = df.sparkSession.createDataFrame(
             [tuple([int(n_docs), int(sum_dl)] + [int(dfs.get(t, 0)) for t in terms])],
             "n_docs long, sum_dl long, "
@@ -339,4 +346,64 @@ def countmin_estimates(
             F.min("bucket_count").alias("cm_estimate"),
         )
         .withColumn("overcount", F.col("cm_estimate") - F.col("true_count"))
+    )
+
+
+def rank_topk(
+    df: DataFrame, score_col: str, id_col: str, depth: int, rank_name: str
+) -> DataFrame:
+    """Top-``depth`` rows by (score DESC, id ASC) with the 1-based rank
+    materialized AFTER the limit: the plan is TakeOrderedAndProject
+    (per-partition heaps) followed by a row_number window over the
+    ≤depth-row list — no corpus-sized single-partition window ever exists.
+    Returns ``(id_col, rank_name)``."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), id_col)
+    return (
+        df.orderBy(F.col(score_col).desc(), id_col)
+        .limit(depth)
+        .withColumn(rank_name, F.row_number().over(w))
+        .select(id_col, rank_name)
+    )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    k_rrf: int = 60,
+    top: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ``rank_topk``
+    outputs: each input frame carries (id_col, one rank column); the fused
+    score is Σ 1/(k_rrf + rank) over the lists that retrieved the doc,
+    ties broken by id. Output: (id_col, n_lists, rrf) — the single shared
+    formula behind the certified t_hybrid_rrf query and the example
+    pipeline, so the constant and tie-breaks cannot drift between them.
+    The joins touch only the ≤depth-row lists."""
+    if not ranked:
+        raise ValueError("ranked must contain at least one rank frame")
+    rank_cols: list[str] = []
+    fused = None
+    for fdf in ranked:
+        extra = [c for c in fdf.columns if c != id_col]
+        if len(extra) != 1:
+            raise ValueError(
+                f"each rank frame needs exactly ({id_col}, rank), got {fdf.columns}"
+            )
+        rank_cols.append(extra[0])
+        fused = fdf if fused is None else fused.join(fdf, id_col, "full_outer")
+    rrf = F.lit(0.0)
+    n_lists = F.lit(0)
+    for rc in rank_cols:
+        rrf = rrf + F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(rc)), F.lit(0.0)
+        )
+        n_lists = n_lists + F.when(F.col(rc).isNotNull(), 1).otherwise(0)
+    return (
+        fused.select(
+            id_col, n_lists.alias("n_lists"), F.round(rrf, 6).alias("rrf")
+        )
+        .orderBy(F.col("rrf").desc(), id_col)
+        .limit(top)
     )

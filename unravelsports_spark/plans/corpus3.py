@@ -38,7 +38,7 @@ def _dbl(x: float) -> str:
     return f"CAST({x!r} AS DOUBLE)"
 
 
-def _bm25_sql(terms=BM25_TERMS, k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_sql(terms=BM25_TERMS, k1: float = 1.2, b: float = 0.75, limit: int = 20) -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
     norm_len = "d.dl * i.n_docs / i.sum_dl"
     denom = f"q.tf + {_dbl(k1)} * ({_dbl(1.0)} - {_dbl(b)} + {_dbl(b)} * {norm_len})"
@@ -63,7 +63,7 @@ def _bm25_sql(terms=BM25_TERMS, k1: float = 1.2, b: float = 0.75) -> str:
            ROUND(CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
     FROM scored GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id
-    LIMIT 20
+    LIMIT {limit}
     """
 
 

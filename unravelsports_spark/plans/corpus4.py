@@ -897,9 +897,17 @@ def s_ann_recall(spark, sf_dir):
         )
         .collect()
     )
-    n_exact = next(int(r["n_ret"]) for r in per_depth if r["p"] == 0)
-    for r in sorted((x for x in per_depth if x["p"] > 0), key=lambda r: r["p"]):
-        rows.append((f"ivf_p{r['p']}", n_exact, r["n_ret"], int(r["n_common"])))
+    # degenerate corpora (no vec_id < nq) leave every branch empty — a
+    # grouped agg then yields ZERO rows (unlike the old global count), so
+    # absent depths must materialize as explicit zero rows, not crash
+    by_p = {int(r["p"]): r for r in per_depth}
+    n_exact = int(by_p[0]["n_ret"]) if 0 in by_p else 0
+    for p in (1, 2):
+        r = by_p.get(p)
+        rows.append(
+            (f"ivf_p{p}", n_exact,
+             int(r["n_ret"]) if r else 0, int(r["n_common"]) if r else 0)
+        )
     # IVF-PQ branch: certified retrieval vs exact integer-grid L2 top-k.
     # The corpus quantizes to the int grid ONCE; the persisted frame feeds
     # both trainings, the query row, the ADC retrieval, and the ground
@@ -1145,7 +1153,7 @@ def _hybrid_rrf_sql() -> str:
     WITH lexk AS (
       SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
-      FROM ({_bm25_sql()})),
+      FROM ({_bm25_sql(limit=d)})),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT v AS qv FROM e
           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
@@ -1183,48 +1191,27 @@ def t_hybrid_rrf(spark, sf_dir):
     pass against the O(1) query panel + TakeOrderedAndProject. Ranks
     materialize on the two ≤20-row lists (row_number windows AFTER the
     top-k, so no single-partition window ever sees the corpus); the fusion
-    is a 20x20 full-outer join. Driver state: one query vector."""
-    from pyspark.sql import Window
-
-    from ..operators.retrieval import bm25_scores
+    is a 20x20 full-outer join. Driver state: one query vector. The rank
+    and fusion math is the SHARED operators/retrieval.py:rank_topk /
+    rrf_fuse — the example pipeline calls the same code, so the formula
+    cannot drift from this certified query."""
+    from ..operators.retrieval import bm25_scores, rank_topk, rrf_fuse
     from ..operators.similarity import _cosine_vs_refs
     from .corpus3 import BM25_TERMS
     from .pipeline import _emb
 
     d = read_table(spark, sf_dir, "documents")
-    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    lexk = (
-        bm25_scores(d, list(BM25_TERMS))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(_RRF_DEPTH)
-        .withColumn("r_lex", F.row_number().over(w_lex))
-        .select("doc_id", "r_lex")
+    lexk = rank_topk(
+        bm25_scores(d, list(BM25_TERMS)), "bm25", "doc_id", _RRF_DEPTH, "r_lex"
     )
     e = _emb(spark, sf_dir)
     qrow = e.orderBy("vec_id").limit(1).select("vec_id", "v").first()
-    w_dense = Window.orderBy(F.col("cosine").desc(), "vec_id")
-    densek = (
+    densek = rank_topk(
         _cosine_vs_refs(e, [(qrow["vec_id"], list(qrow["v"]))], ref_id_name="qid")
-        .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(_RRF_DEPTH)
-        .withColumn("r_dense", F.row_number().over(w_dense))
-        .select(F.col("vec_id").alias("doc_id"), "r_dense")
+        .withColumnRenamed("vec_id", "doc_id"),
+        "cosine", "doc_id", _RRF_DEPTH, "r_dense",
     )
-    fused = lexk.join(densek, "doc_id", "full_outer")
-    rrf = F.round(
-        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dense")), F.lit(0.0)),
-        6,
-    )
-    n_lists = (
-        F.when(F.col("r_lex").isNotNull(), 1).otherwise(0)
-        + F.when(F.col("r_dense").isNotNull(), 1).otherwise(0)
-    )
-    return (
-        fused.select("doc_id", n_lists.alias("n_lists"), rrf.alias("rrf"))
-        .orderBy(F.col("rrf").desc(), "doc_id")
-        .limit(_RRF_TOP)
-    )
+    return rrf_fuse([lexk, densek], k_rrf=_RRF_K, top=_RRF_TOP)
 
 
 # ---------------------------------------------------------------------------
