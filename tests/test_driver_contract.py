@@ -1,0 +1,64 @@
+"""Driver-contract invariants: the certification window arithmetic that
+each round's rotation edits by hand (memory: one slip under- or
+over-fills the 50-slot window and silently drops a certification)."""
+
+import importlib.util
+
+WINDOW = 50
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_certification_window_exactly_filled():
+    """priority-0 (never-certified, oracle-backed) + priority-1 (rows-only)
+    must fill the driver's 50-slot check window exactly: fewer wastes
+    certification slots on already-green queries, more pushes a check out
+    of the window."""
+    mod = _load_entry()
+    from unravelsports_spark.plans import ORACLE_SQL, QUERIES
+
+    p0 = [n for n in QUERIES if n not in mod._CERTIFIED and n in ORACLE_SQL]
+    p1 = [n for n in QUERIES if n not in mod._CERTIFIED and n not in ORACLE_SQL]
+    assert len(p0) + len(p1) == WINDOW, (len(p0), len(p1))
+
+
+def test_certified_names_exist_and_oracles_align():
+    """Every _CERTIFIED key names a registered query (a typo'd key would
+    silently rotate the real query forever), and every oracle belongs to a
+    registered query."""
+    mod = _load_entry()
+    from unravelsports_spark.plans import ORACLE_SQL, QUERIES
+
+    unknown = mod._CERTIFIED - set(QUERIES)
+    assert not unknown, unknown
+    assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_queries_order_puts_uncertified_first():
+    """queries() must enumerate never-certified oracle-backed entries
+    before rows-only checks before certified ones — the property the
+    driver's bounded-prefix check depends on."""
+    mod = _load_entry()
+    from unravelsports_spark.plans import ORACLE_SQL
+
+    names = list(mod.queries())
+    osql = mod.oracle_sql()
+    assert set(osql) == set(ORACLE_SQL)
+
+    def prio(n):
+        if n not in mod._CERTIFIED and n in ORACLE_SQL:
+            return 0
+        if n not in mod._CERTIFIED:
+            return 1
+        return 2
+
+    prios = [prio(n) for n in names]
+    assert prios == sorted(prios)
+    assert prios[:WINDOW].count(2) == 0  # window holds no already-certified
