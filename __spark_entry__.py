@@ -81,13 +81,13 @@ _CERTIFIED = frozenset(
         "d_bloom_decontamination",
         "d_semantic_contamination",
         # r3 leftovers (rotate in round 8; d_minhash_accuracy,
-        # a17_sortedness and a18_outliers deferred to make window room for
-        # the new t_hybrid_rrf / t_ngram_novelty / d_label_communities
-        # certifications)
+        # a17_sortedness, a18_outliers and j9_interval_join deferred to
+        # make window room for the new t_hybrid_rrf / t_ngram_novelty /
+        # d_label_communities / d_cdc_chunks certifications)
         "a14_cube", "d_edit_distance", "f11_string_agg", "f13_bitwise_agg",
         "w8_rank_distributions", "a13_rollup", "o14_pivot", "a12_corr_exact",
         "a11_histogram", "o13_reservoir_sample", "d_minhash_accuracy",
-        "a17_sortedness", "a18_outliers",
+        "a17_sortedness", "a18_outliers", "j9_interval_join",
     }
 )
 

@@ -76,6 +76,8 @@ HEADLINE = [
     "t_hybrid_rrf",
     "t_ngram_novelty",
     "d_label_communities",
+    # content-defined chunking stats (the rsync/data-lake dedup primitive)
+    "d_cdc_chunks",
 ]
 
 

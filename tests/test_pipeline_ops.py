@@ -386,3 +386,33 @@ def test_minhash_join_excludes_empty_docs(spark):
     uni_flat = {i for p in uni for i in p}
     assert 1 not in uni_flat and 2 not in uni_flat
     assert (3, 4) in uni
+
+
+def test_cdc_chunking_insertion_stability(spark):
+    """The property content-defined chunking exists for: inserting tokens
+    mid-document only reshapes the chunks around the insertion — chunk
+    hashes re-synchronize afterward — whereas fixed-width chunking shifts
+    every later boundary. Also: chunk lengths partition the token count."""
+    import random
+
+    from unravelsports_spark.plans.corpus4 import cdc_chunk_frame
+
+    rng = random.Random(11)
+    words = [f"w{rng.randint(0, 500)}" for _ in range(400)]
+    original = " ".join(words)
+    mutated = " ".join(words[:200] + ["INSERTED", "TOKENS"] + words[200:])
+    df = spark.createDataFrame(
+        [(1, original), (2, mutated)], "doc_id bigint, text string"
+    )
+    ch = cdc_chunk_frame(df).collect()
+    a = [(r.chunk_hash, r.chunk_len) for r in ch if r.doc_id == 1]
+    b = [(r.chunk_hash, r.chunk_len) for r in ch if r.doc_id == 2]
+    assert sum(l for _, l in a) == 400
+    assert sum(l for _, l in b) == 402
+    shared = set(h for h, _ in a) & set(h for h, _ in b)
+    # most chunks survive the insertion (only the window around token 200
+    # reshapes); fixed-width chunking from the same offsets would keep
+    # only the pre-insertion prefix
+    assert len(shared) >= len(a) * 0.6, (len(shared), len(a))
+    # and the two docs do differ where the insertion landed
+    assert set(h for h, _ in a) != set(h for h, _ in b)

@@ -85,8 +85,9 @@ _SWEEP = [
     "t_bpe_tokenized_stats", "w9_interpolate_gaps", "t_repetition_stats",
     "t_full_pipeline_e2e", "s_ann_recall",
     # round-7: hybrid RRF retrieval (BM25 + dense cosine fusion),
-    # shingle-df corpus novelty, and label-propagation communities
-    "t_hybrid_rrf", "t_ngram_novelty", "d_label_communities",
+    # shingle-df corpus novelty, label-propagation communities, and
+    # content-defined chunking
+    "t_hybrid_rrf", "t_ngram_novelty", "d_label_communities", "d_cdc_chunks",
 ]
 
 

@@ -59,6 +59,7 @@ NOTES = {
     "t_hybrid_rrf": "r7 hybrid retrieval: BM25 keeps its zero-explode wide plan, the dense side is one Arrow cosine pass; BOTH rankers end in TakeOrderedAndProject and every row_number window sits on a limit-bounded <=20-row list; the fusion full-outer join touches only the two lists.",
     "t_ngram_novelty": "r7 shingle-df novelty: NO posting-list join-back - uniqueness collapses inside one map-side-combinable (count, min doc_id) aggregate per shingle; the source rollup joins two |docs|-sized frames via BroadcastHashJoin, zero SortMergeJoin.",
     "d_label_communities": "r7 synchronous label propagation: per round one co-partitioned hash join (symmetric edges x labels) + two combinable aggs (vote counts, per-node max_by argmax - no window over the corpus); deterministic lowest-label ties certify 3 unrolled iterations exactly.",
+    "d_cdc_chunks": "r7 content-defined chunking: boundary hashes, filter, and start/stop pairing are doc-bounded array arithmetic in ONE projection; one explode then ONE grouped aggregation (count + two distincts + sum, map-side combinable) - no joins, no windows.",
 }
 
 

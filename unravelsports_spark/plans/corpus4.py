@@ -1363,3 +1363,129 @@ def d_label_communities(spark, sf_dir):
         .agg(F.count("*").alias("n_communities"))
         .orderBy("community_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: content-defined chunking — the rsync/LBFS-style variable-width
+# chunker behind file-level dedup in data lakes: boundaries fall where a
+# rolling window's hash satisfies hash % D == 0, so an insertion only
+# reshapes the chunks it touches (fixed-width chunking would shift every
+# later boundary). Certified as per-source chunk/dedup statistics.
+# ---------------------------------------------------------------------------
+
+_CDC_W = 4   # token window width for boundary hashes
+_CDC_D = 16  # divisor: boundary iff gram_hash % D == 0 (mean chunk ~D tokens)
+
+
+def _cdc_chunks_sql(w: int = _CDC_W, D: int = _CDC_D) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, source, t, len(t) AS n,
+             CASE WHEN len(t) >= {w} THEN
+               list_transform(range(0, len(t) - {w - 1}),
+                 i -> CAST(('0x' || substring(md5(
+                        array_to_string(t[i + 1 : i + {w}], ' ')), 1, 15))
+                      AS BIGINT))
+             ELSE [] END AS gh
+      FROM toks),
+    b AS (
+      SELECT doc_id, source, t, n,
+             list_transform(
+               list_filter(range(0, len(gh)), i -> gh[i + 1] % {D} = 0),
+               x -> x + {w}) AS ends
+      FROM g),
+    c AS (SELECT doc_id, source, t, n, ends,
+                 unnest(range(0, len(ends) + 1)) AS k FROM b),
+    ch AS (
+      SELECT doc_id, source, t,
+             CASE WHEN k = 0 THEN 0 ELSE ends[k] END AS s,
+             CASE WHEN k = len(ends) THEN n ELSE ends[k + 1] END AS e
+      FROM c),
+    ch2 AS (
+      SELECT doc_id, source, e - s AS chunk_len,
+             md5(array_to_string(t[s + 1 : e], ' ')) AS chunk_hash
+      FROM ch WHERE s < e)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+           CAST((1000000 * (COUNT(*) - COUNT(DISTINCT chunk_hash)))
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM ch2 GROUP BY source ORDER BY source
+    """
+
+
+def cdc_chunk_frame(docs, w: int = _CDC_W, D: int = _CDC_D):
+    """(doc_id, source?, chunk_len, chunk_hash) via content-defined
+    boundaries — the reusable chunker behind d_cdc_chunks; also directly
+    testable for the insertion-stability property CDC exists for."""
+    from ..operators.dedup import hash64
+
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(t)
+    width = F.greatest(n - (w - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(t, i + 1, width).alias(f"t{i}") for i in range(w)]
+    )
+    gh = F.transform(
+        zipped, lambda s: hash64(F.concat_ws(" ", *[s[f"t{i}"] for i in range(w)]))
+    )
+    idx = F.when(
+        F.size(gh) > 0, F.sequence(F.lit(0), F.size(gh) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bpos = F.filter(
+        idx, lambda i: F.pmod(F.element_at(gh, i + 1), F.lit(D)) == 0
+    )
+    ends = F.transform(bpos, lambda x: x + w)
+    starts = F.concat(F.array(F.lit(0)), ends)
+    stops = F.concat(ends, F.array(n))
+    pairs = F.filter(
+        F.zip_with(starts, stops, lambda s_, e_: F.struct(s_.alias("s"), e_.alias("e"))),
+        lambda p: p["s"] < p["e"],
+    )
+    keep = [c for c in docs.columns if c != "text"]
+    return docs.select(
+        *keep, t.alias("_t"), F.explode(pairs).alias("p")
+    ).select(
+        *keep,
+        (F.col("p.e") - F.col("p.s")).cast("long").alias("chunk_len"),
+        F.md5(
+            F.array_join(F.slice("_t", F.col("p.s") + 1, F.col("p.e") - F.col("p.s")), " ")
+        ).alias("chunk_hash"),
+    )
+
+
+@query("d_cdc_chunks", oracle=_cdc_chunks_sql())
+def d_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking statistics by source (engine addition
+    §2.12): token windows of width 4 hash to a boundary wherever
+    hash % 16 == 0, documents split at those content-determined points,
+    and chunks dedupe by md5 of their text — n_chunks vs
+    n_distinct_chunks (dup_ppm, exact integer division) is the
+    storage-dedup win CDC exists to measure, robust to insertions in a
+    way fixed windows are not. Σ chunk_len == token count, certified.
+
+    Scale shape: everything up to the explode is per-document array
+    arithmetic (gram hashes, boundary filter, start/stop pairing) inside
+    one projection — the HOF lambdas run on doc-bounded arrays, not the
+    corpus; one explode then ONE grouped aggregation (count + two
+    distincts + sum, all map-side combinable). No joins, no windows; the
+    boundary hash reuses the certified shingle hash (md5-prefix int64)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ch = cdc_chunk_frame(docs)
+    agg = ch.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+        F.sum("chunk_len").alias("n_tokens"),
+    )
+    dup_ppm = F.expr("div(1000000 * (n_chunks - n_distinct_chunks), n_chunks)").cast("bigint")
+    return agg.select(
+        "source", "n_docs", "n_chunks", "n_distinct_chunks", "n_tokens",
+        dup_ppm.alias("dup_ppm"),
+    ).orderBy("source")
