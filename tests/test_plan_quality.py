@@ -305,3 +305,18 @@ def test_hybrid_rrf_topk_before_windows(spark):
     assert "Generate" not in plan  # BM25 stays explode-free end to end
     # (the 20x20 full-outer fusion join is a SortMergeJoin — Spark cannot
     # broadcast full outer — which is fine on two limit-bounded lists)
+
+
+def test_cdc_chunks_gram_chain_evaluated_once(spark):
+    """d_cdc_chunks: the staged gram-hash chain must survive optimization as
+    ONE evaluation per document. Two regressions are pinned here: (a)
+    CollapseProject must not re-inline the staged _t/_gh/_ends/_pairs
+    aliases into HOF lambdas (each re-reference re-evaluates the whole
+    subtree per element — O(grams^2) md5s/doc), and (b)
+    InferFiltersFromGenerate must not clone the chain into a
+    size(_pairs) > 0 pre-filter below the projections (the inner-explode
+    form did exactly that: 92 s at sf0.1 vs ~1 s). Exactly two md5 calls
+    may appear: the per-gram boundary hash and the per-chunk dedup hash."""
+    plan = plan_of(spark, "d_cdc_chunks")
+    assert plan.count("md5") == 2, plan.count("md5")
+    assert "arrays_zip" in plan and plan.count("arrays_zip") == 1

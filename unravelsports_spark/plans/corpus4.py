@@ -1423,40 +1423,73 @@ def _cdc_chunks_sql(w: int = _CDC_W, D: int = _CDC_D) -> str:
 def cdc_chunk_frame(docs, w: int = _CDC_W, D: int = _CDC_D):
     """(doc_id, source?, chunk_len, chunk_hash) via content-defined
     boundaries — the reusable chunker behind d_cdc_chunks; also directly
-    testable for the insertion-stability property CDC exists for."""
+    testable for the insertion-stability property CDC exists for.
+
+    STAGED as named columns, deliberately: referencing an expensive array
+    expression from inside an interpreted HOF lambda re-evaluates the
+    WHOLE tree per element (the inline form ran the md5 gram chain once
+    per filter step — O(grams²) md5s per doc, 93 s at sf0.1; this form is
+    ~1 s). Each heavy array (_t → _gh → _ends → _pairs) materializes once
+    per row in its own projection; every alias is referenced more than
+    once by non-cheap consumers, so CollapseProject cannot inline them
+    back (same discipline as with_lang_id's hoisted reduced string)."""
     from ..operators.dedup import hash64
 
+    keep = [c for c in docs.columns if c != "text"]
     t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    n = F.size(t)
-    width = F.greatest(n - (w - 1), F.lit(0))
+    d1 = docs.select(*keep, t.alias("_t"))
+    width = F.greatest(F.size("_t") - (w - 1), F.lit(0))
     zipped = F.arrays_zip(
-        *[F.slice(t, i + 1, width).alias(f"t{i}") for i in range(w)]
+        *[F.slice("_t", i + 1, width).alias(f"t{i}") for i in range(w)]
     )
-    gh = F.transform(
-        zipped, lambda s: hash64(F.concat_ws(" ", *[s[f"t{i}"] for i in range(w)]))
+    d2 = d1.withColumn(
+        "_gh",
+        F.transform(
+            zipped,
+            lambda s: hash64(F.concat_ws(" ", *[s[f"t{i}"] for i in range(w)])),
+        ),
     )
     idx = F.when(
-        F.size(gh) > 0, F.sequence(F.lit(0), F.size(gh) - 1)
+        F.size("_gh") > 0, F.sequence(F.lit(0), F.size("_gh") - 1)
     ).otherwise(F.array().cast("array<int>"))
-    bpos = F.filter(
-        idx, lambda i: F.pmod(F.element_at(gh, i + 1), F.lit(D)) == 0
+    d3 = d2.withColumn(
+        "_ends",
+        F.transform(
+            F.filter(
+                idx, lambda i: F.pmod(F.element_at(F.col("_gh"), i + 1), F.lit(D)) == 0
+            ),
+            lambda x: x + w,
+        ),
     )
-    ends = F.transform(bpos, lambda x: x + w)
-    starts = F.concat(F.array(F.lit(0)), ends)
-    stops = F.concat(ends, F.array(n))
-    pairs = F.filter(
-        F.zip_with(starts, stops, lambda s_, e_: F.struct(s_.alias("s"), e_.alias("e"))),
-        lambda p: p["s"] < p["e"],
+    starts = F.concat(F.array(F.lit(0)), F.col("_ends"))
+    stops = F.concat(F.col("_ends"), F.array(F.size("_t")))
+    d4 = d3.withColumn(
+        "_pairs",
+        F.filter(
+            F.zip_with(
+                starts, stops, lambda s_, e_: F.struct(s_.alias("s"), e_.alias("e"))
+            ),
+            lambda p: p["s"] < p["e"],
+        ),
     )
-    keep = [c for c in docs.columns if c != "text"]
-    return docs.select(
-        *keep, t.alias("_t"), F.explode(pairs).alias("p")
-    ).select(
-        *keep,
-        (F.col("p.e") - F.col("p.s")).cast("long").alias("chunk_len"),
-        F.md5(
-            F.array_join(F.slice("_t", F.col("p.s") + 1, F.col("p.e") - F.col("p.s")), " ")
-        ).alias("chunk_hash"),
+    # explode_outer, NOT explode: Generate(explode) makes Catalyst infer a
+    # size(_pairs) > 0 pre-filter (InferFiltersFromGenerate) and push it
+    # BELOW every staged projection — re-inlining the whole gram chain into
+    # one per-row filter and re-creating the O(grams²) evaluation the
+    # staging exists to prevent (92 s at sf0.1). Outer generate infers no
+    # filter; the null-chunk drop happens on the cheap generated column.
+    return (
+        d4.select(*keep, "_t", F.explode_outer("_pairs").alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(
+            *keep,
+            (F.col("p.e") - F.col("p.s")).cast("long").alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.slice("_t", F.col("p.s") + 1, F.col("p.e") - F.col("p.s")), " "
+                )
+            ).alias("chunk_hash"),
+        )
     )
 
 
@@ -1476,8 +1509,12 @@ def d_cdc_chunks(spark, sf_dir):
     corpus; one explode then ONE grouped aggregation (count + two
     distincts + sum, all map-side combinable). No joins, no windows; the
     boundary hash reuses the certified shingle hash (md5-prefix int64)."""
+    from ..session import widen_narrow_scan
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    ch = cdc_chunk_frame(docs)
+    # the per-doc gram/chunk chain is CPU-bound, not byte-bound: spread a
+    # narrower-than-cluster scan across cores (no-op on a wide scan)
+    ch = cdc_chunk_frame(widen_narrow_scan(docs))
     agg = ch.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_chunks"),

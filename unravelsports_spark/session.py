@@ -93,6 +93,27 @@ def normalize_events_ts(df):
     return df
 
 
+def widen_narrow_scan(df):
+    """Round-robin repartition to cluster parallelism — ONLY when the scan
+    is narrower than the cluster.
+
+    For expression-heavy per-row chains (interpreted HOF lambdas, per-doc
+    md5 grams) a compressed-parquet scan of a small/hot table can land in
+    fewer splits than there are cores (sf0.1 documents.parquet is 580 KB →
+    one split even at maxPartitionBytes=4m), serializing CPU-bound work on
+    one core. At production scale the scan already yields >= parallelism
+    splits and this is a structural NO-OP — no shuffle is ever added to a
+    wide scan, so the 100 TB plan is unchanged.
+
+    ``getNumPartitions`` compiles the plan to an RDD but launches no job.
+    """
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def repartition_for_kernel(df, keys):
     """Pin an explicit hash partitioning on the grouped-map kernel keys.
 
