@@ -416,3 +416,45 @@ def test_cdc_chunking_insertion_stability(spark):
     assert len(shared) >= len(a) * 0.6, (len(shared), len(a))
     # and the two docs do differ where the insertion landed
     assert set(h for h, _ in a) != set(h for h, _ in b)
+
+
+def test_containment_pairs_doc_inside_doc(spark):
+    """The asymmetric property containment exists for: when doc 1's shingle
+    set is a strict subset of doc 2's, C(1→2) is exactly 1.0 (1e6 ppm)
+    while C(2→1) is |S1|/|S2| — and the symmetric Jaccard equals the
+    smaller direction, which is why a Jaccard threshold misses the pair."""
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.operators.dedup import containment_pairs, doc_shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),                 # 4 distinct 3-gram shingles
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),           # those 4 plus 2 more
+            (3, "x1 x2 x3 x4"),                        # disjoint: no pair rows
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id_src, r.id_dst): (r.n_common, r.containment_ppm)
+        for r in containment_pairs(doc_shingles(df), max_doc_freq=None).collect()
+    }
+    release_tracked()
+    assert out == {
+        (1, 2): (4, 1_000_000),          # S1 ⊂ S2 → full containment
+        (2, 1): (4, 4_000_000 // 6),     # 4 of 6 shingles → 666666 ppm
+    }
+
+
+def test_containment_df_cap_drops_hot_shingles(spark):
+    """With max_doc_freq=1 every shared shingle is 'hot' and anti-joined
+    away, so no pair survives — the posting-list bound that keeps the
+    inverted-index join skew-safe at corpus scale."""
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.operators.dedup import containment_pairs, doc_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    rows = containment_pairs(doc_shingles(df), max_doc_freq=1).collect()
+    release_tracked()
+    assert rows == []

@@ -88,6 +88,7 @@ _SWEEP = [
     # shingle-df corpus novelty, label-propagation communities, and
     # content-defined chunking
     "t_hybrid_rrf", "t_ngram_novelty", "d_label_communities", "d_cdc_chunks",
+    "d_containment_top_pairs", "d_cross_source_overlap",
 ]
 
 

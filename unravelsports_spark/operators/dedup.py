@@ -74,8 +74,15 @@ def doc_shingles(
     text_col: str = "text",
     n: int = 3,
     distinct: bool = True,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Word n-gram shingles per document → (id, shingle_hash).
+    """Word n-gram shingles per document → (id, *keep_cols, shingle_hash).
+
+    ``keep_cols`` carries doc-level attributes (e.g. ``source``) through the
+    shingle frame so per-attribute rollups aggregate directly instead of
+    joining a doc-keyed frame back to the documents table — each kept column
+    is functionally dependent on the id, so the distinct's cardinality is
+    unchanged; only shuffle-row width grows.
 
     The explode+md5 map stage is CPU-bound; if the scan under-partitions
     (small corpora arrive as one file → one partition), fan out to cluster
@@ -105,13 +112,14 @@ def doc_shingles(
     width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     slices = [F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(n)]
     out = (
-        df.select(id_col, F.explode(F.arrays_zip(*slices)).alias("_g"))
+        df.select(id_col, *keep_cols, F.explode(F.arrays_zip(*slices)).alias("_g"))
         .select(
             id_col,
+            *keep_cols,
             F.concat_ws(" ", *[F.col(f"_g.t{i}") for i in range(n)]).alias("shingle"),
         )
         .withColumn("shingle_hash", hash64(F.col("shingle")))
-        .select(id_col, "shingle_hash")
+        .select(id_col, *keep_cols, "shingle_hash")
     )
     return out.distinct() if distinct else out
 
@@ -252,6 +260,78 @@ def jaccard_pairs(
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
         )
         .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Ordered-pair shingle containment — the asymmetric near-dup measure
+    Jaccard misses: C(src→dst) = |S_src ∩ S_dst| / |S_src| is ~1 when src
+    is *contained in* dst (a quoted article inside a longer page, a doc
+    plus boilerplate) even though the symmetric Jaccard is low. Returns
+    (id_src, id_dst, n_common, containment_ppm) with exact integer ppm.
+
+    Scale shape: the intersection count is symmetric, so it is computed
+    ONCE over unordered pairs via the same df-capped inverted-index join
+    as :func:`jaccard_pairs` (one hot-shingle broadcast anti-join bounds
+    posting-list length; never an all-pairs product). Both directions then
+    come out of ONE pass over the aggregated pair frame — an
+    explode(array(struct,struct)), not a union, because union children
+    share no common subplan and would re-run the join per branch. The
+    denominator joins the per-doc size frame once, on the src id only.
+    """
+    if max_doc_freq is not None:
+        hot = (
+            shingled.groupBy("shingle_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle_hash")
+        )
+        shingled = shingled.join(F.broadcast(hot), "shingle_hash", "left_anti")
+    from ..cache import tracked_persist
+
+    # feeds the per-doc sizes and both sides of the self-join (same
+    # single-lineage rule as jaccard_pairs)
+    shingled = tracked_persist(shingled)
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    dirs = common.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_src"),
+                    F.col("id_b").alias("id_dst"),
+                    F.col("n_common"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_src"),
+                    F.col("id_a").alias("id_dst"),
+                    F.col("n_common"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return (
+        dirs.join(sizes.select(F.col(id_col).alias("id_src"), "n"), "id_src")
+        .select(
+            "id_src",
+            "id_dst",
+            "n_common",
+            F.expr("div(1000000 * n_common, n)").cast("bigint").alias("containment_ppm"),
+        )
     )
 
 

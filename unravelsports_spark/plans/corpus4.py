@@ -1256,35 +1256,41 @@ def t_ngram_novelty(spark, sf_dir):
     near-duplication signal corpus audits report). Exact integers
     end-to-end: counts plus parts-per-million via integer division.
 
-    Scale shape: NO posting-list join-back — a shingle's uniqueness
-    collapses inside ONE map-side-combinable aggregate (count + min
-    doc_id per shingle: df=1 rows carry their only document), so the
-    corpus-wide shingle table shuffles once for that agg and once for the
-    per-doc totals; everything downstream is |docs|-sized. The final
-    source rollup joins two compact per-doc frames to the pruned
-    documents scan."""
+    Scale shape: NO posting-list join-back and NO doc-keyed frames at all —
+    the shingle frame carries ``source`` (functionally dependent on doc_id,
+    so the per-doc distinct's cardinality is unchanged), a shingle's
+    uniqueness collapses inside ONE map-side-combinable aggregate (count +
+    min source per shingle: df=1 rows carry their only document's source),
+    and both rollups land directly on |sources|-sized frames. One
+    corpus-wide shuffle for the df aggregate, map-side-combined per-source
+    totals, then broadcast joins of ~20-row frames. (The earlier form
+    grouped to per-DOC frames and joined them back to the documents scan —
+    two extra |corpus|-row exchanges plus two doc-keyed joins.)"""
     from ..cache import tracked_persist
     from ..operators.dedup import doc_shingles
 
     docs = read_table(spark, sf_dir, "documents")
-    sh = tracked_persist(doc_shingles(docs))
+    sh = tracked_persist(doc_shingles(docs, keep_cols=("source",)))
+    # df=1 groups have exactly one (doc, source) row, so min(source) IS that
+    # document's source; the partial min/count combine map-side
     uniq = (
         sh.groupBy("shingle_hash")
-        .agg(F.count("*").alias("df"), F.min("doc_id").alias("d"))
+        .agg(F.count("*").alias("df"), F.min("source").alias("source"))
         .filter(F.col("df") == 1)
-        .groupBy(F.col("d").alias("doc_id"))
-        .agg(F.count("*").alias("n_uniq"))
-    )
-    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    agg = (
-        docs.select("doc_id", "source")
-        .join(tot, "doc_id", "left")
-        .join(uniq, "doc_id", "left")
         .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_sh"), F.lit(0)).cast("bigint").alias("n_shingles"),
-            F.coalesce(F.sum("n_uniq"), F.lit(0)).cast("bigint").alias("n_unique"),
+        .agg(F.count("*").alias("n_unique_raw"))
+    )
+    tot = sh.groupBy("source").agg(F.count("*").alias("n_shingles_raw"))
+    agg = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(tot), "source", "left")
+        .join(F.broadcast(uniq), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_shingles_raw", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_unique_raw", F.lit(0)).cast("bigint").alias("n_unique"),
         )
     )
     ppm = F.when(
@@ -1526,3 +1532,127 @@ def d_cdc_chunks(spark, sf_dir):
         "source", "n_docs", "n_chunks", "n_distinct_chunks", "n_tokens",
         dup_ppm.alias("dup_ppm"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 (cont.): asymmetric containment near-dup and the cross-source
+# exact-duplication matrix — the two duplication views Jaccard-style
+# symmetric pair mining does not report.
+# ---------------------------------------------------------------------------
+
+
+def _containment_sql(cap: int = 50, top: int = 20) -> str:
+    from .pipeline import _SHINGLE_SQL
+
+    return (
+        _SHINGLE_SQL
+        + f"""
+    , dfreq AS (SELECT shingle_hash, COUNT(*) AS df FROM shingled GROUP BY 1),
+    capped AS (SELECT s.doc_id, s.shingle_hash FROM shingled s
+               JOIN dfreq f USING (shingle_hash) WHERE f.df <= {cap}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+               FROM capped a JOIN capped b
+                 ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    dirs AS (SELECT id_a AS id_src, id_b AS id_dst, n_common FROM common
+             UNION ALL SELECT id_b, id_a, n_common FROM common)
+    SELECT id_src, id_dst, n_common,
+           CAST((1000000 * n_common) // s.n AS BIGINT) AS containment_ppm
+    FROM dirs JOIN sizes s ON s.doc_id = id_src
+    ORDER BY containment_ppm DESC, id_src, id_dst
+    LIMIT {top}
+    """
+    )
+
+
+@query("d_containment_top_pairs", oracle=_containment_sql())
+def d_containment_top_pairs(spark, sf_dir):
+    """Top ordered pairs by shingle containment (engine addition §2.12):
+    C(src→dst) = |S_src ∩ S_dst| / |S_src| flags doc-INSIDE-doc
+    duplication — a short document quoted whole inside a longer one scores
+    ~1 here while its symmetric Jaccard stays low, which is why crawl
+    dedup pipelines run containment alongside Jaccard. Exact integer ppm.
+
+    Scale shape (operators/dedup.py:containment_pairs): ONE df-capped
+    inverted-index join computes the symmetric intersection per unordered
+    pair; both directions explode out of that single aggregated frame (no
+    union → no double execution of the join), and the size denominator
+    joins once on the src id. Top-k via TakeOrderedAndProject heaps."""
+    from ..operators.dedup import containment_pairs, doc_shingles
+
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"))
+    return (
+        containment_pairs(shingled, max_doc_freq=50)
+        .orderBy(F.col("containment_ppm").desc(), "id_src", "id_dst")
+        .limit(20)
+    )
+
+
+def _cross_source_overlap_sql() -> str:
+    return f"""
+    WITH fps AS (SELECT DISTINCT source, {_NORM_FP_SQL} AS fp FROM documents),
+    sizes AS (SELECT source, COUNT(*) AS n FROM fps GROUP BY 1),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     COUNT(*) AS n_shared_fps
+              FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared_fps,
+           CAST((1000000 * n_shared_fps)
+                // (sa.n + sb.n - n_shared_fps) AS BIGINT) AS jaccard_ppm
+    FROM pairs
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY n_shared_fps DESC, source_a, source_b
+    """
+
+
+@query("d_cross_source_overlap", oracle=_cross_source_overlap_sql())
+def d_cross_source_overlap(spark, sf_dir):
+    """Cross-source exact-duplication matrix (engine addition §2.12): for
+    every source pair, how many distinct normalized-text fingerprints both
+    sources contain, plus the exact-integer Jaccard over their fingerprint
+    sets — the report that tells a corpus curator which feeds are
+    re-crawls / mirrors of each other before any expensive near-dup pass.
+
+    Scale shape: one distinct over (source, fp), persisted once for its
+    three consumers (per-source sizes + both sides of the fp self-join).
+    A fingerprint's posting list is bounded by the number of SOURCES
+    (dozens), not documents, so the self-join emits at most
+    |sources|²-ish rows per fp — no skew bomb; the per-pair aggregate is
+    map-side combinable and the size denominators broadcast."""
+    from ..cache import tracked_persist
+    from ..operators.dedup import norm_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    fps = tracked_persist(
+        docs.select("source", F.md5(norm_text()).alias("fp")).distinct()
+    )
+    sizes = fps.groupBy("source").agg(F.count("*").alias("n"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared_fps"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_fps",
+            F.expr("div(1000000 * n_shared_fps, n_a + n_b - n_shared_fps)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("n_shared_fps").desc(), "source_a", "source_b")
+    )
