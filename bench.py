@@ -78,6 +78,9 @@ HEADLINE = [
     "d_label_communities",
     # content-defined chunking stats (the rsync/data-lake dedup primitive)
     "d_cdc_chunks",
+    # asymmetric containment mining over the same inverted index (the
+    # doc-inside-doc signal a Jaccard threshold misses)
+    "d_containment_top_pairs",
 ]
 
 

@@ -34,6 +34,28 @@ def main(spark, sf_dir: str) -> dict:
     )
     n_kept = kept.count()
 
+    # 1b. duplication audit: which sources mirror each other (exact
+    # fingerprint overlap), and which docs are CONTAINED in others — the
+    # asymmetric signal a symmetric Jaccard threshold misses
+    from unravelsports_spark.operators.dedup import containment_pairs, doc_shingles, norm_text
+
+    fps = docs.select("source", F.md5(norm_text()).alias("fp")).distinct()
+    n_cross_source_fps = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .count()
+    )
+    top_containment = [
+        (r["id_src"], r["id_dst"], r["containment_ppm"])
+        for r in containment_pairs(doc_shingles(docs), max_doc_freq=50)
+        .orderBy(F.col("containment_ppm").desc(), "id_src", "id_dst")
+        .limit(3)
+        .collect()
+    ]
+
     # 2. drift check: how far is the kept slice from the rest of the corpus?
     kl = corpus_kl(docs, target=F.col("lang") == "en").first()
 
@@ -94,6 +116,8 @@ def main(spark, sf_dir: str) -> dict:
     out = {
         "raw_docs": n_raw,
         "kept_docs": n_kept,
+        "cross_source_dup_fps": n_cross_source_fps,
+        "top_containment": top_containment,
         "kl_micro_nats": (kl["kl_tr_micro"], kl["kl_rt_micro"]),
         "semdedup_vectors": (n_emb, n_emb_kept),
         "dsir_selected": {r["label"]: r["n_selected"] for r in sel_rows},

@@ -18,6 +18,9 @@ def test_corpus_pipeline_example(spark):
     assert len(out["hybrid_top5"]) == 5
     scores = [s for _, s in out["hybrid_top5"]]
     assert scores == sorted(scores, reverse=True) and scores[0] > 0
+    assert out["cross_source_dup_fps"] >= 0
+    # containment ppm is a fraction of the src shingle set: (0, 1e6]
+    assert all(0 < ppm <= 1_000_000 for _, _, ppm in out["top_containment"])
 
 
 def test_tracking_pipeline_example(spark):
