@@ -137,3 +137,29 @@ def test_label_propagation_matches_python_reference(spark):
         for v, l in got.items():
             by_label.setdefault(l, set()).add(comp_of(v))
         assert all(len(cs) == 1 for cs in by_label.values())
+
+
+def test_kcore_peel_triangle_with_tail(spark):
+    """Hand-traced: triangle 1-2-3 plus tail 3-4-5, k=2. Round 1 peels the
+    degree-1 leaf (5), round 2 peels the now-degree-1 node 4, round 3 is
+    the stable 2-core (the triangle)."""
+    from unravelsports_spark.operators.components import kcore_peel
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = [tuple(r) for r in kcore_peel(df, k=2, rounds=3).collect()]
+    assert got == [(0, 5, 5), (1, 4, 4), (2, 3, 3), (3, 3, 3)]
+
+
+def test_kcore_peel_everything_peels(spark):
+    """A path graph has no 2-core: survivor counts must reach (0, 0) and
+    stay there (empty-graph rounds still emit a row — the aggregate has
+    no groupBy, so zero input rows produce one zero row)."""
+    from unravelsports_spark.operators.components import kcore_peel
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = [tuple(r) for r in kcore_peel(df, k=2, rounds=3).collect()]
+    assert got[0] == (0, 4, 3)
+    assert got[-1] == (3, 0, 0)
+    assert all(g[1] >= n[1] for g, n in zip(got, got[1:]))  # monotone

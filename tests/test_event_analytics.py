@@ -1,0 +1,83 @@
+"""Hand-traced semantics for the event-analytics queries (a20 retention
+cohorts, a21 ordered funnel) on a tiny synthetic events table — the oracle
+suite (test_relational_oracle.py) pins engine parity at sf0.01; these pin
+the SEMANTICS against a by-hand trace."""
+
+import datetime as dt
+
+import pytest
+
+from unravelsports_spark.plans import QUERIES
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _ts(day, h=0):
+    # 2024-01-01 is a Monday: week arithmetic below is trivially traceable
+    return dt.datetime(2024, 1, day, h, 0, 0)
+
+
+def test_ordered_funnel_ordering_semantics(spark, tmp_path):
+    """A converts fully; B clicked BEFORE its first view (stage 2 not
+    reached); C purchased BEFORE its post-view click (stage 3 not
+    reached); D never viewed (no stage)."""
+    rows = [
+        (1, _ts(1, 1), 1, "view", 0.0, ""),
+        (2, _ts(1, 2), 1, "click", 0.0, ""),
+        (3, _ts(1, 3), 1, "purchase", 0.0, ""),
+        (4, _ts(2, 1), 2, "click", 0.0, ""),
+        (5, _ts(2, 2), 2, "view", 0.0, ""),
+        (6, _ts(3, 1), 3, "view", 0.0, ""),
+        (7, _ts(3, 2), 3, "purchase", 0.0, ""),
+        (8, _ts(3, 3), 3, "click", 0.0, ""),
+        (9, _ts(4, 1), 4, "error", 0.0, ""),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["a21_ordered_funnel"](spark, sf).collect()]
+    assert got == [(1, "view", 3), (2, "click", 2), (3, "purchase", 1)]
+
+
+def test_ordered_funnel_strict_gt_excludes_ties(spark, tmp_path):
+    """A click at EXACTLY the first-view timestamp does not advance the
+    funnel (strict > — simultaneous events can't witness an ordering)."""
+    rows = [
+        (1, _ts(1, 1), 1, "view", 0.0, ""),
+        (2, _ts(1, 1), 1, "click", 0.0, ""),
+        (3, _ts(1, 2), 1, "purchase", 0.0, ""),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["a21_ordered_funnel"](spark, sf).collect()]
+    assert got == [(1, "view", 1), (2, "click", 0), (3, "purchase", 0)]
+
+
+def test_retention_cohorts_hand_traced(spark, tmp_path):
+    """u1 first active week of Jan 1 (Mon), returns week of Jan 8 (+1) and
+    Jan 15 (+2); u2 first active week of Jan 8, returns week of Jan 22
+    (+2); u3 active only in week 0. Sunday Jan 7 belongs to u1's cohort
+    week (Monday truncation)."""
+    rows = [
+        (1, _ts(2), 1, "view", 0.0, ""),    # week of Jan 1
+        (2, _ts(7), 1, "click", 0.0, ""),   # still week of Jan 1 (Sunday)
+        (3, _ts(9), 1, "view", 0.0, ""),    # week of Jan 8 -> offset 1
+        (4, _ts(16), 1, "view", 0.0, ""),   # week of Jan 15 -> offset 2
+        (5, _ts(8), 2, "view", 0.0, ""),    # cohort week of Jan 8
+        (6, _ts(22), 2, "view", 0.0, ""),   # week of Jan 22 -> offset 2
+        (7, _ts(3), 3, "view", 0.0, ""),    # week 0 only
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = [tuple(r) for r in QUERIES["a20_retention_cohorts"](spark, sf).collect()]
+    w1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    w2 = int(dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert got == [
+        (w1, 0, 2),  # u1, u3 in cohort week 1 at offset 0
+        (w1, 1, 1),  # u1 returns in +1
+        (w1, 2, 1),  # u1 returns in +2
+        (w2, 0, 1),  # u2 cohort
+        (w2, 2, 1),  # u2 returns in +2
+    ]

@@ -132,6 +132,65 @@ def pagerank(
     return ranks.select(F.col("src").alias("id"), "pr")
 
 
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fixed-round k-core peeling on an undirected pair graph →
+    (round, n_nodes, n_edges): round 0 is the input graph; each round
+    drops every node whose CURRENT degree is < k, plus its incident
+    edges. After enough rounds the survivors are exactly the k-core —
+    the densest dedup clusters (a doc with >= k near-dup neighbors that
+    themselves sit in dense neighborhoods), the standard triage for
+    template/boilerplate families that pairwise thresholds overcount.
+
+    Deterministic for any fixed (k, rounds), so the per-round survivor
+    curve is hash-certifiable cross-engine (same contract as the
+    unrolled-iteration pagerank/LPA oracles).
+
+    Scale shape: per round one map-side-combinable degree aggregation
+    plus two semi-joins of the edge list against the surviving node set
+    — all partitioned by node id, so a cluster co-partitions once and
+    reuses the exchange across rounds. Each round's edge set persists
+    (it feeds the next round AND its own count branch); the edge list is
+    the LSH candidate set, orders smaller than the corpus.
+    """
+    from ..cache import tracked_persist
+
+    edges = tracked_persist(
+        _sym(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    )
+    counts = []
+    for i in range(rounds + 1):
+        counts.append(
+            edges.agg(
+                F.lit(i).cast("int").alias("round"),
+                F.count_distinct("src").alias("n_nodes"),
+                F.count(F.when(F.col("src") < F.col("dst"), 1)).alias("n_edges"),
+            ).select("round", "n_nodes", "n_edges")
+        )
+        if i == rounds:
+            break
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        edges = tracked_persist(
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("round")
+
+
 def label_propagation(
     pairs: DataFrame,
     iters: int = 3,

@@ -1371,6 +1371,63 @@ def d_label_communities(spark, sf_dir):
     )
 
 
+def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    from .pipeline import _lsh_sql
+
+    parts = [
+        "WITH pairs AS (" + _lsh_sql() + ")",
+        """e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs)""",
+    ]
+    selects = []
+    for i in range(rounds + 1):
+        selects.append(
+            f"""SELECT CAST({i} AS INTEGER) AS round,
+                       COUNT(DISTINCT src) AS n_nodes,
+                       COUNT(*) FILTER (WHERE src < dst) AS n_edges
+                FROM e{i}"""
+        )
+        if i == rounds:
+            break
+        parts.append(
+            f"""k{i + 1} AS (SELECT src FROM e{i} GROUP BY src
+                             HAVING COUNT(*) >= {k})"""
+        )
+        parts.append(
+            f"""e{i + 1} AS (SELECT e.src, e.dst FROM e{i} e
+                 WHERE e.src IN (SELECT src FROM k{i + 1})
+                   AND e.dst IN (SELECT src FROM k{i + 1}))"""
+        )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY round"
+    )
+
+
+@query("d_kcore_peeling", oracle=_kcore_sql())
+def d_kcore_peeling(spark, sf_dir):
+    """k-core peeling curve of the LSH near-dup candidate graph
+    (operators/components.py:kcore_peel, k=2, 4 rounds): per round, how
+    many nodes/edges survive dropping every node with current degree < k.
+    The survivor curve separates dense template/boilerplate families
+    (which persist into the core) from incidental pairwise collisions
+    (peeled in round 1) — the third graph lens after connected components
+    (d_dup_clusters) and communities (d_label_communities).
+
+    Scale shape: per round one combinable degree agg + two node-id
+    semi-joins, all on the pruned pair set; fixed rounds keep it exactly
+    oracle-checkable (unrolled CTEs)."""
+    from ..operators.components import kcore_peel
+    from ..operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+
+    shingled = doc_shingles(read_table(spark, sf_dir, "documents"), distinct=False)
+    sigs = minhash_signatures(shingled, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return kcore_peel(pairs, k=2, rounds=4)
+
+
 # ---------------------------------------------------------------------------
 # Round-7: content-defined chunking — the rsync/LBFS-style variable-width
 # chunker behind file-level dedup in data lakes: boundaries fall where a

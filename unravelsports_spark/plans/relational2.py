@@ -693,3 +693,132 @@ def f15_sql_text(spark, sf_dir):
         WHERE o_custkey % 2 = 0
         GROUP BY o_orderpriority
     """)
+
+
+@query(
+    "a20_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    j AS (
+      SELECT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT CAST(epoch_ms(cohort_week) AS BIGINT) AS cohort_week_ms,
+           week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM j GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week_ms, week_offset
+    """,
+)
+def a20_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix (engine addition §2.12): users grouped by
+    first-activity week, counted distinct in each subsequent week — the
+    standard product-analytics rollup a training-data/event pipeline serves
+    at warehouse scale. Both engines truncate weeks to Monday, and both
+    offsets divide a day-diff of week-truncated stamps by 7, so the matrix
+    is exact integers.
+
+    Scale shape: one combinable per-user MIN, one agg-back join on
+    user_id (both sides hash-partitioned on the key — co-partitioned on a
+    cluster, and the per-user table is orders smaller than the event log),
+    then one distinct-count agg keyed by (cohort, offset) whose distinct
+    expansion is bounded by users × active-weeks, not events."""
+    from .relational import ms
+
+    e = read_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    j = e.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+            / F.lit(7)
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            ms("cohort_week").alias("cohort_week_ms"), "week_offset", "n_users"
+        )
+        .orderBy("cohort_week_ms", "week_offset")
+    )
+
+
+@query(
+    "a21_ordered_funnel",
+    oracle="""
+    WITH u1 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id),
+    u2 AS (
+      SELECT e.user_id, u1.t1,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts > u1.t1
+                      THEN e.ts END) AS t2
+      FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id, u1.t1),
+    u3 AS (
+      SELECT e.user_id, u2.t1, u2.t2,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.t2
+                      THEN e.ts END) AS t3
+      FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id, u2.t1, u2.t2),
+    c AS (
+      SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM u3)
+    SELECT * FROM (
+      SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage, n1 AS n_users FROM c
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), 'click', n2 FROM c
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), 'purchase', n3 FROM c
+    ) ORDER BY stage_idx
+    """,
+)
+def a21_ordered_funnel(spark, sf_dir):
+    """Strictly-ordered conversion funnel (engine addition §2.12):
+    view → click-after-first-view → purchase-after-that-click, counted as
+    users reaching each stage. Stage timestamps chain (t2 conditions on
+    t1, t3 on t2), the classic sequence-match the warehouse answers with
+    correlated window scans.
+
+    Scale shape: ONE shuffle — three window aggregates share the
+    user_id partitioning (no orderBy, so no sort; Spark plans a single
+    Exchange and the downstream per-user and global aggs reuse it);
+    NULL-chaining (ts > NULL → NULL) makes later stages vacuously empty
+    for users who never reached the earlier one, identical semantics in
+    both engines. The final 3-row stack is a stack() projection over a
+    1-row aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    c = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    return c.selectExpr(
+        "inline(array("
+        "  struct(int(1) AS stage_idx, 'view' AS stage, n1 AS n_users),"
+        "  struct(int(2) AS stage_idx, 'click' AS stage, n2 AS n_users),"
+        "  struct(int(3) AS stage_idx, 'purchase' AS stage, n3 AS n_users)))"
+    ).orderBy("stage_idx")
