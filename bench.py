@@ -81,6 +81,10 @@ HEADLINE = [
     # asymmetric containment mining over the same inverted index (the
     # doc-inside-doc signal a Jaccard threshold misses)
     "d_containment_top_pairs",
+    # k-core peeling survivor curve on the near-dup graph (4 unrolled
+    # degree-agg + semi-join rounds — the third graph lens after
+    # components and communities)
+    "d_kcore_peeling",
 ]
 
 

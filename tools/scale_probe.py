@@ -192,6 +192,34 @@ def main() -> None:
     walls = [timed(lambda: exact_dedup(base)), timed(lambda: exact_dedup(dup))]
     print(fmt_row(f"exact_dedup({first}x dup-heavy)", walls))
 
+    # --- graph-analytics family over the near-dup candidate graph ---------
+    # Edges come from the UNIQUE-scaled corpus (constant near-dup density →
+    # edge count grows ~linearly with docs), so these rows measure the graph
+    # ALGORITHMS' scaling — per-round co-partitioned joins + combinable aggs
+    # — not candidate-pair output growth (that bound is the jaccard/minhash
+    # dup-heavy rows above). Each wall includes the LSH chain that builds
+    # the edge list: the composed cost a pipeline actually pays.
+    from unravelsports_spark.operators.components import (
+        connected_components,
+        kcore_peel,
+        label_propagation,
+        pagerank,
+    )
+
+    def _pairs(d):
+        return lsh_candidate_pairs(
+            minhash_signatures(doc_shingles(d, distinct=False))
+        )
+
+    for name, mk in {
+        "pagerank(3 iters, uniq)": lambda d: pagerank(_pairs(d), iters=3),
+        "lpa(3 iters, uniq)": lambda d: label_propagation(_pairs(d), iters=3),
+        "kcore_peel(4 rounds, uniq)": lambda d: kcore_peel(_pairs(d), rounds=4),
+        "connected_components(uniq)": lambda d: connected_components(_pairs(d)),
+    }.items():
+        walls = [timed(lambda s=s: mk(uniq_scales[s])) for s in factors]
+        print(fmt_row(name, walls))
+
     # --- ANN / embedding family ------------------------------------------
     emb = read_table(spark, SF_DIR, "embeddings")
     emb_scales = {1: emb}
