@@ -321,3 +321,26 @@ def test_cdc_chunks_gram_chain_evaluated_once(spark):
     plan = plan_of(spark, "d_cdc_chunks")
     assert plan.count("md5") == 2, plan.count("md5")
     assert "arrays_zip" in plan and plan.count("arrays_zip") == 1
+
+
+def test_q3_pushdown_broadcasts_and_heap(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    # all three scans keep their filters at the parquet reader
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    # top-10 is a heap, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_pushdown_and_dim_broadcasts(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    # the year window reaches the orders scan; the region filter its scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    # nation/region ride broadcasts into the supplier side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # two-phase revenue: map-side partial sums before the exchange
+    assert "partial_sum" in plan

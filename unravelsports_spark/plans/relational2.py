@@ -822,3 +822,154 @@ def a21_ordered_funnel(spark, sf_dir):
         "  struct(int(2) AS stage_idx, 'click' AS stage, n2 AS n_users),"
         "  struct(int(3) AS stage_idx, 'purchase' AS stage, n3 AS n_users)))"
     ).orderBy("stage_idx")
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_orderdate_ms,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): selective dim filter → two
+    key joins → per-order revenue → top-10. Revenue rides the q1 scaled-
+    long discipline (cents × basis-point units, exact int64 per group —
+    an order holds ≲7 lines so the per-group unit sum is ≤ ~8e11, no
+    two-phase needed; the decimal division at the end reproduces the
+    oracle's DECIMAL product bit-for-bit, see q1_pricing_summary).
+
+    Scale shape: both filters reach the parquet scans (segment on
+    customer, dates on orders/lineitem); the custkey and orderkey joins
+    shuffle only filtered rows and AQE picks broadcast when the filtered
+    customer side fits; the final top-10 is a TakeOrderedAndProject heap,
+    never a global sort."""
+    from .relational import ms
+
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dm = F.lit(10000) - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint")
+    return (
+        c.select("c_custkey")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(pc * dm).cast("decimal(38,0)")
+                / F.lit(1000000).cast("decimal(7,0)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            ms("o_orderdate").alias("o_orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the 6-table star join with
+    the customer-nation = supplier-nation correlation, revenue per nation
+    in one region-year. Nation/region broadcast unconditionally (dozens of
+    rows); supplier pre-filters to the region's nations THROUGH that
+    broadcast before the fact join, so the big shuffle carries only
+    region-local suppliers. Per-nation revenue uses q1's two-phase scaled-
+    long sum (_pid pre-agg in pure int64 codegen, DECIMAL(38,0) promotion
+    over the tiny partial table) — a nation's global unit sum would
+    overflow int64 at 100 TB, a per-partition partial cannot.
+
+    Scale shape: date filter pushed to the orders scan; orderkey/custkey
+    shuffles carry one year of one region; the correlation predicate
+    (c_nationkey = s_nationkey) applies AT the supplier join, not as a
+    post-join filter."""
+    nr = (
+        read_table(spark, sf_dir, "nation")
+        .join(
+            read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dm = F.lit(10000) - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    partial = (
+        joined.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "n_name")
+        .agg(F.sum(pc * dm).alias("dp_units"))
+    )
+    return (
+        partial.groupBy("n_name")
+        .agg(
+            (
+                F.sum(F.col("dp_units").cast("decimal(38,0)"))
+                / F.lit(1000000).cast("decimal(7,0)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
