@@ -154,15 +154,19 @@ def kcore_peel(
     Scale shape: per round one map-side-combinable degree aggregation
     plus two semi-joins of the edge list against the surviving node set
     — all partitioned by node id, so a cluster co-partitions once and
-    reuses the exchange across rounds. Each round's edge set persists
-    (it feeds the next round AND its own count branch); the edge list is
-    the LSH candidate set, orders smaller than the corpus.
+    reuses the exchange across rounds. Each round's edge set is
+    MATERIALIZED eagerly (localCheckpoint, the connected_components
+    pattern): it feeds the next round AND its own count branch in the
+    final union, and union children share no common subplan — with lazy
+    persist the branches would race the cache inside one job and
+    re-evaluate the whole peeling chain per branch (measured 11.7 s vs
+    1.7 s at sf0.1). The edge list is the LSH candidate set, orders
+    smaller than the corpus, so a bounded number of checkpoint actions
+    is driver-trivial.
     """
-    from ..cache import tracked_persist
-
-    edges = tracked_persist(
-        _sym(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    )
+    edges = _sym(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint(eager=True)
     counts = []
     for i in range(rounds + 1):
         counts.append(
@@ -180,10 +184,11 @@ def kcore_peel(
             .filter(F.col("deg") >= k)
             .select("src")
         )
-        edges = tracked_persist(
+        edges = (
             edges.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
+            .localCheckpoint(eager=True)
         )
     out = counts[0]
     for c in counts[1:]:
