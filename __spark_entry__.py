@@ -34,16 +34,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # t_full_pipeline_e2e, and the empty-doc-excluding d_mllib_minhash_join),
 # plus the pq.py perf-rewrite consumers (single-pass _round_stats, fused
 # seed/dim collect: s_ann_pq, s_ann_ivfpq, s_ann_ivfpq_residual,
-# s_kmeans_fit, s_ann_recall) and the ELEVEN new r7 queries (t_hybrid_rrf,
+# s_kmeans_fit, s_ann_recall) and the TWELVE new r7 queries (t_hybrid_rrf,
 # t_ngram_novelty, d_label_communities, d_cdc_chunks,
 # d_containment_top_pairs + d_cross_source_overlap, d_kcore_peeling,
 # a20_retention_cohorts + a21_ordered_funnel, q3_shipping_priority +
-# q5_local_supplier_volume), and (c) 19 of the 37 remaining r3-cohort
-# greens — the oldest certifications left. Round-8 rotation debt,
-# counted exactly: 18 r3 leftovers (the block at the end of this set)
-# AND the 22 standing r4-cohort greens (s_ann_mllib_brp through
-# d_semantic_contamination below) are the pre-r5 certs still standing —
-# rotate the r3 block plus the oldest r4 entries next round.
+# q5_local_supplier_volume, w12_sliding_distinct_users), and (c) 18 of
+# the 37 remaining r3-cohort greens — the oldest certifications left.
+# Round-8 rotation debt, counted exactly: 19 r3 leftovers (the block at
+# the end of this set) AND the 22 standing r4-cohort greens
+# (s_ann_mllib_brp through d_semantic_contamination below) are the
+# pre-r5 certs still standing — rotate the r3 block plus the oldest r4
+# entries next round.
 _CERTIFIED = frozenset(
     {
         # r6 green (CORRECTNESS_r06.json), untouched by round-7 changes
@@ -91,13 +92,15 @@ _CERTIFIED = frozenset(
         # d_containment_top_pairs / d_cross_source_overlap, and
         # mm_decode_stats / mm_decode_real / mm_audio_real for the new
         # d_kcore_peeling / a20_retention_cohorts / a21_ordered_funnel,
-        # and st_sliding_window / st_session_window for the new TPC-H
-        # q3_shipping_priority / q5_local_supplier_volume — the codec and
-        # streaming-native-window paths are untouched since r3/r4 and stay
-        # pinned by the pytest oracle suite meanwhile)
+        # st_sliding_window / st_session_window for the new TPC-H
+        # q3_shipping_priority / q5_local_supplier_volume, and
+        # j8f_asof_forward for the new w12_sliding_distinct_users — the
+        # codec, streaming-native-window and asof paths are untouched
+        # since r3/r4 (j8_asof_join holds an r6 green on the shared asof
+        # operator) and stay pinned by the pytest oracle suite meanwhile)
         "mm_gif_real", "mm_video_real",
         "mm_decode_stats", "mm_decode_real", "mm_audio_real",
-        "st_sliding_window", "st_session_window",
+        "st_sliding_window", "st_session_window", "j8f_asof_forward",
         "a14_cube", "d_edit_distance", "f11_string_agg", "f13_bitwise_agg",
         "w8_rank_distributions", "a13_rollup", "o14_pivot", "a12_corr_exact",
         "a11_histogram", "o13_reservoir_sample", "d_minhash_accuracy",

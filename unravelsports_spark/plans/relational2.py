@@ -973,3 +973,54 @@ def q5_local_supplier_volume(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@query(
+    "w12_sliding_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    win AS (
+      SELECT d.day, u.user_id
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+    SELECT CAST(epoch_ms(day) AS BIGINT) AS day_ms,
+           COUNT(DISTINCT user_id) AS active_users_7d
+    FROM win GROUP BY day ORDER BY day_ms
+    """,
+)
+def w12_sliding_distinct_users(spark, sf_dir):
+    """Exact 7-day rolling distinct users (engine addition §2.12): the
+    sliding-distinct aggregate that a window function CANNOT express at
+    scale (COUNT(DISTINCT) OVER a range frame needs the full set per row).
+    Spark-first rewrite: reduce to one row per (user, day) first, then
+    EXPLODE each into the ≤7 window-end days it contributes to, then one
+    distinct-count agg — a bounded 7× fan-out of the already-reduced
+    per-day table instead of a range self-join, shuffle keyed by day.
+    Output days are observed activity days only (identical set both
+    engines). At 100 TB the (user, day) reduction is the big combinable
+    shuffle; the explode multiplies the SMALL reduced table.
+    """
+    e = read_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    )
+    return (
+        fan.join(days, fan.win_day == days.day, "left_semi")
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.unix_millis(F.col("win_day").cast("timestamp")).alias("day_ms"),
+            "active_users_7d",
+        )
+        .orderBy("day_ms")
+    )
