@@ -60,6 +60,13 @@ NOTES = {
     "t_ngram_novelty": "r7 shingle-df novelty: NO posting-list join-back - uniqueness collapses inside one map-side-combinable (count, min doc_id) aggregate per shingle; the source rollup joins two |docs|-sized frames via BroadcastHashJoin, zero SortMergeJoin.",
     "d_label_communities": "r7 synchronous label propagation: per round one co-partitioned hash join (symmetric edges x labels) + two combinable aggs (vote counts, per-node max_by argmax - no window over the corpus); deterministic lowest-label ties certify 3 unrolled iterations exactly.",
     "d_cdc_chunks": "r7 content-defined chunking: boundary hashes, filter, and start/stop pairing are doc-bounded array arithmetic in ONE projection; one explode then ONE grouped aggregation (count + two distincts + sum, map-side combinable) - no joins, no windows.",
+    "d_containment_top_pairs": "r7 asymmetric containment: the shingle inverted-index self-join aggregates ONCE per unordered pair; both directions explode out of that single frame (no union double-execution); size denominators join on the src id; top-k is a TakeOrderedAndProject heap.",
+    "d_kcore_peeling": "r7 k-core: per round one combinable degree agg + two node-id semi-joins; each round's edge set is eagerly localCheckpoint-ed so the final union's count branches scan materialized blocks instead of racing the cache and re-evaluating the peeling chain per branch.",
+    "q3_shipping_priority": "TPC-H Q3 shape: segment/date predicates at all three parquet scans, two BroadcastHashJoins at this SF (plain shuffle joins under AQE at scale), top-10 via TakeOrderedAndProject - no global sort; revenue in exact cent x basis-point int64 units.",
+    "q5_local_supplier_volume": "TPC-H Q5 shape: nation/region broadcast through supplier BEFORE the fact join (only region-local suppliers shuffle); the c_nationkey = s_nationkey correlation is a join predicate, not a post-join filter; two-phase _pid revenue sum keeps int64 codegen on rows, DECIMAL(38,0) on partials.",
+    "a20_retention_cohorts": "retention matrix: per-user MIN is map-side combinable; the agg-back join and both aggs share the user_id hash partitioning; distinct-count expansion bounded by users x active weeks.",
+    "a21_ordered_funnel": "ordered funnel: three chained window MIN aggregates share ONE user_id Exchange (no orderBy -> no sort); the stage counts collapse to a 1-row agg + 3-row inline stack.",
+    "w12_sliding_distinct_users": "sliding distinct: (user, day) reduction first (the only big shuffle), then a bounded 7x date explode replaces the range self-join; the observed-days semi-join broadcasts.",
 }
 
 
