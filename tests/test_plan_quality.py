@@ -344,3 +344,12 @@ def test_q5_pushdown_and_dim_broadcasts(spark):
     assert "CartesianProduct" not in plan
     # two-phase revenue: map-side partial sums before the exchange
     assert "partial_sum" in plan
+
+
+def test_q18_having_prunes_before_joins(spark):
+    plan = plan_of(spark, "q18_large_volume_customer")
+    # per-order quantity agg combines map-side and its HAVING applies
+    # before any join; top-100 is a heap
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

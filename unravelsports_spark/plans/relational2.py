@@ -1024,3 +1024,66 @@ def w12_sliding_distinct_users(spark, sf_dir):
         )
         .orderBy("day_ms")
     )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(FLOOR(l_quantity * 100 + 0.5)) AS q_units
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(FLOOR(l_quantity * 100 + 0.5)) > 30000)
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_orderdate_ms,
+           o_totalprice,
+           CAST(q_units AS DOUBLE) / 100.0 AS sum_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): per-order quantity sums
+    with a HAVING screen, enriched with order/customer attributes, top-100
+    by order value. Quantities ride exact cent-scaled int64 (the q1
+    discipline), so the HAVING threshold and the reported sums are
+    engine-identical — a double SUM would be order-dependent at the
+    threshold boundary.
+
+    Scale shape: the lineitem aggregation is map-side combinable and its
+    HAVING prunes to a tiny 'big orders' table BEFORE any join (TPC-H
+    keeps ~0.2% of orders at threshold 300); the orders join shuffles only
+    that survivor set (broadcast under AQE when it fits), and the
+    customer join only the matched orders; top-100 is a
+    TakeOrderedAndProject heap."""
+    from .relational import ms
+
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("q_units")
+        )
+        .filter(F.col("q_units") > 30000)
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ms("o_orderdate").alias("o_orderdate_ms"),
+            "o_totalprice",
+            (F.col("q_units").cast("double") / F.lit(100.0)).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
