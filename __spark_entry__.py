@@ -34,14 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # t_full_pipeline_e2e, and the empty-doc-excluding d_mllib_minhash_join),
 # plus the pq.py perf-rewrite consumers (single-pass _round_stats, fused
 # seed/dim collect: s_ann_pq, s_ann_ivfpq, s_ann_ivfpq_residual,
-# s_kmeans_fit, s_ann_recall) and the THIRTEEN new r7 queries
-# (t_hybrid_rrf, t_ngram_novelty, d_label_communities, d_cdc_chunks,
+# s_kmeans_fit, s_ann_recall) and the new r7 queries
+# (FOURTEEN counting mm_image_dhash_dedup:
+# t_hybrid_rrf, t_ngram_novelty, d_label_communities, d_cdc_chunks,
 # d_containment_top_pairs + d_cross_source_overlap, d_kcore_peeling,
 # a20_retention_cohorts + a21_ordered_funnel, q3_shipping_priority +
 # q5_local_supplier_volume + q18_large_volume_customer,
-# w12_sliding_distinct_users), and (c) 17 of the 37 remaining r3-cohort
-# greens — the oldest certifications left. Round-8 rotation debt,
-# counted exactly: 20 r3 leftovers (the block at the end of this set)
+# w12_sliding_distinct_users, mm_image_dhash_dedup), and (c) 16 of the
+# 37 remaining r3-cohort greens — the oldest certifications left.
+# Round-8 rotation debt, counted exactly: 21 r3 leftovers (the block at
+# the end of this set)
 # AND the 22 standing r4-cohort greens (s_ann_mllib_brp through
 # d_semantic_contamination below) are the pre-r5 certs still standing —
 # rotate the r3 block plus the oldest r4 entries next round.
@@ -95,7 +97,8 @@ _CERTIFIED = frozenset(
         # st_sliding_window / st_session_window for the new TPC-H
         # q3_shipping_priority / q5_local_supplier_volume, and
         # j8f_asof_forward for the new w12_sliding_distinct_users, and
-        # f9_json_extract for the new q18_large_volume_customer — the
+        # f9_json_extract for the new q18_large_volume_customer and
+        # o12_row_synthesis for the new mm_image_dhash_dedup — the
         # codec, streaming-native-window, asof and JSON paths are
         # untouched since r3/r4 (j8_asof_join holds an r6 green on the
         # shared asof operator; f14_variant_json an r4 green on the JSON
@@ -103,7 +106,7 @@ _CERTIFIED = frozenset(
         "mm_gif_real", "mm_video_real",
         "mm_decode_stats", "mm_decode_real", "mm_audio_real",
         "st_sliding_window", "st_session_window", "j8f_asof_forward",
-        "f9_json_extract",
+        "f9_json_extract", "o12_row_synthesis",
         "a14_cube", "d_edit_distance", "f11_string_agg", "f13_bitwise_agg",
         "w8_rank_distributions", "a13_rollup", "o14_pivot", "a12_corr_exact",
         "a11_histogram", "o13_reservoir_sample", "d_minhash_accuracy",

@@ -293,3 +293,31 @@ def test_decode_images_jpeg_payloads(spark):
         assert (r.dec_height, r.dec_width) == (8 + i, 10 + i)
         # lossy: flat images come back within a couple of gray levels
         assert abs(r.mean_pixel - 40 * i / 255.0) < 3 / 255.0
+
+
+def test_image_dhash_jitter_invariant_and_discriminative(spark):
+    """dHash collapses small per-pixel noise (block means absorb ±2 jitter
+    against an 8-level gradient) but separates distinct gradient patterns."""
+    import numpy as np
+
+    from unravelsports_spark.functions.imagecodec import encode_png
+    from unravelsports_spark.operators.multimodal import image_dhash
+
+    def img(pattern_bits, jitter_seed):
+        grid = np.empty((8, 9), np.int64)
+        grid[:, 0] = 128
+        for r in range(8):
+            for c in range(8):
+                grid[r, c + 1] = grid[r, c] + (8 if pattern_bits[r * 8 + c] else -8)
+        px = np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1)
+        idx = np.arange(px.size, dtype=np.int64).reshape(px.shape)
+        px = np.clip(px + (jitter_seed * 1000003 + idx * 97) % 5 - 2, 0, 255)
+        return encode_png(np.repeat(px.astype(np.uint8)[:, :, None], 3, axis=2))
+
+    a = [1, 0] * 32
+    b = [0, 1] * 32
+    rows = [(1, img(a, 1)), (2, img(a, 999)), (3, img(b, 1))]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] == got[2]  # same pattern, different pixel bytes
+    assert got[1] != got[3]  # different pattern

@@ -329,3 +329,51 @@ def video_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint per image → input
+    columns + ``dhash`` (long): decode the binary payload with the
+    pure-Python codec, grayscale, block-mean downsample to an 8×9 grid,
+    and take the 64 horizontal gradient signs as a 64-bit integer
+    (row-major, MSB first). Near-identical images (recompressions, small
+    noise, logo variants) collapse onto the same hash while distinct
+    content spreads uniformly — the standard image-dedup primitive
+    (Krawetz's dHash), mirroring what SimHash does for text.
+
+    Scale shape: ONE Arrow mapInPandas pass over the binary column; every
+    downstream dedup step (groupBy dhash, band joins for Hamming
+    neighbors) is plain relational on a 64-bit key. The 9 columns produce
+    8 comparisons/row; rows are split with reduceat boundaries so any
+    input size works without a resize dependency.
+    """
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("dhash", T.LongType())]
+    )
+
+    def one(p: bytes) -> int:
+        img = decode_image(bytes(p)).astype(np.int64)
+        gray = img.mean(axis=2) if img.ndim == 3 else img
+        h, w = gray.shape
+        rb = np.linspace(0, h, 9).astype(np.int64)[:-1]
+        cb = np.linspace(0, w, 10).astype(np.int64)[:-1]
+        cols = np.add.reduceat(gray, cb, axis=1)
+        grid = np.add.reduceat(cols, rb, axis=0)
+        # normalize by block areas so unequal splits stay means
+        rw = np.diff(np.append(rb, h)).reshape(-1, 1)
+        cw = np.diff(np.append(cb, w)).reshape(1, -1)
+        grid = grid / (rw * cw)
+        bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64).ravel()
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        # two's-complement into a signed 64-bit long
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["dhash"] = [one(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -713,6 +713,82 @@ def mm_decode_real(spark, sf_dir):
     )
 
 
+@query(
+    "mm_image_dhash_dedup",
+    oracle="""
+    WITH g AS (SELECT doc_id, doc_id % 25 AS grp FROM documents),
+    hh AS (SELECT grp,
+                  CAST(('0x' || substring(md5(CAST(grp AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS dhash
+           FROM (SELECT DISTINCT grp FROM g)),
+    j AS (SELECT hh.dhash, g.doc_id FROM g JOIN hh USING (grp))
+    SELECT dhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM j GROUP BY dhash ORDER BY dhash
+    """,
+)
+def mm_image_dhash_dedup(spark, sf_dir):
+    """Image near-duplicate dedup via perceptual difference hash, REAL
+    codec end-to-end: synthesize a 32×36 PNG per document whose 8×9
+    block-brightness grid encodes a ±8 random walk driven by 60 md5 bits
+    of the doc's group id (doc_id % 25), plus per-document ±2 pixel
+    jitter so every PNG's bytes are unique. dHash's block means absorb
+    the jitter (|mean jitter| ≤ 2 < 4 = half the 8-level gradient), so
+    each group's visually-near-identical images collapse onto ONE hash —
+    and that hash is analytically int(md5(grp)[:15], 16), which the
+    oracle recomputes in SQL. Any defect in the PNG round-trip, the
+    block-mean downsample, or the bit packing breaks the hash match.
+
+    Scale shape: one mapInPandas synth pass + the image_dhash Arrow pass
+    (operators/multimodal.py), then a combinable groupBy on the 64-bit
+    key — the image-dedup mirror of d_simhash."""
+    import hashlib
+
+    import numpy as np
+    from ..functions.imagecodec import encode_png
+    from ..operators.multimodal import image_dhash
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g = i % 25
+                v = int(hashlib.md5(str(g).encode()).hexdigest()[:15], 16)
+                bits = [0, 0, 0, 0] + [(v >> (59 - j)) & 1 for j in range(60)]
+                # brightness walk per row: start 128, step ±8 per bit
+                grid = np.empty((8, 9), np.int64)
+                grid[:, 0] = 128
+                for r in range(8):
+                    for c in range(8):
+                        step = 8 if bits[r * 8 + c] else -8
+                        grid[r, c + 1] = grid[r, c] + step
+                img = np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1)
+                idx = np.arange(img.size, dtype=np.int64).reshape(img.shape)
+                jitter = (i * 1000003 + idx * 97) % 5 - 2
+                img = np.clip(img + jitter, 0, 255).astype(np.uint8)
+                payloads.append(
+                    encode_png(np.repeat(img[:, :, None], 3, axis=2), compress_level=1)
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    media = docs.mapInPandas(
+        synth,
+        T.StructType(docs.schema.fields + [T.StructField("payload", T.BinaryType())]),
+    )
+    return (
+        image_dhash(media)
+        .groupBy("dhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("dhash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming-semantics windows over the events table (SURVEY §2.9) — the same
 # F.window / F.session_window expressions run unchanged under readStream
