@@ -1374,9 +1374,14 @@ def d_label_communities(spark, sf_dir):
 def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
     from .pipeline import _lsh_sql
 
+    # every e{i} is referenced three times (its count branch, the k{i+1}
+    # degree agg, and the e{i+1} filter) and each k{i+1} twice — AS
+    # MATERIALIZED pins single evaluation; with DuckDB's default inlining
+    # heuristic free to expand, the unrolled chain re-evaluates the LSH
+    # pipeline exponentially (it spilled >78 GB of temp at sf0.1)
     parts = [
-        "WITH pairs AS (" + _lsh_sql() + ")",
-        """e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        "WITH pairs AS MATERIALIZED (" + _lsh_sql() + ")",
+        """e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
                   UNION SELECT id_b, id_a FROM pairs)""",
     ]
     selects = []
@@ -1390,11 +1395,11 @@ def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
         if i == rounds:
             break
         parts.append(
-            f"""k{i + 1} AS (SELECT src FROM e{i} GROUP BY src
+            f"""k{i + 1} AS MATERIALIZED (SELECT src FROM e{i} GROUP BY src
                              HAVING COUNT(*) >= {k})"""
         )
         parts.append(
-            f"""e{i + 1} AS (SELECT e.src, e.dst FROM e{i} e
+            f"""e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e
                  WHERE e.src IN (SELECT src FROM k{i + 1})
                    AND e.dst IN (SELECT src FROM k{i + 1}))"""
         )
