@@ -1,0 +1,60 @@
+"""Warehouse event-analytics walk on the synthetic event log: sessionize →
+ordered funnel → weekly retention cohorts → rolling 7-day active users —
+the product-analytics rollups the engine serves next to its corpus
+pipelines, each backed by a driver-certified query.
+
+Run: python examples/event_analytics.py  [SPARK_GRAFT_SF_DIR overrides the
+default /root/testdata/sf0.001]. Every step is the same certified plan the
+driver checks against DuckDB (a20/a21/w4/w12 in __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(spark, sf_dir: str) -> dict:
+    from unravelsports_spark.plans import QUERIES
+
+    # 1. sessions: 30-minute-gap sessionization (w4) — the base unit
+    sessions = QUERIES["w4_sessionize"](spark, sf_dir)
+    n_sessions = sessions.count()
+
+    # 2. ordered funnel (a21): view → click-after-view → purchase-after-click
+    funnel = {
+        r["stage"]: r["n_users"]
+        for r in QUERIES["a21_ordered_funnel"](spark, sf_dir).collect()
+    }
+
+    # 3. weekly retention cohorts (a20): cohort_week × week_offset matrix
+    cohorts = QUERIES["a20_retention_cohorts"](spark, sf_dir).collect()
+    week0 = sum(r["n_users"] for r in cohorts if r["week_offset"] == 0)
+    later = sum(r["n_users"] for r in cohorts if r["week_offset"] > 0)
+
+    # 4. rolling engagement (w12): exact 7-day sliding distinct users
+    rolling = QUERIES["w12_sliding_distinct_users"](spark, sf_dir).collect()
+    peak_7d = max(r["active_users_7d"] for r in rolling)
+
+    return {
+        "n_sessions": n_sessions,
+        "funnel": funnel,
+        "cohort_week0_users": week0,
+        "cohort_return_cells": later,
+        "peak_7d_active": peak_7d,
+        "days_observed": len(rolling),
+    }
+
+
+if __name__ == "__main__":
+    from unravelsports_spark.session import get_spark
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("event-analytics-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = main(spark, sf)
+    for k, v in out.items():
+        print(f"{k}: {v}")
+    spark.stop()

@@ -30,3 +30,16 @@ def test_tracking_pipeline_example(spark):
     assert out["pi_frames"] == out["graphs"] == 240
     assert out["top_formation"][1] > 0
     assert out["video_frames"] == 3
+
+
+def test_event_analytics_example(spark):
+    from examples.event_analytics import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    assert out["n_sessions"] > 0
+    # the funnel is monotone non-increasing by construction
+    f = out["funnel"]
+    assert f["view"] >= f["click"] >= f["purchase"] >= 0
+    assert out["cohort_week0_users"] > 0
+    assert out["peak_7d_active"] > 0
+    assert out["days_observed"] > 0
