@@ -321,3 +321,30 @@ def test_image_dhash_jitter_invariant_and_discriminative(spark):
     got = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
     assert got[1] == got[2]  # same pattern, different pixel bytes
     assert got[1] != got[3]  # different pattern
+
+
+def test_image_dhash_tiny_images_stay_distinct(spark):
+    """Images smaller than the 8×9 grid upsample instead of degenerating:
+    distinct 6×6 contents must produce distinct, finite hashes (the
+    un-upsampled block means divided by zero and collapsed everything
+    onto one value)."""
+    import warnings
+
+    import numpy as np
+
+    from unravelsports_spark.functions.imagecodec import encode_png
+    from unravelsports_spark.operators.multimodal import image_dhash
+
+    a = np.tile(np.linspace(0, 255, 6, dtype=np.uint8), (6, 1))       # L→R ramp
+    b = a[:, ::-1].copy()                                             # R→L ramp
+    df = spark.createDataFrame(
+        [(1, encode_png(np.repeat(a[:, :, None], 3, axis=2))),
+         (2, encode_png(np.repeat(b[:, :, None], 3, axis=2)))],
+        "id int, payload binary",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a div-by-zero RuntimeWarning fails
+        got = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] != got[2]
+    # the degenerate pre-fix value collapsed BOTH onto 0x6d6d6d006d6d6d
+    assert got[1] != 0x6D6D6D006D6D6D and got[2] != 0x6D6D6D006D6D6D

@@ -355,6 +355,15 @@ def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         img = decode_image(bytes(p)).astype(np.int64)
         gray = img.mean(axis=2) if img.ndim == 3 else img
         h, w = gray.shape
+        # inputs smaller than the 8×9 grid upsample by nearest-neighbor
+        # repeat (injective, so distinct tiny images keep distinct hashes);
+        # without this the linspace boundaries repeat and the block means
+        # divide by zero — every thumbnail would collapse onto one hash
+        if h < 8:
+            gray = np.repeat(gray, -(-8 // h), axis=0)
+        if w < 9:
+            gray = np.repeat(gray, -(-9 // w), axis=1)
+        h, w = gray.shape
         rb = np.linspace(0, h, 9).astype(np.int64)[:-1]
         cb = np.linspace(0, w, 10).astype(np.int64)[:-1]
         cols = np.add.reduceat(gray, cb, axis=1)

@@ -58,6 +58,18 @@ def ms(col):
     return F.unix_millis(c.cast("timestamp"))
 
 
+def scaled_units(col, scale: int):
+    """FLOOR(x·scale + 0.5) as bigint — the exact scaled-long discipline
+    shared by every revenue/quantity query (cents at scale 100, basis
+    points at 10000): double error ≪ 0.5 scaled units, so the floor
+    recovers the exact integer, sums vectorize in whole-stage codegen,
+    and both engines evaluate the identical expression. The ONE
+    definition keeps q1/q3/q5/q18 bit-aligned with their DECIMAL oracles
+    — see q1_pricing_summary for the int64 overflow budget."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * scale + F.lit(0.5)).cast("bigint")
+
+
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (P4 range filter + A1/A3 aggs +
 # F3 arithmetic). Mirrors the melt→filter→group pipeline shape of
@@ -105,17 +117,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-agg. Measured: 0.997 → 0.703 s at sf0.1 (−30%), BITEQ."""
     li = read_table(spark, sf_dir, "lineitem")
 
-    def punits(col, scale):
-        return F.floor(F.col(col) * scale + F.lit(0.5)).cast("bigint")
-
-    pc = punits("l_extendedprice", 100)
-    dm = F.lit(10000) - punits("l_discount", 10000)
+    pc = scaled_units("l_extendedprice", 100)
+    dm = F.lit(10000) - scaled_units("l_discount", 10000)
     partial = (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid", "l_returnflag", "l_linestatus")
         .agg(
-            F.sum(punits("l_quantity", 100)).alias("q_units"),
+            F.sum(scaled_units("l_quantity", 100)).alias("q_units"),
             F.sum(pc).alias("p_units"),
             F.sum(pc * dm).alias("dp_units"),
             F.count("*").alias("cnt"),

@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..session import read_table
-from .relational import dec, dsum, query
+from .relational import dec, dsum, ms, query, scaled_units
 
 
 @query(
@@ -727,8 +727,6 @@ def a20_retention_cohorts(spark, sf_dir):
     cluster, and the per-user table is orders smaller than the event log),
     then one distinct-count agg keyed by (cohort, offset) whose distinct
     expansion is bounded by users × active-weeks, not events."""
-    from .relational import ms
-
     e = read_table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
@@ -855,8 +853,6 @@ def q3_shipping_priority(spark, sf_dir):
     shuffle only filtered rows and AQE picks broadcast when the filtered
     customer side fits; the final top-10 is a TakeOrderedAndProject heap,
     never a global sort."""
-    from .relational import ms
-
     c = read_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -866,8 +862,8 @@ def q3_shipping_priority(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
     )
-    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
-    dm = F.lit(10000) - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint")
+    pc = scaled_units("l_extendedprice", 100)
+    dm = F.lit(10000) - scaled_units("l_discount", 10000)
     return (
         c.select("c_custkey")
         .join(o, c.c_custkey == o.o_custkey)
@@ -945,8 +941,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
-    dm = F.lit(10000) - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint")
+    pc = scaled_units("l_extendedprice", 100)
+    dm = F.lit(10000) - scaled_units("l_discount", 10000)
     joined = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1019,7 +1015,7 @@ def w12_sliding_distinct_users(spark, sf_dir):
         .groupBy("win_day")
         .agg(F.count_distinct("user_id").alias("active_users_7d"))
         .select(
-            F.unix_millis(F.col("win_day").cast("timestamp")).alias("day_ms"),
+            ms("win_day").alias("day_ms"),
             "active_users_7d",
         )
         .orderBy("day_ms")
@@ -1057,15 +1053,11 @@ def q18_large_volume_customer(spark, sf_dir):
     that survivor set (broadcast under AQE when it fits), and the
     customer join only the matched orders; top-100 is a
     TakeOrderedAndProject heap."""
-    from .relational import ms
-
     li = read_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(
-            F.sum(
-                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
-            ).alias("q_units")
+            F.sum(scaled_units("l_quantity", 100)).alias("q_units")
         )
         .filter(F.col("q_units") > 30000)
     )
