@@ -67,6 +67,9 @@ NOTES = {
     "a20_retention_cohorts": "retention matrix: per-user MIN is map-side combinable; the agg-back join and both aggs share the user_id hash partitioning; distinct-count expansion bounded by users x active weeks.",
     "a21_ordered_funnel": "ordered funnel: three chained window MIN aggregates share ONE user_id Exchange (no orderBy -> no sort); the stage counts collapse to a 1-row agg + 3-row inline stack.",
     "w12_sliding_distinct_users": "sliding distinct: (user, day) reduction first (the only big shuffle), then a bounded 7x date explode replaces the range self-join; the observed-days semi-join broadcasts.",
+    "q18_large_volume_customer": "TPC-H Q18 shape: the per-order quantity agg combines map-side and its HAVING prunes to ~0.2% of orders BEFORE the orders/customer joins; exact cent-scaled threshold; top-100 via TakeOrderedAndProject.",
+    "d_cross_source_overlap": "cross-source duplication matrix: one persisted (source, fp) distinct feeds sizes and both self-join sides; posting lists bounded by #sources, size denominators broadcast.",
+    "mm_image_dhash_dedup": "image dHash dedup: synth + decode + hash are two Arrow passes over the binary column; the dedup itself is one combinable groupBy on the 64-bit key - no joins, no windows.",
 }
 
 
