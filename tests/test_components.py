@@ -163,3 +163,29 @@ def test_kcore_peel_everything_peels(spark):
     assert got[0] == (0, 4, 3)
     assert got[-1] == (3, 0, 0)
     assert all(g[1] >= n[1] for g, n in zip(got, got[1:]))  # monotone
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 25, 40), (13, 40, 55)])
+def test_kcore_peel_matches_python_reference(spark, seed, n, m):
+    """Random graphs vs a brute-force Python peeling trace."""
+    from unravelsports_spark.operators.components import kcore_peel
+
+    rng = random.Random(seed)
+    edges = {(a, b) for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(m)) if a != b}
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    rounds, k = 3, 2
+    expect = []
+    cur = set(sym)
+    for i in range(rounds + 1):
+        nodes = {a for a, _ in cur}
+        expect.append((i, len(nodes), sum(1 for a, b in cur if a < b)))
+        if i == rounds:
+            break
+        deg = {}
+        for a, _ in cur:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {a for a, d in deg.items() if d >= k}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    df = spark.createDataFrame(sorted(edges), "id_a int, id_b int")
+    got = [tuple(r) for r in kcore_peel(df, k=k, rounds=rounds).collect()]
+    assert got == expect

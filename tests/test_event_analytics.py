@@ -81,3 +81,76 @@ def test_retention_cohorts_hand_traced(spark, tmp_path):
         (w2, 0, 1),  # u2 cohort
         (w2, 2, 1),  # u2 returns in +2
     ]
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_ordered_funnel_matches_python_reference(spark, tmp_path, seed):
+    """Random event logs vs a brute-force per-user Python trace."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    eid = 0
+    for u in range(1, 30):
+        for _ in range(rng.randrange(0, 12)):
+            eid += 1
+            rows.append(
+                (eid, _ts(rng.randrange(1, 28), rng.randrange(0, 24)), u,
+                 rng.choice(types), 0.0, "")
+            )
+    if not rows:
+        pytest.skip("empty draw")
+    sf = _write_events(spark, tmp_path / f"f{seed}", rows)
+
+    by_user = {}
+    for _eid, ts, u, et, _v, _p in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        evs.sort()
+        t1 = min((t for t, e in evs if e == "view"), default=None)
+        t2 = (
+            min((t for t, e in evs if e == "click" and t > t1), default=None)
+            if t1 else None
+        )
+        t3 = (
+            min((t for t, e in evs if e == "purchase" and t > t2), default=None)
+            if t2 else None
+        )
+        n1 += t1 is not None
+        n2 += t2 is not None
+        n3 += t3 is not None
+    got = {r["stage"]: r["n_users"] for r in QUERIES["a21_ordered_funnel"](spark, sf).collect()}
+    assert got == {"view": n1, "click": n2, "purchase": n3}
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_sliding_distinct_matches_python_reference(spark, tmp_path, seed):
+    """Random activity vs a brute-force 7-day window count in Python."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for u in range(1, 25):
+        for _ in range(rng.randrange(0, 8)):
+            eid += 1
+            rows.append((eid, _ts(rng.randrange(1, 28)), u, "view", 0.0, ""))
+    if not rows:
+        pytest.skip("empty draw")
+    sf = _write_events(spark, tmp_path / f"s{seed}", rows)
+
+    ud = {(u, ts.date()) for _e, ts, u, *_ in rows}
+    days = sorted({d for _u, d in ud})
+    expect = {}
+    for d in days:
+        expect[d] = len(
+            {u for u, ad in ud if 0 <= (d - ad).days <= 6}
+        )
+    got = {
+        dt.datetime.fromtimestamp(r["day_ms"] / 1000, dt.timezone.utc).date():
+        r["active_users_7d"]
+        for r in QUERIES["w12_sliding_distinct_users"](spark, sf).collect()
+    }
+    assert got == expect
