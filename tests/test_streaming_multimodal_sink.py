@@ -1012,3 +1012,64 @@ def test_streaming_term_stats_bm25_equivalence(spark, tmp_path):
     assert len(parts) == 3
     again = term_stats_from_ledger(spark, ledger, terms)
     assert again == (n_docs, sum_dl, dfs)
+
+
+def test_streaming_user_days_rolling_actives_equivalence(spark, tmp_path):
+    """The incremental user-day ledger must reproduce the certified batch
+    rolling-actives query EXACTLY across 3 micro-batches (set union is
+    idempotent+associative), including a user-day repeated across batches;
+    replaying a batch must not change the result."""
+    import datetime as dt
+
+    from unravelsports_spark.streaming.windows import (
+        rolling_active_users,
+        rolling_active_users_from_ledger,
+        streaming_user_days,
+    )
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(day, h=0):
+        return dt.datetime(2024, 3, day, h, 0, 0)
+
+    batches = [
+        [(1, ts(1)), (2, ts(1, 5)), (1, ts(3))],
+        [(1, ts(1, 9)), (3, ts(8))],     # (1, day1) repeats across batches
+        [(2, ts(9)), (4, ts(20)), (1, ts(21))],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "user_id bigint, ts timestamp").write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+        q = streaming_user_days(stream, ledger, ckpt).start()
+        q.awaitTermination(120)
+
+    full = spark.createDataFrame(
+        [r for rows in batches for r in rows], "user_id bigint, ts timestamp"
+    )
+    one_shot = rolling_active_users(
+        full.select(
+            "user_id",
+            __import__("pyspark.sql.functions", fromlist=["F"]).date_trunc(
+                "day", "ts"
+            ).cast("date").alias("day"),
+        ).distinct()
+    )
+    got = sorted(map(tuple, rolling_active_users_from_ledger(spark, ledger).collect()))
+    want = sorted(map(tuple, one_shot.collect()))
+    assert got == want and len(got) > 0
+    # day 8 sees users {1 (day 3 within 7d? no: 8-3=5 ✓), 3} → spot-check one cell
+    by_day = {
+        dt.datetime.fromtimestamp(d / 1000, dt.timezone.utc).date(): n
+        for d, n in got
+    }
+    assert by_day[dt.date(2024, 3, 8)] == 2  # user 1 (active day 3) + user 3
+    # replay safety: the ledger partitions are keyed by batch_id
+    import glob
+
+    assert len(glob.glob(f"{ledger}/batch_id=*")) == 3
+    again = sorted(map(tuple, rolling_active_users_from_ledger(spark, ledger).collect()))
+    assert again == got

@@ -1000,26 +1000,12 @@ def w12_sliding_distinct_users(spark, sf_dir):
     shuffle; the explode multiplies the SMALL reduced table.
     """
     e = read_table(spark, sf_dir, "events")
+    from ..streaming.windows import rolling_active_users
+
     ud = e.select(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).distinct()
-    days = ud.select("day").distinct()
-    fan = ud.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
-        ).alias("win_day"),
-    )
-    return (
-        fan.join(days, fan.win_day == days.day, "left_semi")
-        .groupBy("win_day")
-        .agg(F.count_distinct("user_id").alias("active_users_7d"))
-        .select(
-            ms("win_day").alias("day_ms"),
-            "active_users_7d",
-        )
-        .orderBy("day_ms")
-    )
+    return rolling_active_users(ud, window_days=7)
 
 
 @query(

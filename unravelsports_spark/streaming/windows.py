@@ -550,3 +550,76 @@ def term_stats_from_ledger(
     dfs = {t: 0 for t in terms}
     dfs.update({r["term"]: int(r["df"]) for r in rows})
     return int(corpus["n_docs"]), int(corpus["sum_dl"]), dfs
+
+
+def rolling_active_users(ud: DataFrame, window_days: int = 7) -> DataFrame:
+    """Distinct (user_id, day) activity → (day_ms, active_users_7d): exact
+    rolling-window distinct users per observed day. The ONE definition of
+    the rewrite the certified `w12_sliding_distinct_users` query and the
+    streaming ledger path share: each user-day explodes into the ≤window
+    window-end days it contributes to (a bounded fan-out of the already-
+    reduced activity table — never a range self-join), then one
+    distinct-count aggregate keyed by day; output days are observed
+    activity days only."""
+    days = ud.select("day").distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("win_day"),
+    )
+    return (
+        fan.join(days, fan.win_day == days.day, "left_semi")
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias(f"active_users_{window_days}d"))
+        .select(
+            F.unix_millis(F.col("win_day").cast("timestamp")).alias("day_ms"),
+            f"active_users_{window_days}d",
+        )
+        .orderBy("day_ms")
+    )
+
+
+def streaming_user_days(
+    stream_df,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Maintain the (user_id, day) activity SET incrementally over an event
+    stream: each micro-batch appends its distinct user-days to a durable
+    parquet ledger keyed by ``batch_id`` (overwrite semantics — a replayed
+    batch rewrites its own partition, so the set union can never
+    double-count). Set union is idempotent and associative, so the ledger
+    merges across batches, shards, and clusters; rolling engagement over
+    an event firehose then never re-scans the event log — only the tiny
+    user-day set (`rolling_active_users_from_ledger`)."""
+
+    def _process(batch_df, batch_id: int):
+        out = batch_df.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+        ).distinct()
+        out.write.mode("overwrite").parquet(f"{ledger_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def rolling_active_users_from_ledger(
+    spark, ledger_dir: str, window_days: int = 7
+) -> DataFrame:
+    """(day_ms, active_users_Nd) from the streaming user-day ledger — the
+    incremental twin of the certified w12 batch query: distinct across the
+    batch partitions (a user-day seen in several batches collapses), then
+    the shared rolling_active_users rewrite."""
+    ud = (
+        spark.read.parquet(ledger_dir)
+        .select("user_id", "day")
+        .distinct()
+    )
+    return rolling_active_users(ud, window_days=window_days)
