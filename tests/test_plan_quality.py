@@ -353,3 +353,20 @@ def test_q18_having_prunes_before_joins(spark):
     assert "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_a21_funnel_single_data_exchange(spark):
+    plan = plan_of(spark, "a21_ordered_funnel")
+    # three chained window MINs share ONE user_id exchange; the only other
+    # exchange is the final 3-row orderBy
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_a20_w12_no_cartesian_partial_aggs(spark):
+    for name in ("a20_retention_cohorts", "w12_sliding_distinct_users"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        # per-user / per-(user,day) reductions combine map-side
+        assert "partial" in plan, name

@@ -786,9 +786,10 @@ def a21_ordered_funnel(spark, sf_dir):
     t1, t3 on t2), the classic sequence-match the warehouse answers with
     correlated window scans.
 
-    Scale shape: ONE shuffle — three window aggregates share the
-    user_id partitioning (no orderBy, so no sort; Spark plans a single
-    Exchange and the downstream per-user and global aggs reuse it);
+    Scale shape: ONE data shuffle — three window aggregates share the
+    user_id partitioning (Spark plans a single Exchange; the in-partition
+    sorts are group-key-only, and the downstream per-user and global
+    aggs reuse the partitioning; plan-guarded);
     NULL-chaining (ts > NULL → NULL) makes later stages vacuously empty
     for users who never reached the earlier one, identical semantics in
     both engines. The final 3-row stack is a stack() projection over a
