@@ -189,3 +189,15 @@ def test_kcore_peel_matches_python_reference(spark, seed, n, m):
     df = spark.createDataFrame(sorted(edges), "id_a int, id_b int")
     got = [tuple(r) for r in kcore_peel(df, k=k, rounds=rounds).collect()]
     assert got == expect
+
+
+def test_kcore_peel_k3(spark):
+    """k=3: a 4-clique survives, a triangle does not."""
+    from unravelsports_spark.operators.components import kcore_peel
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(clique + tri, "id_a int, id_b int")
+    got = [tuple(r) for r in kcore_peel(df, k=3, rounds=2).collect()]
+    assert got[0] == (0, 7, 9)
+    assert got[-1] == (2, 4, 6)  # only the 4-clique remains

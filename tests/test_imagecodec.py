@@ -348,3 +348,27 @@ def test_image_dhash_tiny_images_stay_distinct(spark):
     assert got[1] != got[2]
     # the degenerate pre-fix value collapsed BOTH onto 0x6d6d6d006d6d6d
     assert got[1] != 0x6D6D6D006D6D6D and got[2] != 0x6D6D6D006D6D6D
+
+
+def test_image_dhash_odd_sizes_finite(spark):
+    """Any decodable size hashes without warnings — 1×1 through sizes that
+    don't divide the 8×9 grid evenly (reduceat boundary edge cases)."""
+    import warnings
+
+    import numpy as np
+
+    from unravelsports_spark.functions.imagecodec import encode_png
+    from unravelsports_spark.operators.multimodal import image_dhash
+
+    rng = np.random.default_rng(7)
+    sizes = [(1, 1), (2, 3), (7, 9), (8, 8), (13, 5), (9, 40), (40, 9)]
+    rows = [
+        (i, encode_png(rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)))
+        for i, (h, w) in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = image_dhash(df).collect()
+    assert len(got) == len(sizes)
+    assert all(isinstance(r["dhash"], int) for r in got)
