@@ -1073,3 +1073,34 @@ def test_streaming_user_days_rolling_actives_equivalence(spark, tmp_path):
     assert len(glob.glob(f"{ledger}/batch_id=*")) == 3
     again = sorted(map(tuple, rolling_active_users_from_ledger(spark, ledger).collect()))
     assert again == got
+
+
+def test_retention_from_ledger_matches_certified_batch_query(spark, tmp_path):
+    """The user-day ledger must reproduce the certified a20 retention
+    matrix EXACTLY on the same events (cohorts are a pure function of the
+    user-day set): stream sf0.001 events in 3 chunks, compare against
+    QUERIES['a20_retention_cohorts'] on the full table."""
+    from unravelsports_spark.plans import QUERIES
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.streaming.windows import (
+        retention_cohorts_from_ledger,
+        streaming_user_days,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_table(spark, sf, "events").select("user_id", "ts")
+    chunks = [
+        events.filter(F.col("user_id") % 3 == i) for i in range(3)
+    ]
+    for c in chunks:
+        c.write.mode("append").parquet(src)
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+        q = streaming_user_days(stream, ledger, ckpt).start()
+        q.awaitTermination(120)
+
+    got = sorted(map(tuple, retention_cohorts_from_ledger(spark, ledger).collect()))
+    want = sorted(map(tuple, QUERIES["a20_retention_cohorts"](spark, sf).collect()))
+    assert got == want and len(got) > 0

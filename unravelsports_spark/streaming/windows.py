@@ -623,3 +623,41 @@ def rolling_active_users_from_ledger(
         .distinct()
     )
     return rolling_active_users(ud, window_days=window_days)
+
+
+def retention_cohorts_from_ledger(spark, ledger_dir: str) -> DataFrame:
+    """(cohort_week_ms, week_offset, n_users) from the streaming user-day
+    ledger — the incremental twin of the certified a20_retention_cohorts
+    batch query. The cohort matrix is a pure function of the user-day SET
+    (first activity day per user determines the cohort week; each active
+    week contributes one offset cell), so the same batch-id-keyed ledger
+    `streaming_user_days` maintains for rolling actives serves retention
+    with no event-log re-scan: min(day) per user is the day of the user's
+    earliest event, hence the same Monday-truncated cohort week a20
+    derives from raw timestamps."""
+    ud = spark.read.parquet(ledger_dir).select("user_id", "day").distinct()
+    firsts = ud.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("day")).alias("cohort_week")
+    )
+    j = ud.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("day")), F.col("cohort_week"))
+            / F.lit(7)
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.unix_millis(F.col("cohort_week").cast("timestamp")).alias(
+                "cohort_week_ms"
+            ),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week_ms", "week_offset")
+    )
