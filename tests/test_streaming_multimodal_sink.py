@@ -1104,3 +1104,56 @@ def test_retention_from_ledger_matches_certified_batch_query(spark, tmp_path):
     got = sorted(map(tuple, retention_cohorts_from_ledger(spark, ledger).collect()))
     want = sorted(map(tuple, QUERIES["a20_retention_cohorts"](spark, sf).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_funnel_matches_certified_batch_query(spark, tmp_path):
+    """Stateful streaming funnel across 3 event-time-ordered micro-batches
+    must land every user on the same final stage the certified batch a21
+    computes from the full history."""
+    from unravelsports_spark.plans import QUERIES
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.streaming.windows import streaming_funnel
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cuts = ["2024-01-11", "2024-01-21"]
+    chunks = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    final = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = r["stage"]  # update mode: last write wins
+
+    for c in chunks:
+        c.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).parquet(src)
+        q = (
+            streaming_funnel(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = {
+        "view": sum(1 for s in final.values() if s >= 1),
+        "click": sum(1 for s in final.values() if s >= 2),
+        "purchase": sum(1 for s in final.values() if s >= 3),
+    }
+    want = {
+        r["stage"]: r["n_users"]
+        for r in QUERIES["a21_ordered_funnel"](spark, sf).collect()
+    }
+    assert got == want and got["view"] > 0

@@ -661,3 +661,46 @@ def retention_cohorts_from_ledger(spark, ledger_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week_ms", "week_offset")
     )
+
+
+def streaming_funnel(df: DataFrame):
+    """Stateful streaming ordered funnel: per-user GroupState carries the
+    three chained stage timestamps (first view, first click AFTER that
+    view, first purchase AFTER that click) across micro-batches, emitting
+    the user's current stage row each batch it appears in. Within a batch
+    events sort by (ts, event_id); ACROSS batches the chain is exact when
+    each user's events arrive in event-time order (the watermark-buffered
+    ingest discipline — same assumption the batch a21 query discharges by
+    seeing all history at once). Exactly-once replays are handled by the
+    streaming checkpoint, not user code.
+
+    State is three scalars per user — bounded regardless of event volume —
+    which is what makes the funnel streamable at firehose scale; the batch
+    twin (a21_ordered_funnel) recomputes from scratch instead."""
+    import pandas as pd
+
+    out_schema = "user_id long, stage int, t1_ms long, t2_ms long, t3_ms long"
+    state_schema = "t1 long, t2 long, t3 long"
+
+    def fn(key, pdfs, state):
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                ms_val = int(ts.value // 1_000_000)  # pandas ns → ms
+                if et == "view" and t1 is None:
+                    t1 = ms_val
+                elif et == "click" and t1 is not None and t2 is None and ms_val > t1:
+                    t2 = ms_val
+                elif et == "purchase" and t2 is not None and t3 is None and ms_val > t2:
+                    t3 = ms_val
+        state.update((t1, t2, t3))
+        stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "stage": [stage],
+             "t1_ms": [t1], "t2_ms": [t2], "t3_ms": [t3]}
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
