@@ -61,7 +61,12 @@ _CERTIFIED = frozenset(
         "t_filter_funnel", "t_fingerprint", "t_quality_by_source", "t_token_stats",
         "w1_lag_diff", "w2_partitioned_min", "w3_rank_topk", "w4_sessionize",
         "w5_tumbling_window", "w7_row_index",
-        # r5 green (CORRECTNESS_r05.json), unchanged since
+        # r5 green (CORRECTNESS_r05.json), unchanged since.
+        # q1 rotation exemption, documented per ADVICE r6 #2: the late-r7
+        # scaled_units extraction is a pure code move — q1 builds the
+        # IDENTICAL expression tree (plan guards pass unchanged), it is
+        # smoke-run by entry() every round, and this session's fresh-
+        # process oracle compare re-verified it hash-exact at sf0.01.
         "q1_pricing_summary", "d_jaccard_top_pairs", "w6_savgol_oracle",
         "t_repetition_stats", "t_sequence_packing", "a15_hll_sketch_union",
         "w9_interpolate_gaps", "t_bigram_logprob", "t_bpe_merges",
