@@ -1052,10 +1052,7 @@ def test_streaming_user_days_rolling_actives_equivalence(spark, tmp_path):
     )
     one_shot = rolling_active_users(
         full.select(
-            "user_id",
-            __import__("pyspark.sql.functions", fromlist=["F"]).date_trunc(
-                "day", "ts"
-            ).cast("date").alias("day"),
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
         ).distinct()
     )
     got = sorted(map(tuple, rolling_active_users_from_ledger(spark, ledger).collect()))

@@ -65,7 +65,7 @@ NOTES = {
     "q3_shipping_priority": "TPC-H Q3 shape: segment/date predicates at all three parquet scans, two BroadcastHashJoins at this SF (plain shuffle joins under AQE at scale), top-10 via TakeOrderedAndProject - no global sort; revenue in exact cent x basis-point int64 units.",
     "q5_local_supplier_volume": "TPC-H Q5 shape: nation/region broadcast through supplier BEFORE the fact join (only region-local suppliers shuffle); the c_nationkey = s_nationkey correlation is a join predicate, not a post-join filter; two-phase _pid revenue sum keeps int64 codegen on rows, DECIMAL(38,0) on partials.",
     "a20_retention_cohorts": "retention matrix: per-user MIN is map-side combinable; the agg-back join and both aggs share the user_id hash partitioning; distinct-count expansion bounded by users x active weeks.",
-    "a21_ordered_funnel": "ordered funnel: three chained window MIN aggregates share ONE user_id Exchange (no orderBy -> no sort); the stage counts collapse to a 1-row agg + 3-row inline stack.",
+    "a21_ordered_funnel": "ordered funnel: three chained window MIN aggregates share ONE user_id Exchange (the in-partition window sorts are group-key-only); the stage counts collapse to a 1-row agg + 3-row inline stack.",
     "w12_sliding_distinct_users": "sliding distinct: (user, day) reduction first (the only big shuffle), then a bounded 7x date explode replaces the range self-join; the observed-days semi-join broadcasts.",
     "q18_large_volume_customer": "TPC-H Q18 shape: the per-order quantity agg combines map-side and its HAVING prunes to ~0.2% of orders BEFORE the orders/customer joins; exact cent-scaled threshold; top-100 via TakeOrderedAndProject.",
     "d_cross_source_overlap": "cross-source duplication matrix: one persisted (source, fp) distinct feeds sizes and both self-join sides; posting lists bounded by #sources, size denominators broadcast.",

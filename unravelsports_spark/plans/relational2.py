@@ -722,33 +722,22 @@ def a20_retention_cohorts(spark, sf_dir):
     offsets divide a day-diff of week-truncated stamps by 7, so the matrix
     is exact integers.
 
-    Scale shape: one combinable per-user MIN, one agg-back join on
-    user_id (both sides hash-partitioned on the key — co-partitioned on a
-    cluster, and the per-user table is orders smaller than the event log),
-    then one distinct-count agg keyed by (cohort, offset) whose distinct
-    expansion is bounded by users × active-weeks, not events."""
+    Scale shape: the event log reduces to the distinct (user, day) set
+    FIRST (one combinable shuffle — the matrix is a pure function of that
+    set, which also makes it incrementally maintainable, see
+    streaming/windows.py:streaming_user_days); then a combinable per-user
+    MIN, a co-partitioned agg-back join on user_id over the small
+    user-day table, and one distinct-count agg bounded by users ×
+    active-weeks. The cohort math itself is the shared
+    streaming/windows.py:retention_cohorts — ONE definition for the batch
+    query and the streaming ledger twin."""
+    from ..streaming.windows import retention_cohorts
+
     e = read_table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
-    j = e.join(firsts, "user_id").select(
-        "user_id",
-        "cohort_week",
-        (
-            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
-            / F.lit(7)
-        )
-        .cast("bigint")
-        .alias("week_offset"),
-    )
-    return (
-        j.groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct("user_id").alias("n_users"))
-        .select(
-            ms("cohort_week").alias("cohort_week_ms"), "week_offset", "n_users"
-        )
-        .orderBy("cohort_week_ms", "week_offset")
-    )
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    return retention_cohorts(ud)
 
 
 @query(

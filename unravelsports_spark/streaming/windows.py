@@ -561,6 +561,8 @@ def rolling_active_users(ud: DataFrame, window_days: int = 7) -> DataFrame:
     reduced activity table — never a range self-join), then one
     distinct-count aggregate keyed by day; output days are observed
     activity days only."""
+    from ..plans.relational import ms
+
     days = ud.select("day").distinct()
     fan = ud.select(
         "user_id",
@@ -573,10 +575,42 @@ def rolling_active_users(ud: DataFrame, window_days: int = 7) -> DataFrame:
         .groupBy("win_day")
         .agg(F.count_distinct("user_id").alias(f"active_users_{window_days}d"))
         .select(
-            F.unix_millis(F.col("win_day").cast("timestamp")).alias("day_ms"),
+            ms("win_day").alias("day_ms"),
             f"active_users_{window_days}d",
         )
         .orderBy("day_ms")
+    )
+
+
+def retention_cohorts(ud: DataFrame) -> DataFrame:
+    """Distinct (user_id, day) activity → (cohort_week_ms, week_offset,
+    n_users): the ONE definition of the cohort matrix, shared by the
+    certified `a20_retention_cohorts` batch query and the streaming ledger
+    path. Cohort week = Monday-truncated week of the user's first active
+    day (identical to the week of their first event); offsets divide a
+    day-diff of week-truncated dates by 7 — exact integers."""
+    from ..plans.relational import ms
+
+    firsts = ud.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("day")).alias("cohort_week")
+    )
+    j = ud.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("day")), F.col("cohort_week"))
+            / F.lit(7)
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            ms("cohort_week").alias("cohort_week_ms"), "week_offset", "n_users"
+        )
+        .orderBy("cohort_week_ms", "week_offset")
     )
 
 
@@ -635,31 +669,8 @@ def retention_cohorts_from_ledger(spark, ledger_dir: str) -> DataFrame:
     with no event-log re-scan: min(day) per user is the day of the user's
     earliest event, hence the same Monday-truncated cohort week a20
     derives from raw timestamps."""
-    ud = spark.read.parquet(ledger_dir).select("user_id", "day").distinct()
-    firsts = ud.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("day")).alias("cohort_week")
-    )
-    j = ud.join(firsts, "user_id").select(
-        "user_id",
-        "cohort_week",
-        (
-            F.datediff(F.date_trunc("week", F.col("day")), F.col("cohort_week"))
-            / F.lit(7)
-        )
-        .cast("bigint")
-        .alias("week_offset"),
-    )
-    return (
-        j.groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct("user_id").alias("n_users"))
-        .select(
-            F.unix_millis(F.col("cohort_week").cast("timestamp")).alias(
-                "cohort_week_ms"
-            ),
-            "week_offset",
-            "n_users",
-        )
-        .orderBy("cohort_week_ms", "week_offset")
+    return retention_cohorts(
+        spark.read.parquet(ledger_dir).select("user_id", "day").distinct()
     )
 
 
@@ -680,25 +691,35 @@ def streaming_funnel(df: DataFrame):
     import pandas as pd
 
     out_schema = "user_id long, stage int, t1_ms long, t2_ms long, t3_ms long"
+    # state carries NANOSECONDS: the chain comparisons must run at full
+    # timestamp resolution to match the batch a21 semantics (a click 500µs
+    # after the first view converts in batch; an ms-truncated compare
+    # would tie and reject it); ms only on emit
     state_schema = "t1 long, t2 long, t3 long"
 
     def fn(key, pdfs, state):
         t1, t2, t3 = state.get if state.exists else (None, None, None)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a group's micro-batch slice arrives as MULTIPLE Arrow chunks with
+        # no cross-chunk ordering guarantee — concatenate before the single
+        # sort or a >maxRecordsPerBatch user processes out of event-time
+        # order and corrupts the chained state
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for ts, et in zip(pdf["ts"], pdf["event_type"]):
-                ms_val = int(ts.value // 1_000_000)  # pandas ns → ms
+                ns = int(ts.value)
                 if et == "view" and t1 is None:
-                    t1 = ms_val
-                elif et == "click" and t1 is not None and t2 is None and ms_val > t1:
-                    t2 = ms_val
-                elif et == "purchase" and t2 is not None and t3 is None and ms_val > t2:
-                    t3 = ms_val
+                    t1 = ns
+                elif et == "click" and t1 is not None and t2 is None and ns > t1:
+                    t2 = ns
+                elif et == "purchase" and t2 is not None and t3 is None and ns > t2:
+                    t3 = ns
         state.update((t1, t2, t3))
         stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        to_ms = lambda v: None if v is None else v // 1_000_000  # noqa: E731
         yield pd.DataFrame(
             {"user_id": [key[0]], "stage": [stage],
-             "t1_ms": [t1], "t2_ms": [t2], "t3_ms": [t3]}
+             "t1_ms": [to_ms(t1)], "t2_ms": [to_ms(t2)], "t3_ms": [to_ms(t3)]}
         )
 
     return df.groupBy("user_id").applyInPandasWithState(
