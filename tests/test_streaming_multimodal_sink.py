@@ -1154,3 +1154,57 @@ def test_streaming_funnel_matches_certified_batch_query(spark, tmp_path):
         for r in QUERIES["a21_ordered_funnel"](spark, sf).collect()
     }
     assert got == want and got["view"] > 0
+
+
+def test_streaming_funnel_multichunk_group_ordering(spark, tmp_path):
+    """Regression for the per-chunk sort bug: with Arrow batches capped at
+    4 rows, a 12-event user arrives as MULTIPLE chunks; rows are written
+    in REVERSED event-time order so any per-chunk processing sees the
+    latest events first and corrupts the chained state. The concat-then-
+    sort implementation must still land the user on stage 3."""
+    import datetime as dt
+
+    from unravelsports_spark.streaming.windows import streaming_funnel
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 5, 1)
+    seq = ["view", "error", "click", "error", "purchase"] + ["error"] * 7
+    rows = [
+        (i + 1, base + dt.timedelta(hours=i), 1, et, )
+        for i, et in enumerate(seq)
+    ]
+    rows = rows[::-1]  # reversed event-time order in the file
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        final = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                final[r["user_id"]] = (r["stage"], r["t1_ms"], r["t2_ms"], r["t3_ms"])
+
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).parquet(src)
+        q = (
+            streaming_funnel(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    stage, t1, t2, t3 = final[1]
+    assert stage == 3
+    ms = lambda h: int((base + dt.timedelta(hours=h)).replace(  # noqa: E731
+        tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert (t1, t2, t3) == (ms(0), ms(2), ms(4))
