@@ -38,7 +38,39 @@ def main(spark, sf_dir: str) -> dict:
     rolling = QUERIES["w12_sliding_distinct_users"](spark, sf_dir).collect()
     peak_7d = max(r["active_users_7d"] for r in rolling)
 
+    # 5. the same metrics INCREMENTALLY: stream the event log in two
+    # micro-batches into the user-day ledger; retention and rolling
+    # actives then come from the tiny ledger, never a log re-scan —
+    # and must equal the batch answers exactly
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.streaming.windows import (
+        retention_cohorts_from_ledger,
+        rolling_active_users_from_ledger,
+        streaming_user_days,
+    )
+
+    work = tempfile.mkdtemp(prefix="event_ledger_")
+    src, ledger, ckpt = f"{work}/src", f"{work}/ledger", f"{work}/ckpt"
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    for half in (events.filter(F.col("user_id") % 2 == 0),
+                 events.filter(F.col("user_id") % 2 == 1)):
+        half.write.mode("append").parquet(src)
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+        q = streaming_user_days(stream, ledger, ckpt).start()
+        q.awaitTermination(120)
+    led_rolling = rolling_active_users_from_ledger(spark, ledger).collect()
+    led_cohorts = retention_cohorts_from_ledger(spark, ledger).collect()
+    streaming_matches = (
+        sorted(map(tuple, led_rolling)) == sorted(map(tuple, rolling))
+        and sorted(map(tuple, led_cohorts)) == sorted(map(tuple, cohorts))
+    )
+
     return {
+        "streaming_matches_batch": streaming_matches,
         "n_sessions": n_sessions,
         "funnel": funnel,
         "cohort_week0_users": week0,

@@ -43,3 +43,4 @@ def test_event_analytics_example(spark):
     assert out["cohort_week0_users"] > 0
     assert out["peak_7d_active"] > 0
     assert out["days_observed"] > 0
+    assert out["streaming_matches_batch"] is True
