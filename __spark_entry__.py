@@ -23,30 +23,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01..
-# r06). The driver checks a bounded prefix of this dict, so enumerate
+# r07). The driver checks a bounded prefix of this dict, so enumerate
 # never-certified queries first to widen certification breadth; no keys are
-# renamed. Round-7 ROTATION: the window re-certifies, in order of risk,
-# (a) the seven queries whose plans changed in round 6 without a hash check
-# (ADVICE r6 #2: d_pagerank, d_pair_degrees, d_triangle_count,
-# d_cluster_keep_best, t_bigram_pmi, t_unigram_logprob, t_vocab_top100),
-# (b) every query round 7 touches (the with_lang_id SQL-builder refactor
-# users t_langid_confusion / t_corpus_prep_e2e / t_prep_to_shards_e2e /
-# t_full_pipeline_e2e, and the empty-doc-excluding d_mllib_minhash_join),
-# plus the pq.py perf-rewrite consumers (single-pass _round_stats, fused
-# seed/dim collect: s_ann_pq, s_ann_ivfpq, s_ann_ivfpq_residual,
-# s_kmeans_fit, s_ann_recall) and the new r7 queries
-# (FOURTEEN counting mm_image_dhash_dedup:
-# t_hybrid_rrf, t_ngram_novelty, d_label_communities, d_cdc_chunks,
-# d_containment_top_pairs + d_cross_source_overlap, d_kcore_peeling,
-# a20_retention_cohorts + a21_ordered_funnel, q3_shipping_priority +
-# q5_local_supplier_volume + q18_large_volume_customer,
-# w12_sliding_distinct_users, mm_image_dhash_dedup), and (c) 16 of the
-# 37 remaining r3-cohort greens — the oldest certifications left.
-# Round-8 rotation debt, counted exactly: 21 r3 leftovers (the block at
-# the end of this set)
-# AND the 22 standing r4-cohort greens (s_ann_mllib_brp through
-# d_semantic_contamination below) are the pre-r5 certs still standing —
-# rotate the r3 block plus the oldest r4 entries next round.
+# renamed. Round-8 ROTATION (VERDICT r7 action #1, executed exactly): the
+# 44 hash-green r7 keys (CORRECTNESS_r07.json) ENTER this set; the 24
+# r3-leftover keys (mm_gif_real .. j9_interval_join block) and the 22
+# standing r4-cohort keys (s_ann_mllib_brp .. d_semantic_contamination)
+# LEAVE it, so the round-8 window re-certifies the oldest standing hashes
+# — the codec / streaming-native-window / asof / JSON / sketch paths last
+# driver-hashed in r3/r4. 46 stale + up to 4 new r8 queries fill the
+# 50-slot window; the six rows-only model checks (m_pressing_intensity ..
+# m_graph_convert_delaunay) sit at priority 1 behind them this round —
+# each was rows-green in r07 AND carries a hash-certified m_*_cells twin,
+# so pushing them past slot 50 for one round loses nothing.
 _CERTIFIED = frozenset(
     {
         # r6 green (CORRECTNESS_r06.json), untouched by round-7 changes
@@ -78,44 +67,23 @@ _CERTIFIED = frozenset(
         "p7_sign_flip", "p8_bool_derive", "j1_dim_join", "j2_agg_back_join",
         "j3_semi_join", "j4_anti_join", "j5_enrich_revenue", "j7_distinct_join",
         "a2_distinct_count", "a3_group_stats", "a4_argmin_in_group",
-        # r4 green (CORRECTNESS_r04.json), minus the ADVICE r6 rotation set
-        "s_ann_mllib_brp",
-        "a9_approx_distinct", "f12_array_agg_sorted", "a16_profile",
-        "w10_moving_avg", "o15_morton_key", "j10_full_outer",
-        "st_session_window_native", "f14_variant_json", "f15_sql_text",
-        "t_bm25_topk",
-        "d_countmin_heavyhitters", "d_dup_spans",
-        "t_mixture_temperature",
-        "d_semdedup_lsh",
-        "m_pi_cells", "m_graph_cells", "m_delaunay_cells",
-        "m_af_cells", "t_corpus_kl",
-        "d_bloom_decontamination",
-        "d_semantic_contamination",
-        # r3 leftovers (rotate in round 8; d_minhash_accuracy,
-        # a17_sortedness, a18_outliers and j9_interval_join deferred to
-        # make window room for the new t_hybrid_rrf / t_ngram_novelty /
-        # d_label_communities / d_cdc_chunks certifications;
-        # mm_gif_real / mm_video_real likewise deferred for the new
-        # d_containment_top_pairs / d_cross_source_overlap, and
-        # mm_decode_stats / mm_decode_real / mm_audio_real for the new
-        # d_kcore_peeling / a20_retention_cohorts / a21_ordered_funnel,
-        # st_sliding_window / st_session_window for the new TPC-H
-        # q3_shipping_priority / q5_local_supplier_volume, and
-        # j8f_asof_forward for the new w12_sliding_distinct_users, and
-        # f9_json_extract for the new q18_large_volume_customer and
-        # o12_row_synthesis for the new mm_image_dhash_dedup — the
-        # codec, streaming-native-window, asof and JSON paths are
-        # untouched since r3/r4 (j8_asof_join holds an r6 green on the
-        # shared asof operator; f14_variant_json an r4 green on the JSON
-        # surface) and stay pinned by the pytest oracle suite meanwhile)
-        "mm_gif_real", "mm_video_real",
-        "mm_decode_stats", "mm_decode_real", "mm_audio_real",
-        "st_sliding_window", "st_session_window", "j8f_asof_forward",
-        "f9_json_extract", "o12_row_synthesis",
-        "a14_cube", "d_edit_distance", "f11_string_agg", "f13_bitwise_agg",
-        "w8_rank_distributions", "a13_rollup", "o14_pivot", "a12_corr_exact",
-        "a11_histogram", "o13_reservoir_sample", "d_minhash_accuracy",
-        "a17_sortedness", "a18_outliers", "j9_interval_join",
+        # r7 green (CORRECTNESS_r07.json, all 44 hash-exact): the ADVICE-r6
+        # rotation seven, every query the r7 langid/pq/mllb-lsh rewrites
+        # touched, the fourteen new r7 queries, and 16 recycled r3 greens.
+        "t_langid_confusion", "d_mllib_minhash_join", "mm_image_dhash_dedup",
+        "j6_label_join", "t_bpe_token_stats", "t_pii_scrub", "t_url_domains",
+        "d_contamination", "k_salted_agg", "t_tfidf_terms", "t_vocab_top100",
+        "t_domain_mixture", "a10_quantiles", "s_kmeans_assign", "t_sentences",
+        "t_chunking", "d_pair_degrees", "w11_scd2_intervals",
+        "d_triangle_count", "t_bigram_pmi", "a20_retention_cohorts",
+        "a21_ordered_funnel", "q3_shipping_priority",
+        "q5_local_supplier_volume", "w12_sliding_distinct_users",
+        "q18_large_volume_customer", "t_unigram_logprob", "t_corpus_prep_e2e",
+        "d_cluster_keep_best", "d_pagerank", "s_ann_pq",
+        "s_ann_ivfpq_residual", "s_ann_ivfpq", "t_prep_to_shards_e2e",
+        "s_kmeans_fit", "s_ann_recall", "t_full_pipeline_e2e", "t_hybrid_rrf",
+        "t_ngram_novelty", "d_label_communities", "d_kcore_peeling",
+        "d_cdc_chunks", "d_containment_top_pairs", "d_cross_source_overlap",
     }
 )
 

@@ -1125,9 +1125,12 @@ def test_streaming_funnel_matches_certified_batch_query(spark, tmp_path):
     ]
     final = {}
 
+    ooo = {}
+
     def sink(batch_df, batch_id):
         for r in batch_df.collect():
             final[r["user_id"]] = r["stage"]  # update mode: last write wins
+            ooo[r["user_id"]] = r["ooo_events"]  # cumulative; last write wins
 
     for c in chunks:
         c.write.mode("append").parquet(src)
@@ -1154,6 +1157,9 @@ def test_streaming_funnel_matches_certified_batch_query(spark, tmp_path):
         for r in QUERIES["a21_ordered_funnel"](spark, sf).collect()
     }
     assert got == want and got["view"] > 0
+    # event-time-ordered delivery: the ooo detector must stay silent,
+    # certifying this run exact vs the batch twin (ADVICE r7 #1)
+    assert all(v == 0 for v in ooo.values())
 
 
 def test_streaming_funnel_multichunk_group_ordering(spark, tmp_path):
@@ -1208,3 +1214,50 @@ def test_streaming_funnel_multichunk_group_ordering(spark, tmp_path):
     ms = lambda h: int((base + dt.timedelta(hours=h)).replace(  # noqa: E731
         tzinfo=dt.timezone.utc).timestamp() * 1000)
     assert (t1, t2, t3) == (ms(0), ms(2), ms(4))
+
+
+def test_streaming_funnel_flags_out_of_order_arrival(spark, tmp_path):
+    """ADVICE r7 #1: a user whose view arrives in a LATER micro-batch than
+    their click (broken event-time-order contract) must be observably
+    flagged via ooo_events > 0 — previously the divergence from the batch
+    a21 twin was silent. User 2 delivers in order and must stay at 0."""
+    import datetime as dt
+
+    from unravelsports_spark.streaming.windows import streaming_funnel
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 5, 1)
+    t = lambda h: base + dt.timedelta(hours=h)  # noqa: E731
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    # batch 1: user 1's click at h=5 (their view exists at h=1 but is late);
+    # user 2's view at h=1 (in order)
+    b1 = [(10, t(5), 1, "click"), (20, t(1), 2, "view")]
+    # batch 2: user 1's LATE view (ts before the already-processed click);
+    # user 2's click at h=6 (in order)
+    b2 = [(11, t(1), 1, "view"), (21, t(6), 2, "click")]
+    final = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = (r["stage"], r["ooo_events"])
+
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            streaming_funnel(spark.readStream.schema(schema).parquet(src))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stage1, ooo1 = final[1]
+    stage2, ooo2 = final[2]
+    assert ooo1 == 1  # the late view is counted, divergence is observable
+    assert stage1 == 1  # late view folds in (no view yet) but click was lost
+    assert (stage2, ooo2) == (2, 0)  # in-order user: exact, unflagged

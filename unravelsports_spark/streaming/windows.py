@@ -685,20 +685,36 @@ def streaming_funnel(df: DataFrame):
     seeing all history at once). Exactly-once replays are handled by the
     streaming checkpoint, not user code.
 
-    State is three scalars per user — bounded regardless of event volume —
+    The ordering assumption is ENFORCED observably (ADVICE r7 #1): state
+    also carries the last-processed event timestamp, and every event that
+    arrives with ts earlier than it — i.e. an event a prior micro-batch
+    should have seen first — increments the emitted ``ooo_events``
+    counter. A nonzero count marks exactly the users whose funnel may
+    diverge from the batch a21 twin, so divergence is detectable
+    (``SUM(ooo_events) == 0`` certifies the run exact) instead of silent.
+    Late events still fold into the chain when the chain state allows it
+    (e.g. a late view for a user with no view yet), so the flag is a
+    may-diverge marker, not an exactness refutation.
+
+    State is five scalars per user — bounded regardless of event volume —
     which is what makes the funnel streamable at firehose scale; the batch
     twin (a21_ordered_funnel) recomputes from scratch instead."""
     import pandas as pd
 
-    out_schema = "user_id long, stage int, t1_ms long, t2_ms long, t3_ms long"
+    out_schema = (
+        "user_id long, stage int, t1_ms long, t2_ms long, t3_ms long, "
+        "ooo_events long"
+    )
     # state carries NANOSECONDS: the chain comparisons must run at full
     # timestamp resolution to match the batch a21 semantics (a click 500µs
     # after the first view converts in batch; an ms-truncated compare
     # would tie and reject it); ms only on emit
-    state_schema = "t1 long, t2 long, t3 long"
+    state_schema = "t1 long, t2 long, t3 long, last_ns long, ooo long"
 
     def fn(key, pdfs, state):
-        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        t1, t2, t3, last_ns, ooo = (
+            state.get if state.exists else (None, None, None, None, 0)
+        )
         # a group's micro-batch slice arrives as MULTIPLE Arrow chunks with
         # no cross-chunk ordering guarantee — concatenate before the single
         # sort or a >maxRecordsPerBatch user processes out of event-time
@@ -708,18 +724,25 @@ def streaming_funnel(df: DataFrame):
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for ts, et in zip(pdf["ts"], pdf["event_type"]):
                 ns = int(ts.value)
+                if last_ns is not None and ns < last_ns:
+                    # a PRIOR batch already processed a later event: the
+                    # in-order contract is broken for this user
+                    ooo += 1
                 if et == "view" and t1 is None:
                     t1 = ns
                 elif et == "click" and t1 is not None and t2 is None and ns > t1:
                     t2 = ns
                 elif et == "purchase" and t2 is not None and t3 is None and ns > t2:
                     t3 = ns
-        state.update((t1, t2, t3))
+            # batch slice is sorted, so its max ts is the last row's
+            last_ns = ns if last_ns is None else max(last_ns, ns)
+        state.update((t1, t2, t3, last_ns, ooo))
         stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
         to_ms = lambda v: None if v is None else v // 1_000_000  # noqa: E731
         yield pd.DataFrame(
             {"user_id": [key[0]], "stage": [stage],
-             "t1_ms": [to_ms(t1)], "t2_ms": [to_ms(t2)], "t3_ms": [to_ms(t3)]}
+             "t1_ms": [to_ms(t1)], "t2_ms": [to_ms(t2)], "t3_ms": [to_ms(t3)],
+             "ooo_events": [ooo]}
         )
 
     return df.groupBy("user_id").applyInPandasWithState(
