@@ -266,6 +266,13 @@ def test_mp4_sample_entry_signals_mjpeg(tmp_path):
     es = raw[j + 4 + 4:]
     assert es[0] == 0x03 and es[8] == 0x04
     assert es[13] == 0x6C
+    # DecoderConfig payload: OTI(1) streamType(1) bufferSizeDB(3)
+    # maxBitrate(4) avgBitrate(4) — maxBitrate is the peak-second bound
+    # (max_frame*8*fps), strictly >= avgBitrate (ADVICE r7 #4)
+    max_rate = struct.unpack(">I", es[18:22])[0]
+    avg_rate = struct.unpack(">I", es[22:26])[0]
+    assert max_rate == len(frames[0]) * 8 * 25
+    assert max_rate >= avg_rate > 0
 
 
 def test_mp4_refuses_empty(tmp_path):

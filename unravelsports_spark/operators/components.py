@@ -163,6 +163,18 @@ def kcore_peel(
     1.7 s at sf0.1). The edge list is the LSH candidate set, orders
     smaller than the corpus, so a bounded number of checkpoint actions
     is driver-trivial.
+
+    Cluster caveat (ADVICE r7 #3, same trade as connected_components):
+    eager localCheckpoint runs jobs at plan-construction time and stores
+    blocks NON-reliably — losing an executor after a round checkpoints
+    fails the query (lineage is truncated, Spark cannot recompute) and it
+    must be rerun from the start. That is the right default here: the
+    checkpointed frames are candidate-set-sized, rounds are few, and a
+    rerun is cheap relative to reliable-checkpoint I/O per round. For
+    very long cluster runs, set ``spark.sparkContext.setCheckpointDir``
+    and swap ``localCheckpoint(eager=True)`` for ``checkpoint(
+    eager=True)`` to trade per-round HDFS writes for executor-loss
+    resilience.
     """
     edges = _sym(
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))

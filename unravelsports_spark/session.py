@@ -106,10 +106,19 @@ def widen_narrow_scan(df):
     wide scan, so the 100 TB plan is unchanged.
 
     ``getNumPartitions`` compiles the plan to an RDD but launches no job.
+    Classic-API only (ADVICE r7 #2): ``df.rdd`` and ``sparkContext`` are
+    unsupported under Spark Connect, so a Connect session degrades to the
+    identity pass-through — correctness is unaffected (this helper is a
+    pure parallelism hint) and a Connect deployment is a real multi-node
+    cluster where the scan is already wide.
     """
-    sc = df.sparkSession.sparkContext
-    par = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        sc = df.sparkSession.sparkContext
+        par = sc.defaultParallelism
+        narrow = df.rdd.getNumPartitions() < par
+    except Exception:  # Spark Connect: no sparkContext / RDD bridge
+        return df
+    if narrow:
         return df.repartition(par)
     return df
 

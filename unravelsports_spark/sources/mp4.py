@@ -39,7 +39,7 @@ def _desc(tag: int, payload: bytes) -> bytes:
     ) + payload
 
 
-def _esds(max_frame: int, avg_rate: int) -> bytes:
+def _esds(max_frame: int, avg_rate: int, max_rate: int) -> bytes:
     dec_cfg = _desc(
         0x04,
         struct.pack(
@@ -48,7 +48,7 @@ def _esds(max_frame: int, avg_rate: int) -> bytes:
             (0x04 << 2) | 1,   # streamType visual | reserved bit
             (max_frame >> 16) & 0xFF,
             max_frame & 0xFFFF,  # bufferSizeDB (24-bit)
-            avg_rate,
+            max_rate,          # maxBitrate: peak one-second window >= avg
             avg_rate,
         ),
     )
@@ -57,7 +57,9 @@ def _esds(max_frame: int, avg_rate: int) -> bytes:
     return _full(b"esds", 0, 0, es)
 
 
-def _sample_entry(width: int, height: int, max_frame: int, avg_rate: int) -> bytes:
+def _sample_entry(
+    width: int, height: int, max_frame: int, avg_rate: int, max_rate: int
+) -> bytes:
     name = b"MJPEG in MP4"
     compressor = bytes([len(name)]) + name + b"\x00" * (31 - len(name))
     payload = (
@@ -70,7 +72,7 @@ def _sample_entry(width: int, height: int, max_frame: int, avg_rate: int) -> byt
         + struct.pack(">H", 1)           # frame_count
         + compressor
         + struct.pack(">Hh", 0x0018, -1)  # depth, pre_defined
-        + _esds(max_frame, avg_rate)
+        + _esds(max_frame, avg_rate, max_rate)
     )
     return _box(b"mp4v", payload)
 
@@ -92,6 +94,11 @@ def write_mjpeg_mp4(
     n = len(frames)
     max_frame = max(len(f) for f in frames)
     avg_rate = (sum(len(f) for f in frames) * 8 * fps) // n
+    # maxBitrate = the peak one-second window, bounded above by the largest
+    # frame repeated for a second (exact for fps=1; a safe upper bound
+    # otherwise, and always >= avgBitrate as strict validators require —
+    # ADVICE r7 #4: previously avg_rate was written in both fields)
+    max_rate = max_frame * 8 * fps
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mdat_payload = b"".join(frames)
@@ -106,7 +113,7 @@ def write_mjpeg_mp4(
 
     stbl = _box(
         b"stbl",
-        _full(b"stsd", 0, 0, struct.pack(">I", 1) + _sample_entry(width, height, max_frame, avg_rate))
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + _sample_entry(width, height, max_frame, avg_rate, max_rate))
         + _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
         + _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
         + _full(b"stsz", 0, 0, struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames))
