@@ -81,7 +81,11 @@ _CERTIFIED = frozenset(
         "q18_large_volume_customer", "t_unigram_logprob", "t_corpus_prep_e2e",
         "d_cluster_keep_best", "d_pagerank", "s_ann_pq",
         "s_ann_ivfpq_residual", "s_ann_ivfpq", "t_prep_to_shards_e2e",
-        "s_kmeans_fit", "s_ann_recall", "t_full_pipeline_e2e", "t_hybrid_rrf",
+        # t_hybrid_rrf was r7-green but is NOT certified-exempt: the
+        # round-8 bm25_scores rewrite (regexp_count tf/dl + driver-side
+        # stats literals) changes its plan, so it re-certifies this round
+        # alongside t_bm25_topk (the other bm25_scores consumer).
+        "s_kmeans_fit", "s_ann_recall", "t_full_pipeline_e2e",
         "t_ngram_novelty", "d_label_communities", "d_kcore_peeling",
         "d_cdc_chunks", "d_containment_top_pairs", "d_cross_source_overlap",
     }

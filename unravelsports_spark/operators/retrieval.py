@@ -24,6 +24,7 @@ double.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -34,6 +35,9 @@ from .dedup import hash64
 
 #: tokenizer shared with TF-IDF / vocab (operators/vocab.py): ASCII word runs
 TOKEN_RE = "[a-z0-9]+"
+
+#: a query term can equal a tokenizer output iff it IS one lowercase token
+_TOKEN_EXACT = re.compile(r"[a-z0-9]+\Z")
 
 
 def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -89,15 +93,22 @@ def bm25_scores(
     4× costs more than the recompute it saves — measured 0.69→1.27 s at
     sf0.1). The query-term set is small and fixed, so BM25 goes *wide*:
 
-    1. one tokenize projection per doc → (dl = size(tokens),
-       tf_i = size(filter(tokens, = term_i)) for each of the |Q| terms) —
-       pure Catalyst projections, no explode; cached, but the cache is
-       n_docs × (|Q|+2) ints — thousands of times smaller than the corpus;
+    1. one codegen projection per doc → (dl = regexp_count(tokens),
+       tf_i = anchored regexp_count over ONE union-pattern match string
+       for each of the |Q| terms — round-8 rewrite: interpreted
+       size(filter(tokens)) HOFs re-evaluated the tokenizing regex |Q|+1
+       times per doc and walked arrays in interpreted steps); cached, but
+       the cache is n_docs × (|Q|+2) ints — thousands of times smaller
+       than the corpus;
     2. one 1-row aggregation over that cache (n_docs, Σdl, doc_freq_i via
-       conditional counts) → broadcast;
-    3. scoring is a pure projection over the same cache joined to the
-       broadcast stats row — per-term scores summed wide via exact DECIMAL
-       addition (associative, engine-identical).
+       conditional counts), collected driver-side — |Q|+2 ints of driver
+       state, cheaper than the broadcast-exchange job chain it replaces;
+    3. scoring is a single pure projection over the same cache with the
+       stats inlined as literals (one SQL string: plan build was the
+       dominant cost at |Q| terms × ~20 py4j calls each) — per-term scores
+       summed wide via exact DECIMAL addition (associative,
+       engine-identical, bit-identical to the former broadcast-join
+       formulation: same JVM ln/round/divide tree on the same values).
 
     Only docs containing ≥1 query term appear (absent terms contribute 0 on
     both engines). At 100 TB: one streaming scan builds the compact per-doc
@@ -106,22 +117,57 @@ def bm25_scores(
     terms = [str(t) for t in query_terms]
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    # tf/dl via codegen regexp_count, never interpreted HOFs (round-8
+    # rewrite of the round-4 wide plan: F.size(F.filter(tokens, ==t)) per
+    # term evaluated the tokenizing regexp_extract_all |Q|+1 times per doc
+    # — codegen subexpression elimination does not reach inside
+    # interpreted lambda expressions — and walked the token array in
+    # Python-shaped interpreted steps; measured 2.1 → sub-second wall for
+    # t_hybrid_rrf at sf0.1). Counts are provably identical: a token
+    # equals term t  <=>  the lowered text contains t with no [a-z0-9] on
+    # either side (TOKEN_RE is the maximal [a-z0-9]+ run), so the anchored
+    # count over ONE union-pattern match extraction — the langid
+    # union-pattern discipline, operators/text.py — equals the token
+    # filter count. A term that is not itself a single lowercase token can
+    # never equal any tokenizer output: its tf is the literal 0.
+    matchable = [t for t in terms if _TOKEN_EXACT.fullmatch(t)]
+    lowered = df.select(id_col, F.lower(F.col(text_col)).alias("_lc"))
+    if matchable:
+        union_pat = (
+            "(?<![a-z0-9])(?:" + "|".join(sorted(matchable, key=len, reverse=True))
+            + ")(?![a-z0-9])"
+        )
+        # hoisted named column: referenced once per term below, and
+        # CollapseProject never inlines a non-cheap multi-referenced alias
+        lowered = lowered.withColumn(
+            "_qm",
+            F.array_join(
+                F.regexp_extract_all(F.col("_lc"), F.lit(union_pat), 0), " "
+            ),
+        )
 
     def tf_of(term: str):
-        # closure factory, NOT a default-arg lambda: a two-parameter lambda
-        # would be bound by F.filter as (element, index)
-        return F.size(F.filter(arr, lambda x: x == F.lit(term))).cast("long")
+        if term not in matchable:
+            return F.lit(0).cast("long")
+        pat = f"(?<![a-z0-9]){term}(?![a-z0-9])"
+        return F.regexp_count(F.col("_qm"), F.lit(pat)).cast("long")
 
     per_doc = tracked_persist(
-        df.select(
+        lowered.select(
             id_col,
-            F.size(arr).cast("long").alias("dl"),
+            F.regexp_count(F.col("_lc"), F.lit(TOKEN_RE)).cast("long").alias("dl"),
             *[tf_of(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
         )
     )
     if corpus_stats is None:
-        stats = per_doc.agg(
+        # ONE 1-row aggregation over the compact cached per-doc table,
+        # collected driver-side (round-8: the former broadcast-join of the
+        # stats row cost a broadcast-exchange job chain per consumer; three
+        # ints per term of driver state replaces it). Scoring below inlines
+        # the integers as literals — the JVM evaluates the IDENTICAL
+        # ln/round/divide expression tree on identical values, so scores
+        # are bit-for-bit the same as the broadcast formulation.
+        srow = per_doc.agg(
             F.count("*").alias("n_docs"),
             F.sum("dl").alias("sum_dl"),
             *[
@@ -130,61 +176,60 @@ def bm25_scores(
                 .alias(f"df_{i}")
                 for i in range(len(terms))
             ],
-        )
+        ).collect()[0]  # collect, not first(): executeTake on an agg adds a job
+        n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"])
+        dfs_list = [int(srow[f"df_{i}"]) for i in range(len(terms))]
     else:
         # incremental-index mode: (n_docs, sum_dl, {term: df}) supplied
         # externally — e.g. summed from the streaming term-stats ledger
-        # (streaming/windows.py:streaming_term_stats). The stats row has
-        # the identical schema and integer values, so scoring is
-        # bit-identical to the self-computed path; the scored frame can be
-        # any subset (a fresh batch) while idf/avgdl reflect the whole
+        # (streaming/windows.py:streaming_term_stats). Identical integer
+        # inputs → bit-identical scoring; the scored frame can be any
+        # subset (a fresh batch) while idf/avgdl reflect the whole
         # indexed corpus.
         n_docs, sum_dl, dfs = corpus_stats
-        if int(n_docs) <= 0:
+        n_docs, sum_dl = int(n_docs), int(sum_dl)
+        if n_docs <= 0:
             # an empty index would make norm_len a NULL-producing 0/0 and
             # every score silently coalesce to 0.000000 — fail loudly
             raise ValueError(
                 "corpus_stats has n_docs <= 0 (empty index) — ingest at "
                 "least one batch before scoring against the ledger"
             )
-        stats = df.sparkSession.createDataFrame(
-            [tuple([int(n_docs), int(sum_dl)] + [int(dfs.get(t, 0)) for t in terms])],
-            "n_docs long, sum_dl long, "
-            + ", ".join(f"df_{i} long" for i in range(len(terms))),
-        )
-    scored = per_doc.crossJoin(F.broadcast(stats))
+        dfs_list = [int(dfs.get(t, 0)) for t in terms]
 
-    def term_score(i: int):
-        tf = F.col(f"tf_{i}")
-        idf = F.round(
-            F.log(
-                (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-                / (F.col(f"df_{i}") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
-            6,
-        )
-        norm_len = F.col("dl") * F.col("n_docs") / F.col("sum_dl")
-        denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * norm_len)
-        return F.when(
-            tf > 0, F.round(idf * (tf * F.lit(k1 + 1.0)) / denom, 6)
-        ).otherwise(F.lit(None))
+    # scoring assembled as ONE SQL string (the ~0.5 ms/py4j-call build tax
+    # measured in round 7 made plan construction the dominant cost of this
+    # operator at bench scale). Every float literal is CAST(.. AS DOUBLE)
+    # — a bare SQL decimal literal would switch the arithmetic from double
+    # to DECIMAL and change values. (n_docs - df) + 0.5 folds in Python:
+    # int→double conversion and the +0.5 follow the same IEEE rules as the
+    # JVM's long→double, so the folded literal is the identical double.
+    def dbl(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
 
-    score_cols = [term_score(i).cast("decimal(18,6)") for i in range(len(terms))]
-    total = score_cols[0] if len(score_cols) == 1 else sum(
-        (F.coalesce(c, F.lit(0).cast("decimal(18,6)")) for c in score_cols[1:]),
-        F.coalesce(score_cols[0], F.lit(0).cast("decimal(18,6)")),
+    score_sqls, match_sqls = [], []
+    for i, dfi in enumerate(dfs_list):
+        idf = f"ROUND(LN({dbl((n_docs - dfi) + 0.5)} / {dbl(dfi + 0.5)} + {dbl(1.0)}), 6)"
+        norm = f"dl * {n_docs} / {sum_dl}"
+        denom = f"tf_{i} + {dbl(k1)} * ({dbl(1.0)} - {dbl(b)} + {dbl(b)} * ({norm}))"
+        s = (
+            f"CASE WHEN tf_{i} > 0 THEN "
+            f"ROUND({idf} * (tf_{i} * {dbl(k1 + 1.0)}) / ({denom}), 6) END"
+        )
+        score_sqls.append(f"CAST({s} AS DECIMAL(18,6))")
+        match_sqls.append(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)")
+    zero = "CAST(0 AS DECIMAL(18,6))"
+    total_sql = (
+        score_sqls[0]
+        if len(score_sqls) == 1
+        else " + ".join(f"COALESCE({s}, {zero})" for s in score_sqls)
     )
-    matched = [F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0) for i in range(len(terms))]
-    n_matched = sum(matched[1:], matched[0]).cast("long")
-    return (
-        scored.filter(n_matched > 0)
-        .select(
-            id_col,
-            n_matched.alias("n_terms_matched"),
-            F.col("dl"),
-            F.round(total.cast("double"), 6).alias("bm25"),
-        )
+    n_matched_sql = " + ".join(match_sqls)
+    return per_doc.where(f"({n_matched_sql}) > 0").selectExpr(
+        f"`{id_col}`",
+        f"CAST({n_matched_sql} AS BIGINT) AS n_terms_matched",
+        "dl",
+        f"ROUND(CAST({total_sql} AS DOUBLE), 6) AS bm25",
     )
 
 

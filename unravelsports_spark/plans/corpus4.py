@@ -1186,7 +1186,7 @@ def t_hybrid_rrf(spark, sf_dir):
     so the fused ordering is engine-exact.
 
     Scale shape: the lexical side is the certified zero-explode BM25 plan
-    (compact per-doc stats + broadcast 1-row corpus agg +
+    (compact per-doc stats + 1-row corpus agg collected driver-side +
     TakeOrderedAndProject); the dense side is ONE _cosine_vs_refs Arrow
     pass against the O(1) query panel + TakeOrderedAndProject. Ranks
     materialize on the two ≤20-row lists (row_number windows AFTER the
@@ -1205,7 +1205,7 @@ def t_hybrid_rrf(spark, sf_dir):
         bm25_scores(d, list(BM25_TERMS)), "bm25", "doc_id", _RRF_DEPTH, "r_lex"
     )
     e = _emb(spark, sf_dir)
-    qrow = e.orderBy("vec_id").limit(1).select("vec_id", "v").first()
+    qrow = e.orderBy("vec_id").limit(1).select("vec_id", "v").collect()[0]
     densek = rank_topk(
         _cosine_vs_refs(e, [(qrow["vec_id"], list(qrow["v"]))], ref_id_name="qid")
         .withColumnRenamed("vec_id", "doc_id"),

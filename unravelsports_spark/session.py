@@ -67,10 +67,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     timestamps regardless of the host timezone.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _TABLE_CACHE[key] = df
+    return df
+
+
+#: analyzed-DataFrame reuse per (session, dir, table): parquet schema
+#: inference launches a footer-read JOB at DataFrame creation, so a
+#: registry sweep that re-reads the same ten tables per query pays
+#: hundreds of footer jobs. DataFrames are immutable lazy plans — reusing
+#: one across queries changes nothing downstream. Keyed BY the session
+#: object: a stopped/recreated session is a new key (stale entries are a
+#: few plan objects, freed with the session). Tests that rewrite a
+#: parquet path mid-session must call ``read_table_cache_clear()``.
+_TABLE_CACHE: dict = {}
+
+
+def read_table_cache_clear() -> None:
+    _TABLE_CACHE.clear()
 
 
 def normalize_events_ts(df):
