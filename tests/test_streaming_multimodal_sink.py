@@ -169,6 +169,105 @@ def test_graph_sink_roundtrip(spark, tmpdir):
     assert len(g["object_ids"]) == 23
 
 
+def test_graph_overlay_rendering_byte_stable(spark, tmp_path):
+    """VERDICT r7 #3: adjacency edges from the converter's `a` matrix drawn
+    on the pitch — edge alpha by weight, node color by team (static or
+    ball-owning), byte-stable renders, MP4 round-trip."""
+    from unravelsports_spark.functions.imagecodec import decode_png
+    from unravelsports_spark.functions.jpegcodec import decode_jpeg
+    from unravelsports_spark.sources.media import (
+        COLOR_AWAY,
+        COLOR_EDGE,
+        COLOR_HOME,
+        COLOR_PITCH,
+        collect_frame,
+        render_frame,
+        render_graph_overlay,
+        to_graph_mp4,
+        to_graph_png,
+    )
+    from unravelsports_spark.sources.mp4 import read_mjpeg_mp4
+
+    tracking = synthetic_tracking_df(spark, n_frames=4, seed=7)
+    gdf = SoccerGraphConverter(
+        tracking, GraphSettings(home_team_id=HOME, away_team_id=AWAY)
+    ).to_graph_frames()
+    graphs = list(iter_graph_tuples(gdf.orderBy("frame_id").limit(2)))
+    g = graphs[0]
+    assert g["game_id"] == "game_0"
+    assert g["ball_owning_team_id"] in (HOME, AWAY)
+
+    # byte-stable: two renders of the same graph row → identical PNG bytes
+    p1 = to_graph_png(tracking, g, str(tmp_path / "o1.png"),
+                      home_team_id=HOME, edge_max_alpha=1.0)
+    p2 = to_graph_png(tracking, g, str(tmp_path / "o2.png"),
+                      home_team_id=HOME, edge_max_alpha=1.0)
+    b1 = open(p1, "rb").read()
+    assert b1 == open(p2, "rb").read() and len(b1) > 0
+
+    # at alpha=1 edges paint the exact edge color; the plain (graph-free)
+    # render of the same frame must NOT contain it
+    img = decode_png(b1)
+    colors = {tuple(c) for c in np.unique(img.reshape(-1, 3), axis=0)}
+    assert COLOR_EDGE in colors
+    assert COLOR_HOME in colors and COLOR_AWAY in colors
+    staged = collect_frame(tracking, "game_0", int(g["frame_id"]))
+    plain = render_frame(staged, home_team_id=HOME)
+    plain_colors = {tuple(c) for c in np.unique(plain.reshape(-1, 3), axis=0)}
+    assert COLOR_EDGE not in plain_colors
+
+    # edge alpha scales with weight: a hand-built 3-node frame with edge
+    # weights 1.0 and 0.5 must blend COLOR_EDGE onto the pitch at the full
+    # and half alpha respectively (checked at the exact midpoint pixels)
+    staged2 = {
+        "id": ["p1", "p2", "p3"],
+        "team_id": [HOME, HOME, AWAY],
+        "x": np.array([-10.0, 0.0, 10.0]),
+        "y": np.array([5.0, -5.0, 5.0]),
+        "vx": np.zeros(3),
+        "vy": np.zeros(3),
+    }
+    a = np.array([[0, 1.0, 0], [1.0, 0, 0.5], [0, 0.5, 0]])
+    alpha = 0.8
+    img2 = render_graph_overlay(staged2, a, ["p1", "p2", "p3"], HOME,
+                                edge_max_alpha=alpha)
+
+    def px_at(x, y, scale=6.0, margin=3.0, L=105.0, W=68.0):
+        col = int((x + margin + L / 2) * scale)
+        row = int((W / 2 + margin - y) * scale)
+        return tuple(img2[row, col])
+
+    def blend(aa):
+        return tuple(
+            int(np.clip(np.rint(b * (1 - aa) + t * aa), 0, 255))
+            for b, t in zip(COLOR_PITCH, COLOR_EDGE)
+        )
+
+    assert px_at(-5.0, 0.0) == blend(alpha)        # weight 1.0 edge midpoint
+    assert px_at(5.0, 0.0) == blend(alpha * 0.5)   # weight 0.5 edge midpoint
+
+    # color_by="ball_owning": the ball-owning team takes team-A color even
+    # when it is the away club (reference plot() color_by semantics)
+    img3 = render_graph_overlay(staged2, a, ["p1", "p2", "p3"], HOME,
+                                ball_owning_team_id=AWAY,
+                                color_by="ball_owning")
+    col = int((10.0 + 3.0 + 52.5) * 6.0)
+    row = int((34.0 + 3.0 - 5.0) * 6.0)
+    assert tuple(img3[row, col]) == COLOR_HOME  # AWAY player, team-A color
+    with pytest.raises(ValueError, match="ball_owning_team_id"):
+        render_graph_overlay(staged2, a, ["p1", "p2", "p3"], HOME,
+                             color_by="ball_owning")
+    with pytest.raises(ValueError, match="object_ids"):
+        render_graph_overlay(staged2, a, ["p1", "p2", "nope"], HOME)
+
+    # MP4 with the overlay: both graph frames mux and decode
+    mp4 = to_graph_mp4(tracking, graphs, str(tmp_path / "graph.mp4"),
+                       home_team_id=HOME, fps=5)
+    frames = read_mjpeg_mp4(mp4)
+    assert len(frames) == 2
+    assert decode_jpeg(frames[0]).shape == (int(74 * 6), int(111 * 6), 3)
+
+
 def test_media_staging_and_nearest_frame(spark, tmp_path):
     from unravelsports_spark.functions.imagecodec import decode_png
     from unravelsports_spark.sources.media import (

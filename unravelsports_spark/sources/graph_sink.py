@@ -26,8 +26,11 @@ def read_graph_frames(spark: SparkSession, path: str) -> DataFrame:
 
 
 def iter_graph_tuples(df: DataFrame) -> Iterator[dict]:
-    """Yield {a, x, e, graph_id, label, frame_id, object_ids} with NumPy
-    matrices, streaming partition-by-partition."""
+    """Yield {a, x, e, graph_id, label, game_id, period_id, frame_id,
+    object_ids, ball_owning_team_id} with NumPy matrices, streaming
+    partition-by-partition. The locator keys (game_id/frame_id/object_ids/
+    ball_owning_team_id) are what the graph-overlay renderer
+    (sources/media.py:to_graph_png) joins back to the tracking frame on."""
     for row in df.toLocalIterator():
         yield {
             "a": np.asarray(row.a, dtype=float),
@@ -35,8 +38,11 @@ def iter_graph_tuples(df: DataFrame) -> Iterator[dict]:
             "e": np.asarray(row.e, dtype=float),
             "graph_id": row.graph_id,
             "label": row.label,
+            "game_id": row.game_id,
+            "period_id": row.period_id,
             "frame_id": row.frame_id,
             "object_ids": list(row.object_ids),
+            "ball_owning_team_id": row.ball_owning_team_id,
         }
 
 

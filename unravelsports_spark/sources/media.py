@@ -110,6 +110,19 @@ class _Canvas:
     def stroke(self, mask: np.ndarray, color) -> None:
         self.img[mask] = color
 
+    def _window(self, x0, y0, x1, y1, pad):
+        """Raster slice covering the metric bbox (+pad) — drawing ops
+        evaluate distances only inside it (a dense 23-node graph overlay
+        is ~253 segments per frame; full-canvas evaluation per segment
+        made that ~1 s/frame)."""
+        xl, xh = min(x0, x1) - pad, max(x0, x1) + pad
+        yl, yh = min(y0, y1) - pad, max(y0, y1) + pad
+        c0 = max(0, int((xl + self.margin + self.L / 2) * self.scale) - 1)
+        c1 = min(self.w, int((xh + self.margin + self.L / 2) * self.scale) + 2)
+        r0 = max(0, int((self.W / 2 + self.margin - yh) * self.scale) - 1)
+        r1 = min(self.h, int((self.W / 2 + self.margin - yl) * self.scale) + 2)
+        return slice(r0, r1), slice(c0, c1)
+
     def rect_outline(self, x0, y0, x1, y1, t, color) -> None:
         inx = (self.px >= x0 - t) & (self.px <= x1 + t)
         iny = (self.py >= y0 - t) & (self.py <= y1 + t)
@@ -122,20 +135,35 @@ class _Canvas:
         self.stroke(np.abs(d - r) <= t, color)
 
     def disk(self, cx, cy, r, color) -> None:
-        d2 = (self.px - cx) ** 2 + (self.py - cy) ** 2
-        self.stroke(d2 <= r * r, color)
+        rs, cs = self._window(cx, cy, cx, cy, r)
+        d2 = (self.px[rs, cs] - cx) ** 2 + (self.py[rs, cs] - cy) ** 2
+        # slice-of-slices is a VIEW: masked assignment mutates self.img
+        self.img[rs, cs][d2 <= r * r] = color
 
-    def segment(self, x0, y0, x1, y1, t, color) -> None:
-        # distance from each pixel to the segment, vectorized
+    def segment(self, x0, y0, x1, y1, t, color, alpha: float = 1.0) -> None:
+        # distance from each pixel (within the bbox window) to the segment
         dx, dy = x1 - x0, y1 - y0
         len2 = dx * dx + dy * dy
         if len2 == 0:
             self.disk(x0, y0, t, color)
             return
-        u = ((self.px - x0) * dx + (self.py - y0) * dy) / len2
+        rs, cs = self._window(x0, y0, x1, y1, t)
+        px, py = self.px[rs, cs], self.py[rs, cs]
+        u = ((px - x0) * dx + (py - y0) * dy) / len2
         u = np.clip(u, 0.0, 1.0)
-        d = np.hypot(self.px - (x0 + u * dx), self.py - (y0 + u * dy))
-        self.stroke(d <= t, color)
+        d = np.hypot(px - (x0 + u * dx), py - (y0 + u * dy))
+        mask = d <= t
+        sub = self.img[rs, cs]  # slice view: writes land in self.img
+        if alpha >= 1.0:
+            sub[mask] = color
+        else:
+            # alpha-blend onto the existing raster (graph edges: weight →
+            # opacity, so heavier edges read darker without hiding markers)
+            base = sub[mask].astype(np.float64)
+            top = np.asarray(color, dtype=np.float64)
+            sub[mask] = np.clip(
+                np.rint(base * (1.0 - alpha) + top * alpha), 0, 255
+            ).astype(np.uint8)
 
 
 def render_pitch(
@@ -189,6 +217,167 @@ def render_frame(
             c.disk(xs[i], ys[i], 0.5, COLOR_BALL)
             c.circle_outline(xs[i], ys[i], 0.5, 0.1, (0, 0, 0))
     return c.img
+
+
+COLOR_EDGE = (255, 228, 120)
+
+
+def render_graph_overlay(
+    staged: dict,
+    adjacency,
+    object_ids,
+    home_team_id: str,
+    ball_owning_team_id: Optional[str] = None,
+    color_by: str = "static_home_away",
+    pitch_length: float = 105.0,
+    pitch_width: float = 68.0,
+    scale: float = 6.0,
+    velocity_scale: float = 0.6,
+    edge_color=COLOR_EDGE,
+    edge_max_alpha: float = 0.85,
+) -> np.ndarray:
+    """Render a tracking frame WITH its graph: adjacency edges drawn on the
+    pitch under the player markers — the overlay twin of the reference's
+    ``GraphConverter.plot`` (graph_converter.py:738-1314), which shows the
+    same adjacency as a matrix panel next to an mplsoccer pitch.
+
+    - ``adjacency``: the converter's ``a`` matrix for this frame ((n, n),
+      reshaped from the graph-frame row); ``object_ids`` gives its node
+      order (the converter emits both — sources/graph_sink.iter_graph_tuples).
+    - edge ALPHA scales with edge weight (weight / max weight), so a
+      weighted adjacency (e.g. distance-decayed) reads as opacity and a 0/1
+      adjacency draws uniformly; self-loops are skipped.
+    - node COLOR follows the reference's ``color_by`` semantics:
+      ``static_home_away`` colors ``home_team_id`` as team A, while
+      ``ball_owning`` colors the ``ball_owning_team_id`` (from the graph
+      row) as team A — the attacking side keeps one color regardless of
+      which club it is.
+    """
+    if color_by not in ("static_home_away", "ball_owning"):
+        raise ValueError(f"unsupported color_by {color_by!r}")
+    if color_by == "ball_owning" and ball_owning_team_id is None:
+        raise ValueError("color_by='ball_owning' needs ball_owning_team_id")
+    team_a = home_team_id if color_by == "static_home_away" else ball_owning_team_id
+
+    a = np.asarray(adjacency, dtype=float)
+    n = a.shape[0]
+    if a.shape != (n, n) or n != len(object_ids):
+        raise ValueError(
+            f"adjacency {a.shape} does not match {len(object_ids)} object_ids"
+        )
+    idx_of = {obj: i for i, obj in enumerate(staged["id"])}
+    missing = [o for o in object_ids if o not in idx_of]
+    if missing:
+        raise ValueError(f"object_ids absent from staged frame: {missing[:5]}")
+    xs, ys = staged["x"], staged["y"]
+    vxs, vys = staged["vx"], staged["vy"]
+
+    c = render_pitch(pitch_length, pitch_width, scale)
+    # edges first (under the markers), symmetric dedup via i<j on the max
+    # of the two directions, alpha by weight
+    amax = float(np.max(np.abs(a))) if n else 0.0
+    if amax > 0:
+        for i in range(n):
+            pi = idx_of[object_ids[i]]
+            for j in range(i + 1, n):
+                w = max(abs(a[i, j]), abs(a[j, i]))
+                if w <= 0:
+                    continue
+                pj = idx_of[object_ids[j]]
+                # 0.15 m half-width: at the default 6 px/m any pixel whose
+                # center lies on the segment is guaranteed covered (pixel
+                # centers are within 1/12 m of any metric point)
+                c.segment(
+                    xs[pi], ys[pi], xs[pj], ys[pj], 0.15, edge_color,
+                    alpha=edge_max_alpha * (w / amax),
+                )
+    for i, team in enumerate(staged["team_id"]):
+        if team == BALL:
+            continue
+        if abs(vxs[i]) + abs(vys[i]) > 0:
+            c.segment(
+                xs[i], ys[i],
+                xs[i] + vxs[i] * velocity_scale, ys[i] + vys[i] * velocity_scale,
+                0.12, COLOR_VEL,
+            )
+        color = COLOR_HOME if str(team) == str(team_a) else COLOR_AWAY
+        c.disk(xs[i], ys[i], 0.9, color)
+    for i, team in enumerate(staged["team_id"]):
+        if team == BALL:
+            c.disk(xs[i], ys[i], 0.5, COLOR_BALL)
+            c.circle_outline(xs[i], ys[i], 0.5, 0.1, (0, 0, 0))
+    return c.img
+
+
+def _graph_cell_matrix(graph: dict) -> np.ndarray:
+    """The adjacency from a graph-frame row dict: accepts either an ndarray
+    ('a' already reshaped, iter_graph_tuples output) or the raw list-of-rows
+    cell plus a_shape_0/1 (a collected Row.asDict())."""
+    a = graph["a"]
+    arr = np.asarray(a, dtype=float)
+    if arr.ndim == 1 and "a_shape_0" in graph:
+        arr = arr.reshape(int(graph["a_shape_0"]), int(graph["a_shape_1"]))
+    return arr
+
+
+def to_graph_png(
+    tracking: DataFrame,
+    graph: dict,
+    out_path: str,
+    home_team_id: str,
+    color_by: str = "static_home_away",
+    **render_kw,
+) -> str:
+    """One graph-frame row (``iter_graph_tuples`` dict: a, object_ids,
+    game_id, frame_id, ball_owning_team_id) rendered as a pitch PNG with
+    the adjacency overlay; returns the path."""
+    staged = collect_frame(tracking, graph[Column.GAME_ID], int(graph["frame_id"]))
+    img = render_graph_overlay(
+        staged,
+        _graph_cell_matrix(graph),
+        list(graph["object_ids"]),
+        home_team_id,
+        ball_owning_team_id=graph.get("ball_owning_team_id"),
+        color_by=color_by,
+        **render_kw,
+    )
+    with open(out_path, "wb") as f:
+        f.write(encode_png(img))
+    return out_path
+
+
+def to_graph_mp4(
+    tracking: DataFrame,
+    graphs,
+    out_path: str,
+    home_team_id: str,
+    color_by: str = "static_home_away",
+    fps: int = 25,
+    quality: int = 85,
+    max_frames: int = 500,
+    **render_kw,
+) -> str:
+    """Graph-frame rows → MP4 with the adjacency overlay per frame (the
+    graph-aware twin of ``to_mp4``; same pure-Python JPEG + ISO BMFF path)."""
+    from ..functions.jpegcodec import encode_jpeg
+    from .mp4 import write_mjpeg_mp4
+
+    graphs = list(graphs)
+    if len(graphs) > max_frames:
+        raise ValueError(f"{len(graphs)} frames exceeds max_frames={max_frames}")
+    if not graphs:
+        raise ValueError("no graph frames to render")
+    jpegs, dims = [], None
+    for g in graphs:
+        staged = collect_frame(tracking, g[Column.GAME_ID], int(g["frame_id"]))
+        img = render_graph_overlay(
+            staged, _graph_cell_matrix(g), list(g["object_ids"]), home_team_id,
+            ball_owning_team_id=g.get("ball_owning_team_id"),
+            color_by=color_by, **render_kw,
+        )
+        dims = dims or (img.shape[1], img.shape[0])
+        jpegs.append(encode_jpeg(img, quality=quality))
+    return write_mjpeg_mp4(out_path, jpegs, dims[0], dims[1], fps=fps)
 
 
 def to_png(
