@@ -370,3 +370,35 @@ def test_a20_w12_no_cartesian_partial_aggs(spark):
         assert "CartesianProduct" not in plan, name
         # per-user / per-(user,day) reductions combine map-side
         assert "partial" in plan, name
+
+
+def test_q7_pushdown_nation_broadcast_two_phase(spark):
+    plan = plan_of(spark, "q7_volume_shipping")
+    # shipdate range reaches the lineitem scan; the two-nation restriction
+    # its scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "In(n_name" in plan
+    # nations broadcast into the supplier and customer sides
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # two-phase revenue: map-side partial sums before the exchange
+    assert "partial_sum" in plan
+
+
+def test_q10_pushdown_heap_topk(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    # quarter filter at the orders scan, returnflag at the lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # top-20 is a heap, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_a22_attribution_no_window_no_cartesian(spark):
+    plan = plan_of(spark, "a22_touch_attribution")
+    # per-user first/last are min_by/max_by aggregates — NO window, so no
+    # per-user sort; purchase MIN combines map-side
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial" in plan
+    assert "CartesianProduct" not in plan

@@ -1055,3 +1055,208 @@ def q18_large_volume_customer(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping, r8): trade revenue between two
+    nations by ship year and direction. The OR-of-pairs predicate becomes
+    the classic plan: restrict BOTH nation dims to the two names first
+    (broadcast), pre-filter supplier and customer through them, then one
+    cross-direction inequality (supp != cust nation) replaces the OR —
+    only rows between the two nations ever reach the fact joins. Revenue
+    rides q5's two-phase scaled-long sum (a direction-year group
+    aggregates a whole year of trade — a global int64 unit sum would
+    overflow at 100 TB; per-partition partials cannot).
+
+    Scale shape: the shipdate range is pushed to the lineitem scan;
+    supplier/customer shuffles carry only the two nations' rows; the
+    output is 2 directions x 2 years, so the final agg is trivial."""
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pc = scaled_units("l_extendedprice", 100)
+    dm = F.lit(10000) - scaled_units("l_discount", 10000)
+    joined = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+    )
+    partial = (
+        joined.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(pc * dm).alias("dp_units"))
+    )
+    return (
+        partial.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (
+                F.sum(F.col("dp_units").cast("decimal(38,0)"))
+                / F.lit(1000000).cast("decimal(7,0)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting, r8): customers who
+    returned the most value in one quarter, top-20. Single-phase scaled-
+    long revenue (the q3 argument: a customer's returned lines within ONE
+    quarter are bounded small — hundreds of lines x ~5e10 units/line is
+    orders below the int64 edge — unlike q5/q7's year-of-trade groups).
+
+    Scale shape: the quarter filter is pushed to the orders scan and the
+    returnflag filter to the lineitem scan; the orderkey join carries one
+    quarter of returned lines; nation broadcasts; top-20 by revenue is a
+    TakeOrderedAndProject heap, never a global sort."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nt = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pc = scaled_units("l_extendedprice", 100)
+    dm = F.lit(10000) - scaled_units("l_discount", 10000)
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nt), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            (
+                F.sum(pc * dm).cast("decimal(38,0)")
+                / F.lit(1000000).cast("decimal(7,0)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "a22_touch_attribution",
+    oracle="""
+    WITH fp AS (SELECT user_id, MIN(ts) AS p_ts FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id),
+    tch AS (SELECT e.user_id, e.event_type, e.ts, e.event_id, fp.p_ts
+            FROM events e JOIN fp ON e.user_id = fp.user_id
+            WHERE e.event_type IN ('view','click','signup') AND e.ts < fp.p_ts),
+    pu AS (SELECT user_id,
+                  arg_min(event_type, printf('%020d%020d', epoch_ms(ts), event_id)) AS first_touch,
+                  arg_max(event_type, printf('%020d%020d', epoch_ms(ts), event_id)) AS last_touch,
+                  MIN(ts) AS first_ts, MAX(p_ts) AS p_ts
+           FROM tch GROUP BY user_id)
+    SELECT first_touch, last_touch, COUNT(*) AS n_users,
+           CAST(SUM(epoch_ms(p_ts) - epoch_ms(first_ts)) AS BIGINT) AS total_ms_to_convert
+    FROM pu GROUP BY first_touch, last_touch ORDER BY first_touch, last_touch
+    """,
+)
+def a22_touch_attribution(spark, sf_dir):
+    """First/last-touch attribution (engine addition SURVEY 2.12, r8): for
+    every converting user, the first and the last touch event (view /
+    click / signup) strictly before their FIRST purchase; output is the
+    (first_touch, last_touch) conversion matrix with exact integer
+    time-to-convert totals. Deterministic across engines: touch order is
+    (ts, event_id) — encoded as one zero-padded sortable string because
+    min_by/arg_min ordering keys must be scalar in both engines — and the
+    time sums are unix-millis integers, never doubles.
+
+    Scale shape: first-purchase is a map-side-combinable MIN per user;
+    the touch filter prunes the events scan before the user-keyed join;
+    per-user first/last are single-pass min_by/max_by aggregates (no
+    window, no sort); state per user is two scalars. The final matrix is
+    |touch types|^2 rows."""
+    e = read_table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    tch = (
+        e.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("p_ts"))
+    )
+    key = F.format_string(
+        "%020d%020d", F.unix_millis(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    pu = tch.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_touch"),
+        F.max_by("event_type", key).alias("last_touch"),
+        F.min("ts").alias("first_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    return (
+        pu.groupBy("first_touch", "last_touch")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(ms("p_ts") - ms("first_ts"))
+            .cast("bigint")
+            .alias("total_ms_to_convert"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
