@@ -132,7 +132,10 @@ def test_retrieval_single_tokenize_pass(spark):
     the tokenize explode runs only inside the single cached subtree — and
     multiple InMemoryTableScan readers of it."""
     for name, min_cache_reads in [
-        ("t_bm25_topk", 2),
+        # r8: bm25's second cache consumer (the 1-row stats agg) collects at
+        # plan-BUILD time and inlines as literals, so the returned plan
+        # reads the per-doc cache exactly once — the scoring projection
+        ("t_bm25_topk", 1),
         ("t_unigram_logprob", 2),
         ("t_bigram_logprob", 2),
         ("d_countmin_heavyhitters", 2),
