@@ -1315,6 +1315,109 @@ def test_streaming_funnel_multichunk_group_ordering(spark, tmp_path):
     assert (t1, t2, t3) == (ms(0), ms(2), ms(4))
 
 
+def test_streaming_touch_attribution_matches_certified_batch_query(spark, tmp_path):
+    """Streaming first/last-touch attribution across 3 event-time-ordered
+    micro-batches must reproduce the certified a22 conversion matrix
+    EXACTLY (cells, counts, and integer time-to-convert totals)."""
+    from unravelsports_spark.plans import QUERIES
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.streaming.windows import streaming_touch_attribution
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cuts = ["2024-01-11", "2024-01-21"]
+    chunks = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    final = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = r  # update mode: last write wins
+
+    for c in chunks:
+        c.write.mode("append").parquet(src)
+        q = (
+            streaming_touch_attribution(
+                spark.readStream.schema(
+                    "event_id bigint, ts timestamp, user_id bigint, event_type string"
+                ).parquet(src)
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    assert all(r["ooo_events"] == 0 for r in final.values())
+    matrix = {}
+    for r in final.values():
+        if r["converted"]:
+            k = (r["first_touch"], r["last_touch"])
+            n, tot = matrix.get(k, (0, 0))
+            matrix[k] = (n + 1, tot + (r["p_ms"] - r["first_ms"]))
+    want = {
+        (r["first_touch"], r["last_touch"]): (r["n_users"], r["total_ms_to_convert"])
+        for r in QUERIES["a22_touch_attribution"](spark, sf).collect()
+    }
+    assert matrix == want and len(want) > 0
+
+
+def test_streaming_touch_attribution_purchase_tie_semantics(spark, tmp_path):
+    """The batch rule is STRICT ts < p_ts: a touch at exactly the purchase
+    timestamp never attributes. Stream order processes it first (lower
+    event_id), so the purchase event must demote a tied last touch to the
+    previous strictly-earlier one, and a tied FIRST touch (no earlier
+    touch) must leave the user unattributed."""
+    import datetime as dt
+
+    from unravelsports_spark.streaming.windows import streaming_touch_attribution
+
+    base = dt.datetime(2024, 5, 1)
+    t = lambda h: base + dt.timedelta(hours=h)  # noqa: E731
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    rows = [
+        # user 1: view@1, click@3, signup@5 TIED with purchase@5 → last
+        # touch must demote to click@3
+        (10, t(1), 1, "view"), (11, t(3), 1, "click"),
+        (12, t(5), 1, "signup"), (13, t(5), 1, "purchase"),
+        # user 2: only touch is tied with the purchase → unattributed
+        (20, t(2), 2, "click"), (21, t(2), 2, "purchase"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    final = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = r
+
+    q = (
+        streaming_touch_attribution(
+            spark.readStream.schema(schema).parquet(src)
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    r1 = final[1]
+    assert r1["converted"] and (r1["first_touch"], r1["last_touch"]) == ("view", "click")
+    r2 = final[2]
+    assert not r2["converted"] and r2["first_touch"] is None
+
+
 def test_streaming_funnel_flags_out_of_order_arrival(spark, tmp_path):
     """ADVICE r7 #1: a user whose view arrives in a LATER micro-batch than
     their click (broken event-time-order contract) must be observably

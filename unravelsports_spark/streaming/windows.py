@@ -748,3 +748,91 @@ def streaming_funnel(df: DataFrame):
     return df.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_touch_attribution(df: DataFrame):
+    """Stateful streaming first/last-touch attribution: per-user GroupState
+    tracks the first and last touch (view/click/signup) seen strictly
+    BEFORE the user's first purchase, across micro-batches — the streaming
+    twin of the certified batch a22_touch_attribution. Emits the user's
+    current attribution row each batch they appear in; in update mode the
+    final write per user carries their converted-state matrix cell.
+
+    Exactness contract (same as streaming_funnel): events must arrive in
+    event-time order across batches; within a batch rows sort by
+    (ts, event_id) — identical to the batch query's min_by/max_by key.
+    The contract is ENFORCED observably via the emitted ``ooo_events``
+    counter (events arriving with ts earlier than an already-processed
+    timestamp). The one subtlety the batch rule forces: a touch at exactly
+    the purchase timestamp does NOT attribute (batch: ts < p_ts strictly),
+    but stream order may process it first — so state also keeps the
+    PREVIOUS last touch (strictly earlier ns than the current last), and
+    the purchase event demotes a tied last touch to it. A tied FIRST touch
+    means the user had no strictly-earlier touch at all → no attribution.
+
+    State is eight scalars per user — bounded at firehose scale; the batch
+    twin recomputes from the full log instead."""
+    import pandas as pd
+
+    out_schema = (
+        "user_id long, converted boolean, first_touch string, "
+        "last_touch string, first_ms long, p_ms long, ooo_events long"
+    )
+    # nanosecond state for full-resolution comparisons (ms only on emit)
+    state_schema = (
+        "p_ns long, f_type string, f_ns long, l_type string, l_ns long, "
+        "pl_type string, pl_ns long, last_seen long, ooo long"
+    )
+    touches = {"view", "click", "signup"}
+
+    def fn(key, pdfs, state):
+        (p_ns, f_t, f_ns, l_t, l_ns, pl_t, pl_ns, seen, ooo) = (
+            state.get if state.exists
+            else (None, None, None, None, None, None, None, None, 0)
+        )
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                ns = int(ts.value)
+                if seen is not None and ns < seen:
+                    ooo += 1
+                seen = ns if seen is None else max(seen, ns)
+                if p_ns is not None:
+                    continue  # attribution frozen at first purchase
+                if et == "purchase":
+                    p_ns = ns
+                    # ts < p_ts is STRICT in the batch twin: demote/drop
+                    # touches tied with the purchase timestamp
+                    if l_ns is not None and l_ns == p_ns:
+                        if pl_ns is not None:
+                            l_t, l_ns = pl_t, pl_ns
+                        elif f_ns is not None and f_ns < p_ns:
+                            l_t, l_ns = f_t, f_ns
+                        else:
+                            l_t, l_ns = None, None
+                    if f_ns is not None and f_ns == p_ns:
+                        f_t, f_ns, l_t, l_ns = None, None, None, None
+                elif et in touches:
+                    if f_ns is None:
+                        f_t, f_ns = et, ns
+                        l_t, l_ns = et, ns
+                    elif ns > l_ns:
+                        pl_t, pl_ns = l_t, l_ns
+                        l_t, l_ns = et, ns
+                    else:  # ns == l_ns: later event_id wins the max_by tie
+                        l_t = et
+        state.update((p_ns, f_t, f_ns, l_t, l_ns, pl_t, pl_ns, seen, ooo))
+        converted = p_ns is not None and f_ns is not None
+        to_ms = lambda v: None if v is None else v // 1_000_000  # noqa: E731
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "converted": [converted],
+             "first_touch": [f_t if converted else None],
+             "last_touch": [l_t if converted else None],
+             "first_ms": [to_ms(f_ns) if converted else None],
+             "p_ms": [to_ms(p_ns)], "ooo_events": [ooo]}
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
