@@ -40,7 +40,7 @@ NOTES = {
     "a12_corr_exact": "correlation from DECIMAL sufficient statistics: map-side-combinable exact sums, closed form evaluated on one row per group.",
     "w9_interpolate_gaps": "gap repair: two IGNORE-NULLS window passes share a single sort per series key; interpolation is pure projection arithmetic.",
     "q1_pricing_summary": "two-phase exact money aggregation: per-row work is pure long arithmetic in a (partition_id, group) pre-agg (whole-stage codegen, overflow-safe partials), DECIMAL(38,0) touches only the tiny partial table; filter pushed to scan.",
-    "t_bm25_topk": "round-4 wide rewrite: ZERO explode, ZERO corpus shuffle - per-doc (dl, tf_i) projections cached (n_docs x (|Q|+2) ints), 1-row stats agg broadcast back, scoring is a projection; top-k via TakeOrderedAndProject.",
+    "t_bm25_topk": "r8 rewrite of the round-4 wide plan: ZERO explode, ZERO corpus shuffle, ZERO interpreted HOFs - per-doc (dl, tf_i) via codegen regexp_count over one hoisted union-pattern match string, cached (n_docs x (|Q|+2) ints); the 1-row stats agg collects at plan-build time and inlines as literals, so the executed plan is cache-scan -> filter -> projection -> TakeOrderedAndProject with NO broadcast exchange.",
     "d_dup_spans": "span fingerprints exploded once; duplication counts via one count-window over the fp partitioning (single shuffle, no agg+join-back double compute); per-source rollup is a broadcast join to the pruned documents scan.",
     "d_semdedup_multitable": "four sign-LSH tables via one broadcast plane join + one grouped agg; candidates meet only inside (table, bucket); persisted key table feeds both self-join sides; cosine verify runs on candidates only.",
     "t_dsir_scores": "single tokenize pass into a persisted (doc, bucket, n) aggregate; the <=1024-row log-ratio table broadcasts back; per-doc scores are exact BIGINT sums (integer micro-nats) - no Generate at top level, no SortMergeJoin.",
@@ -56,7 +56,7 @@ NOTES = {
     "t_corpus_prep_e2e": "dedup fingerprint window -> quality/langid projections in one codegen stage; one corpus shuffle total.",
     "d_semdedup_lsh": "sign-LSH bucket self-join on the persisted bucketed-vector table; candidates meet only inside buckets; cosine verify on candidates only.",
     "s_ann_ivfpq_residual": "residual encoding against literal coarse+PQ codebooks with per-cell ADC tables - still a single projection + filter + TakeOrderedAndProject, zero joins.",
-    "t_hybrid_rrf": "r7 hybrid retrieval: BM25 keeps its zero-explode wide plan, the dense side is one Arrow cosine pass; BOTH rankers end in TakeOrderedAndProject and every row_number window sits on a limit-bounded <=20-row list; the fusion full-outer join touches only the two lists.",
+    "t_hybrid_rrf": "r8: BM25 side is the literal-stats wide plan (no broadcast), the dense side one Arrow cosine pass; BOTH rankers end in TakeOrderedAndProject and every row_number window sits on a limit-bounded <=20-row list; the fusion full-outer join touches only the two lists. 5 jobs total (qrow collect + 2-job stats agg + 2-job fused collect).",
     "t_ngram_novelty": "r7 shingle-df novelty: NO posting-list join-back - uniqueness collapses inside one map-side-combinable (count, min doc_id) aggregate per shingle; the source rollup joins two |docs|-sized frames via BroadcastHashJoin, zero SortMergeJoin.",
     "d_label_communities": "r7 synchronous label propagation: per round one co-partitioned hash join (symmetric edges x labels) + two combinable aggs (vote counts, per-node max_by argmax - no window over the corpus); deterministic lowest-label ties certify 3 unrolled iterations exactly.",
     "d_cdc_chunks": "r7 content-defined chunking: boundary hashes, filter, and start/stop pairing are doc-bounded array arithmetic in ONE projection; one explode then ONE grouped aggregation (count + two distincts + sum, map-side combinable) - no joins, no windows.",
