@@ -138,6 +138,81 @@ def test_bm25_tf_dl_equal_token_filter_definition(spark):
     release_tracked()
 
 
+def test_bm25_tf_dl_equivalence_property(spark):
+    """Hypothesis property over random texts and query terms: the r8
+    regexp_count (dl, tf_i) formulation equals the token-array definition
+    for ANY ascii text (punctuation runs, digit/letter boundaries, empty
+    strings) and ANY term list (including non-token and uppercase terms).
+    One Spark round-trip total: hypothesis drives the corpus generation,
+    the engine comparison collects both formulations over the union."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from unravelsports_spark.operators import retrieval as R
+    from unravelsports_spark.operators.retrieval import TOKEN_RE
+
+    alphabet = "ab1 .?-\tA"
+    texts_strategy = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=60), min_size=1, max_size=12
+    )
+    terms_strategy = st.lists(
+        st.sampled_from(["a", "ab", "b", "1", "ab1", "A", "a.b", ""]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    )
+    cases = []
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(texts=texts_strategy, terms=terms_strategy)
+    def collect_case(texts, terms):
+        cases.append((list(texts), list(terms)))
+
+    collect_case()
+    for texts, terms in cases:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+
+        def eq_term(term):
+            return lambda x: x == F.lit(term)
+
+        want = docs.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            *[F.size(F.filter(toks, eq_term(t))).alias(f"tf_{i}")
+              for i, t in enumerate(terms)],
+        ).collect()
+        matchable = [t for t in terms if R._TOKEN_EXACT.fullmatch(t)]
+        lowered = docs.select("doc_id", F.lower(F.col("text")).alias("_lc"))
+        if matchable:
+            pat = ("(?<![a-z0-9])(?:"
+                   + "|".join(sorted(matchable, key=len, reverse=True))
+                   + ")(?![a-z0-9])")
+            lowered = lowered.withColumn(
+                "_qm",
+                F.array_join(F.regexp_extract_all(F.col("_lc"), F.lit(pat), 0), " "),
+            )
+        got = lowered.select(
+            "doc_id",
+            F.regexp_count(F.col("_lc"), F.lit(TOKEN_RE)).cast("int").alias("dl"),
+            *[
+                (
+                    F.regexp_count(
+                        F.col("_qm"), F.lit(f"(?<![a-z0-9]){t}(?![a-z0-9])")
+                    ).cast("int")
+                    if t in matchable
+                    else F.lit(0).cast("int")
+                ).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), (texts, terms)
+
+
 def test_bm25_rare_term_outscores_common(docs_df):
     # 'ipsum' appears in 1/5 docs, 'the' in 3/5 — same tf=1 in doc 2 vs doc 4
     got = {r.doc_id: r.bm25 for r in bm25_scores(docs_df, ["ipsum"]).collect()}
