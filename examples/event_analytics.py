@@ -69,14 +69,72 @@ def main(spark, sf_dir: str) -> dict:
         and sorted(map(tuple, led_cohorts)) == sorted(map(tuple, cohorts))
     )
 
+    # 6. first/last-touch attribution (a22, r8): which touch combination
+    # converts — and the SAME matrix incrementally from the stateful
+    # streaming twin (8 scalars of state per user), streamed in two
+    # event-time-ordered micro-batches
+    attribution = QUERIES["a22_touch_attribution"](spark, sf_dir).collect()
+    top_cell = max(attribution, key=lambda r: (r["n_users"], r["first_touch"]))
+
+    from unravelsports_spark.streaming.windows import streaming_touch_attribution
+
+    asrc, ackpt = f"{work}/attr_src", f"{work}/attr_ckpt"
+    full = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cut = full.selectExpr(
+        "timestamp_millis(CAST(percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY unix_millis(ts)) AS BIGINT)) AS m"
+    )
+    mid = cut.collect()[0]["m"]
+    final = {}
+
+    def _sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = r
+
+    for half in (full.filter(F.col("ts") <= mid), full.filter(F.col("ts") > mid)):
+        half.write.mode("append").parquet(asrc)
+        q = (
+            streaming_touch_attribution(
+                spark.readStream.schema(
+                    "event_id bigint, ts timestamp, user_id bigint, event_type string"
+                ).parquet(asrc)
+            )
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ackpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    led_matrix = {}
+    for r in final.values():
+        if r["converted"]:
+            k = (r["first_touch"], r["last_touch"])
+            n, tot = led_matrix.get(k, (0, 0))
+            led_matrix[k] = (n + 1, tot + (r["p_ms"] - r["first_ms"]))
+    batch_matrix = {
+        (r["first_touch"], r["last_touch"]): (r["n_users"], r["total_ms_to_convert"])
+        for r in attribution
+    }
+    attribution_streaming_matches = (
+        led_matrix == batch_matrix
+        and all(r["ooo_events"] == 0 for r in final.values())
+    )
+
     return {
         "streaming_matches_batch": streaming_matches,
+        "attribution_streaming_matches": attribution_streaming_matches,
         "n_sessions": n_sessions,
         "funnel": funnel,
         "cohort_week0_users": week0,
         "cohort_return_cells": later,
         "peak_7d_active": peak_7d,
         "days_observed": len(rolling),
+        "top_conversion_path": (
+            top_cell["first_touch"], top_cell["last_touch"], top_cell["n_users"]
+        ),
     }
 
 

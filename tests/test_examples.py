@@ -44,3 +44,5 @@ def test_event_analytics_example(spark):
     assert out["peak_7d_active"] > 0
     assert out["days_observed"] > 0
     assert out["streaming_matches_batch"] is True
+    assert out["attribution_streaming_matches"] is True
+    assert out["top_conversion_path"][2] > 0
