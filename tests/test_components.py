@@ -201,3 +201,24 @@ def test_kcore_peel_k3(spark):
     got = [tuple(r) for r in kcore_peel(df, k=3, rounds=2).collect()]
     assert got[0] == (0, 7, 9)
     assert got[-1] == (2, 4, 6)  # only the 4-clique remains
+
+
+def test_reliable_checkpoint_variants_match_default(spark, tmp_path):
+    """ADVICE r7 #3 fallback: with a session checkpoint dir set,
+    reliable=True (per-round checkpoint() to storage instead of
+    non-reliable executor blocks) must produce identical results for both
+    iterative operators."""
+    from unravelsports_spark.operators.components import (
+        connected_components,
+        kcore_peel,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = [(1, 2), (2, 3), (10, 11), (1, 3), (3, 4), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    cc_default = sorted(map(tuple, connected_components(df).collect()))
+    cc_reliable = sorted(map(tuple, connected_components(df, reliable=True).collect()))
+    assert cc_reliable == cc_default and len(cc_default) > 0
+    kc_default = [tuple(r) for r in kcore_peel(df, k=2, rounds=3).collect()]
+    kc_reliable = [tuple(r) for r in kcore_peel(df, k=2, rounds=3, reliable=True).collect()]
+    assert kc_reliable == kc_default

@@ -22,6 +22,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-round materialization for iterative chains. Default: eager
+    localCheckpoint — truncates lineage, blocks stored NON-reliably (an
+    executor loss after checkpointing fails the query; acceptable when a
+    rerun is cheap). ``reliable=True`` swaps in ``checkpoint(eager=True)``
+    — per-round writes to ``spark.sparkContext.setCheckpointDir`` storage,
+    surviving executor loss — the ADVICE r7 #3 cluster fallback. The
+    caller must have set a checkpoint dir; the error raised otherwise is
+    Spark's own and names the fix."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def _sym(edges: DataFrame) -> DataFrame:
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
@@ -55,17 +69,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 12
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 12,
+    reliable: bool = False,
 ) -> DataFrame:
     """(src, dst) undirected edges → (id, component) with component = min id
     reachable. Isolated nodes don't appear (callers left-join and coalesce to
-    the node's own id)."""
+    the node's own id). ``reliable=True`` checkpoints each round to the
+    session checkpoint dir instead of executor memory (see
+    :func:`_materialize`)."""
     edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # localCheckpoint each round: truncates the exponentially-growing lineage
+    # materialize each round: truncates the exponentially-growing lineage
     # (the standard pattern for iterative DataFrame algorithms)
-    edges = _sym(edges).localCheckpoint(eager=True)
+    edges = _materialize(_sym(edges), reliable)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _materialize(_small_star(_large_star(edges)), reliable)
         # converged when the edge set is a star forest: no dst is also a src
         heads = edges.select(F.col("dst").alias("src")).distinct()
         if edges.join(heads, "src", "left_semi").isEmpty():
@@ -138,6 +158,7 @@ def kcore_peel(
     rounds: int = 4,
     src: str = "id_a",
     dst: str = "id_b",
+    reliable: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling on an undirected pair graph →
     (round, n_nodes, n_edges): round 0 is the input graph; each round
@@ -172,13 +193,13 @@ def kcore_peel(
     checkpointed frames are candidate-set-sized, rounds are few, and a
     rerun is cheap relative to reliable-checkpoint I/O per round. For
     very long cluster runs, set ``spark.sparkContext.setCheckpointDir``
-    and swap ``localCheckpoint(eager=True)`` for ``checkpoint(
-    eager=True)`` to trade per-round HDFS writes for executor-loss
-    resilience.
+    and pass ``reliable=True`` — each round then writes a reliable
+    checkpoint, trading per-round HDFS I/O for executor-loss resilience.
     """
-    edges = _sym(
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = _materialize(
+        _sym(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))),
+        reliable,
+    )
     counts = []
     for i in range(rounds + 1):
         counts.append(
@@ -196,11 +217,11 @@ def kcore_peel(
             .filter(F.col("deg") >= k)
             .select("src")
         )
-        edges = (
+        edges = _materialize(
             edges.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .select("src", "dst"),
+            reliable,
         )
     out = counts[0]
     for c in counts[1:]:
