@@ -1418,6 +1418,85 @@ def test_streaming_touch_attribution_purchase_tie_semantics(spark, tmp_path):
     assert not r2["converted"] and r2["first_touch"] is None
 
 
+def test_streaming_scd2_matches_certified_batch_query(spark, tmp_path):
+    """Incremental SCD2 maintenance across 3 event-time-ordered
+    micro-batches: the merged ledger view must equal the certified w11
+    batch derivation row-for-row (including open-row rewrites across
+    batch boundaries and unchanged-state collapse)."""
+    from unravelsports_spark.plans import QUERIES
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.streaming.windows import scd2_from_ledger, streaming_scd2
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cuts = ["2024-01-11", "2024-01-21"]
+    chunks = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    for c in chunks:
+        c.write.mode("append").parquet(src)
+        q = streaming_scd2(
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string"
+            ).parquet(src),
+            ledger, ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    got = sorted(map(tuple, scd2_from_ledger(spark, ledger).collect()))
+    want = sorted(map(tuple, QUERIES["w11_scd2_intervals"](spark, sf).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_streaming_scd2_unchanged_state_is_o_of_changes(spark, tmp_path):
+    """The O(changes) property: a micro-batch whose events all repeat each
+    key's current state writes NO new version rows — only the open-row
+    rewrite — and a replayed batch overwrites its own partition
+    (idempotent)."""
+    import datetime as dt
+
+    from unravelsports_spark.streaming.windows import scd2_from_ledger, streaming_scd2
+
+    base = dt.datetime(2024, 5, 1)
+    t = lambda h: base + dt.timedelta(hours=h)  # noqa: E731
+    ms = lambda h: int(t(h).replace(  # noqa: E731
+        tzinfo=dt.timezone.utc).timestamp() * 1000)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(1, t(0), 1, "view"), (2, t(1), 1, "click")]
+    b2 = [(3, t(2), 1, "click"), (4, t(3), 1, "click")]  # no state change
+    b3 = [(5, t(4), 1, "purchase")]
+    for rows in (b1, b2, b3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = streaming_scd2(
+            spark.readStream.schema(schema).parquet(src), ledger, ckpt
+        ).start()
+        q.awaitTermination(120)
+
+    got = sorted(map(tuple, scd2_from_ledger(spark, ledger).collect()))
+    OPEN = 9223372036854775807
+    assert got == [
+        (1, "click", ms(1), ms(4), False),
+        (1, "purchase", ms(4), OPEN, True),
+        (1, "view", ms(0), ms(1), False),
+    ]
+    # batch 2 (the all-unchanged batch) wrote exactly ONE row: the open-row
+    # rewrite of (click, ms(1)) — no new versions
+    b2_rows = spark.read.parquet(ledger).filter(F.col("batch_id") == 1).collect()
+    assert len(b2_rows) == 1 and b2_rows[0]["valid_from_ms"] == ms(1)
+
+
 def test_streaming_funnel_flags_out_of_order_arrival(spark, tmp_path):
     """ADVICE r7 #1: a user whose view arrives in a LATER micro-batch than
     their click (broken event-time-order contract) must be observably

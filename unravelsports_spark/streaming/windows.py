@@ -836,3 +836,127 @@ def streaming_touch_attribution(df: DataFrame):
     return df.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_scd2(
+    stream_df,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Exactly-once incremental SCD2 (type-2 dimension) maintenance via
+    ``foreachBatch`` — the streaming twin of the certified
+    ``w11_scd2_intervals`` batch query. Each micro-batch recomputes, for
+    the keys it touches, the OPEN tail of their version history: the
+    key's current open row (from the ledger) joins the batch's events as
+    a synthetic leading event, the same lag-collapse/lead-interval
+    transformation the batch query applies produces the new tail rows,
+    and the tail lands in ``{ledger_dir}/batch_id=N`` (overwrite — a
+    replayed batch rewrites its own partition). Versions merge by
+    ``(key, valid_from_ms, state)`` with the highest batch winning, so
+    closing a previously-open row is a SUPERSEDING write, never an
+    in-place update — parquet stays append-only and the merged view
+    (:func:`scd2_from_ledger`) is always consistent.
+
+    Event-time-ordered arrival per key is the exactness contract (the
+    same one the funnel/attribution twins enforce): a batch's events must
+    not predate the key's open-row ``valid_from_ms``. Unchanged-state
+    events collapse into the open row (no new version — the property that
+    makes SCD2 maintenance O(changes), not O(events), at 100 TB: closed
+    history is immutable and never rewritten; each batch touches only the
+    open rows of the keys it contains)."""
+    _SENTINEL_OPEN = 9223372036854775807
+
+    def _process(batch_df, batch_id: int):
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        ev = batch_df.select(
+            F.col(key_col).alias("_k"),
+            F.col(state_col).alias("_s"),
+            F.unix_millis(F.col(ts_col).cast("timestamp")).alias("_ts"),
+            F.col(id_col).cast("bigint").alias("_id"),
+        )
+        led = _read_ledger(spark, ledger_dir, exclude_batch=batch_id)
+        if led is not None:
+            led = led.filter(F.col("batch_id") < batch_id)
+            vw = Window.partitionBy("_k", "_vf", "_s2").orderBy(
+                F.desc("batch_id")
+            )
+            merged = (
+                led.select(
+                    F.col(key_col).alias("_k"),
+                    F.col(state_col).alias("_s2"),
+                    F.col("valid_from_ms").alias("_vf"),
+                    F.col("valid_to_ms").alias("_vt"),
+                    "batch_id",
+                )
+                .withColumn("_rn", F.row_number().over(vw))
+                .filter(F.col("_rn") == 1)
+            )
+            open_rows = (
+                merged.filter(F.col("_vt") == _SENTINEL_OPEN)
+                .join(ev.select("_k").distinct(), "_k", "left_semi")
+                .select(
+                    "_k",
+                    F.col("_s2").alias("_s"),
+                    F.col("_vf").alias("_ts"),
+                    F.lit(-1).cast("bigint").alias("_id"),
+                )
+            )
+            ev = ev.unionByName(open_rows)
+        w1 = Window.partitionBy("_k").orderBy("_ts", "_id")
+        seq = ev.withColumn("_prev", F.lag("_s").over(w1))
+        changes = seq.filter(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col("_s"))
+        )
+        w2 = Window.partitionBy("_k").orderBy("_ts", "_id")
+        out = changes.select(
+            F.col("_k").alias(key_col),
+            F.col("_s").alias(state_col),
+            F.col("_ts").alias("valid_from_ms"),
+            F.coalesce(
+                F.lead("_ts").over(w2), F.lit(_SENTINEL_OPEN)
+            ).alias("valid_to_ms"),
+            F.lead("_ts").over(w2).isNull().alias("is_current"),
+        )
+        out.write.mode("overwrite").parquet(f"{ledger_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def scd2_from_ledger(
+    spark,
+    ledger_dir: str,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+):
+    """The merged SCD2 dimension from the streaming ledger: per
+    ``(key, valid_from_ms, state)`` version the highest-batch write wins
+    (a batch that closes a formerly-open row supersedes it). Output
+    schema matches the certified w11 batch query: (key, state,
+    valid_from_ms, valid_to_ms, is_current)."""
+    from pyspark.sql import Window
+
+    led = spark.read.parquet(ledger_dir)
+    vw = Window.partitionBy(key_col, "valid_from_ms", state_col).orderBy(
+        F.desc("batch_id")
+    )
+    return (
+        led.withColumn("_rn", F.row_number().over(vw))
+        .filter(F.col("_rn") == 1)
+        .select(
+            key_col,
+            F.col(state_col).alias("state"),
+            "valid_from_ms",
+            "valid_to_ms",
+            "is_current",
+        )
+    )
