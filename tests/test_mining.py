@@ -1,0 +1,132 @@
+"""Pattern-mining operators (operators/mining.py) vs hand-computed and
+DuckDB-SQL references — built round 8, registered as driver queries in
+round 9 (the r8 certification window is slot-exact)."""
+
+import duckdb
+import pytest
+
+from unravelsports_spark.operators.mining import frequent_pairs, transition_counts
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_frequent_pairs_hand_example(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # duplicate item in a txn counts once
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "txn int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_txns"]
+        for r in frequent_pairs(df, "txn", "item", min_support=1).collect()
+    }
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    top = frequent_pairs(df, "txn", "item", min_support=2, top=5).collect()
+    assert [(r["item_a"], r["item_b"], r["n_txns"]) for r in top] == [("a", "b", 3)]
+
+
+def test_frequent_pairs_matches_duckdb_on_lineitem(spark):
+    """Part pairs co-ordered in the same order, support >= 3, top-20 —
+    the exact SQL this becomes when registered as a driver query in r9."""
+    from unravelsports_spark.session import read_table
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    got = sorted(
+        map(
+            tuple,
+            frequent_pairs(
+                li, "l_orderkey", "l_partkey", min_support=2, top=20
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH ti AS (SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem),
+        p AS (
+          SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_txns
+          FROM ti a JOIN ti b ON a.t = b.t AND a.i < b.i
+          GROUP BY a.i, b.i HAVING COUNT(*) >= 2)
+        SELECT item_a, item_b, n_txns FROM p
+        ORDER BY n_txns DESC, item_a, item_b LIMIT 20
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_transition_counts_hand_example(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view"), (2, base.replace(hour=1), 1, "view"),
+        (3, base.replace(hour=2), 1, "click"),
+        (4, base, 2, "view"), (5, base.replace(hour=1), 2, "purchase"),
+        (6, base, 3, "click"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    got = {
+        (r["from_state"], r["to_state"]): r["n_transitions"]
+        for r in transition_counts(df, "user_id", "event_type", "ts", "event_id").collect()
+    }
+    assert got == {("view", "view"): 1, ("view", "click"): 1, ("view", "purchase"): 1}
+
+
+def test_transition_counts_matches_duckdb_on_events(spark):
+    from unravelsports_spark.session import read_table
+
+    e = read_table(spark, SF, "events").select("event_id", "ts", "user_id", "event_type")
+    got = sorted(
+        map(
+            tuple,
+            transition_counts(e, "user_id", "event_type", "ts", "event_id").collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT prev AS from_state, event_type AS to_state, COUNT(*) AS n_transitions
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_transition_counts_tie_break_is_event_id(spark):
+    """Two events at the same timestamp order by event_id — the matrix
+    must be deterministic under shuffled input order."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(2, t0, 1, "b"), (1, t0, 1, "a"), (3, t0, 1, "c")]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).repartition(3)
+    got = {
+        (r["from_state"], r["to_state"]): r["n_transitions"]
+        for r in transition_counts(df, "user_id", "event_type", "ts", "event_id").collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
