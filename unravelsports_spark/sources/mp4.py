@@ -97,8 +97,10 @@ def write_mjpeg_mp4(
     # maxBitrate = the peak one-second window, bounded above by the largest
     # frame repeated for a second (exact for fps=1; a safe upper bound
     # otherwise, and always >= avgBitrate as strict validators require —
-    # ADVICE r7 #4: previously avg_rate was written in both fields)
-    max_rate = max_frame * 8 * fps
+    # ADVICE r7 #4: previously avg_rate was written in both fields).
+    # Clamped to the descriptor's 32-bit field (a >21 MB frame at 25 fps
+    # would otherwise overflow struct.pack(">I")).
+    max_rate = min(max_frame * 8 * fps, 0xFFFFFFFF)
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mdat_payload = b"".join(frames)
