@@ -1542,3 +1542,55 @@ def test_streaming_funnel_flags_out_of_order_arrival(spark, tmp_path):
     assert ooo1 == 1  # the late view is counted, divergence is observable
     assert stage1 == 1  # late view folds in (no view yet) but click was lost
     assert (stage2, ooo2) == (2, 0)  # in-order user: exact, unflagged
+
+
+def test_streaming_twins_flag_cross_batch_same_ts_tie(spark, tmp_path):
+    """A same-timestamp event arriving in a LATER micro-batch is a tie the
+    batch queries break by event_id across the whole history — which a
+    later batch cannot replay. Both GroupState twins must flag it
+    (ooo_events > 0) even though the timestamp is not strictly earlier;
+    same-ts events within ONE batch must stay unflagged."""
+    import datetime as dt
+
+    from unravelsports_spark.streaming.windows import (
+        streaming_funnel,
+        streaming_touch_attribution,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    t = lambda h: base + dt.timedelta(hours=h)  # noqa: E731
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    # user 1: tie straddles the batch boundary (click@2 in b1, signup@2 in
+    # b2 with a LOWER event_id — the unreplayable case); user 2: the same
+    # tie entirely inside one batch (must NOT flag)
+    b1 = [(10, t(1), 1, "view"), (19, t(2), 1, "click"),
+          (20, t(1), 2, "view"), (29, t(2), 2, "click"), (23, t(2), 2, "signup")]
+    b2 = [(13, t(2), 1, "signup"), (30, t(3), 2, "purchase")]
+
+    for mk, extract in (
+        (streaming_funnel, lambda r: r["ooo_events"]),
+        (streaming_touch_attribution, lambda r: r["ooo_events"]),
+    ):
+        src = str(tmp_path / f"src_{mk.__name__}")
+        ckpt = str(tmp_path / f"ckpt_{mk.__name__}")
+        final = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                final[r["user_id"]] = extract(r)
+
+        for rows in (b1, b2):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                mk(spark.readStream.schema(schema).parquet(src))
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        assert final[1] == 1, mk.__name__   # cross-batch tie flagged
+        assert final[2] == 0, mk.__name__   # in-batch tie unflagged

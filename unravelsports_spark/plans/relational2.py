@@ -1206,8 +1206,8 @@ def q10_returned_items(spark, sf_dir):
             FROM events e JOIN fp ON e.user_id = fp.user_id
             WHERE e.event_type IN ('view','click','signup') AND e.ts < fp.p_ts),
     pu AS (SELECT user_id,
-                  arg_min(event_type, printf('%020d%020d', epoch_ms(ts), event_id)) AS first_touch,
-                  arg_max(event_type, printf('%020d%020d', epoch_ms(ts), event_id)) AS last_touch,
+                  arg_min(event_type, printf('%020d%020d', epoch_us(ts), event_id)) AS first_touch,
+                  arg_max(event_type, printf('%020d%020d', epoch_us(ts), event_id)) AS last_touch,
                   MIN(ts) AS first_ts, MAX(p_ts) AS p_ts
            FROM tch GROUP BY user_id)
     SELECT first_touch, last_touch, COUNT(*) AS n_users,
@@ -1222,8 +1222,12 @@ def a22_touch_attribution(spark, sf_dir):
     (first_touch, last_touch) conversion matrix with exact integer
     time-to-convert totals. Deterministic across engines: touch order is
     (ts, event_id) — encoded as one zero-padded sortable string because
-    min_by/arg_min ordering keys must be scalar in both engines — and the
-    time sums are unix-millis integers, never doubles.
+    min_by/arg_min ordering keys must be scalar in both engines — at FULL
+    microsecond resolution (unix_micros / epoch_us; the parquet timestamps
+    are micros, so nothing is truncated and the ordering agrees with the
+    streaming twin's raw-timestamp sort — a ms-truncated key would break
+    ties differently on sub-ms data). The time sums are unix-millis
+    integers, never doubles.
 
     Scale shape: first-purchase is a map-side-combinable MIN per user;
     the touch filter prunes the events scan before the user-keyed join;
@@ -1242,7 +1246,7 @@ def a22_touch_attribution(spark, sf_dir):
         .filter(F.col("ts") < F.col("p_ts"))
     )
     key = F.format_string(
-        "%020d%020d", F.unix_millis(F.col("ts").cast("timestamp")), F.col("event_id")
+        "%020d%020d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
     )
     pu = tch.groupBy("user_id").agg(
         F.min_by("event_type", key).alias("first_touch"),

@@ -67,7 +67,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     timestamps regardless of the host timezone.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark, sf_dir, name)
+    if _TABLE_CACHE and _TABLE_CACHE_SESSION[0] is not spark:
+        # single-generation cache: a new/recreated session evicts the old
+        # session's entries wholesale (DataFrames strongly reference their
+        # session, so keeping them would pin the dead session's state)
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE_SESSION[0] = spark
+    key = (sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -80,19 +86,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
-#: analyzed-DataFrame reuse per (session, dir, table): parquet schema
-#: inference launches a footer-read JOB at DataFrame creation, so a
-#: registry sweep that re-reads the same ten tables per query pays
-#: hundreds of footer jobs. DataFrames are immutable lazy plans — reusing
-#: one across queries changes nothing downstream. Keyed BY the session
-#: object: a stopped/recreated session is a new key (stale entries are a
-#: few plan objects, freed with the session). Tests that rewrite a
-#: parquet path mid-session must call ``read_table_cache_clear()``.
+#: analyzed-DataFrame reuse per (dir, table) for ONE session generation:
+#: parquet schema inference launches a footer-read JOB at DataFrame
+#: creation, so a registry sweep that re-reads the same ten tables per
+#: query pays hundreds of footer jobs. DataFrames are immutable lazy plans
+#: — reusing one across queries changes nothing downstream. The cache
+#: holds the CURRENT session's entries only (a different session object
+#: clears it first — see read_table), so stopped sessions and their plans
+#: are never pinned. Tests that rewrite a parquet path mid-session must
+#: call ``read_table_cache_clear()``.
 _TABLE_CACHE: dict = {}
+_TABLE_CACHE_SESSION: list = [None]
 
 
 def read_table_cache_clear() -> None:
     _TABLE_CACHE.clear()
+    _TABLE_CACHE_SESSION[0] = None
 
 
 def normalize_events_ts(df):

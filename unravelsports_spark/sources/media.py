@@ -42,14 +42,20 @@ def collect_frame(
     game_id: str,
     frame_id: int,
     max_rows: int = MAX_COLLECT_ROWS,
+    period_id=None,
 ) -> dict:
     """Stage one frame for plotting: object arrays in node order. The
     ``limit(max_rows + 1)`` bounds the driver transfer even if the predicate
-    accidentally matches a whole match (VERDICT r1 'What's wrong' #3)."""
+    accidentally matches a whole match (VERDICT r1 'What's wrong' #3).
+    ``period_id`` narrows the match where frame ids are only unique per
+    period/play (the american-football convention: period_id = play id and
+    frame_id restarts at 1 each play — graph rows carry it, so the overlay
+    renderers always pass it)."""
+    pred = (F.col(Column.GAME_ID) == game_id) & (F.col(Column.FRAME_ID) == frame_id)
+    if period_id is not None:
+        pred = pred & (F.col(Column.PERIOD_ID) == period_id)
     rows = (
-        tracking.filter(
-            (F.col(Column.GAME_ID) == game_id) & (F.col(Column.FRAME_ID) == frame_id)
-        )
+        tracking.filter(pred)
         .orderBy(Column.TEAM_ID, Column.OBJECT_ID)
         .limit(max_rows + 1)
         .collect()
@@ -329,9 +335,14 @@ def to_graph_png(
     **render_kw,
 ) -> str:
     """One graph-frame row (``iter_graph_tuples`` dict: a, object_ids,
-    game_id, frame_id, ball_owning_team_id) rendered as a pitch PNG with
-    the adjacency overlay; returns the path."""
-    staged = collect_frame(tracking, graph[Column.GAME_ID], int(graph["frame_id"]))
+    game_id, period_id, frame_id, ball_owning_team_id) rendered as a pitch
+    PNG with the adjacency overlay; returns the path. The period_id rides
+    into the frame lookup — frame ids are only unique per period/play in
+    the AF convention."""
+    staged = collect_frame(
+        tracking, graph[Column.GAME_ID], int(graph["frame_id"]),
+        period_id=graph.get("period_id"),
+    )
     img = render_graph_overlay(
         staged,
         _graph_cell_matrix(graph),
@@ -369,7 +380,10 @@ def to_graph_mp4(
         raise ValueError("no graph frames to render")
     jpegs, dims = [], None
     for g in graphs:
-        staged = collect_frame(tracking, g[Column.GAME_ID], int(g["frame_id"]))
+        staged = collect_frame(
+            tracking, g[Column.GAME_ID], int(g["frame_id"]),
+            period_id=g.get("period_id"),
+        )
         img = render_graph_overlay(
             staged, _graph_cell_matrix(g), list(g["object_ids"]), home_team_id,
             ball_owning_team_id=g.get("ball_owning_team_id"),

@@ -93,7 +93,8 @@ def write_mjpeg_mp4(
         raise ValueError("no frames to write")
     n = len(frames)
     max_frame = max(len(f) for f in frames)
-    avg_rate = (sum(len(f) for f in frames) * 8 * fps) // n
+    # both bitrate fields are unsigned 32-bit in the DecoderConfigDescriptor
+    avg_rate = min((sum(len(f) for f in frames) * 8 * fps) // n, 0xFFFFFFFF)
     # maxBitrate = the peak one-second window, bounded above by the largest
     # frame repeated for a second (exact for fps=1; a safe upper bound
     # otherwise, and always >= avgBitrate as strict validators require —

@@ -687,9 +687,10 @@ def streaming_funnel(df: DataFrame):
 
     The ordering assumption is ENFORCED observably (ADVICE r7 #1): state
     also carries the last-processed event timestamp, and every event that
-    arrives with ts earlier than it — i.e. an event a prior micro-batch
-    should have seen first — increments the emitted ``ooo_events``
-    counter. A nonzero count marks exactly the users whose funnel may
+    arrives with ts at or before a PRIOR batch's maximum — an event an
+    earlier micro-batch should have seen first, or a tie whose event_id
+    ordering a later batch cannot replay — increments the emitted
+    ``ooo_events`` counter. A nonzero count marks exactly the users whose funnel may
     diverge from the batch a21 twin, so divergence is detectable
     (``SUM(ooo_events) == 0`` certifies the run exact) instead of silent.
     Late events still fold into the chain when the chain state allows it
@@ -721,12 +722,19 @@ def streaming_funnel(df: DataFrame):
         # order and corrupts the chained state
         chunks = [p for p in pdfs if len(p)]
         if chunks:
+            # snapshot BEFORE the batch: ties against a PRIOR batch's max
+            # (ns == prior_ns) are flagged too — the batch twin orders ties
+            # by event_id across the whole history, which a later batch
+            # cannot replay, so a cross-batch tie MAY diverge. Same-ts
+            # events within THIS batch sort correctly and are not flagged.
+            prior_ns = last_ns
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for ts, et in zip(pdf["ts"], pdf["event_type"]):
                 ns = int(ts.value)
-                if last_ns is not None and ns < last_ns:
-                    # a PRIOR batch already processed a later event: the
-                    # in-order contract is broken for this user
+                if prior_ns is not None and ns <= prior_ns:
+                    # a PRIOR batch already processed an event at or after
+                    # this timestamp: the in-order contract is broken (or
+                    # tie-broken unreplayably) for this user
                     ooo += 1
                 if et == "view" and t1 is None:
                     t1 = ns
@@ -762,8 +770,10 @@ def streaming_touch_attribution(df: DataFrame):
     event-time order across batches; within a batch rows sort by
     (ts, event_id) — identical to the batch query's min_by/max_by key.
     The contract is ENFORCED observably via the emitted ``ooo_events``
-    counter (events arriving with ts earlier than an already-processed
-    timestamp). The one subtlety the batch rule forces: a touch at exactly
+    counter (events arriving with ts at or before a prior batch's
+    maximum — strict late arrivals AND cross-batch same-ts ties, whose
+    event_id ordering a later batch cannot replay).
+    The one subtlety the batch rule forces: a touch at exactly
     the purchase timestamp does NOT attribute (batch: ts < p_ts strictly),
     but stream order may process it first — so state also keeps the
     PREVIOUS last touch (strictly earlier ns than the current last), and
@@ -792,10 +802,16 @@ def streaming_touch_attribution(df: DataFrame):
         )
         chunks = [p for p in pdfs if len(p)]
         if chunks:
+            # snapshot BEFORE the batch (same discipline as the funnel):
+            # an event tied with a PRIOR batch's max timestamp is flagged —
+            # the batch twin breaks same-ts ties by event_id across the
+            # whole history, which a later batch cannot replay. Same-ts
+            # events within this batch sort correctly and are not flagged.
+            prior_ns = seen
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for ts, et in zip(pdf["ts"], pdf["event_type"]):
                 ns = int(ts.value)
-                if seen is not None and ns < seen:
+                if prior_ns is not None and ns <= prior_ns:
                     ooo += 1
                 seen = ns if seen is None else max(seen, ns)
                 if p_ns is not None:
@@ -807,9 +823,10 @@ def streaming_touch_attribution(df: DataFrame):
                     if l_ns is not None and l_ns == p_ns:
                         if pl_ns is not None:
                             l_t, l_ns = pl_t, pl_ns
-                        elif f_ns is not None and f_ns < p_ns:
-                            l_t, l_ns = f_t, f_ns
                         else:
+                            # pl unset means the last touch never strictly
+                            # advanced past the first, so l_ns == f_ns ==
+                            # p_ns here: the tied first touch drops below
                             l_t, l_ns = None, None
                     if f_ns is not None and f_ns == p_ns:
                         f_t, f_ns, l_t, l_ns = None, None, None, None
@@ -863,7 +880,11 @@ def streaming_scd2(
 
     Event-time-ordered arrival per key is the exactness contract (the
     same one the funnel/attribution twins enforce): a batch's events must
-    not predate the key's open-row ``valid_from_ms``. Unchanged-state
+    not predate the key's open-row ``valid_from_ms``, and a same-ts tie
+    straddling a batch boundary resolves in arrival order rather than the
+    batch query's global (ts, event_id) order — the ledger carries no
+    per-key last-seen scalar, so unlike the GroupState twins this
+    foreachBatch twin does not flag such ties. Unchanged-state
     events collapse into the open row (no new version — the property that
     makes SCD2 maintenance O(changes), not O(events), at 100 TB: closed
     history is immutable and never rewritten; each batch touches only the
