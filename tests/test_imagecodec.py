@@ -372,3 +372,74 @@ def test_image_dhash_odd_sizes_finite(spark):
         got = image_dhash(df).collect()
     assert len(got) == len(sizes)
     assert all(isinstance(r["dhash"], int) for r in got)
+
+
+def test_audio_spectral_features_pure_tones(spark):
+    """Real DSP sanity on synthesized tones: a pure 1 kHz sine must report
+    dominant/centroid/rolloff at (or tight around) 1 kHz with near-zero
+    flatness; uniform pseudo-noise must report much higher flatness; a
+    3 kHz tone must separate from the 1 kHz one."""
+    import numpy as np
+
+    from unravelsports_spark.functions.audiocodec import encode_wav
+    from unravelsports_spark.operators.multimodal import audio_spectral_features
+
+    rate, n = 16_000, 16_000  # 1 s → 1 Hz bins, tones land exactly on bins
+    t = np.arange(n)
+
+    def tone(hz):
+        return (10_000 * np.sin(2 * np.pi * hz * t / rate)).astype(np.int16)
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(-10_000, 10_000, n).astype(np.int16)
+    rows = [
+        ("tone1k", bytearray(encode_wav(tone(1000), rate))),
+        ("tone3k", bytearray(encode_wav(tone(3000), rate))),
+        ("noise", bytearray(encode_wav(noise, rate))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in audio_spectral_features(df).collect()}
+    assert got["tone1k"].dominant_hz == 1000.0
+    assert got["tone3k"].dominant_hz == 3000.0
+    assert abs(got["tone1k"].centroid_hz - 1000.0) < 1.0
+    assert abs(got["tone1k"].rolloff85_hz - 1000.0) <= 1.0
+    assert got["tone1k"].flatness < 0.01
+    assert got["noise"].flatness > 0.3
+    # determinism: a second pass returns identical rounded values
+    again = {r.media_id: r for r in audio_spectral_features(df).collect()}
+    for k in got:
+        assert got[k].asDict() == again[k].asDict()
+
+
+def test_image_phash_brightness_invariant_and_discriminative(spark):
+    """pHash: uniform brightness/contrast scaling multiplies every DCT
+    coefficient by the same positive factor, so the median-threshold bits
+    are invariant; structurally different images must differ; tiny inputs
+    upsample to finite hashes."""
+    import numpy as np
+
+    from unravelsports_spark.functions.imagecodec import encode_png
+    from unravelsports_spark.operators.multimodal import image_phash
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(10, 120, (64, 64)).astype(np.float64)
+    scaled = np.clip(base * 1.8, 0, 255)  # same structure, brighter
+    other = rng.integers(10, 120, (64, 64)).astype(np.float64)
+
+    def png(g):
+        return encode_png(np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2))
+
+    tiny = np.arange(36, dtype=np.uint8).reshape(6, 6)
+    rows = [
+        (1, png(base)), (2, png(scaled)), (3, png(other)),
+        (4, encode_png(np.repeat(tiny[:, :, None], 3, axis=2))),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {r["id"]: r["phash"] for r in image_phash(df).collect()}
+
+    def ham(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    assert ham(got[1], got[2]) <= 2   # brightness-scaled: near-identical
+    assert ham(got[1], got[3]) >= 16  # different content: far apart
+    assert isinstance(got[4], int)    # tiny image: finite hash

@@ -386,3 +386,140 @@ def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def audio_spectral_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """WAV payload → real spectral descriptors of channel 0 via the numpy
+    rFFT (no external DSP library): dominant frequency (Hz, the argmax
+    magnitude bin excluding DC), spectral centroid (magnitude-weighted
+    mean frequency), 85%% rolloff (lowest frequency below which 85%% of
+    spectral energy sits) and spectral flatness (geometric/arithmetic
+    mean ratio of the power spectrum — 0 for a pure tone, →1 for white
+    noise). Floats round to 6 decimals (the repo's cross-engine float
+    discipline); frequencies derive from exact bin arithmetic
+    (bin · rate / n).
+
+    Scale shape: the same single Arrow mapInPandas pass as the integer
+    audio descriptors — one rFFT per clip, no shuffle; downstream
+    filtering (tone detection, noise screens) is plain relational."""
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("dominant_hz", T.DoubleType()),
+            T.StructField("centroid_hz", T.DoubleType()),
+            T.StructField("rolloff85_hz", T.DoubleType()),
+            T.StructField("flatness", T.DoubleType()),
+        ]
+    )
+
+    def feats(p: bytes) -> tuple:
+        from ..functions.audiocodec import decode_wav
+
+        s, rate = decode_wav(bytes(p))
+        ch0 = s[:, 0].astype(np.float64)
+        n = len(ch0)
+        if n < 2:
+            return (0.0, 0.0, 0.0, 0.0)
+        mag = np.abs(np.fft.rfft(ch0))
+        freqs = np.arange(len(mag)) * (rate / n)
+        m = mag.copy()
+        m[0] = 0.0  # exclude DC from the dominant bin
+        dom = float(freqs[int(np.argmax(m))])
+        tot = float(m.sum())
+        centroid = float((m * freqs).sum() / tot) if tot > 0 else 0.0
+        power = m * m
+        ptot = float(power.sum())
+        if ptot > 0:
+            cum = np.cumsum(power)
+            roll = float(freqs[int(np.searchsorted(cum, 0.85 * ptot))])
+        else:
+            roll = 0.0
+        pos = power[1:][power[1:] > 0]
+        if len(pos):
+            flat = float(np.exp(np.mean(np.log(pos))) / np.mean(power[1:]))
+        else:
+            flat = 0.0
+        r6 = lambda v: float(np.round(v, 6))  # noqa: E731
+        return (r6(dom), r6(centroid), r6(roll), r6(flat))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["dominant_hz", "centroid_hz", "rolloff85_hz", "flatness"]
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = [feats(p) for p in pdf[payload_col]]
+            for i, c in enumerate(cols):
+                pdf[c] = [v[i] for v in vals]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    """Orthonormal 2-D DCT-II via explicit cosine basis matmuls (numpy
+    only — scipy.fft.dctn is not in this container). For an N-point DCT:
+    C[k, x] = a_k · cos(π·(2x+1)·k / (2N)), a_0 = sqrt(1/N),
+    a_k = sqrt(2/N); dct2(B) = C · B · Cᵀ."""
+    n, m = block.shape
+
+    def basis(N: int) -> np.ndarray:
+        k = np.arange(N).reshape(-1, 1)
+        x = np.arange(N).reshape(1, -1)
+        c = np.cos(np.pi * (2 * x + 1) * k / (2 * N))
+        c[0] *= np.sqrt(1.0 / N)
+        c[1:] *= np.sqrt(2.0 / N)
+        return c
+
+    return basis(n) @ block @ basis(m).T
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual hash (pHash) per image → input columns + ``phash``
+    (long): decode, grayscale, block-mean resample to 32×32, 2-D DCT-II,
+    keep the 8×8 low-frequency block, threshold each coefficient against
+    the MEDIAN of the 63 non-DC coefficients (DC itself is forced to 0 —
+    it only encodes mean brightness). Robust to recompression, resizing
+    and uniform brightness/contrast scaling (a positive scale multiplies
+    every DCT coefficient, so the median comparison is invariant) — the
+    frequency-domain complement of :func:`image_dhash`'s gradient hash.
+
+    Scale shape: ONE Arrow mapInPandas pass; the hash joins/groups as a
+    64-bit key exactly like dhash (band joins for Hamming neighbors)."""
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("phash", T.LongType())]
+    )
+
+    def one(p: bytes) -> int:
+        img = decode_image(bytes(p)).astype(np.float64)
+        gray = img.mean(axis=2) if img.ndim == 3 else img
+        h, w = gray.shape
+        # nearest-neighbor repeat up to >= 32 per axis (tiny inputs), then
+        # block-mean down to exactly 32x32 (same boundary discipline as
+        # dhash: reduceat + true block areas keeps unequal splits means)
+        if h < 32:
+            gray = np.repeat(gray, -(-32 // h), axis=0)
+        if w < 32:
+            gray = np.repeat(gray, -(-32 // w), axis=1)
+        h, w = gray.shape
+        rb = np.linspace(0, h, 33).astype(np.int64)[:-1]
+        cb = np.linspace(0, w, 33).astype(np.int64)[:-1]
+        cols = np.add.reduceat(gray, cb, axis=1)
+        grid = np.add.reduceat(cols, rb, axis=0)
+        rw = np.diff(np.append(rb, h)).reshape(-1, 1)
+        cw = np.diff(np.append(cb, w)).reshape(1, -1)
+        grid = grid / (rw * cw)
+        low = _dct2(grid)[:8, :8].copy()
+        low[0, 0] = 0.0
+        med = float(np.median(low.ravel()[1:]))
+        bits = (low.ravel() > med).astype(np.uint64)
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["phash"] = [one(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
