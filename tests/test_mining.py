@@ -130,3 +130,114 @@ def test_transition_counts_tie_break_is_event_id(spark):
         for r in transition_counts(df, "user_id", "event_type", "ts", "event_id").collect()
     }
     assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_rolling_zscore_anomalies_matches_duckdb(spark):
+    """Full equivalence with the SQL twin on the events table (the r9
+    registration oracle): trailing 7-day mean/std per event_type, current
+    day excluded, rounded-6 floats, cold-start and zero-variance guards."""
+    from unravelsports_spark.operators.mining import rolling_zscore_anomalies
+    from unravelsports_spark.session import read_table
+
+    e = read_table(spark, SF, "events")
+    got = sorted(
+        map(
+            tuple,
+            rolling_zscore_anomalies(
+                e, "event_type", "ts", window_days=7, threshold=2.0
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH counts AS (
+          SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        stats AS (
+          SELECT k, day, n_events,
+                 COUNT(n_events) OVER w AS n_prev,
+                 ROUND(AVG(n_events) OVER w, 6) AS mean_prev,
+                 ROUND(COALESCE(STDDEV_SAMP(n_events) OVER w, 0.0), 6) AS std_prev
+          FROM counts
+          WINDOW w AS (PARTITION BY k ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        scored AS (
+          SELECT k AS event_type, CAST(epoch_ms(day) AS BIGINT) AS day_ms,
+                 n_events, mean_prev, std_prev,
+                 CASE WHEN n_prev >= 3 AND std_prev > 0
+                      THEN ROUND((n_events - mean_prev) / std_prev, 6) END AS zscore
+          FROM stats)
+        SELECT event_type, day_ms, n_events, mean_prev, std_prev, zscore,
+               COALESCE(ABS(zscore) > 2.0, FALSE) AS is_anomaly
+        FROM scored
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_rolling_zscore_guards_and_detection(spark):
+    """Hand-built series: cold start never flags, a genuine spike after
+    stable history flags, constant history (zero variance) never flags."""
+    import datetime as dt
+
+    from unravelsports_spark.operators.mining import rolling_zscore_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # key 'spiky': 6 days of 10 events, then a day of 100
+    for d in range(6):
+        for _ in range(10):
+            rows.append((eid, base + dt.timedelta(days=d), 1, "spiky")); eid += 1
+    for _ in range(100):
+        rows.append((eid, base + dt.timedelta(days=6), 1, "spiky")); eid += 1
+    # key 'flat': identical counts every day — zero variance, never flags
+    for d in range(8):
+        for _ in range(5):
+            rows.append((eid, base + dt.timedelta(days=d), 1, "flat")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r["event_type"], r["day_ms"]): r
+        for r in rolling_zscore_anomalies(
+            df, "event_type", "ts", threshold=3.0
+        ).collect()
+    }
+    ms = lambda d: int((base + dt.timedelta(days=d)).replace(  # noqa: E731
+        tzinfo=dt.timezone.utc).timestamp() * 1000)
+    # day 0-2: cold start (fewer than 3 trailing days) → no zscore
+    assert got[("spiky", ms(0))]["zscore"] is None
+    assert got[("spiky", ms(2))]["zscore"] is None
+    # spike day: 6 stable days of history... but variance is ZERO (all 10s)
+    # → guard holds, no flag — then make history noisy enough to flag
+    assert got[("spiky", ms(6))]["is_anomaly"] is False
+    assert all(not got[("flat", ms(d))]["is_anomaly"] for d in range(8))
+
+    rows2 = []
+    eid = 0
+    pattern = [10, 12, 9, 11, 10, 12]  # noisy but stable
+    for d, n in enumerate(pattern):
+        for _ in range(n):
+            rows2.append((eid, base + dt.timedelta(days=d), 1, "s")); eid += 1
+    for _ in range(100):
+        rows2.append((eid, base + dt.timedelta(days=6), 1, "s")); eid += 1
+    df2 = spark.createDataFrame(
+        rows2, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got2 = {
+        r["day_ms"]: r
+        for r in rolling_zscore_anomalies(df2, "event_type", "ts").collect()
+    }
+    assert got2[ms(6)]["is_anomaly"] is True
+    assert got2[ms(5)]["is_anomaly"] is False

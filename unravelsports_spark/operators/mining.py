@@ -86,3 +86,68 @@ def transition_counts(
         )
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    threshold: float = 3.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """Daily-count anomaly detection per key: each (key, day) count is
+    scored against the TRAILING ``window_days`` days' mean/stddev
+    (current day excluded — the detector must not see the point it
+    judges), and days with |count − mean| > threshold·std flag as
+    anomalies. Days with fewer than ``min_history`` trailing observations
+    or zero variance never flag (cold-start / constant series guard).
+
+    Output: (key, day_ms, n_events, mean_prev, std_prev, zscore,
+    is_anomaly) with floats rounded to 6 (the cross-engine float
+    discipline; mean/std/z are the only non-integers).
+
+    Scale shape: the event log reduces to per-(key, day) counts FIRST
+    (one map-side-combinable shuffle); the rolling window then runs over
+    that tiny table partitioned BY KEY — a bounded rows-frame window, no
+    self-join, no global sort. Observed days only (a silent day
+    contributes no row — matching the SQL twin exactly; gap-filling is
+    w9_interpolate_gaps' job)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    counts = (
+        df.select(F.col(key_col).alias("_k"), day.alias("_day"))
+        .groupBy("_k", "_day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_day")
+        .rowsBetween(-int(window_days), -1)
+    )
+    stats = counts.select(
+        "_k",
+        "_day",
+        "n_events",
+        F.count("n_events").over(w).alias("_n_prev"),
+        F.round(F.avg("n_events").over(w), 6).alias("mean_prev"),
+        F.round(F.coalesce(F.stddev_samp("n_events").over(w), F.lit(0.0)), 6).alias(
+            "std_prev"
+        ),
+    )
+    z = F.round(
+        (F.col("n_events") - F.col("mean_prev")) / F.col("std_prev"), 6
+    )
+    scored = stats.select(
+        F.col("_k").alias(key_col),
+        F.unix_millis(F.col("_day").cast("timestamp")).alias("day_ms"),
+        "n_events",
+        "mean_prev",
+        "std_prev",
+        F.when(
+            (F.col("_n_prev") >= min_history) & (F.col("std_prev") > 0), z
+        ).alias("zscore"),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("zscore")) > F.lit(float(threshold)), F.lit(False)),
+    )
