@@ -155,6 +155,18 @@ def test_unigram_tokenize_stats(corpus_df, spark):
         assert rows[i]["n_pieces"] <= coarse[i]
 
 
+def test_seed_vocab_short_words_exact(spark):
+    """Review regression: words SHORTER than max_piece_len must contribute
+    each substring exactly once per word occurrence — Spark's sequence()
+    descends when start > stop, which inflated short-word frequencies
+    (freq('a') came back 10x on a 1-char word) and minted phantom
+    negative-position substrings before the length filter."""
+    df = spark.createDataFrame([(0, "a on a")], ["doc_id", "text"])
+    w = word_counts(df)
+    rows = {r["piece"]: r["freq"] for r in seed_vocab(w, max_piece_len=4).collect()}
+    assert rows == {"a": 2, "o": 1, "n": 1, "on": 1}
+
+
 def test_word_counts_and_seed_scale_shape(corpus_df):
     w = word_counts(corpus_df)
     assert w.filter("word = 'the'").head()["n"] == 6  # 2 each in docs 0/1/3

@@ -97,11 +97,15 @@ def rolling_zscore_anomalies(
     min_history: int = 3,
 ) -> DataFrame:
     """Daily-count anomaly detection per key: each (key, day) count is
-    scored against the TRAILING ``window_days`` days' mean/stddev
-    (current day excluded — the detector must not see the point it
-    judges), and days with |count − mean| > threshold·std flag as
-    anomalies. Days with fewer than ``min_history`` trailing observations
-    or zero variance never flag (cold-start / constant series guard).
+    scored against the trailing ``window_days`` OBSERVED days' mean/stddev
+    (a ROWS frame over the key's activity days, current day excluded —
+    the detector must not see the point it judges; for a key with gap
+    days the baseline therefore spans more calendar time than
+    ``window_days``, which is the intended behavior for sparse keys — a
+    calendar-bounded baseline would have no history at all for them).
+    Days with |count − mean| > threshold·std flag as anomalies; days with
+    fewer than ``min_history`` trailing observations or zero variance
+    never flag (cold-start / constant series guard).
 
     Output: (key, day_ms, n_events, mean_prev, std_prev, zscore,
     is_anomaly) with floats rounded to 6 (the cross-engine float

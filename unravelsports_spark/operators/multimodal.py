@@ -331,6 +331,38 @@ def video_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema)
 
 
+def _gray_block_mean(gray: np.ndarray, n_rows: int, n_cols: int) -> np.ndarray:
+    """Block-mean resample of a 2-D grayscale array to (n_rows, n_cols) —
+    the shared boundary discipline of dHash and pHash. Inputs smaller
+    than the grid upsample by nearest-neighbor repeat first (injective,
+    so distinct tiny images keep distinct hashes; without it the linspace
+    boundaries repeat and the block means divide by zero — every
+    thumbnail would collapse onto one hash); unequal splits stay true
+    means via explicit block areas."""
+    h, w = gray.shape
+    if h < n_rows:
+        gray = np.repeat(gray, -(-n_rows // h), axis=0)
+    if w < n_cols:
+        gray = np.repeat(gray, -(-n_cols // w), axis=1)
+    h, w = gray.shape
+    rb = np.linspace(0, h, n_rows + 1).astype(np.int64)[:-1]
+    cb = np.linspace(0, w, n_cols + 1).astype(np.int64)[:-1]
+    cols = np.add.reduceat(gray, cb, axis=1)
+    grid = np.add.reduceat(cols, rb, axis=0)
+    rw = np.diff(np.append(rb, h)).reshape(-1, 1)
+    cw = np.diff(np.append(cb, w)).reshape(1, -1)
+    return grid / (rw * cw)
+
+
+def _bits_to_signed64(bits) -> int:
+    """64 bits (MSB first) → two's-complement signed 64-bit int (Spark
+    LongType) — shared by both perceptual hashes."""
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Difference-hash (dHash) perceptual fingerprint per image → input
     columns + ``dhash`` (long): decode the binary payload with the
@@ -354,30 +386,9 @@ def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     def one(p: bytes) -> int:
         img = decode_image(bytes(p)).astype(np.int64)
         gray = img.mean(axis=2) if img.ndim == 3 else img
-        h, w = gray.shape
-        # inputs smaller than the 8×9 grid upsample by nearest-neighbor
-        # repeat (injective, so distinct tiny images keep distinct hashes);
-        # without this the linspace boundaries repeat and the block means
-        # divide by zero — every thumbnail would collapse onto one hash
-        if h < 8:
-            gray = np.repeat(gray, -(-8 // h), axis=0)
-        if w < 9:
-            gray = np.repeat(gray, -(-9 // w), axis=1)
-        h, w = gray.shape
-        rb = np.linspace(0, h, 9).astype(np.int64)[:-1]
-        cb = np.linspace(0, w, 10).astype(np.int64)[:-1]
-        cols = np.add.reduceat(gray, cb, axis=1)
-        grid = np.add.reduceat(cols, rb, axis=0)
-        # normalize by block areas so unequal splits stay means
-        rw = np.diff(np.append(rb, h)).reshape(-1, 1)
-        cw = np.diff(np.append(cb, w)).reshape(1, -1)
-        grid = grid / (rw * cw)
+        grid = _gray_block_mean(gray, 8, 9)
         bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64).ravel()
-        v = 0
-        for b in bits:
-            v = (v << 1) | int(b)
-        # two's-complement into a signed 64-bit long
-        return v - (1 << 64) if v >= (1 << 63) else v
+        return _bits_to_signed64(bits)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -392,10 +403,12 @@ def audio_spectral_features(df: DataFrame, payload_col: str = "payload") -> Data
     """WAV payload → real spectral descriptors of channel 0 via the numpy
     rFFT (no external DSP library): dominant frequency (Hz, the argmax
     magnitude bin excluding DC), spectral centroid (magnitude-weighted
-    mean frequency), 85%% rolloff (lowest frequency below which 85%% of
+    mean frequency), 85% rolloff (lowest frequency below which 85% of
     spectral energy sits) and spectral flatness (geometric/arithmetic
-    mean ratio of the power spectrum — 0 for a pure tone, →1 for white
-    noise). Floats round to 6 decimals (the repo's cross-engine float
+    mean ratio of the power spectrum over the SAME non-DC bin set — 0
+    whenever any bin is exactly zero, per the standard definition, so a
+    pure tone reports 0 and white noise approaches 1). Floats round to 6
+    decimals (the repo's cross-engine float
     discipline); frequencies derive from exact bin arithmetic
     (bin · rate / n).
 
@@ -434,9 +447,14 @@ def audio_spectral_features(df: DataFrame, payload_col: str = "payload") -> Data
             roll = float(freqs[int(np.searchsorted(cum, 0.85 * ptot))])
         else:
             roll = 0.0
-        pos = power[1:][power[1:] > 0]
-        if len(pos):
-            flat = float(np.exp(np.mean(np.log(pos))) / np.mean(power[1:]))
+        # geometric and arithmetic means over the SAME bin set: a single
+        # exact-zero bin drives the geometric mean (hence flatness) to 0 —
+        # computing the geo-mean over positive bins only while dividing by
+        # the all-bins mean reported flatness 2.0 for a pure Nyquist tone
+        # (review-verified); the standard definition is 0 there
+        p1 = power[1:]
+        if len(p1) and p1.min() > 0:
+            flat = float(np.exp(np.mean(np.log(p1))) / np.mean(p1))
         else:
             flat = 0.0
         r6 = lambda v: float(np.round(v, 6))  # noqa: E731
@@ -491,30 +509,12 @@ def image_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     def one(p: bytes) -> int:
         img = decode_image(bytes(p)).astype(np.float64)
         gray = img.mean(axis=2) if img.ndim == 3 else img
-        h, w = gray.shape
-        # nearest-neighbor repeat up to >= 32 per axis (tiny inputs), then
-        # block-mean down to exactly 32x32 (same boundary discipline as
-        # dhash: reduceat + true block areas keeps unequal splits means)
-        if h < 32:
-            gray = np.repeat(gray, -(-32 // h), axis=0)
-        if w < 32:
-            gray = np.repeat(gray, -(-32 // w), axis=1)
-        h, w = gray.shape
-        rb = np.linspace(0, h, 33).astype(np.int64)[:-1]
-        cb = np.linspace(0, w, 33).astype(np.int64)[:-1]
-        cols = np.add.reduceat(gray, cb, axis=1)
-        grid = np.add.reduceat(cols, rb, axis=0)
-        rw = np.diff(np.append(rb, h)).reshape(-1, 1)
-        cw = np.diff(np.append(cb, w)).reshape(1, -1)
-        grid = grid / (rw * cw)
+        grid = _gray_block_mean(gray, 32, 32)
         low = _dct2(grid)[:8, :8].copy()
         low[0, 0] = 0.0
         med = float(np.median(low.ravel()[1:]))
         bits = (low.ravel() > med).astype(np.uint64)
-        v = 0
-        for b in bits:
-            v = (v << 1) | int(b)
-        return v - (1 << 64) if v >= (1 << 63) else v
+        return _bits_to_signed64(bits)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

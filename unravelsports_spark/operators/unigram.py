@@ -65,12 +65,18 @@ def seed_vocab(
     single characters (so coverage never breaks). The substring explode
     multiplies the WORD table (≤ len·max_piece_len substrings per word),
     never the corpus."""
+    # piece lengths are FILTERED to <= length(word) before the position
+    # sequence: sequence(1, length(word) - l + 1) with start > stop would
+    # otherwise DESCEND (Spark defaults step to -1), emitting duplicate and
+    # negative-position substrings for every word shorter than the piece
+    # length and inflating their seed frequencies (caught by review; pinned
+    # by test_seed_vocab_short_words_exact)
     subs = words.select(
         F.explode(
             F.expr(
-                "flatten(transform(sequence(1, "
-                f"{int(max_piece_len)}"
-                "), l -> transform(sequence(1, length(word) - l + 1), "
+                "flatten(transform("
+                f"filter(sequence(1, {int(max_piece_len)}), l -> l <= length(word)), "
+                "l -> transform(sequence(1, length(word) - l + 1), "
                 "s -> substring(word, s, l))))"
             )
         ).alias("piece"),
@@ -225,8 +231,9 @@ def unigram_tokenize_stats(
                 {id_col: ids, "n_words": nw, "n_pieces": npc}
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     out = df.select(id_col, text_col).mapInPandas(
-        run, f"{id_col} long, n_words long, n_pieces long"
+        run, f"{id_col} {id_type}, n_words long, n_pieces long"
     )
     return out.withColumn(
         "pieces_per_100_words",
