@@ -206,6 +206,26 @@ def main() -> None:
         walls = [timed(lambda: mk(base)), timed(lambda: mk(doc_scales[first]))]
         print(fmt_row(f"{name} ({first}x)", walls))
 
+    # unigram-LM tokenizer trainer (r8): returns a Python list, so time the
+    # call directly (best of 2, like timed()). The dup-heavy blowup keeps
+    # the DISTINCT word table identical while the corpus grows ×10 — the
+    # trainer's EM rounds run on the word table, so wall must stay
+    # near-flat (only the single corpus tokenize pass grows).
+    from unravelsports_spark.operators.unigram import unigram_train
+
+    dup10 = blow_up(base, first, "documents_unigram_dup", retext=None)
+    walls = []
+    for d in (base, dup10):
+        unigram_train(d, vocab_size=64, iters=2, seed_size=256)  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            unigram_train(d, vocab_size=64, iters=2, seed_size=256)
+            best = min(best, time.perf_counter() - t0)
+        release_tracked()
+        walls.append(best)
+    print(fmt_row(f"unigram_train dup-heavy ({first}x)", walls))
+
     # duplication-heavy twin: copies keep IDENTICAL text (only ids shift) —
     # the regime where exact dedup's map-side combine must collapse the
     # shuffle to ~n1 rows regardless of the duplication factor
