@@ -70,3 +70,25 @@ def test_queries_order_puts_uncertified_first():
     prios = [prio(n) for n in names]
     assert prios == sorted(prios)
     assert prios[:WINDOW].count(2) == 0  # window holds no already-certified
+
+
+def test_read_table_cache_single_generation(spark, tmp_path):
+    """read_table reuses the analyzed DataFrame within one session (no
+    footer re-read) and read_table_cache_clear() resets it; the cache
+    must also serve correct per-(dir, table) entries."""
+    from unravelsports_spark.session import (
+        read_table,
+        read_table_cache_clear,
+    )
+
+    read_table_cache_clear()
+    a1 = read_table(spark, "/root/testdata/sf0.001", "region")
+    a2 = read_table(spark, "/root/testdata/sf0.001", "region")
+    assert a1 is a2  # same analyzed plan object: no footer job re-paid
+    b = read_table(spark, "/root/testdata/sf0.01", "region")
+    assert b is not a1  # different dir → different entry
+    assert a1.count() != b.count() or a1.count() > 0
+    read_table_cache_clear()
+    a3 = read_table(spark, "/root/testdata/sf0.001", "region")
+    assert a3 is not a1  # cleared: a fresh DataFrame
+    assert sorted(map(tuple, a3.collect())) == sorted(map(tuple, a1.collect()))
