@@ -25,23 +25,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01..
 # r07). The driver checks a bounded prefix of this dict, so enumerate
 # never-certified queries first to widen certification breadth; no keys are
-# renamed. Round-8 ROTATION (VERDICT r7 action #1, executed exactly): the
-# 44 hash-green r7 keys (CORRECTNESS_r07.json) ENTER this set; the 24
-# r3-leftover keys (mm_gif_real .. j9_interval_join block) and the 22
-# standing r4-cohort keys (s_ann_mllib_brp .. d_semantic_contamination)
-# LEAVE it, so the round-8 window re-certifies the oldest standing hashes
-# — the codec / streaming-native-window / asof / JSON / sketch paths last
-# driver-hashed in r3/r4. 46 stale + up to 4 new r8 queries fill the
-# 50-slot window; the six rows-only model checks (m_pressing_intensity ..
-# m_graph_convert_delaunay) sit at priority 1 behind them this round —
-# each was rows-green in r07 AND carries a hash-certified m_*_cells twin,
-# so pushing them past slot 50 for one round loses nothing.
+# renamed. Round-9 ROTATION (VERDICT r8 action #1, executed exactly): the
+# 50 hash-green r8 keys (CORRECTNESS_r08.json, 50/50 exact) ENTER this
+# set; the 33-key r5 cohort (d_jaccard_top_pairs .. a4_argmin_in_group —
+# the oldest standing hashes, last driver-hashed r5) LEAVES it, as do the
+# three perf-rewrite targets (s_ann_recall, d_semdedup_multitable,
+# d_cdc_chunks — their r9 plan changes cost their slots per protocol).
+# q1_pricing_summary keeps its documented rotation exemption (ADVICE r6
+# #2): smoke-run by entry() every round + fresh-process re-verified.
+# Window: 33 r5 + 3 perf + new r9 oracle queries fill priority 0; the six
+# rows-only model checks (m_pressing_intensity ..
+# m_graph_convert_delaunay, last driver-run r7) follow at priority 1 —
+# p0 is budgeted ≤ 44 so all six fit inside the 50-slot window this
+# round, per VERDICT r8 #1.
 _CERTIFIED = frozenset(
     {
-        # r6 green (CORRECTNESS_r06.json), untouched by round-7 changes
+        # r6 green (CORRECTNESS_r06.json), untouched since
         "a5_conditional_sum", "a7_global_distinct", "d_dup_clusters",
         "d_embedding_neardup", "d_exact_dedup_stats", "d_lsh_candidate_pairs",
-        "d_lsh_recall", "d_minhash_signatures", "d_semdedup_multitable",
+        "d_lsh_recall", "d_minhash_signatures",
+        # d_semdedup_multitable (r6 green) re-certifies: r9 perf rewrite.
         "d_semdedup_recall", "d_simhash", "f1_string_ops", "f2_temporal_trunc",
         "f3_math_ops", "f4_null_handling", "f5_casts", "f6_array_ops",
         "j8_asof_join", "m_graph_custom_cells", "o11_concat_key", "o5_top_k_limit",
@@ -50,26 +53,17 @@ _CERTIFIED = frozenset(
         "t_filter_funnel", "t_fingerprint", "t_quality_by_source", "t_token_stats",
         "w1_lag_diff", "w2_partitioned_min", "w3_rank_topk", "w4_sessionize",
         "w5_tumbling_window", "w7_row_index",
-        # r5 green (CORRECTNESS_r05.json), unchanged since.
-        # q1 rotation exemption, documented per ADVICE r6 #2: the late-r7
+        # q1 rotation exemption, documented per ADVICE r6 #2 (r5 green;
+        # the rest of the r5 cohort LEFT the set this round): the late-r7
         # scaled_units extraction is a pure code move — q1 builds the
         # IDENTICAL expression tree (plan guards pass unchanged), it is
-        # smoke-run by entry() every round, and this session's fresh-
-        # process oracle compare re-verified it hash-exact at sf0.01.
-        "q1_pricing_summary", "d_jaccard_top_pairs", "w6_savgol_oracle",
-        "t_repetition_stats", "t_sequence_packing", "a15_hll_sketch_union",
-        "w9_interpolate_gaps", "t_bigram_logprob", "t_bpe_merges",
-        "t_bpe_tokenized_stats", "m_efpi_cells", "m_savgol_cells",
-        "t_dsir_scores", "t_dsir_resample", "t_nb_confusion",
-        "t_shard_manifest", "d_incremental_dedup",
-        "p1_p2_project_filter", "f7_f8_conditional_literals",
-        "p3_filter_eq", "p4_range_between", "p5_modulo_sample", "p6_conditional_cap",
-        "p7_sign_flip", "p8_bool_derive", "j1_dim_join", "j2_agg_back_join",
-        "j3_semi_join", "j4_anti_join", "j5_enrich_revenue", "j7_distinct_join",
-        "a2_distinct_count", "a3_group_stats", "a4_argmin_in_group",
-        # r7 green (CORRECTNESS_r07.json, all 44 hash-exact): the ADVICE-r6
-        # rotation seven, every query the r7 langid/pq/mllb-lsh rewrites
-        # touched, the fourteen new r7 queries, and 16 recycled r3 greens.
+        # smoke-run by entry() every round, and the r8 fresh-process
+        # oracle compare re-verified it hash-exact at sf0.01.
+        "q1_pricing_summary",
+        # r7 green (CORRECTNESS_r07.json, all 44 hash-exact), minus two of
+        # the three r9 perf-rewrite targets (s_ann_recall, d_cdc_chunks;
+        # the third, d_semdedup_multitable, left the r6 block above),
+        # which re-certify this round.
         "t_langid_confusion", "d_mllib_minhash_join", "mm_image_dhash_dedup",
         "j6_label_join", "t_bpe_token_stats", "t_pii_scrub", "t_url_domains",
         "d_contamination", "k_salted_agg", "t_tfidf_terms", "t_vocab_top100",
@@ -81,13 +75,29 @@ _CERTIFIED = frozenset(
         "q18_large_volume_customer", "t_unigram_logprob", "t_corpus_prep_e2e",
         "d_cluster_keep_best", "d_pagerank", "s_ann_pq",
         "s_ann_ivfpq_residual", "s_ann_ivfpq", "t_prep_to_shards_e2e",
-        # t_hybrid_rrf was r7-green but is NOT certified-exempt: the
-        # round-8 bm25_scores rewrite (regexp_count tf/dl + driver-side
-        # stats literals) changes its plan, so it re-certifies this round
-        # alongside t_bm25_topk (the other bm25_scores consumer).
-        "s_kmeans_fit", "s_ann_recall", "t_full_pipeline_e2e",
+        "s_kmeans_fit", "t_full_pipeline_e2e",
         "t_ngram_novelty", "d_label_communities", "d_kcore_peeling",
-        "d_cdc_chunks", "d_containment_top_pairs", "d_cross_source_overlap",
+        "d_containment_top_pairs", "d_cross_source_overlap",
+        # r8 green (CORRECTNESS_r08.json, all 50 hash-exact): the 46 stale
+        # r3/r4 re-certifications, the bm25-rewrite pair, and the three
+        # new r8 queries.
+        "s_ann_mllib_brp", "f9_json_extract", "o12_row_synthesis",
+        "mm_decode_stats", "mm_decode_real", "st_sliding_window",
+        "st_session_window", "j8f_asof_forward", "a9_approx_distinct",
+        "mm_audio_real", "j9_interval_join", "mm_video_real",
+        "a17_sortedness", "a18_outliers", "mm_gif_real",
+        "d_minhash_accuracy", "o13_reservoir_sample", "a11_histogram",
+        "a12_corr_exact", "a13_rollup", "o14_pivot", "w8_rank_distributions",
+        "d_edit_distance", "a14_cube", "f11_string_agg",
+        "f12_array_agg_sorted", "f13_bitwise_agg", "a16_profile",
+        "w10_moving_avg", "o15_morton_key", "j10_full_outer",
+        "st_session_window_native", "f14_variant_json", "f15_sql_text",
+        "q7_volume_shipping", "q10_returned_items", "a22_touch_attribution",
+        "t_bm25_topk", "d_countmin_heavyhitters", "d_dup_spans",
+        "t_mixture_temperature", "d_semdedup_lsh", "m_pi_cells",
+        "m_graph_cells", "m_delaunay_cells", "m_af_cells", "t_corpus_kl",
+        "d_bloom_decontamination", "d_semantic_contamination",
+        "t_hybrid_rrf",
     }
 )
 

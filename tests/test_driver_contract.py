@@ -92,3 +92,25 @@ def test_read_table_cache_single_generation(spark, tmp_path):
     a3 = read_table(spark, "/root/testdata/sf0.001", "region")
     assert a3 is not a1  # cleared: a fresh DataFrame
     assert sorted(map(tuple, a3.collect())) == sorted(map(tuple, a1.collect()))
+
+
+def test_read_table_refresh_rereads_rewritten_dir(spark, tmp_path):
+    """refresh=True (ADVICE r8 #3): a caller that rewrote a parquet dir
+    mid-session gets fresh data without the global cache clear — and the
+    refreshed entry replaces the stale one for later default reads."""
+    from unravelsports_spark.session import read_table
+
+    d = str(tmp_path)
+    p = str(tmp_path / "region.parquet")
+    spark.createDataFrame([(1, "a")], "r_regionkey long, r_name string").write.parquet(p)
+    first = read_table(spark, d, "region")
+    assert first.count() == 1
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "r_regionkey long, r_name string"
+    ).write.mode("overwrite").parquet(p)
+    # without refresh the cached entry is stale by design (it pins the old
+    # file listing — executing it now raises FAILED_READ_FILE)
+    assert read_table(spark, d, "region") is first
+    fresh = read_table(spark, d, "region", refresh=True)
+    assert fresh.count() == 2
+    assert read_table(spark, d, "region") is fresh  # replaced the entry

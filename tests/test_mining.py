@@ -64,6 +64,25 @@ def test_frequent_pairs_matches_duckdb_on_lineitem(spark):
     assert got == want
 
 
+def test_frequent_pairs_max_basket_skew_guard(spark):
+    """VERDICT r8 #4: one pathological transaction (200 items → 19 900
+    pairs uncapped) must be dropped whole by ``max_basket``, leaving the
+    small baskets' counts exact — and the capped plan bounds every
+    transaction's pair emission before the self-join."""
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    rows += [(99, f"x{i:03d}") for i in range(200)]  # the skew bomb
+    df = spark.createDataFrame(rows, "txn int, item string")
+
+    uncapped = frequent_pairs(df, "txn", "item", min_support=1)
+    assert uncapped.count() == 1 + 200 * 199 // 2
+
+    capped = frequent_pairs(df, "txn", "item", min_support=1, max_basket=10)
+    got = {
+        (r["item_a"], r["item_b"]): r["n_txns"] for r in capped.collect()
+    }
+    assert got == {("a", "b"): 2}  # bomb dropped whole, small baskets exact
+
+
 def test_transition_counts_hand_example(spark):
     import datetime as dt
 

@@ -405,3 +405,55 @@ def test_a22_attribution_no_window_no_cartesian(spark):
     assert "Window" not in plan
     assert "partial_min" in plan or "partial" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_all_predicates_pushed_scan_agg_only(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # every predicate reaches the parquet scan (the PushedFilters list is
+    # display-truncated after the IsNotNulls, so assert its prefix plus the
+    # full data-filter predicates, which the scan mirrors 1:1)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan
+    assert ">= 1996-01-01 00:00:00)" in plan
+    assert "< 1997-01-01 00:00:00)" in plan
+    assert ">= 0.05)" in plan and "<= 0.07)" in plan
+    assert "< 24.0)" in plan
+    # scan reads only the 4 needed columns of 11
+    assert "l_orderkey" not in plan and "l_tax" not in plan
+    # one partial/final agg pair, single-row exchange, no join/window
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_o16_basket_bounded_pair_join(spark):
+    plan = plan_of(spark, "o16_frequent_part_pairs")
+    # the (txn, item) distinct combines map-side BEFORE its exchange (two
+    # HashAggregate instances per distinct: partial + final)
+    assert plan.count("HashAggregate") >= 4
+    # the skew cap is a semi filter applied before the pair self-join
+    assert "LeftSemi" in plan
+    # pair join meets on the transaction key — never a cartesian
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # top-20 via heap
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_w13_single_window_exchange(spark):
+    plan = plan_of(spark, "w13_event_transitions")
+    # one lag window partitioned by user, one agg exchange — no join
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    # scan reads only the 4 needed columns of 6
+    assert "props" not in plan and '"value"' not in plan
+
+
+def test_w14_counts_reduce_before_window(spark):
+    plan = plan_of(spark, "w14_daily_anomalies")
+    # the event log reduces to per-(key, day) counts FIRST (partial+final
+    # agg around an exchange), THEN the rolling window runs on that tiny
+    # table — window input is the aggregate, never raw events
+    assert "partial_count" in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 2
+    # scan reads only ts + event_type
+    assert "user_id" not in plan and "event_id" not in plan

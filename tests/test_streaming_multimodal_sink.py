@@ -1418,6 +1418,54 @@ def test_streaming_touch_attribution_purchase_tie_semantics(spark, tmp_path):
     assert not r2["converted"] and r2["first_touch"] is None
 
 
+def test_streaming_touch_attribution_ignores_strictly_late_touch(spark, tmp_path):
+    """ADVICE r8 #1: a strictly-late out-of-order touch (ts before a PRIOR
+    batch's last touch) must be flagged by ooo_events and IGNORED — never
+    fold into state by overwriting the newer last-touch type while keeping
+    the newer timestamp (a hybrid that matches neither arrival order nor
+    batch (ts, event_id) order)."""
+    import datetime as dt
+
+    from unravelsports_spark.streaming.windows import streaming_touch_attribution
+
+    base = dt.datetime(2024, 5, 1)
+    t = lambda h: base + dt.timedelta(hours=h)  # noqa: E731
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    batch1 = [(10, t(1), 1, "view"), (11, t(5), 1, "signup")]
+    # click@2 arrives in batch 2 — strictly late vs the batch-1 signup@5
+    batch2 = [(12, t(2), 1, "click"), (13, t(8), 1, "purchase")]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    final = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = r
+
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            streaming_touch_attribution(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    r = final[1]
+    assert r["ooo_events"] == 1  # the late click is observable...
+    assert r["converted"]
+    # ...and ignored: last touch stays the batch-1 signup@5, not a hybrid
+    # ('click', ts=5) state
+    assert (r["first_touch"], r["last_touch"]) == ("view", "signup")
+
+
 def test_streaming_scd2_matches_certified_batch_query(spark, tmp_path):
     """Incremental SCD2 maintenance across 3 event-time-ordered
     micro-batches: the merged ledger view must equal the certified w11

@@ -155,6 +155,38 @@ def test_unigram_tokenize_stats(corpus_df, spark):
         assert rows[i]["n_pieces"] <= coarse[i]
 
 
+def test_unigram_tokenize_stats_equals_per_occurrence_path(corpus_df, spark):
+    """VERDICT r8 #3 equivalence gate: the vocab-bound apply (segment the
+    DISTINCT word table once, join n_pieces back) must return EXACTLY what
+    the old per-occurrence path computed — here re-derived independently
+    with pure-Python Viterbi over every word occurrence — including a
+    zero-word document and a repeated-word document."""
+    from unravelsports_spark.operators.unigram import _viterbi as vit
+
+    vocab = unigram_train(corpus_df, vocab_size=12, iters=2, seed_size=40)
+    extra = [(90, ""), (91, "!!! ???"), (92, "cat cat cat cat")]
+    df = corpus_df.unionByName(
+        spark.createDataFrame(extra, ["doc_id", "text"])
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["pieces_per_100_words"])
+        for r in unigram_tokenize_stats(df, vocab).collect()
+    }
+
+    tot = sum(c for _, c, _ in vocab) or 1
+    logp = {p: math.log((c if c > 0 else 1) / tot) for p, c, _ in vocab}
+    want = {}
+    for i, text in CORPUS + extra:
+        ws = re.findall("[a-z0-9]+", text.lower())
+        pieces = 0
+        for w in ws:  # per-occurrence: every repeat re-segments
+            seg = vit(w, logp, 4)
+            pieces += len(seg) if seg else len(w)
+        pp100 = 100 * pieces // len(ws) if ws else 0
+        want[i] = (len(ws), pieces, pp100)
+    assert got == want
+
+
 def test_seed_vocab_short_words_exact(spark):
     """Review regression: words SHORTER than max_piece_len must contribute
     each substring exactly once per word occurrence — Spark's sequence()

@@ -37,6 +37,9 @@ EXPECTED_SNAPSHOT = {
     "a15_hll_sketch_union",
     "s_ann_mllib_brp",
     "d_mllib_minhash_join",
+    # r9: Viterbi segmentation over the documents table is deterministic
+    # but not SQL-expressible; the VALUES oracle pins the sf0.01 rollup
+    "t_unigram_tokens",
 }
 
 #: LM scorers with a measured 1-ulp ln() rounding-boundary row at sf0.1

@@ -32,15 +32,33 @@ def frequent_pairs(
     item_col: str,
     min_support: int = 2,
     top: int | None = None,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """(item_a, item_b, n_txns) for unordered item pairs co-occurring in at
     least ``min_support`` transactions; ``item_a < item_b`` canonicalizes
     the pair. ``top`` keeps the most frequent pairs via a
     TakeOrderedAndProject heap (ties broken by the pair), never a global
-    sort."""
+    sort.
+
+    ``max_basket`` is the skew guard (VERDICT r8 #4): pair fan-out is
+    k·(k−1)/2 per transaction, so ONE malformed transaction with 10⁵ items
+    in a 100 TB log would emit ~5·10⁹ rows onto a single join key. With a
+    cap, transactions with more distinct items are dropped BEFORE the
+    self-join (a map-side-combinable count + a broadcast-ready semi
+    filter), bounding every txn's emission at cap·(cap−1)/2. Dropping —
+    not truncating — keeps the output exact over the retained baskets
+    (a truncated basket would systematically under-count its pairs)."""
     ti = df.select(
         F.col(txn_col).alias("_t"), F.col(item_col).alias("_i")
     ).distinct()
+    if max_basket is not None:
+        ok = (
+            ti.groupBy("_t")
+            .agg(F.count("*").alias("_k"))
+            .filter(F.col("_k") <= int(max_basket))
+            .select("_t")
+        )
+        ti = ti.join(ok, "_t", "left_semi")
     a, b = ti.alias("a"), ti.alias("b")
     pairs = (
         a.join(

@@ -10,3 +10,4 @@ from . import corpus3  # noqa: F401  (registers round-3 retrieval/pagerank queri
 from . import model_twins  # noqa: F401  (registers hash-certifiable model-kernel twins)
 from . import snapshots  # noqa: F401  (snapshot oracles for deterministic estimator queries)
 from . import corpus4  # noqa: F401  (registers round-4 data-selection/sharding queries)
+from . import corpus5  # noqa: F401  (registers round-9 mining/spectral/unigram queries)

@@ -49,9 +49,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str):
+def read_table(spark: SparkSession, sf_dir: str, name: str, refresh: bool = False):
     """Parquet scan of one synthetic table; Catalyst handles predicate
     pushdown + column pruning from whatever plan is built on top.
+
+    ``refresh=True`` bypasses and replaces this path's cached analyzed
+    DataFrame (ADVICE r8 #3): callers that REWRITE a parquet dir
+    mid-session can re-read in place instead of remembering the global
+    ``read_table_cache_clear()`` — the stale-entry failure mode is silent
+    wrong data, so the local escape hatch is worth the parameter.
 
     The events table has shipped as TIMESTAMP(NANOS) (which Spark 4 refuses
     to read natively — it surfaces as long under the legacy conf) and as
@@ -74,6 +80,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         _TABLE_CACHE.clear()
     _TABLE_CACHE_SESSION[0] = spark
     key = (sf_dir, name)
+    if refresh:
+        _TABLE_CACHE.pop(key, None)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -257,7 +257,13 @@ def render_graph_overlay(
       ``static_home_away`` colors ``home_team_id`` as team A, while
       ``ball_owning`` colors the ``ball_owning_team_id`` (from the graph
       row) as team A — the attacking side keeps one color regardless of
-      which club it is.
+      which club it is. This LOW-LEVEL renderer defaults to
+      ``static_home_away`` (it has no graph row to read the owning team
+      from — a ``ball_owning`` default would just raise when
+      ``ball_owning_team_id`` is omitted); the graph-row-driven wrappers
+      :func:`to_graph_png` / :func:`to_graph_mp4` default to
+      ``ball_owning``, matching reference ``GraphConverter.plot``
+      (graph_converter.py:749).
     """
     if color_by not in ("static_home_away", "ball_owning"):
         raise ValueError(f"unsupported color_by {color_by!r}")
@@ -331,14 +337,16 @@ def to_graph_png(
     graph: dict,
     out_path: str,
     home_team_id: str,
-    color_by: str = "static_home_away",
+    color_by: str = "ball_owning",
     **render_kw,
 ) -> str:
     """One graph-frame row (``iter_graph_tuples`` dict: a, object_ids,
     game_id, period_id, frame_id, ball_owning_team_id) rendered as a pitch
     PNG with the adjacency overlay; returns the path. The period_id rides
     into the frame lookup — frame ids are only unique per period/play in
-    the AF convention."""
+    the AF convention. ``color_by`` defaults to ``ball_owning`` to match
+    the reference ``GraphConverter.plot`` (graph_converter.py:749; ADVICE
+    r8 #2) — the graph row always carries ``ball_owning_team_id``."""
     staged = collect_frame(
         tracking, graph[Column.GAME_ID], int(graph["frame_id"]),
         period_id=graph.get("period_id"),
@@ -362,14 +370,16 @@ def to_graph_mp4(
     graphs,
     out_path: str,
     home_team_id: str,
-    color_by: str = "static_home_away",
+    color_by: str = "ball_owning",
     fps: int = 25,
     quality: int = 85,
     max_frames: int = 500,
     **render_kw,
 ) -> str:
     """Graph-frame rows → MP4 with the adjacency overlay per frame (the
-    graph-aware twin of ``to_mp4``; same pure-Python JPEG + ISO BMFF path)."""
+    graph-aware twin of ``to_mp4``; same pure-Python JPEG + ISO BMFF path).
+    ``color_by`` defaults to ``ball_owning`` like the reference plot and
+    :func:`to_graph_png` (ADVICE r8 #2)."""
     from ..functions.jpegcodec import encode_jpeg
     from .mp4 import write_mjpeg_mp4
 

@@ -837,8 +837,13 @@ def streaming_touch_attribution(df: DataFrame):
                     elif ns > l_ns:
                         pl_t, pl_ns = l_t, l_ns
                         l_t, l_ns = et, ns
-                    else:  # ns == l_ns: later event_id wins the max_by tie
+                    elif ns == l_ns:  # later event_id wins the max_by tie
                         l_t = et
+                    # ns < l_ns: a strictly-late out-of-order touch (l_ns
+                    # can come from a prior batch). Ignore it rather than
+                    # overwrite the newer last-touch type — the ooo counter
+                    # above already flagged it, and a flagged state must
+                    # stay internally consistent (ADVICE r8 #1)
         state.update((p_ns, f_t, f_ns, l_t, l_ns, pl_t, pl_ns, seen, ooo))
         converted = p_ns is not None and f_ns is not None
         to_ms = lambda v: None if v is None else v // 1_000_000  # noqa: E731
