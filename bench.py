@@ -246,26 +246,34 @@ def main() -> None:
         if oracle_total > 0
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "floor": floor,
-                "n_jobs": n_jobs,
-                "oracle_sec": oracle_sec,
-                "ratio_floor_adj": ratio_floor_adj,
-                "ratio_jobs_adj": ratio_jobs_adj,
-                "oracle_total_sec": oracle_total,
-                "spark_oracle_subset_sec": spark_oracle_total,
-                "agg_ratio_floor_adj": agg_ratio,
-                "agg_ratio_jobs_adj": agg_ratio_jobs,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "floor": floor,
+            "n_jobs": n_jobs,
+            "oracle_sec": oracle_sec,
+            "ratio_floor_adj": ratio_floor_adj,
+            "ratio_jobs_adj": ratio_jobs_adj,
+            "oracle_total_sec": oracle_total,
+            "spark_oracle_subset_sec": spark_oracle_total,
+            "agg_ratio_floor_adj": agg_ratio,
+            "agg_ratio_jobs_adj": agg_ratio_jobs,
+        }
     )
+    print(line)
+    # the driver captures stdout with a bounded tail, which truncated the
+    # r8 artifact ("parsed": null) — also write the line to a file so the
+    # recorded BENCH_r*.json is self-contained (VERDICT r8 #7)
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json")
+    try:
+        with open(out, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # a read-only target must never fail the bench itself
     spark.stop()
 
 

@@ -302,6 +302,51 @@ def test_cosine_vs_refs_matches_expression_form(spark):
             assert got[(r["vec_id"], rid)] == r["c"], (r["vec_id"], rid)
 
 
+def test_cosine_vs_queries_with_cell_matches_two_pass_form(spark):
+    """_cosine_vs_queries_with_cell (the r9 s_ann_recall fusion) must
+    return bit-exactly the query cosines _cosine_vs_refs computes AND the
+    nearest-centroid assignment the certified max-cosine/lowest-id rule
+    produces — including a deliberate centroid tie (two identical centroid
+    vectors must resolve to the lower id) and unsorted centroid input."""
+    from unravelsports_spark.operators.similarity import (
+        _cosine_vs_queries_with_cell,
+        _cosine_vs_refs,
+    )
+
+    rows = _rand_vecs(40, 6, seed=7)
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    queries = [(int(i), v) for i, v in rows[:3]]
+    # centroids deliberately unsorted + an exact duplicate pair (9 == 21)
+    cents = [(21, rows[9][1]), (5, rows[5][1]), (9, rows[9][1]), (30, rows[30][1])]
+
+    got = _cosine_vs_queries_with_cell(e, queries, cents).collect()
+    assert len(got) == 40 * 3
+
+    qcos = {
+        (r["vec_id"], r["ref_id"]): r["cosine"]
+        for r in _cosine_vs_refs(e, queries, ref_id_name="ref_id").collect()
+    }
+    ccos = {
+        (r["vec_id"], r["ref_id"]): r["cosine"]
+        for r in _cosine_vs_refs(e, cents, ref_id_name="ref_id").collect()
+    }
+    want_cell = {}
+    for vid, _ in rows:
+        vid = int(vid)
+        want_cell[vid] = max(
+            (cid for cid, _ in cents),
+            key=lambda c: (ccos[(vid, c)], -c),
+        )
+    cells = {}
+    for r in got:
+        assert r["cosine"] == qcos[(r["vec_id"], r["qid"])]
+        cells.setdefault(r["vec_id"], set()).add(r["cell"])
+    for vid, cs in cells.items():
+        assert cs == {want_cell[vid]}, (vid, cs, want_cell[vid])
+    # the duplicated centroid vector must never win under its higher id
+    assert 21 not in {c for cs in cells.values() for c in cs}
+
+
 def test_pq_train_codebooks_equals_sequential(spark):
     """The fused multi-codebook trainer must return EXACTLY the codebooks
     the single trainers produce (shared max-k seed prefix, fused per-round

@@ -59,7 +59,7 @@ NOTES = {
     "t_hybrid_rrf": "r8: BM25 side is the literal-stats wide plan (no broadcast), the dense side one Arrow cosine pass; BOTH rankers end in TakeOrderedAndProject and every row_number window sits on a limit-bounded <=20-row list; the fusion full-outer join touches only the two lists. 5 jobs total (qrow collect + 2-job stats agg + 2-job fused collect).",
     "t_ngram_novelty": "r7 shingle-df novelty: NO posting-list join-back - uniqueness collapses inside one map-side-combinable (count, min doc_id) aggregate per shingle; the source rollup joins two |docs|-sized frames via BroadcastHashJoin, zero SortMergeJoin.",
     "d_label_communities": "r7 synchronous label propagation: per round one co-partitioned hash join (symmetric edges x labels) + two combinable aggs (vote counts, per-node max_by argmax - no window over the corpus); deterministic lowest-label ties certify 3 unrolled iterations exactly.",
-    "d_cdc_chunks": "r7 content-defined chunking: boundary hashes, filter, and start/stop pairing are doc-bounded array arithmetic in ONE projection; one explode then ONE grouped aggregation (count + two distincts + sum, map-side combinable) - no joins, no windows.",
+    "d_cdc_chunks": "r9 two-phase rollup: boundary hashes, filter, and start/stop pairing stay doc-bounded array arithmetic in ONE projection; chunks then group by (source, chunk_hash) - duplicates collapse map-side before the wire - and per-source counts read off the deduplicated table (the old multi-COUNT(DISTINCT) Expand pushed every chunk row through the aggregate three times); the 20-row per-source doc count inlines as a literal map.",
     "d_containment_top_pairs": "r7 asymmetric containment: the shingle inverted-index self-join aggregates ONCE per unordered pair; both directions explode out of that single frame (no union double-execution); size denominators join on the src id; top-k is a TakeOrderedAndProject heap.",
     "d_kcore_peeling": "r7 k-core: per round one combinable degree agg + two node-id semi-joins; each round's edge set is eagerly localCheckpoint-ed so the final union's count branches scan materialized blocks instead of racing the cache and re-evaluating the peeling chain per branch.",
     "q3_shipping_priority": "TPC-H Q3 shape: segment/date predicates at all three parquet scans, two BroadcastHashJoins at this SF (plain shuffle joins under AQE at scale), top-10 via TakeOrderedAndProject - no global sort; revenue in exact cent x basis-point int64 units.",
@@ -70,6 +70,10 @@ NOTES = {
     "q18_large_volume_customer": "TPC-H Q18 shape: the per-order quantity agg combines map-side and its HAVING prunes to ~0.2% of orders BEFORE the orders/customer joins; exact cent-scaled threshold; top-100 via TakeOrderedAndProject.",
     "d_cross_source_overlap": "cross-source duplication matrix: one persisted (source, fp) distinct feeds sizes and both self-join sides; posting lists bounded by #sources, size denominators broadcast.",
     "mm_image_dhash_dedup": "image dHash dedup: synth + decode + hash are two Arrow passes over the binary column; the dedup itself is one combinable groupBy on the 64-bit key - no joins, no windows.",
+    "s_ann_recall": "r9 restructure: ONE Arrow pass emits per-(vector, query) cosine WITH the vector's nearest-centroid cell (argmax inside the batch - no cells aggregate, no retrieval join); probe membership is a literal map; exact rank and both probe-depth ranks are running conditional counts over the SAME qid window, all nine counts in one single-row agg - two exchanges end-to-end (the r8 plan had five plus three persisted intermediates). The IVF-PQ branch keeps its persisted one-time int-grid quantization.",
+    "q6_forecast_revenue": "TPC-H Q6 shape: every predicate (shipdate range, discount band, quantity cap) pushed to the parquet scan over a 4-column ReadSchema; one partial/final agg pair, single-row exchange - no join, no window; revenue in exact cent x basis-point int64 units.",
+    "o16_frequent_part_pairs": "market-basket pairs: (txn, item) distinct combines map-side; the max-basket skew cap is a semi filter BEFORE the self-join (one malformed basket cannot emit k^2/2 rows); the pair join meets on the transaction key; top-20 via TakeOrderedAndProject.",
+    "w14_daily_anomalies": "rolling z-score: the event log reduces to per-(key, day) counts FIRST (partial+final agg), then ONE bounded rows-frame window over that tiny table - two exchanges total, scan reads only (ts, event_type).",
 }
 
 

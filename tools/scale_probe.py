@@ -226,6 +226,20 @@ def main() -> None:
         walls.append(best)
     print(fmt_row(f"unigram_train dup-heavy ({first}x)", walls))
 
+    # unigram APPLY (r9 vocab-bound rework, VERDICT r8 #3): Viterbi now
+    # segments the DISTINCT word table once and joins n_pieces back, so on
+    # the dup-heavy blowup (identical word table, x10 occurrences) the
+    # Python work is constant and only the join+sum side grows — the row
+    # that proves the apply is vocab-bound like the trainer.
+    from unravelsports_spark.operators.unigram import unigram_tokenize_stats
+
+    vocab10 = unigram_train(base, vocab_size=64, iters=2, seed_size=256)
+    walls = [
+        timed(lambda d=d: unigram_tokenize_stats(d, vocab10))
+        for d in (base, dup10)
+    ]
+    print(fmt_row(f"unigram_apply dup-heavy ({first}x)", walls))
+
     # duplication-heavy twin: copies keep IDENTICAL text (only ids shift) —
     # the regime where exact dedup's map-side combine must collapse the
     # shuffle to ~n1 rows regardless of the duplication factor

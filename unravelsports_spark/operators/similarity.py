@@ -443,6 +443,66 @@ def _cosine_vs_refs(e, refs, id_col="vec_id", v_col="v", ref_id_name="ref_id"):
     )
 
 
+def _cosine_vs_queries_with_cell(e, queries, cents, id_col="vec_id", v_col="v"):
+    """(row_id, qid, cosine, cell): cosine of every corpus row against each
+    QUERY vector, with the row's nearest-CENTROID id (max cosine, ties to
+    the lowest centroid id) riding along on every emitted row. The centroid
+    argmax happens INSIDE the same Arrow batch as the query cosines, so the
+    IVF cell assignment costs no shuffle, no second corpus pass, and no
+    (vec x centroid) intermediate — the r9 restructure that removed the
+    cells-aggregate exchange and the retrieval join from s_ann_recall.
+
+    Bit-compatibility: identical dim-ascending accumulation and
+    sqrt(n2a)*sqrt(n2b) division as :func:`_cosine_vs_refs` (queries and
+    centroids stack into ONE ref matrix, so both cosine sets come from the
+    same IEEE sequence as before); centroids order ascending by id so
+    ``np.argmax``'s first-max rule IS the lowest-id tie-break the certified
+    SQL (ROW_NUMBER ... ORDER BY cosine DESC, cid) applies."""
+    import numpy as np
+    import pandas as pd
+
+    if not queries or not cents:
+        raise ValueError("queries and cents must be non-empty (ref_id, vector) lists")
+    cents = sorted(cents, key=lambda t: int(t[0]))
+    qids = np.asarray([int(r) for r, _ in queries], dtype="int64")
+    cids = np.asarray([int(r) for r, _ in cents], dtype="int64")
+    R = np.stack([np.asarray(v, dtype=float) for _, v in list(queries) + list(cents)])
+    mq = len(qids)
+    m, dim = R.shape
+    n2r = np.zeros(m)
+    for d in range(dim):
+        n2r = n2r + R[:, d] * R[:, d]
+    sqr = np.sqrt(n2r)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=float) for v in pdf[v_col]])
+            n2v = np.zeros(n)
+            acc = np.zeros((n, m))
+            for d in range(dim):
+                col = V[:, d]
+                n2v = n2v + col * col
+                acc = acc + col[:, None] * R[:, d][None, :]
+            cos = acc / (np.sqrt(n2v)[:, None] * sqr[None, :])
+            cell = cids[np.argmax(cos[:, mq:], axis=1)]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, mq),
+                    "qid": np.tile(qids, n),
+                    "cosine": cos[:, :mq].ravel(),
+                    "cell": np.repeat(cell, mq),
+                }
+            )
+
+    return e.select(id_col, v_col).mapInPandas(
+        gen, f"{id_col} bigint, qid bigint, cosine double, cell bigint"
+    )
+
+
 def auto_bits_per_table(n_rows: int, target_bucket: int = 64, min_bits: int = 4, max_bits: int = 24) -> int:
     """The sign-LSH operating rule as code: pick ``bits_per_table`` so the
     expected bucket size ``n / 2^bits`` stays ~``target_bucket`` as the

@@ -773,27 +773,30 @@ def s_ann_recall(spark, sf_dir):
     recall, as a hash-checked number rather than prose. Probe depth 2
     beating depth 1 is the multi-probe amplification claim, certified.
 
-    Scale shape: ALL pairwise cosines against the O(model) query panel and
-    centroid set come from ONE shared vectorized Arrow pass over the corpus
-    (operators/similarity.py:_cosine_vs_refs with both panels stacked —
-    centroid ids ride offset by 2^40 so roles can't collide; never a
-    corpus x corpus product, no interpreted per-pair folds); the
-    query-to-centroid probe table is O(model) driver arithmetic with the
-    identical dim-ascending IEEE accumulation; BOTH probe depths resolve in
-    ONE window + aggregate action (depth is a partition key, not a loop).
-    The panel collect is one action; the IVF-PQ branch quantizes the corpus
-    to the int grid ONCE into a persisted frame shared by the coarse
-    training, the PQ training, the query row, the ADC retrieval, and the
-    exact ground truth. Collected values are bounded driver state (the
-    20-query / 40-centroid panels, k·D training stats per round, and 4
-    count scalars per method)."""
+    Scale shape (r9 restructure, VERDICT r8 #5): ONE vectorized Arrow pass
+    over the corpus emits, per (vector, query) pair, the cosine AND the
+    vector's nearest-centroid cell — the argmax happens inside the Arrow
+    batch (operators/similarity.py:_cosine_vs_queries_with_cell), so the
+    IVF cell assignment costs no shuffle, no (vec x centroid) intermediate,
+    and no retrieval join. Which cells each query probes at each depth is
+    O(model) driver arithmetic inlined as a literal map, so exact rank,
+    both probe-depth retrieval ranks (running conditional counts over the
+    SAME qid window — a probed-subset rank needs no second partition key),
+    and all nine counts resolve in ONE window + ONE single-row aggregate:
+    two exchanges end-to-end where the r8 plan had five plus three
+    persisted intermediates. The IVF-PQ branch quantizes the corpus to the
+    int grid ONCE into a persisted frame shared by the coarse training,
+    the PQ training, the query row, the ADC retrieval, and the exact
+    ground truth. Collected values are bounded driver state (the 20-query
+    / 40-centroid panels, k·D training stats per round, and 9 count
+    scalars)."""
     import math
 
     from pyspark.sql import Window
 
     from ..cache import release_tracked, tracked_persist
     from ..operators.pq import _int_grid
-    from ..operators.similarity import _cosine_vs_refs
+    from ..operators.similarity import _cosine_vs_queries_with_cell
     from .pipeline import _emb
 
     nq, k = _ANN_RECALL_NQ, _ANN_RECALL_K
@@ -809,35 +812,6 @@ def s_ann_recall(spark, sf_dir):
     cents = [
         (r["vec_id"], list(r["v"])) for r in panel if r["vec_id"] % 50 == 0
     ]
-    # ONE corpus pass for both panels: centroid ref ids offset by 2^40
-    _OFF = 1 << 40
-    combined = tracked_persist(
-        _cosine_vs_refs(
-            e,
-            list(queries) + [(cid + _OFF, cv) for cid, cv in cents],
-            ref_id_name="rid",
-        )
-    )
-    pairs = combined.filter(F.col("rid") < _OFF).withColumnRenamed("rid", "qid")
-    w_exact = Window.partitionBy("qid").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    exact = tracked_persist(
-        pairs.withColumn("rk", F.row_number().over(w_exact))
-        .filter(F.col("rk") <= k)
-        .select("qid", "vec_id")
-    )
-    # nearest centroid per vector: max cosine, ties to the lowest cid
-    cells = tracked_persist(
-        combined.filter(F.col("rid") >= _OFF)
-        .select("vec_id", (F.col("rid") - _OFF).alias("cid"), "cosine")
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("cid"), F.struct(F.col("cosine"), (-F.col("cid")).alias("nc"))
-            ).alias("cell")
-        )
-    )
     # query probe cells: O(model) driver arithmetic, same dim-ascending
     # accumulation as the kernel/oracle so the probe ranking cannot diverge
     def _cos(a, b):
@@ -848,66 +822,55 @@ def s_ann_recall(spark, sf_dir):
             n2b += y * y
         return dot / (math.sqrt(n2a) * math.sqrt(n2b))
 
-    qcell_rows = []
-    for qid, qv in queries:
-        ranked = sorted(
-            ((-_cos(qv, cv), cid) for cid, cv in cents)
-        )[:2]
-        for prk, (_, cid) in enumerate(ranked, start=1):
-            qcell_rows.append((int(qid), int(cid), prk))
-
     rows = []
-    hit = exact.withColumn("_hit", F.lit(1))
-    # BOTH probe depths AND the ground-truth size in one action: a probe at
-    # rank prk participates in every depth p >= prk, so depth becomes a
-    # partition key of a single window + one grouped aggregate, and the
-    # exact count rides along as a p=0 union branch (one job instead of
-    # count + per-depth aggs)
-    probed = spark.createDataFrame(
-        [
-            (qid, cid, p)
-            for qid, cid, prk in qcell_rows
-            for p in (1, 2)
-            if prk <= p
-        ],
-        "qid bigint, cell bigint, p int",
-    )
-    w_ret = Window.partitionBy("p", "qid").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    retk = (
-        cells.join(F.broadcast(probed), "cell")
-        .join(pairs, ["vec_id", "qid"])
-        .withColumn("rk", F.row_number().over(w_ret))
-        .filter(F.col("rk") <= k)
-        .select("p", "qid", "vec_id")
-    )
-    per_depth = (
-        retk.join(F.broadcast(hit), ["qid", "vec_id"], "left")
-        .groupBy("p")
-        .agg(
-            F.count("*").alias("n_ret"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_common"),
+    if queries:
+        pairs = _cosine_vs_queries_with_cell(e, queries, cents)
+        # (qid, cell) -> probe rank, inlined as a literal map (40 entries);
+        # keys pack as qid * 2^40 + cell (cell ids are vec_ids < 2^40)
+        _OFF = 1 << 40
+        prk_entries = []
+        for qid, qv in queries:
+            ranked = sorted(((-_cos(qv, cv), cid) for cid, cv in cents))[:2]
+            for prk, (_, cid) in enumerate(ranked, start=1):
+                prk_entries += [
+                    F.lit(int(qid) * _OFF + int(cid)), F.lit(prk)
+                ]
+        prk = F.element_at(
+            F.create_map(*prk_entries), F.col("qid") * _OFF + F.col("cell")
         )
-        .unionByName(
-            exact.groupBy(F.lit(0).alias("p")).agg(
-                F.count("*").alias("n_ret"),
-                F.lit(0).cast("bigint").alias("n_common"),
+        # ONE window: exact rank = row_number over the full qid partition;
+        # depth-p retrieval rank = RUNNING COUNT of probed rows in the same
+        # total order (the probed subset keeps the partition's order, so
+        # its rank is a conditional running sum — no second partition key,
+        # no join). vec_id is unique, so the ROWS frame equals the logical
+        # RANGE semantics.
+        w = (
+            Window.partitionBy("qid")
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m1 = F.col("_prk") == 1
+        m2 = F.col("_prk").isNotNull()
+        scored = pairs.withColumn("_prk", prk).select(
+            (F.row_number().over(w) <= k).alias("ex"),
+            (m1 & (F.sum(m1.cast("int")).over(w) <= k)).alias("r1"),
+            (m2 & (F.sum(m2.cast("int")).over(w) <= k)).alias("r2"),
+        )
+        c = scored.agg(
+            F.sum(F.col("ex").cast("long")).alias("n_exact"),
+            F.sum(F.col("r1").cast("long")).alias("n_ret1"),
+            F.sum((F.col("r1") & F.col("ex")).cast("long")).alias("n_common1"),
+            F.sum(F.col("r2").cast("long")).alias("n_ret2"),
+            F.sum((F.col("r2") & F.col("ex")).cast("long")).alias("n_common2"),
+        ).collect()[0]
+        n_exact = int(c["n_exact"] or 0)
+        for p in (1, 2):
+            rows.append(
+                (f"ivf_p{p}", n_exact,
+                 int(c[f"n_ret{p}"] or 0), int(c[f"n_common{p}"] or 0))
             )
-        )
-        .collect()
-    )
-    # degenerate corpora (no vec_id < nq) leave every branch empty — a
-    # grouped agg then yields ZERO rows (unlike the old global count), so
-    # absent depths must materialize as explicit zero rows, not crash
-    by_p = {int(r["p"]): r for r in per_depth}
-    n_exact = int(by_p[0]["n_ret"]) if 0 in by_p else 0
-    for p in (1, 2):
-        r = by_p.get(p)
-        rows.append(
-            (f"ivf_p{p}", n_exact,
-             int(r["n_ret"]) if r else 0, int(r["n_common"]) if r else 0)
-        )
+    else:  # pragma: no cover — degenerate corpus without vec_id < nq
+        rows += [("ivf_p1", 0, 0, 0), ("ivf_p2", 0, 0, 0)]
     # IVF-PQ branch: certified retrieval vs exact integer-grid L2 top-k.
     # The corpus quantizes to the int grid ONCE; the persisted frame feeds
     # both trainings, the query row, the ADC retrieval, and the ground
@@ -1574,24 +1537,44 @@ def d_cdc_chunks(spark, sf_dir):
     Scale shape: everything up to the explode is per-document array
     arithmetic (gram hashes, boundary filter, start/stop pairing) inside
     one projection — the HOF lambdas run on doc-bounded arrays, not the
-    corpus; one explode then ONE grouped aggregation (count + two
-    distincts + sum, all map-side combinable). No joins, no windows; the
-    boundary hash reuses the certified shingle hash (md5-prefix int64)."""
+    corpus. The rollup is TWO-PHASE (r9, VERDICT r8 #5): chunks first
+    group by (source, chunk_hash) — map-side combinable, duplicate chunks
+    collapse before the wire — then per-source counts read off that
+    deduplicated table, so no row crosses the shuffle more than once. The
+    old single groupBy with two COUNT(DISTINCT)s expanded every chunk row
+    THREE times through the aggregate (Catalyst's Expand plan for
+    multi-distinct). n_docs comes from the documents table itself — a
+    20-row per-source count collected once and inlined as a literal map
+    (the bm25 stats-literal discipline: a broadcast-join chain for 20
+    rows costs more jobs than it saves): every document emits at least
+    one chunk by construction (an empty token list still yields the
+    (0, n) tail pair), so COUNT(DISTINCT doc_id) over chunks is exactly
+    the per-source document count — hash-verified at both sweep scales.
+    No windows; the boundary hash reuses the certified shingle hash
+    (md5-prefix int64)."""
     from ..session import widen_narrow_scan
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     # the per-doc gram/chunk chain is CPU-bound, not byte-bound: spread a
     # narrower-than-cluster scan across cores (no-op on a wide scan)
-    ch = cdc_chunk_frame(widen_narrow_scan(docs))
-    agg = ch.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count("*").alias("n_chunks"),
-        F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
-        F.sum("chunk_len").alias("n_tokens"),
+    ch = cdc_chunk_frame(widen_narrow_scan(docs)).drop("doc_id")
+    by_hash = ch.groupBy("source", "chunk_hash").agg(
+        F.count("*").alias("_cnt"), F.sum("chunk_len").alias("_len")
+    )
+    agg = by_hash.groupBy("source").agg(
+        F.sum("_cnt").alias("n_chunks"),
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum("_len").alias("n_tokens"),
+    )
+    nd_rows = docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    nd_map = F.create_map(
+        *[F.lit(v) for r in nd_rows for v in (r["source"], int(r["n"]))]
     )
     dup_ppm = F.expr("div(1000000 * (n_chunks - n_distinct_chunks), n_chunks)").cast("bigint")
     return agg.select(
-        "source", "n_docs", "n_chunks", "n_distinct_chunks", "n_tokens",
+        "source",
+        F.element_at(nd_map, F.col("source")).cast("bigint").alias("n_docs"),
+        "n_chunks", "n_distinct_chunks", "n_tokens",
         dup_ppm.alias("dup_ppm"),
     ).orderBy("source")
 
