@@ -443,3 +443,64 @@ def test_image_phash_brightness_invariant_and_discriminative(spark):
     assert ham(got[1], got[2]) <= 2   # brightness-scaled: near-identical
     assert ham(got[1], got[3]) >= 16  # different content: far apart
     assert isinstance(got[4], int)    # tiny image: finite hash
+
+
+def test_audio_mfcc_properties(spark):
+    """MFCC front end (round-9 build, r10 registration): deterministic,
+    fixed-length, discriminative across tone frequencies, near-identical
+    under amplitude scaling except c0 (log-energy offset), zero vector for
+    clips shorter than one frame, log-floor constant for silence."""
+    import numpy as np
+
+    from unravelsports_spark.functions.audiocodec import encode_wav
+    from unravelsports_spark.operators.multimodal import audio_mfcc
+
+    rate, n = 16_000, 16_000
+    t = np.arange(n)
+
+    def tone(hz, amp=10_000):
+        return (amp * np.sin(2 * np.pi * hz * t / rate)).astype(np.int16)
+
+    rows = [
+        ("t500", bytearray(encode_wav(tone(500), rate))),
+        ("t500q", bytearray(encode_wav(tone(500, amp=2_500), rate))),
+        ("t3k", bytearray(encode_wav(tone(3000), rate))),
+        ("silence", bytearray(encode_wav(np.zeros(n, np.int16), rate))),
+        ("tiny", bytearray(encode_wav(tone(500)[:100], rate))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in audio_mfcc(df).collect()}
+
+    assert all(len(r["mfcc"]) == 13 for r in got.values())
+    assert got["t500"]["n_frames"] == 1 + (n - 400) // 160
+    assert got["tiny"]["n_frames"] == 0 and got["tiny"]["mfcc"] == [0.0] * 13
+
+    d = lambda a, b: float(  # noqa: E731
+        np.linalg.norm(np.array(a["mfcc"][1:]) - np.array(b["mfcc"][1:]))
+    )
+    # same tone at 1/4 amplitude: log-scale shift lands in c0 only
+    assert d(got["t500"], got["t500q"]) < 0.3
+    # different tones separate by an order of magnitude more
+    assert d(got["t500"], got["t3k"]) > 10 * d(got["t500"], got["t500q"])
+    # silence: every mel energy is the 1e-10 floor -> flat log vector ->
+    # all non-c0 DCT coefficients exactly 0 after rounding
+    assert got["silence"]["mfcc"][1:] == [0.0] * 12
+
+    again = {r.media_id: r for r in audio_mfcc(df).collect()}
+    for k in got:
+        assert got[k]["mfcc"] == again[k]["mfcc"]
+
+
+def test_mel_filterbank_shape_and_coverage():
+    """Filterbank invariants: correct shape, rows sum > 0 (every filter
+    covers at least one bin at these sizes), and filters peak in
+    frequency-ascending order."""
+    import numpy as np
+
+    from unravelsports_spark.operators.multimodal import _mel_filterbank
+
+    fb = _mel_filterbank(26, 400, 16_000)
+    assert fb.shape == (26, 201)
+    assert (fb.sum(axis=1) > 0).all()
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()

@@ -1642,3 +1642,112 @@ def test_streaming_twins_flag_cross_batch_same_ts_tie(spark, tmp_path):
             q.awaitTermination(120)
         assert final[1] == 1, mk.__name__   # cross-batch tie flagged
         assert final[2] == 0, mk.__name__   # in-batch tie unflagged
+
+
+def test_streaming_daily_anomalies_matches_certified_batch_query(spark, tmp_path):
+    """Streaming rolling-zscore anomaly detection across 3 event-time-
+    ordered micro-batches must reproduce the certified w14 batch rows
+    EXACTLY — every (key, day) cell: count, rounded mean/std, zscore with
+    cold-start/zero-variance guards, and the anomaly flag."""
+    from unravelsports_spark.plans import QUERIES
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.streaming.windows import streaming_daily_anomalies
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cuts = ["2024-01-11", "2024-01-21"]
+    chunks = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    final = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            assert r["ooo_events"] == 0
+            final[(r["event_type"], r["day_ms"])] = (
+                r["n_events"], r["mean_prev"], r["std_prev"],
+                r["zscore"], r["is_anomaly"],
+            )
+
+    for c in chunks:
+        c.write.mode("append").parquet(src)
+        q = (
+            streaming_daily_anomalies(
+                spark.readStream.schema(
+                    "event_id bigint, ts timestamp, user_id bigint, event_type string"
+                ).parquet(src)
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    want = {
+        (r["event_type"], r["day_ms"]): (
+            r["n_events"], r["mean_prev"], r["std_prev"],
+            r["zscore"], r["is_anomaly"],
+        )
+        for r in QUERIES["w14_daily_anomalies"](spark, sf).collect()
+    }
+    assert final == want and len(want) > 20
+
+
+def test_streaming_daily_anomalies_flags_and_ignores_closed_day(spark, tmp_path):
+    """An event landing on an already-CLOSED day is unreplayable: it must
+    increment ooo_events and be IGNORED (the closed day's emitted count
+    stays final; current-day state is not corrupted). Within-day disorder
+    is order-independent and must NOT flag."""
+    import datetime as dt
+
+    from unravelsports_spark.streaming.windows import streaming_daily_anomalies
+
+    base = dt.datetime(2024, 5, 1)
+    t = lambda d, h=0: base + dt.timedelta(days=d, hours=h)  # noqa: E731
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    batch1 = [
+        (2, t(0, 5), 1, "view"), (1, t(0, 3), 1, "view"),  # within-day disorder
+        (3, t(1, 1), 1, "view"),
+    ]
+    batch2 = [(4, t(0, 9), 1, "view"), (5, t(1, 2), 1, "view")]  # day-0 is closed
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows_seen = []
+
+    def sink(batch_df, batch_id):
+        rows_seen.extend(batch_df.collect())
+
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            streaming_daily_anomalies(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ms = lambda d: int((base + dt.timedelta(days=d)).replace(  # noqa: E731
+        hour=0, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    final = {r["day_ms"]: r for r in rows_seen}
+    # batch 1: within-day disorder did not flag, day 0 closed at count 2
+    b1 = [r for r in rows_seen if r["ooo_events"] == 0]
+    assert {r["day_ms"]: r["n_events"] for r in b1} == {ms(0): 2, ms(1): 1}
+    # batch 2: the day-0 straggler flagged + ignored; day 1 grew to 2
+    assert final[ms(1)]["ooo_events"] == 1
+    assert final[ms(1)]["n_events"] == 2
+    assert final[ms(0)]["n_events"] == 2  # closed count never rewritten

@@ -226,6 +226,98 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
     return df.mapInPandas(run, schema)
 
 
+def _dct1_basis(n: int) -> "np.ndarray":
+    """Orthonormal 1-D DCT-II basis (numpy only — scipy.fft.dct is not in
+    this container): C[k, x] = a_k cos(pi (2x+1) k / (2n))."""
+    k = np.arange(n).reshape(-1, 1)
+    x = np.arange(n).reshape(1, -1)
+    c = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    c[0] *= np.sqrt(1.0 / n)
+    c[1:] *= np.sqrt(2.0 / n)
+    return c
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, rate: int) -> "np.ndarray":
+    """(n_mels, n_fft//2 + 1) triangular filters on the HTK mel scale
+    (mel = 2595 log10(1 + f/700)) spanning 0..Nyquist — the standard MFCC
+    front end, built deterministically from exact bin frequencies."""
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = imel(np.linspace(mel(0.0), mel(rate / 2.0), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        for i in range(lo, c):
+            if c > lo:
+                fb[m - 1, i] = (i - lo) / (c - lo)
+        for i in range(c, hi):
+            if hi > c:
+                fb[m - 1, i] = (hi - i) / (hi - c)
+    return fb
+
+
+def audio_mfcc(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_mfcc: int = 13,
+    n_mels: int = 26,
+    frame_len: int = 400,
+    hop: int = 160,
+) -> DataFrame:
+    """WAV payload → clip-level MFCC descriptor (engine addition §2.12,
+    round-9 build / round-10 registration): Hamming-windowed frames →
+    rFFT power spectrum → HTK mel filterbank → log energies (1e-10
+    floor) → orthonormal DCT-II → first ``n_mfcc`` coefficients, averaged
+    over frames and rounded to 6 decimals — the standard audio-similarity
+    / clustering front end (dedup on speech/music re-encodes where the
+    waveform hash differs but the spectral envelope does not). Output:
+    input columns + ``n_frames`` (long) + ``mfcc`` (array<double>,
+    length ``n_mfcc``; zeros when the clip is shorter than one frame).
+
+    Deterministic numpy end-to-end (no randomness, no library DSP), so a
+    fixed synthesized fixture pins it as a VALUES twin — same class as
+    mm_image_phash. Scale shape: ONE Arrow mapInPandas pass; downstream
+    dedup/knn consume the fixed-length vector exactly like the embedding
+    column."""
+    from ..functions.audiocodec import decode_wav
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("mfcc", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    win = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(frame_len) / (frame_len - 1))
+    dct = _dct1_basis(n_mels)[:n_mfcc]
+
+    def feats(p: bytes) -> tuple:
+        s, rate = decode_wav(bytes(p))
+        ch0 = s[:, 0].astype(np.float64)
+        n = len(ch0)
+        if n < frame_len:
+            return (0, [0.0] * n_mfcc)
+        nf = 1 + (n - frame_len) // hop
+        idx = np.arange(frame_len)[None, :] + hop * np.arange(nf)[:, None]
+        frames = ch0[idx] * win[None, :]
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        fb = _mel_filterbank(n_mels, frame_len, rate)
+        logmel = np.log(np.maximum(power @ fb.T, 1e-10))
+        mf = logmel @ dct.T
+        return (nf, [float(v) for v in np.round(mf.mean(axis=0), 6)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = [feats(p) for p in pdf[payload_col]]
+            pdf["n_frames"] = [v[0] for v in vals]
+            pdf["mfcc"] = [v[1] for v in vals]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 # -- video columns (MJPEG-AVI payloads) --------------------------------------
 
 

@@ -860,6 +860,131 @@ def streaming_touch_attribution(df: DataFrame):
     )
 
 
+def streaming_daily_anomalies(
+    df: DataFrame,
+    window_days: int = 7,
+    threshold: float = 2.0,
+    min_history: int = 3,
+    key_col: str = "event_type",
+):
+    """Stateful streaming rolling-z-score anomaly detection — the streaming
+    twin of the certified batch ``w14_daily_anomalies`` query
+    (operators/mining.py:rolling_zscore_anomalies). Per key, GroupState
+    carries the trailing ``window_days`` finalized daily counts plus the
+    accumulating current day; each batch emits the rows of every day that
+    CLOSED in it (final — a closed day's stats depend only on earlier,
+    already-final days) plus the provisional current day (re-emitted with
+    a growing count until a later day's event closes it; in update mode
+    the last write per (key, day) is the final cell). State is
+    ``window_days + 3`` scalars per key — bounded at firehose scale.
+
+    Exactness contract: each key's events arrive in event-DAY order across
+    batches. Within-day disorder is HARMLESS (a daily count is
+    order-independent), so unlike the funnel twins only a genuinely
+    divergence-causing event — one landing on an already-CLOSED day —
+    increments ``ooo_events``; it is then ignored, not folded, so flagged
+    state stays internally consistent (the ADVICE r8 #1 discipline).
+
+    Bit-exactness with the batch twin: the trailing mean accumulates
+    sequentially in day order (Spark's Average), stddev_samp replicates
+    Spark's Welford-form CentralMomentAgg update (n == 1 → the batch
+    query's COALESCE(NULL, 0.0) → 0.0), and round-6 replicates Spark's
+    BigDecimal.valueOf HALF_UP (Decimal over the shortest-repr string,
+    not the raw binary expansion) — pinned by the multi-batch equivalence
+    test against the certified query."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} string, day_ms long, n_events long, mean_prev double, "
+        "std_prev double, zscore double, is_anomaly boolean, ooo_events long"
+    )
+    state_schema = "counts array<long>, cur_day long, cur_count long, ooo long"
+    DAY_NS = 86_400_000_000_000
+    W = int(window_days)
+
+    def rnd6(x):
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def row_for(day_ns, cnt, trail):
+        n_prev = len(trail)
+        if n_prev == 0:
+            mean = None
+            std = 0.0
+        else:
+            s = 0.0
+            for v in trail:
+                s += float(v)
+            mean = rnd6(s / n_prev)
+            if n_prev >= 2:
+                k = 0
+                avg = 0.0
+                m2 = 0.0
+                for v in trail:
+                    k += 1
+                    d = float(v) - avg
+                    avg += d / k
+                    m2 += d * (float(v) - avg)
+                std = rnd6(math.sqrt(m2 / (k - 1)))
+            else:
+                std = 0.0
+        z = (
+            rnd6((float(cnt) - mean) / std)
+            if n_prev >= int(min_history) and std > 0
+            else None
+        )
+        anom = bool(abs(z) > float(threshold)) if z is not None else False
+        return (day_ns // 1_000_000, int(cnt), mean, std, z, anom)
+
+    def fn(key, pdfs, state):
+        counts, cur_day, cur_count, ooo = (
+            state.get if state.exists else ([], None, 0, 0)
+        )
+        counts = list(counts)
+        emitted = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                day = (int(ts.value) // DAY_NS) * DAY_NS
+                if cur_day is None:
+                    cur_day, cur_count = day, 1
+                elif day == cur_day:
+                    cur_count += 1
+                elif day > cur_day:
+                    emitted.append(row_for(cur_day, cur_count, counts[-W:]))
+                    counts = (counts + [cur_count])[-W:]
+                    cur_day, cur_count = day, 1
+                else:  # an already-closed day: unreplayable — flag + ignore
+                    ooo += 1
+        state.update((counts, cur_day, cur_count, ooo))
+        if cur_day is not None:
+            emitted.append(row_for(cur_day, cur_count, counts[-W:]))
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(emitted),
+                    "day_ms": [e[0] for e in emitted],
+                    "n_events": [e[1] for e in emitted],
+                    "mean_prev": [e[2] for e in emitted],
+                    "std_prev": [e[3] for e in emitted],
+                    "zscore": [e[4] for e in emitted],
+                    "is_anomaly": [e[5] for e in emitted],
+                    "ooo_events": [ooo] * len(emitted),
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_scd2(
     stream_df,
     ledger_dir: str,
