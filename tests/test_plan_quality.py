@@ -429,6 +429,9 @@ def test_o16_basket_bounded_pair_join(spark):
     # the (txn, item) distinct combines map-side BEFORE its exchange (two
     # HashAggregate instances per distinct: partial + final)
     assert plan.count("HashAggregate") >= 4
+    # the distinct table is persisted once for its three consumers (guard
+    # aggregate + both self-join sides) — no re-scan of the corpus
+    assert plan.count("InMemoryTableScan") >= 2
     # the skew cap is a semi filter applied before the pair self-join
     assert "LeftSemi" in plan
     # pair join meets on the transaction key — never a cartesian

@@ -267,6 +267,21 @@ def test_graph_overlay_rendering_byte_stable(spark, tmp_path):
     assert len(frames) == 2
     assert decode_jpeg(frames[0]).shape == (int(74 * 6), int(111 * 6), 3)
 
+    # a dead-ball frame (null ball_owning_team_id) under the ball_owning
+    # DEFAULT must fall back to static home/away coloring, not raise —
+    # and one such frame must not abort a clip render (r9 review finding)
+    g_null = dict(g)
+    g_null["ball_owning_team_id"] = None
+    p_null = to_graph_png(tracking, g_null, str(tmp_path / "null_own.png"),
+                          home_team_id=HOME)
+    p_static = to_graph_png(tracking, g, str(tmp_path / "static.png"),
+                            home_team_id=HOME, color_by="static_home_away")
+    assert open(p_null, "rb").read() == open(p_static, "rb").read()
+    mp4_null = to_graph_mp4(tracking, [g_null, graphs[1]],
+                            str(tmp_path / "null_own.mp4"),
+                            home_team_id=HOME, fps=5)
+    assert len(read_mjpeg_mp4(mp4_null)) == 2
+
 
 def test_media_staging_and_nearest_frame(spark, tmp_path):
     from unravelsports_spark.functions.imagecodec import decode_png

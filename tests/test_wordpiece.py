@@ -107,9 +107,8 @@ def test_wordpiece_merge_application_is_greedy_nonoverlapping(spark):
     merges, vocab = wordpiece_train(df, n_merges=1, min_pair_count=1)
     assert merges[0][:3] == ("a", "##a", "aa")
     v = dict(vocab)
-    # each 'aaaa' → [aa, ##a##a?] no: symbols a ##a ##a ##a → aa, ##a, ##a
-    # wait: merge (a, ##a) only applies where the FIRST symbol is bare 'a'
-    # (word start), so 'aaaa' → [aa, ##a, ##a]
+    # merge (a, ##a) only applies where the FIRST symbol is the bare
+    # word-start 'a', so 'aaaa' (symbols a ##a ##a ##a) → [aa, ##a, ##a]
     assert v["aa"] == 2 and v["##a"] == 4
 
 
@@ -156,3 +155,13 @@ def test_wordpiece_train_deterministic(corpus_df):
     a = wordpiece_train(corpus_df, n_merges=8)
     b = wordpiece_train(corpus_df, n_merges=8)
     assert a == b
+
+
+def test_wordpiece_train_releases_all_caches(corpus_df, spark):
+    """r9 review regression: training re-persists the word table per round
+    and must release EVERY handle on exit — the original form unpersisted
+    a derived, never-cached plan and leaked the base cache for the
+    session lifetime."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    wordpiece_train(corpus_df, n_merges=4)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before

@@ -47,10 +47,21 @@ def frequent_pairs(
     self-join (a map-side-combinable count + a broadcast-ready semi
     filter), bounding every txn's emission at cap·(cap−1)/2. Dropping —
     not truncating — keeps the output exact over the retained baskets
-    (a truncated basket would systematically under-count its pairs)."""
-    ti = df.select(
-        F.col(txn_col).alias("_t"), F.col(item_col).alias("_i")
-    ).distinct()
+    (a truncated basket would systematically under-count its pairs).
+
+    The distinct (txn, item) table is tracked_persist-ed: it feeds the
+    guard aggregate AND both sides of the self-join, and without the
+    cache each consumer re-runs the corpus scan + distinct end-to-end
+    (r9 review finding — the d_jaccard capped-shingle discipline). The
+    guard's count stage materializes the cache before the join stage
+    reads it; the query-boundary eviction releases it."""
+    from ..cache import tracked_persist
+
+    ti = tracked_persist(
+        df.select(
+            F.col(txn_col).alias("_t"), F.col(item_col).alias("_i")
+        ).distinct()
+    )
     if max_basket is not None:
         ok = (
             ti.groupBy("_t")

@@ -291,6 +291,11 @@ def audio_mfcc(
     )
     win = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(frame_len) / (frame_len - 1))
     dct = _dct1_basis(n_mels)[:n_mfcc]
+    # the filterbank depends only on the sample RATE (n_mels/frame_len are
+    # fixed per call) — memoize per rate so a million-clip corpus builds
+    # the 26x201 Python-loop matrix once per worker, not once per clip
+    # (r9 review finding)
+    fb_cache: dict = {}
 
     def feats(p: bytes) -> tuple:
         s, rate = decode_wav(bytes(p))
@@ -302,7 +307,9 @@ def audio_mfcc(
         idx = np.arange(frame_len)[None, :] + hop * np.arange(nf)[:, None]
         frames = ch0[idx] * win[None, :]
         power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-        fb = _mel_filterbank(n_mels, frame_len, rate)
+        fb = fb_cache.get(rate)
+        if fb is None:
+            fb = fb_cache.setdefault(rate, _mel_filterbank(n_mels, frame_len, rate))
         logmel = np.log(np.maximum(power @ fb.T, 1e-10))
         mf = logmel @ dct.T
         return (nf, [float(v) for v in np.round(mf.mean(axis=0), 6)])

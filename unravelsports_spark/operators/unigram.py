@@ -217,41 +217,44 @@ def segment_word_table(words: DataFrame, vocab, max_piece_len: int = 4) -> DataF
     return words.select("word").mapInPandas(run, "word string, n_pieces_word long")
 
 
-def unigram_tokenize_stats(
+def vocab_bound_stats(
     df: DataFrame,
-    vocab,
-    max_piece_len: int = 4,
+    segment_words,
+    sum_cols,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Apply a trained vocab: per document, the exact (n_words, n_pieces,
-    pieces_per_100_words) under Viterbi segmentation — the compression
-    metric tokenizer evaluations report.
+    """Shared scaffolding of every VOCAB-BOUND tokenizer apply (unigram
+    Viterbi here; WordPiece greedy in operators/wordpiece.py — r9 review
+    finding #5 extracted it): explode the corpus into (doc, word)
+    occurrences, hand the DISTINCT word table to ``segment_words`` (a
+    callable returning a (word, *stats) DataFrame — the only Python
+    work, so it scales with vocabulary, not corpus), join the per-word
+    stats back to occurrences, and aggregate per document.
 
-    VOCAB-BOUND by construction (VERDICT r8 #2/#3): Viterbi — the only
-    Python work — runs ONCE per DISTINCT word via
-    :func:`segment_word_table` (the same table the trainer iterates), and
-    ``n_pieces_word`` joins back to the corpus-sized occurrence list as a
-    plain equi-join feeding a map-side-combinable sum. A 10× bigger corpus
-    with the same vocabulary re-segments nothing — it only re-counts
-    (probe: tools/scale_probe.py's unigram apply row). The join's build
-    side is the distinct-word table (vocabulary-sized, Heaps-law bounded),
-    so AQE broadcasts it at any realistic scale; no hint is forced in case
-    a pathological corpus makes it big. Documents with zero words survive
-    with (0, 0, 0) via the left join back to the id spine."""
+    ``sum_cols`` maps each segmented stat column to its output name
+    (e.g. ``[("n_pieces_word", "n_pieces")]``). Output columns:
+    ``(id_col, n_words, *outputs, pieces_per_100_words)`` — the
+    compression metric derives from ``n_pieces`` when present. The join's
+    build side is the distinct-word table (Heaps-law bounded), so AQE
+    broadcasts it at any realistic scale; no hint is forced in case a
+    pathological corpus makes it big. Zero-word documents survive with
+    all-zero stats via the left join back to the id spine. A 10× bigger
+    corpus with the same vocabulary re-segments nothing — it only
+    re-counts (probe: tools/scale_probe.py's unigram apply row)."""
     occ = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
         ).alias("word"),
     )
-    seg = segment_word_table(occ.select("word").distinct(), vocab, max_piece_len)
+    seg = segment_words(occ.select("word").distinct())
     per_doc = (
         occ.join(seg, "word")
         .groupBy("_id")
         .agg(
             F.count("*").alias("n_words"),
-            F.sum("n_pieces_word").alias("n_pieces"),
+            *[F.sum(src).alias(out) for src, out in sum_cols],
         )
     )
     out = (
@@ -260,7 +263,7 @@ def unigram_tokenize_stats(
         .select(
             F.col("_id").alias(id_col),
             F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+            *[F.coalesce(out_, F.lit(0)).alias(out_) for _, out_ in sum_cols],
         )
     )
     return out.withColumn(
@@ -270,4 +273,26 @@ def unigram_tokenize_stats(
         )
         .otherwise(F.lit(0))
         .cast("bigint"),
+    )
+
+
+def unigram_tokenize_stats(
+    df: DataFrame,
+    vocab,
+    max_piece_len: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained vocab: per document, the exact (n_words, n_pieces,
+    pieces_per_100_words) under Viterbi segmentation — the compression
+    metric tokenizer evaluations report. VOCAB-BOUND (VERDICT r8 #2/#3):
+    Viterbi runs ONCE per DISTINCT word via :func:`segment_word_table`
+    (the same table the trainer iterates) through the shared
+    :func:`vocab_bound_stats` scaffolding."""
+    return vocab_bound_stats(
+        df,
+        lambda words: segment_word_table(words, vocab, max_piece_len),
+        [("n_pieces_word", "n_pieces")],
+        id_col=id_col,
+        text_col=text_col,
     )

@@ -41,7 +41,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .retrieval import TOKEN_RE
 from .unigram import word_counts
 
 #: symbol separator inside the carried segmentation string (never in text)
@@ -109,16 +108,31 @@ def wordpiece_train(
     ``min_pair_count``.
 
     Driver state: the vocab-sized count tables per round. Distributed
-    state: the (word, n, syms) table. Corpus passes: exactly one (inside
+    state: the (word, n, syms) table, RE-PERSISTED per round (the BPE
+    trainer's discipline): each round's count job materializes the current
+    cache, the previous round's cache is then released, and the next
+    round's merge is ONE regexp projection over the cached table — without
+    the per-round persist, round r would replay all r-1 chained
+    regexp_replace projections (O(n_merges²) passes) and the
+    finally-block would unpersist a derived, never-cached plan, leaking
+    the original cache for the session lifetime (r9 review finding).
+    Corpus passes: exactly one (inside
     :func:`~unravelsports_spark.operators.unigram.word_counts`)."""
-    words = word_counts(df, text_col=text_col).withColumn(
+    cur = word_counts(df, text_col=text_col).withColumn(
         "syms", _word_symbols(F.col("word"))
-    )
-    words = words.persist()
+    ).persist()
+    prev = None
     try:
         merges = []
-        for _ in range(int(n_merges)):
-            pair_n, sym_n = _pair_and_symbol_counts(words)
+        rounds_left = int(n_merges)
+        while True:
+            # materializes `cur`'s cache — safe to drop the previous one
+            pair_n, sym_n = _pair_and_symbol_counts(cur)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if rounds_left <= 0:
+                break
             best = None
             for (a, b), nab in pair_n.items():
                 if nab < min_pair_count:
@@ -137,12 +151,16 @@ def wordpiece_train(
             (a, b), nab = best
             merged = a + (b[len(CONT):] if b.startswith(CONT) else b)
             merges.append((a, b, merged, nab))
-            words = words.withColumn("syms", _apply_merge(F.col("syms"), a, b))
-        _, final_sym = _pair_and_symbol_counts(words)
-        vocab = sorted(final_sym.items(), key=lambda kv: (-kv[1], kv[0]))
+            prev, cur = cur, cur.withColumn(
+                "syms", _apply_merge(F.col("syms"), a, b)
+            ).persist()
+            rounds_left -= 1
+        vocab = sorted(sym_n.items(), key=lambda kv: (-kv[1], kv[0]))
         return merges, vocab
     finally:
-        words.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
 
 
 def greedy_wordpiece(word: str, vocab: set, max_token_len: int = 64):
@@ -177,12 +195,14 @@ def wordpiece_tokenize_stats(
     """Apply a trained vocab: per document (n_words, n_pieces, n_unk,
     pieces_per_100_words) under greedy longest-match segmentation — an
     unsegmentable word counts as ONE [UNK] piece (the BERT tokenizer
-    rule). VOCAB-BOUND like the unigram apply: greedy matching (the only
-    Python work) runs once per DISTINCT word via a small Arrow pass and
-    joins back to the corpus-sized occurrence list (AQE broadcasts the
-    vocabulary-sized build side); zero-word documents survive via the id
-    spine with (0, 0, 0, 0)."""
+    rule). VOCAB-BOUND through the shared
+    :func:`~unravelsports_spark.operators.unigram.vocab_bound_stats`
+    scaffolding (r9 review finding #5): greedy matching — the only Python
+    work — runs once per DISTINCT word and joins back to occurrences;
+    zero-word documents survive as (0, 0, 0, 0)."""
     import pandas as pd
+
+    from .unigram import vocab_bound_stats
 
     vset = {t for t, _ in vocab} if vocab and isinstance(vocab[0], tuple) else set(vocab)
 
@@ -201,37 +221,15 @@ def wordpiece_tokenize_stats(
                 {"word": pdf["word"], "n_pieces_word": np_, "n_unk_word": nu}
             )
 
-    occ = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-        ).alias("word"),
-    )
-    segmented = occ.select("word").distinct().mapInPandas(
-        seg, "word string, n_pieces_word long, n_unk_word long"
-    )
-    per_doc = (
-        occ.join(segmented, "word")
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("n_words"),
-            F.sum("n_pieces_word").alias("n_pieces"),
-            F.sum("n_unk_word").alias("n_unk"),
+    def segment_words(words):
+        return words.mapInPandas(
+            seg, "word string, n_pieces_word long, n_unk_word long"
         )
-    )
-    out = (
-        df.select(F.col(id_col).alias("_id"))
-        .join(per_doc, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
-            F.coalesce("n_unk", F.lit(0)).alias("n_unk"),
-        )
-    )
-    return out.withColumn(
-        "pieces_per_100_words",
-        F.when(F.col("n_words") > 0, F.expr("div(100 * n_pieces, n_words)"))
-        .otherwise(F.lit(0))
-        .cast("bigint"),
+
+    return vocab_bound_stats(
+        df,
+        segment_words,
+        [("n_pieces_word", "n_pieces"), ("n_unk_word", "n_unk")],
+        id_col=id_col,
+        text_col=text_col,
     )

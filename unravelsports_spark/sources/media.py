@@ -346,18 +346,23 @@ def to_graph_png(
     into the frame lookup — frame ids are only unique per period/play in
     the AF convention. ``color_by`` defaults to ``ball_owning`` to match
     the reference ``GraphConverter.plot`` (graph_converter.py:749; ADVICE
-    r8 #2) — the graph row always carries ``ball_owning_team_id``."""
+    r8 #2); a dead-ball/neutral frame (null ``ball_owning_team_id``) falls
+    back to static home/away coloring rather than raising — the nullable
+    column is a legal state, not caller error (r9 review finding)."""
     staged = collect_frame(
         tracking, graph[Column.GAME_ID], int(graph["frame_id"]),
         period_id=graph.get("period_id"),
     )
+    owning = graph.get("ball_owning_team_id")
     img = render_graph_overlay(
         staged,
         _graph_cell_matrix(graph),
         list(graph["object_ids"]),
         home_team_id,
-        ball_owning_team_id=graph.get("ball_owning_team_id"),
-        color_by=color_by,
+        ball_owning_team_id=owning,
+        color_by="static_home_away"
+        if color_by == "ball_owning" and owning is None
+        else color_by,
         **render_kw,
     )
     with open(out_path, "wb") as f:
@@ -379,7 +384,9 @@ def to_graph_mp4(
     """Graph-frame rows → MP4 with the adjacency overlay per frame (the
     graph-aware twin of ``to_mp4``; same pure-Python JPEG + ISO BMFF path).
     ``color_by`` defaults to ``ball_owning`` like the reference plot and
-    :func:`to_graph_png` (ADVICE r8 #2)."""
+    :func:`to_graph_png` (ADVICE r8 #2), with the same per-frame
+    static-home/away fallback on a null ``ball_owning_team_id`` — one
+    dead-ball frame must not abort a 500-frame clip render."""
     from ..functions.jpegcodec import encode_jpeg
     from .mp4 import write_mjpeg_mp4
 
@@ -394,10 +401,14 @@ def to_graph_mp4(
             tracking, g[Column.GAME_ID], int(g["frame_id"]),
             period_id=g.get("period_id"),
         )
+        owning = g.get("ball_owning_team_id")
         img = render_graph_overlay(
             staged, _graph_cell_matrix(g), list(g["object_ids"]), home_team_id,
-            ball_owning_team_id=g.get("ball_owning_team_id"),
-            color_by=color_by, **render_kw,
+            ball_owning_team_id=owning,
+            color_by="static_home_away"
+            if color_by == "ball_owning" and owning is None
+            else color_by,
+            **render_kw,
         )
         dims = dims or (img.shape[1], img.shape[0])
         jpegs.append(encode_jpeg(img, quality=quality))
