@@ -46,3 +46,24 @@ def test_event_analytics_example(spark):
     assert out["streaming_matches_batch"] is True
     assert out["attribution_streaming_matches"] is True
     assert out["top_conversion_path"][2] > 0
+
+
+def test_tokenizer_pipeline_example(spark):
+    from examples.tokenizer_pipeline import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    assert out["bpe_merges"] == 8 and out["wordpiece_merges"] > 0
+    # sf0.001's synthetic corpus has ~31 distinct words: both vocabularies
+    # must exceed the bare character set (multi-char pieces were learned)
+    # but stay naturally below the requested cap
+    assert out["unigram_vocab"] > 26 and out["wordpiece_vocab"] > 26
+    w = out["n_words"]
+    assert w > 0
+    # word-level BPE compresses; subword families expand
+    bw, bt, bf = out["fertility_bpe"]
+    assert bw == w and bt <= w and bf <= 100.0
+    for key in ("fertility_unigram", "fertility_wordpiece"):
+        fw, fp, ff = out[key]
+        assert fw == w and fp >= w and ff >= 100.0
+    assert out["wordpiece_unk"] >= 0
+    assert len(out["top_wp_merges"]) == 5

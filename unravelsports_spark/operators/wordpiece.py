@@ -11,24 +11,33 @@ frequencies, preferring pairs whose parts rarely occur apart. Inference is
 NOT score-based: it is greedy longest-match-first against the final vocab
 (the standard WordPiece tokenizer), with whole-word ``[UNK]`` fallback.
 
-Spark-first scale shape (the unigram trainer's decisive observation,
+Spark-first scale shape (EXACTLY the unigram trainer's design,
 operators/unigram.py): after ONE corpus tokenize pass the trainer operates
-entirely on the (word, count) frequency table, which is vocabulary-sized.
-Per merge round:
+entirely on the (word, count) frequency table, which is vocabulary-sized
+and persisted ONCE, IMMUTABLY. Per merge round:
 
-1. one map-side-combinable aggregation over the word table emits adjacent
-   pair counts AND single-symbol counts (a union of two explodes of the
-   same symbol array — both vocabulary-bounded, never corpus-sized);
+1. the accepted merge list (driver state, O(n_merges)) rides into one
+   mapInPandas pass that re-derives each word's current segmentation in
+   Python and emits per-batch pre-aggregated pair + symbol counts
+   (vocabulary-bounded rows, map-side combined before the shuffle);
 2. the argmax is driver-side over the collected vocab-sized count table,
    compared as EXACT INTEGER cross-products
    (``n_ab * n_a' * n_b'  vs  n_ab' * n_a * n_b``) so no float ever
-   decides a merge — ties break lexicographically on the pair;
-3. the merge applies to the word table as one projection (regexp replace
-   over a SEP-joined symbol string, the BPE discipline).
+   decides a merge — ties break lexicographically on the pair.
+
+The immutable-table + driver-model-in-closure shape is load-bearing: the
+first implementation rebuilt the word table per round as
+``withColumn(regexp_replace).persist()`` chains, and the r-th round's plan
+nested r InMemoryRelations — ANALYSIS time grew superlinearly with rounds
+(24 merges took minutes on a 31-word table) and the rebound handles leaked
+caches. Re-deriving the segmentation from the merge list costs
+O(n_merges² · vocab) bounded Python — embarrassingly parallel, constant
+plan size, one persist handle.
 
 Apply (:func:`wordpiece_tokenize_stats`) is VOCAB-BOUND like the unigram
 apply: greedy segmentation runs once per DISTINCT word and joins back to
-occurrences.
+occurrences through the shared
+:func:`~unravelsports_spark.operators.unigram.vocab_bound_stats`.
 
 Everything is deterministic — fixed (corpus, params) reproduce the merge
 list and all counts bit-for-bit — so the trainer is golden-cells
@@ -39,55 +48,69 @@ independent pure-Python implementation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from .unigram import word_counts
 
-#: symbol separator inside the carried segmentation string (never in text)
-SEP = "\x1f"
 #: continuation prefix for word-internal symbols (BERT convention)
 CONT = "##"
 
 
-def _word_symbols(word_col):
-    """word → SEP-joined initial symbol string: first char bare, every
-    following char ``##``-prefixed (``"cat"`` → ``"c\\x1f##a\\x1f##t"``)."""
-    first = F.substring(word_col, 1, 1)
-    rest = F.substring(word_col, F.lit(2), F.length(word_col) - 1)
-    tail = F.regexp_replace(rest, "(.)", SEP + CONT + "$1")
-    return F.concat(first, tail)
+def _segment_word(word: str, merges) -> list:
+    """Current segmentation of ``word`` under the accepted merge list:
+    start from characters (continuations ``##``-prefixed), then apply each
+    merge in training order with the greedy left-to-right non-overlapping
+    scan — the executable spec the independent test reference mirrors."""
+    syms = [word[0]] + [CONT + c for c in word[1:]] if word else []
+    for a, b, merged in merges:
+        out, i = [], 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
 
 
-def _apply_merge(sym_col, a: str, b: str):
-    """Greedy left-to-right application of merge (a, b) over the SEP-joined
-    symbol string: ``a SEP b`` → merged token ``a + strip_cont(b)`` (the
-    ``##`` of b disappears into the merge; the result keeps a's prefix
-    status). Anchored alternation with a guard group exactly like the BPE
-    regex form — non-overlapping left-to-right replacement IS the greedy
-    fold when the pattern consumes both symbols."""
-    merged = a + (b[len(CONT):] if b.startswith(CONT) else b)
-    import re as _re
+def _pair_and_symbol_counts(words: DataFrame, merges):
+    """One mapInPandas pass over the immutable (word, n) table → collected
+    {(a, b): n_pair} and {sym: n_sym} under the current merge list, both
+    weighted by word count. Counts pre-aggregate per Arrow batch (a pair
+    row carries ``b``, a symbol row a null ``b``), so the shuffle carries
+    vocabulary-bounded rows."""
+    import pandas as pd
 
-    pat = f"(^|{SEP}){_re.escape(a)}{SEP}{_re.escape(b)}(?={SEP}|$)"
-    return F.regexp_replace(sym_col, pat, "$1" + merged.replace("$", r"\$"))
+    from pyspark.sql import functions as F
 
+    mlist = list(merges)
 
-def _pair_and_symbol_counts(words: DataFrame):
-    """One aggregation over the (word, n, syms) table → collected
-    {(a, b): n_pair} and {sym: n_sym}, both weighted by word count.
-    Symbols and pairs ride one exploded union (a pair row carries ``b``,
-    a symbol row a null ``b``), so the round costs ONE job."""
-    arr = F.split(F.col("syms"), SEP)
-    pairs = F.expr(
-        "transform(slice(_a, 1, greatest(size(_a) - 1, 0)), "
-        "(x, i) -> struct(x as a, element_at(_a, i + 2) as b))"
-    )
-    singles = F.expr("transform(_a, x -> struct(x as a, cast(null as string) as b))")
+    def run(batches):
+        for pdf in batches:
+            acc: dict = {}
+            for w, n in zip(pdf["word"], pdf["n"]):
+                syms = _segment_word(str(w), mlist)
+                n = int(n)
+                for x in syms:
+                    k = (x, None)
+                    acc[k] = acc.get(k, 0) + n
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    acc[k] = acc.get(k, 0) + n
+            yield pd.DataFrame(
+                {
+                    "a": [k[0] for k in acc],
+                    "b": [k[1] for k in acc],
+                    "cnt": list(acc.values()),
+                }
+            )
+
     rows = (
-        words.select(F.col("n"), arr.alias("_a"))
-        .select("n", F.explode(F.concat(pairs, singles)).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.sum("n").alias("cnt"))
+        words.mapInPandas(run, "a string, b string, cnt long")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("cnt"))
         .collect()
     )
     pair_n = {(r["a"], r["b"]): int(r["cnt"]) for r in rows if r["b"] is not None}
@@ -107,30 +130,18 @@ def wordpiece_train(
     final segmentation state. Stops early when no pair reaches
     ``min_pair_count``.
 
-    Driver state: the vocab-sized count tables per round. Distributed
-    state: the (word, n, syms) table, RE-PERSISTED per round (the BPE
-    trainer's discipline): each round's count job materializes the current
-    cache, the previous round's cache is then released, and the next
-    round's merge is ONE regexp projection over the cached table — without
-    the per-round persist, round r would replay all r-1 chained
-    regexp_replace projections (O(n_merges²) passes) and the
-    finally-block would unpersist a derived, never-cached plan, leaking
-    the original cache for the session lifetime (r9 review finding).
-    Corpus passes: exactly one (inside
+    Driver state: the vocab-sized count tables per round plus the merge
+    list. Distributed state: the (word, n) table, persisted once and
+    never mutated. Corpus passes: exactly one (inside
     :func:`~unravelsports_spark.operators.unigram.word_counts`)."""
-    cur = word_counts(df, text_col=text_col).withColumn(
-        "syms", _word_symbols(F.col("word"))
-    ).persist()
-    prev = None
+    words = word_counts(df, text_col=text_col).persist()
     try:
         merges = []
         rounds_left = int(n_merges)
         while True:
-            # materializes `cur`'s cache — safe to drop the previous one
-            pair_n, sym_n = _pair_and_symbol_counts(cur)
-            if prev is not None:
-                prev.unpersist()
-                prev = None
+            pair_n, sym_n = _pair_and_symbol_counts(
+                words, [(a, b, m) for a, b, m, _ in merges]
+            )
             if rounds_left <= 0:
                 break
             best = None
@@ -151,16 +162,11 @@ def wordpiece_train(
             (a, b), nab = best
             merged = a + (b[len(CONT):] if b.startswith(CONT) else b)
             merges.append((a, b, merged, nab))
-            prev, cur = cur, cur.withColumn(
-                "syms", _apply_merge(F.col("syms"), a, b)
-            ).persist()
             rounds_left -= 1
         vocab = sorted(sym_n.items(), key=lambda kv: (-kv[1], kv[0]))
         return merges, vocab
     finally:
-        if prev is not None:
-            prev.unpersist()
-        cur.unpersist()
+        words.unpersist()
 
 
 def greedy_wordpiece(word: str, vocab: set, max_token_len: int = 64):
