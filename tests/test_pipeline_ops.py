@@ -458,3 +458,192 @@ def test_containment_df_cap_drops_hot_shingles(spark):
     rows = containment_pairs(doc_shingles(df), max_doc_freq=1).collect()
     release_tracked()
     assert rows == []
+
+
+def test_perplexity_bucket_sample_matches_duckdb(spark, duck):
+    """CCNet-style head/middle/tail bucketing + deterministic md5
+    downsampling (operators/importance.py, r9 build / r10 registration):
+    full equivalence with the SQL twin — boundary-based terciles over the
+    certified unigram pseudo-perplexity, equal scores in equal buckets,
+    exact integer keep counts."""
+    from unravelsports_spark.operators.importance import perplexity_bucket_sample
+    from unravelsports_spark.operators.retrieval import unigram_logprob
+    from unravelsports_spark.plans.corpus3 import _unigram_sql
+    from unravelsports_spark.session import read_table
+
+    from .conftest import SF_CORRECT
+
+    docs = read_table(spark, SF_CORRECT, "documents")
+    got = sorted(
+        map(
+            tuple,
+            perplexity_bucket_sample(docs, unigram_logprob(docs)).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                f"""
+        WITH scored AS ({_unigram_sql()}),
+        s AS (SELECT sc.*, d.source FROM scored sc
+              JOIN documents d USING (doc_id)),
+        per_ppl AS (SELECT source, pseudo_ppl, COUNT(*) AS n
+                    FROM s GROUP BY 1, 2),
+        cum AS (SELECT source, pseudo_ppl,
+                       SUM(n) OVER (PARTITION BY source ORDER BY pseudo_ppl
+                                    ROWS UNBOUNDED PRECEDING) AS c,
+                       SUM(n) OVER (PARTITION BY source) AS tot
+                FROM per_ppl),
+        bounds AS (SELECT source,
+                          MIN(CASE WHEN c >= CEIL(tot / 3.0) THEN pseudo_ppl END) AS b1,
+                          MIN(CASE WHEN c >= CEIL(2 * tot / 3.0) THEN pseudo_ppl END) AS b2
+                   FROM cum GROUP BY source),
+        tagged AS (
+          SELECT s.source, s.n_tokens,
+                 CASE WHEN s.pseudo_ppl <= b.b1 THEN 'head'
+                      WHEN s.pseudo_ppl <= b.b2 THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+                 CAST(('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 4))
+                      AS INT) % 100 AS pct
+          FROM s JOIN bounds b USING (source)),
+        keep AS (SELECT *,
+                        pct < CASE bucket WHEN 'head' THEN 100
+                                          WHEN 'middle' THEN 50 ELSE 10 END AS k
+                 FROM tagged)
+        SELECT source, bucket, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN k THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM keep GROUP BY 1, 2
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # every (source) splits into at most 3 buckets and head keeps all docs
+    srcs = {}
+    for src, bucket, n_docs, n_kept, _, _ in got:
+        srcs.setdefault(src, set()).add(bucket)
+        if bucket == "head":
+            assert n_kept == n_docs  # 100% keep rate
+    assert all(b <= {"head", "middle", "tail"} for b in srcs.values())
+
+
+def test_perplexity_bucket_ties_share_a_bucket(spark):
+    """Boundary-based bucketing (NOT ntile): equal scores must land in the
+    same bucket even when a tercile boundary falls inside the tie run."""
+    import pandas as pd
+
+    from unravelsports_spark.operators.importance import perplexity_bucket_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(9)], ["doc_id", "source"]
+    )
+    # six docs tie at ppl 5.0 (crossing both tercile boundaries), three at 9
+    scored = spark.createDataFrame(
+        [(i, 10, 5.0) for i in range(6)] + [(i, 10, 9.0) for i in range(6, 9)],
+        ["doc_id", "n_tokens", "pseudo_ppl"],
+    )
+    rows = {
+        (r["bucket"]): r["n_docs"]
+        for r in perplexity_bucket_sample(docs, scored).collect()
+    }
+    # ceil(9/3)=3 and ceil(18/3... 2n/3)=6 both land inside the 5.0 run →
+    # b1 = b2 = 5.0: all six tied docs are head, the rest tail, no middle
+    assert rows == {"head": 6, "tail": 3}
+
+
+def test_cluster_balanced_sample_matches_duckdb(spark, duck):
+    """Cluster-balanced subsampling (operators/similarity.py, r9 build /
+    r10 registration): nearest-centroid assignment + per-cell top-n by
+    deterministic md5 hash order, exact vs the SQL twin built on the
+    certified s_kmeans_assign CTE shape."""
+    import numpy as np
+
+    from unravelsports_spark.operators.similarity import cluster_balanced_sample
+    from unravelsports_spark.session import read_table
+
+    from .conftest import SF_CORRECT
+
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    init = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    cents = np.asarray([[float(v) for v in r[1]] for r in init])
+
+    kept = cluster_balanced_sample(emb, cents, per_cell=5)
+    got = sorted(
+        map(
+            tuple,
+            kept.groupBy("cell")
+            .agg(
+                F.count("*").alias("n_kept"),
+                F.sum("vec_id").alias("sum_kept_ids"),
+                F.max("pick").alias("max_pick"),
+            )
+            .collect(),
+        )
+    )
+    d2 = """
+      list_reduce(
+        list_transform(range(1, len(e.embedding) + 1),
+          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))),
+        (a, b) -> a + b)
+    """
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                f"""
+        WITH cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                 embedding AS cemb
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        d AS (SELECT e.vec_id, c.cell, {d2} AS d2
+              FROM embeddings e CROSS JOIN cent c),
+        best AS (SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cell) AS rn
+                 FROM d),
+        assigned AS (SELECT vec_id, cell FROM best WHERE rn = 1),
+        ranked AS (SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY cell
+                                             ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                                      vec_id) AS pick
+                   FROM assigned)
+        SELECT cell, COUNT(*) AS n_kept,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids,
+               CAST(MAX(pick) AS BIGINT) AS max_pick
+        FROM ranked WHERE pick <= 5 GROUP BY cell
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert all(r[3] <= 5 for r in got)  # budget respected per cell
+
+
+def test_cluster_balanced_sample_is_order_invariant(spark):
+    """The hash order makes the kept set independent of row order and
+    partitioning — reshuffled input keeps EXACTLY the same ids."""
+    import numpy as np
+
+    from unravelsports_spark.operators.similarity import cluster_balanced_sample
+    from unravelsports_spark.session import read_table
+
+    from .conftest import SF_CORRECT
+
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    init = emb.select("vec_id", "embedding").orderBy("vec_id").limit(4).collect()
+    cents = np.asarray([[float(v) for v in r[1]] for r in init])
+    a = {
+        r["vec_id"]
+        for r in cluster_balanced_sample(emb, cents, per_cell=3).collect()
+    }
+    b = {
+        r["vec_id"]
+        for r in cluster_balanced_sample(
+            emb.repartition(13), cents, per_cell=3
+        ).collect()
+    }
+    assert a == b and len(a) <= 4 * 3

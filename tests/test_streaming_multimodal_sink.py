@@ -1766,3 +1766,60 @@ def test_streaming_daily_anomalies_flags_and_ignores_closed_day(spark, tmp_path)
     assert final[ms(1)]["ooo_events"] == 1
     assert final[ms(1)]["n_events"] == 2
     assert final[ms(0)]["n_events"] == 2  # closed count never rewritten
+
+
+def test_streaming_ann_index_matches_batch_ivf(spark, tmp_path):
+    """Streamed cell-partitioned IVF index across 3 micro-batches: search
+    from the index must return EXACTLY what batch ivf_topk returns on the
+    full vector set (same literal-centroid assignment, same probe ranking,
+    same cosine tie-breaks), and the probed-cell filter must prune at the
+    parquet scan (PartitionFilters), not post-scan."""
+    import numpy as np
+
+    from unravelsports_spark.operators.similarity import ivf_topk
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.streaming.windows import (
+        ann_search_from_index,
+        streaming_ann_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    init = emb.orderBy("vec_id").limit(6).collect()
+    cents = np.asarray([[float(v) for v in r["embedding"]] for r in init])
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    n = emb.count()
+    cuts = [n // 3, 2 * n // 3]
+    chunks = [
+        emb.filter(F.col("vec_id") < cuts[0]),
+        emb.filter((F.col("vec_id") >= cuts[0]) & (F.col("vec_id") < cuts[1])),
+        emb.filter(F.col("vec_id") >= cuts[1]),
+    ]
+    schema = "vec_id bigint, embedding array<float>"
+    for c in chunks:
+        c.write.mode("append").parquet(src)
+        q = streaming_ann_ingest(
+            spark.readStream.schema(schema).parquet(src), cents, idx, ckpt
+        ).start()
+        q.awaitTermination(120)
+
+    queries = [r["embedding"] for r in emb.filter(F.col("vec_id").isin(1, 7, 42)).collect()]
+    assert len(queries) == 3
+    for qv in queries:
+        qv = [float(v) for v in qv]
+        got = sorted(
+            map(tuple, ann_search_from_index(spark, idx, cents, qv, k=5, n_probe=2).collect())
+        )
+        want = sorted(
+            map(tuple, ivf_topk(emb, qv, cents, k=5, n_probe=2).collect())
+        )
+        assert got == want and len(got) == 5
+
+    plan = (
+        ann_search_from_index(spark, idx, cents, queries[0], k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [cell" in plan.replace("PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell")

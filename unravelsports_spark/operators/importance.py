@@ -368,3 +368,88 @@ def corpus_kl_sql(
            CAST(kl_rt_obs + CAST(ROUND(({n_buckets} - n_obs) * p_r0 * -d0) AS BIGINT) AS BIGINT) AS kl_rt_micro
     FROM obs, empties
     """
+
+
+def perplexity_bucket_sample(
+    docs: DataFrame,
+    scored: DataFrame,
+    keep_pcts: tuple = (100, 50, 10),
+    group_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """CCNet-style perplexity bucketing + deterministic downsampling
+    (Wenzek et al. 2020: split each language's corpus into head / middle /
+    tail by LM perplexity terciles, keep the head, subsample the rest).
+    ``scored`` is any per-doc frame carrying (id_col, n_tokens,
+    pseudo_ppl) — :func:`~unravelsports_spark.operators.retrieval.unigram_logprob`
+    output here; a real LM scorer slots in unchanged.
+
+    Buckets are BOUNDARY-based, not ntile: per group, b1 = the smallest
+    ppl value whose cumulative doc count reaches ceil(n/3), b2 likewise at
+    ceil(2n/3); bucket = head (ppl <= b1) / middle (<= b2) / tail. Equal
+    scores always land in the same bucket (deterministic under any row
+    order, unlike ntile's arbitrary tie split), and the boundaries come
+    from a per-(group, ppl) COUNT aggregate — map-side combinable — plus a
+    window over DISTINCT score values, so no full per-group document sort
+    exists anywhere in the plan (the ntile formulation would single-reduce
+    each group at 100 TB).
+
+    Sampling keeps a doc iff md5(doc_id)'s 16-bit prefix mod 100 falls
+    under its bucket's ``keep_pcts`` — the fingerprint-hash discipline,
+    bit-identical in DuckDB, stable under reshuffling and across runs.
+
+    Output: (group, bucket, n_docs, n_kept, tokens_total, tokens_kept) —
+    all exact integers."""
+    from pyspark.sql import Window
+
+    s = scored.join(docs.select(id_col, group_col), id_col)
+    per_ppl = s.groupBy(group_col, "pseudo_ppl").agg(
+        F.count("*").alias("_n"), F.sum("n_tokens").alias("_tok")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("pseudo_ppl")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_ppl.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_tot", F.sum("_n").over(Window.partitionBy(group_col))
+    )
+    bounds = cum.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("_cum") >= F.ceil(F.col("_tot") / 3), F.col("pseudo_ppl"))
+        ).alias("_b1"),
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.lit(2) * F.col("_tot") / 3),
+                F.col("pseudo_ppl"),
+            )
+        ).alias("_b2"),
+    )
+    pct = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    bucket = (
+        F.when(F.col("pseudo_ppl") <= F.col("_b1"), F.lit("head"))
+        .when(F.col("pseudo_ppl") <= F.col("_b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    keep_pct = (
+        F.when(F.col("bucket") == "head", F.lit(int(keep_pcts[0])))
+        .when(F.col("bucket") == "middle", F.lit(int(keep_pcts[1])))
+        .otherwise(F.lit(int(keep_pcts[2])))
+    )
+    tagged = (
+        s.join(F.broadcast(bounds), group_col)
+        .withColumn("bucket", bucket)
+        .withColumn("_keep", pct < keep_pct)
+    )
+    return tagged.groupBy(group_col, "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum(F.when(F.col("_keep"), F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "tokens_kept"
+        ),
+    )

@@ -748,3 +748,38 @@ def incremental_semdedup(
     return bev_new.join(removed, bev_new.vec_id == removed.b_id, "left").select(
         "vec_id", "tbl", "bucket", "v", "n2", F.col("b_id").isNull().alias("kept")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: np.ndarray,
+    per_cell: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced subsampling (the SemDeDup / DiverseSample recipe:
+    spread a sampling budget EVENLY across embedding-space clusters so the
+    kept set covers the distribution instead of over-sampling its modes):
+    assign each vector to its nearest centroid (literal projection, zero
+    shuffles), then keep the ``per_cell`` lowest-(md5(id), id) members of
+    each cell — a deterministic hash order, so the sample is stable under
+    any row order and reshuffling, never favoring ingestion order.
+
+    Output: input columns + (cell, d2, pick) for kept rows only, where
+    ``pick`` is the 1-based hash rank within the cell.
+
+    Scale shape: ONE shuffle (partition by cell) carrying the id + hash
+    key; the per-cell rank is a window over k partitions. k is the model
+    size — when per-cell membership is huge and only the keep-RATE matters
+    (not an exact count), prefer the constant-time hash-threshold filter
+    (``perplexity_bucket_sample``'s pct discipline) over this exact-n
+    variant."""
+    from pyspark.sql import Window
+
+    assigned = with_nearest_centroid(df, centroids, emb_col=emb_col)
+    hkey = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("cell").orderBy(hkey, F.col(id_col))
+    return (
+        assigned.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= int(per_cell))
+    )

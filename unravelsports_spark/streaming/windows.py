@@ -985,6 +985,77 @@ def streaming_daily_anomalies(
     )
 
 
+def streaming_ann_ingest(
+    stream_df,
+    centroids,
+    index_dir: str,
+    checkpoint_dir: str,
+    emb_col: str = "embedding",
+):
+    """Exactly-once IVF index maintenance via ``foreachBatch`` — the
+    similarity-search twin of the dedup/shard ledgers: every micro-batch
+    assigns its vectors to their coarse cell with the pipeline's FIXED
+    centroid model (literal projection, zero shuffles — all batches
+    assign identically) and lands them in a cell-partitioned parquet
+    layout under ``{index_dir}/batch_id=N/cell=C/``. The batch-keyed
+    overwrite makes replays rewrite their own partition instead of
+    appending drift (the streaming_user_days contract), and the ``cell``
+    partition directory is what lets every later search prune to its
+    probed cells at the SCAN — the streamed index serves queries without
+    ever re-clustering or re-reading unprobed data.
+
+    At 100 TB this is the standard freshness path for an IVF index: the
+    expensive part (centroid training) happens once offline; ingest is a
+    stateless per-batch projection + partitioned append."""
+    import numpy as np
+
+    from ..operators.similarity import with_nearest_centroid
+
+    C = np.asarray(centroids, dtype=float)
+
+    def _process(batch_df, batch_id: int):
+        out = with_nearest_centroid(batch_df, C, emb_col=emb_col).drop("d2")
+        out.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def ann_search_from_index(
+    spark,
+    index_dir: str,
+    centroids,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF top-k over the STREAMED index: rank the ``n_probe`` nearest
+    cells driver-side (O(model)), scan only those cell partitions
+    (PartitionFilters prune the rest at the parquet reader — plan-guard
+    tested), exact-cosine rank within the candidates. Returns EXACTLY what
+    the batch ``ivf_topk`` returns on the union of all ingested batches:
+    the cell assignment is the identical literal-centroid fold with the
+    identical lowest-index tie-break, so index layout and batch query
+    cannot diverge (pinned by the multi-batch equivalence test)."""
+    import numpy as np
+
+    from ..operators.similarity import cosine_topk
+
+    q = np.asarray(query_vec, dtype=float)
+    C = np.asarray(centroids, dtype=float)
+    order = np.argsort(np.linalg.norm(C - q, axis=1))
+    cells = [int(c) for c in order[: int(n_probe)]]
+    idx = spark.read.parquet(index_dir).filter(F.col("cell").isin(cells))
+    return cosine_topk(idx, [float(v) for v in q], k, id_col, emb_col)
+
+
 def streaming_scd2(
     stream_df,
     ledger_dir: str,
