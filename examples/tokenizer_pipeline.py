@@ -50,13 +50,6 @@ def main(spark, sf_dir: str) -> dict:
     # 2. apply each trained model and report corpus-level compression
     # (the subword applies are vocab-bound: segmentation runs once per
     # DISTINCT word and joins back to occurrences)
-    n_words = int(
-        docs.agg(
-            F.sum(
-                F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0))
-            )
-        ).collect()[0][0]
-    )
     bpe_tokens = int(
         bpe_apply(docs, bpe_merges).agg(F.sum(F.size("tokens"))).collect()[0][0]
     )
@@ -71,6 +64,10 @@ def main(spark, sf_dir: str) -> dict:
     wp_stats = wordpiece_tokenize_stats(docs, wp_vocab)
     wp_f = fertility(wp_stats)
     n_unk = int(wp_stats.agg(F.sum("n_unk")).collect()[0][0])
+    # the word total already fell out of the unigram stats aggregate — a
+    # separate corpus-wide re-tokenize pass just to count words would
+    # contradict the one-corpus-pass story (r9 review finding)
+    n_words = uni_f[0]
 
     return {
         "bpe_merges": len(bpe_merges),

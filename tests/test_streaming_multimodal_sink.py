@@ -1823,3 +1823,54 @@ def test_streaming_ann_index_matches_batch_ivf(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [cell" in plan.replace("PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell")
+
+
+def test_streaming_ann_index_serves_latest_version_on_reingest(spark, tmp_path):
+    """r9 review finding: a vector RE-ingested with a changed embedding in
+    a later batch must never rank with its stale version — the search's
+    latest-batch semi-join keeps exactly one (the newest) row per id, and
+    a vector whose update moved it OUT of the probed cells disappears
+    instead of being served stale."""
+    import numpy as np
+
+    from unravelsports_spark.streaming.windows import (
+        ann_search_from_index,
+        streaming_ann_ingest,
+    )
+
+    # 2-D toy space: cells at (1,0) and (0,1)
+    cents = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    schema = "vec_id bigint, embedding array<float>"
+    batch1 = [
+        (1, [0.9, 0.1]), (2, [0.8, 0.0]),   # cell 0
+        (3, [0.1, 0.9]),                     # cell 1
+    ]
+    # batch 2: vec 1 UPDATED within cell 0; vec 2 MOVED to cell 1
+    batch2 = [(1, [1.0, 0.05]), (2, [0.05, 1.0])]
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = streaming_ann_ingest(
+            spark.readStream.schema(schema).parquet(src), cents, idx, ckpt
+        ).start()
+        q.awaitTermination(120)
+
+    # probe ONLY cell 0 (query along x): vec 1 must appear once with its
+    # UPDATED cosine; vec 2's stale cell-0 row must be filtered (its
+    # latest version lives in unprobed cell 1); no duplicate ids
+    got = ann_search_from_index(
+        spark, idx, cents, [1.0, 0.0], k=10, n_probe=1
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids.count(1) == 1 and 2 not in ids
+    from math import sqrt
+
+    want_cos = round((1.0 * 1.0 + 0.05 * 0.0) / (sqrt(1.0 + 0.05**2) * 1.0), 6)
+    assert {r["vec_id"]: r["cosine"] for r in got}[1] == want_cos
+    # probing both cells returns each id exactly once (vec 2 at its NEW home)
+    both = ann_search_from_index(spark, idx, cents, [1.0, 1.0], k=10, n_probe=2).collect()
+    assert sorted(r["vec_id"] for r in both) == [1, 2, 3]

@@ -61,27 +61,56 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    # same benign-diff classification as tools/oracle_sweep.py: at non-gate
+    # scales the sf0.01-pinned snapshot oracles and the measured 1-ulp ln
+    # boundary rows diverge BY DESIGN and must not report as regressions
+    # (r9 review finding); at the gate scale both sets compare exact
+    from tools.oracle_sweep import EXPECTED_SNAPSHOT, KNOWN_LN_BOUNDARY
+
+    gate_scale = SF_DIR.rstrip("/").endswith("sf0.01")
     window = list(qs)[:SLOTS]
     t0 = time.time()
-    failed = []
-    for i, name in enumerate(window):
-        sdf = qs[name](spark, SF_DIR)
-        if name in osql:
-            ok, msg = compare_frames(sdf, con.execute(osql[name]))
-            tag = "exact" if ok else f"FAIL {msg}"
-            if not ok:
+    failed, benign = [], []
+    try:
+        for i, name in enumerate(window):
+            # a slot that RAISES must record as failed and let the rest of
+            # the window run — the pre-flight's whole point is a complete
+            # slot-burn report (r9 review finding)
+            try:
+                sdf = qs[name](spark, SF_DIR)
+                if name in osql:
+                    ok, msg = compare_frames(sdf, con.execute(osql[name]))
+                    if ok:
+                        tag = "exact"
+                    elif not gate_scale and name in EXPECTED_SNAPSHOT:
+                        tag = f"snapshot-by-design at {SF_DIR} ({msg[:60]})"
+                        benign.append(name)
+                    elif not gate_scale and name in KNOWN_LN_BOUNDARY:
+                        tag = f"known-ln-boundary at {SF_DIR} ({msg[:60]})"
+                        benign.append(name)
+                    else:
+                        tag = f"FAIL {msg}"
+                        failed.append(name)
+                else:
+                    rows = sdf.collect()
+                    tag = f"rows-only ({len(rows)} rows)"
+            except Exception as e:  # noqa: BLE001 — any raise burns the slot
+                tag = f"FAIL raised {type(e).__name__}: {e}"
                 failed.append(name)
-        else:
-            rows = sdf.collect()
-            tag = f"rows-only ({len(rows)} rows)"
-        print(f"[{i + 1:2d}/{len(window)}] {name}: {tag}", flush=True)
-    print(
-        f"window @ {SF_DIR}: {len(window) - len(failed)}/{len(window)} green, "
-        f"{len(failed)} failed, {int(time.time() - t0)}s"
-    )
-    if failed:
-        print("FAILED:", failed)
-    spark.stop()
+            print(f"[{i + 1:2d}/{len(window)}] {name}: {tag}", flush=True)
+        print(
+            f"window @ {SF_DIR}: {len(window) - len(failed)}/{len(window)} green "
+            f"({len(benign)} benign-diff), {len(failed)} failed, "
+            f"{int(time.time() - t0)}s"
+        )
+        if failed:
+            print("FAILED:", failed)
+    finally:
+        from unravelsports_spark.cache import release_tracked
+
+        release_tracked()  # the evicting wrapper frees per-slot; this
+        # releases the LAST slot's caches before teardown
+        spark.stop()
     return 1 if failed else 0
 
 

@@ -403,9 +403,7 @@ def perplexity_bucket_sample(
     from pyspark.sql import Window
 
     s = scored.join(docs.select(id_col, group_col), id_col)
-    per_ppl = s.groupBy(group_col, "pseudo_ppl").agg(
-        F.count("*").alias("_n"), F.sum("n_tokens").alias("_tok")
-    )
+    per_ppl = s.groupBy(group_col, "pseudo_ppl").agg(F.count("*").alias("_n"))
     w = (
         Window.partitionBy(group_col)
         .orderBy("pseudo_ppl")

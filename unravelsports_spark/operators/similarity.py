@@ -768,10 +768,14 @@ def cluster_balanced_sample(
     Output: input columns + (cell, d2, pick) for kept rows only, where
     ``pick`` is the 1-based hash rank within the cell.
 
-    Scale shape: ONE shuffle (partition by cell) carrying the id + hash
-    key; the per-cell rank is a window over k partitions. k is the model
-    size — when per-cell membership is huge and only the keep-RATE matters
-    (not an exact count), prefer the constant-time hash-threshold filter
+    Scale shape: the rank window runs over a PROJECTED (cell, id) frame —
+    the one shuffle really does carry only the id and its hash key, never
+    the embedding vectors (r9 review finding: the unprojected form moved
+    dim×8 bytes per row through the cell exchange) — and the kept id set
+    (≤ k·per_cell rows, model-sized) broadcasts back onto the assignment
+    projection, which is a re-scanned zero-shuffle projection. When
+    per-cell membership is huge and only the keep-RATE matters (not an
+    exact count), prefer the constant-time hash-threshold filter
     (``perplexity_bucket_sample``'s pct discipline) over this exact-n
     variant."""
     from pyspark.sql import Window
@@ -779,7 +783,10 @@ def cluster_balanced_sample(
     assigned = with_nearest_centroid(df, centroids, emb_col=emb_col)
     hkey = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy("cell").orderBy(hkey, F.col(id_col))
-    return (
-        assigned.withColumn("pick", F.row_number().over(w))
+    kept = (
+        assigned.select("cell", id_col)
+        .withColumn("pick", F.row_number().over(w))
         .filter(F.col("pick") <= int(per_cell))
+        .select(id_col, "pick")
     )
+    return assigned.join(F.broadcast(kept), id_col)

@@ -1035,6 +1035,7 @@ def ann_search_from_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dedup_updates: bool = True,
 ):
     """IVF top-k over the STREAMED index: rank the ``n_probe`` nearest
     cells driver-side (O(model)), scan only those cell partitions
@@ -1043,7 +1044,18 @@ def ann_search_from_index(
     the batch ``ivf_topk`` returns on the union of all ingested batches:
     the cell assignment is the identical literal-centroid fold with the
     identical lowest-index tie-break, so index layout and batch query
-    cannot diverge (pinned by the multi-batch equivalence test)."""
+    cannot diverge (pinned by the multi-batch equivalence test).
+
+    UPDATE semantics (r9 review finding): a vector RE-ingested in a later
+    batch leaves its old row under the old batch_id partition (the ingest
+    is append-only by design). With ``dedup_updates`` (default) the search
+    joins its candidates against the per-id LATEST batch_id — derived from
+    a NARROW (id, batch_id) scan of the whole index, which parquet column
+    pruning keeps tiny while the wide embedding column stays
+    partition-pruned — so a stale version can never rank, and a vector
+    whose updated embedding moved to an unprobed cell is (correctly for
+    IVF) absent rather than served stale. Disable it only for
+    append-only-id pipelines, where the narrow scan is pure overhead."""
     import numpy as np
 
     from ..operators.similarity import cosine_topk
@@ -1053,6 +1065,13 @@ def ann_search_from_index(
     order = np.argsort(np.linalg.norm(C - q, axis=1))
     cells = [int(c) for c in order[: int(n_probe)]]
     idx = spark.read.parquet(index_dir).filter(F.col("cell").isin(cells))
+    if dedup_updates:
+        latest = (
+            spark.read.parquet(index_dir)
+            .groupBy(id_col)
+            .agg(F.max("batch_id").alias("batch_id"))
+        )
+        idx = idx.join(latest, [id_col, "batch_id"], "left_semi")
     return cosine_topk(idx, [float(v) for v in q], k, id_col, emb_col)
 
 
