@@ -190,3 +190,56 @@ def test_with_lang_id_shares_pattern_and_quotes_column(spark):
         for r in with_lang_id(odd, text_col="text col").collect()
     }
     assert got_odd == got
+
+
+def test_k_anonymity_report_matches_duckdb(spark, duck):
+    """k-anonymity audit (operators/filtering.py, r9 build / r10
+    registration): class-size histogram over customer quasi-identifiers,
+    exact vs the SQL twin — the r10 oracle."""
+    from unravelsports_spark.operators.filtering import k_anonymity_report
+    from unravelsports_spark.session import read_table
+
+    from .conftest import SF_CORRECT
+
+    c = read_table(spark, SF_CORRECT, "customer")
+    got = sorted(
+        map(
+            tuple,
+            k_anonymity_report(
+                c, ["c_nationkey", "c_mktsegment"], k=5
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                """
+        WITH classes AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+          FROM customer GROUP BY 1, 2)
+        SELECT class_size, COUNT(*) AS n_classes,
+               CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+               class_size < 5 AS at_risk
+        FROM classes GROUP BY class_size ORDER BY class_size
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # row conservation: the histogram accounts for every customer row
+    assert sum(r[2] for r in got) == c.count()
+
+
+def test_k_anonymity_flags_unique_combinations(spark):
+    """A singleton quasi-identifier combination must appear as an at-risk
+    class of size 1; a safe class of size >= k must not flag."""
+    from unravelsports_spark.operators.filtering import k_anonymity_report
+
+    rows = [(i, "NY", "M") for i in range(5)] + [(99, "ZZ", "F")]
+    df = spark.createDataFrame(rows, ["id", "region", "gender"])
+    got = {
+        r["class_size"]: (r["n_classes"], r["at_risk"])
+        for r in k_anonymity_report(df, ["region", "gender"], k=5).collect()
+    }
+    assert got == {1: (1, True), 5: (1, False)}

@@ -142,3 +142,40 @@ def contaminated_docs(
         .select(id_col)
         .distinct()
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list, k: int = 5
+) -> DataFrame:
+    """Privacy re-identification audit (engine addition §2.12, r9 build /
+    r10 registration): group the table by its quasi-identifier columns
+    (the attributes an adversary could link to external data) and report,
+    per equivalence-class SIZE, how many classes and rows sit at that
+    size plus whether the size violates k-anonymity — the release-gating
+    measure that complements content-level PII scrubbing
+    (:func:`scrub_pii`): a row whose text is clean can still be
+    re-identified when its (region, segment, ...) combination is unique.
+
+    Output: (class_size, n_classes, n_rows, at_risk) sorted by
+    class_size — the class-size HISTOGRAM rather than the classes
+    themselves, so the report is tiny, aggregable across shards, and
+    never itself leaks a quasi-identifier combination.
+
+    Scale shape: one map-side-combinable groupBy on the quasi columns
+    (the only corpus-sized shuffle), then a combinable count-by-size over
+    the class table — the same two-phase rollup discipline as
+    d_cdc_chunks; no windows, no joins, no collects."""
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count("*").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < int(k)).alias("at_risk"),
+        )
+        .orderBy("class_size")
+    )
