@@ -40,6 +40,8 @@ EXPECTED_SNAPSHOT = {
     # r9: Viterbi segmentation over the documents table is deterministic
     # but not SQL-expressible; the VALUES oracle pins the sf0.01 rollup
     "t_unigram_tokens",
+    # r10: greedy WordPiece longest-match segmentation, same class
+    "t_wordpiece_tokens",
 }
 
 #: LM scorers with a measured 1-ulp ln() rounding-boundary row at sf0.1

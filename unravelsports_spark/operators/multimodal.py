@@ -257,6 +257,21 @@ def _mel_filterbank(n_mels: int, n_fft: int, rate: int) -> "np.ndarray":
     return fb
 
 
+# Module-level filterbank memo (ADVICE r9 #4): a closure-local dict is
+# re-created on every task deserialization, so it only memoized within one
+# batch iterator. The worker imports this module ONCE per process, so this
+# dict genuinely caches across tasks/clips for the life of the executor.
+_MEL_FB_CACHE: dict = {}
+
+
+def _mel_filterbank_cached(n_mels: int, n_fft: int, rate: int) -> "np.ndarray":
+    key = (n_mels, n_fft, rate)
+    fb = _MEL_FB_CACHE.get(key)
+    if fb is None:
+        fb = _MEL_FB_CACHE.setdefault(key, _mel_filterbank(n_mels, n_fft, rate))
+    return fb
+
+
 def audio_mfcc(
     df: DataFrame,
     payload_col: str = "payload",
@@ -291,11 +306,10 @@ def audio_mfcc(
     )
     win = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(frame_len) / (frame_len - 1))
     dct = _dct1_basis(n_mels)[:n_mfcc]
-    # the filterbank depends only on the sample RATE (n_mels/frame_len are
-    # fixed per call) — memoize per rate so a million-clip corpus builds
-    # the 26x201 Python-loop matrix once per worker, not once per clip
-    # (r9 review finding)
-    fb_cache: dict = {}
+    # the filterbank depends only on (rate, n_mels, frame_len) — memoized in
+    # the module-global _MEL_FB_CACHE so a million-clip corpus builds the
+    # 26x201 Python-loop matrix once per worker PROCESS, surviving task
+    # deserialization (ADVICE r9 #4: a closure dict was per-task only)
 
     def feats(p: bytes) -> tuple:
         s, rate = decode_wav(bytes(p))
@@ -307,9 +321,7 @@ def audio_mfcc(
         idx = np.arange(frame_len)[None, :] + hop * np.arange(nf)[:, None]
         frames = ch0[idx] * win[None, :]
         power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-        fb = fb_cache.get(rate)
-        if fb is None:
-            fb = fb_cache.setdefault(rate, _mel_filterbank(n_mels, frame_len, rate))
+        fb = _mel_filterbank_cached(n_mels, frame_len, rate)
         logmel = np.log(np.maximum(power @ fb.T, 1e-10))
         mf = logmel @ dct.T
         return (nf, [float(v) for v in np.round(mf.mean(axis=0), 6)])

@@ -428,7 +428,13 @@ def _cosine_vs_refs(e, refs, id_col="vec_id", v_col="v", ref_id_name="ref_id"):
                 col = V[:, d]
                 n2v = n2v + col * col
                 acc = acc + col[:, None] * R[:, d][None, :]
-            cos = acc / (np.sqrt(n2v)[:, None] * sqr[None, :])
+            # Zero-norm guard (ADVICE r9 #3): a zero vector on either side
+            # yields cosine 0.0, not NaN (NaN sorts ABOVE every real value
+            # under Spark's DESC, polluting top-k). Non-zero pairs keep the
+            # bit-identical acc/denom quotient.
+            denom = np.sqrt(n2v)[:, None] * sqr[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0.0, acc / denom, 0.0)
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame(
                 {
@@ -486,7 +492,13 @@ def _cosine_vs_queries_with_cell(e, queries, cents, id_col="vec_id", v_col="v"):
                 col = V[:, d]
                 n2v = n2v + col * col
                 acc = acc + col[:, None] * R[:, d][None, :]
-            cos = acc / (np.sqrt(n2v)[:, None] * sqr[None, :])
+            # Same zero-norm guard as _cosine_vs_refs (ADVICE r9 #3): a
+            # zero-norm corpus vector gets cosine 0.0 against every ref and
+            # a DETERMINISTIC lowest-id cell (argmax first-max over zeros)
+            # instead of NaN cosines + arbitrary cell.
+            denom = np.sqrt(n2v)[:, None] * sqr[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0.0, acc / denom, 0.0)
             cell = cids[np.argmax(cos[:, mq:], axis=1)]
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame(

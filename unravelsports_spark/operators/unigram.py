@@ -266,6 +266,11 @@ def vocab_bound_stats(
             *[F.coalesce(out_, F.lit(0)).alias(out_) for _, out_ in sum_cols],
         )
     )
+    if not any(out_ == "n_pieces" for _, out_ in sum_cols):
+        # No n_pieces output requested: the compression metric has no input
+        # (an unconditional F.expr over it would raise AnalysisException for
+        # such callers — ADVICE r9 #1), so return the bare stats.
+        return out
     return out.withColumn(
         "pieces_per_100_words",
         F.when(

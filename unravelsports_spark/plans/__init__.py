@@ -11,3 +11,4 @@ from . import model_twins  # noqa: F401  (registers hash-certifiable model-kerne
 from . import snapshots  # noqa: F401  (snapshot oracles for deterministic estimator queries)
 from . import corpus4  # noqa: F401  (registers round-4 data-selection/sharding queries)
 from . import corpus5  # noqa: F401  (registers round-9 mining/spectral/unigram queries)
+from . import corpus6  # noqa: F401  (registers round-10 wordpiece/mfcc/sampling/privacy/index queries)

@@ -1546,10 +1546,12 @@ def d_cdc_chunks(spark, sf_dir):
     multi-distinct). n_docs comes from the documents table itself — a
     20-row per-source count collected once and inlined as a literal map
     (the bm25 stats-literal discipline: a broadcast-join chain for 20
-    rows costs more jobs than it saves): every document emits at least
-    one chunk by construction (an empty token list still yields the
-    (0, n) tail pair), so COUNT(DISTINCT doc_id) over chunks is exactly
-    the per-source document count — hash-verified at both sweep scales.
+    rows costs more jobs than it saves): every NON-NULL-text document
+    emits at least one chunk by construction (an empty token list still
+    yields the (0, n) tail pair), and the doc count filters text IS NOT
+    NULL to match, so COUNT(DISTINCT doc_id) over chunks equals the
+    per-source count STRUCTURALLY, not data-dependently (ADVICE r9 #2) —
+    hash-verified at both sweep scales.
     No windows; the boundary hash reuses the certified shingle hash
     (md5-prefix int64)."""
     from ..session import widen_narrow_scan
@@ -1566,7 +1568,16 @@ def d_cdc_chunks(spark, sf_dir):
         F.count("*").alias("n_distinct_chunks"),
         F.sum("_len").alias("n_tokens"),
     )
-    nd_rows = docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    # Count n_docs only over docs that can emit chunks (non-null text) so
+    # equality with the oracle's COUNT(DISTINCT doc_id)-over-chunks is
+    # structural, not data-generator-dependent: a NULL-text document emits
+    # nothing on either side now (ADVICE r9 #2).
+    nd_rows = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
     nd_map = F.create_map(
         *[F.lit(v) for r in nd_rows for v in (r["source"], int(r["n"]))]
     )
