@@ -39,7 +39,9 @@ def _index_fixture(spark):
         for v in emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
     ]
     index_dir = os.path.join(
-        tempfile.gettempdir(), "spark_graft_ann_index", "sf0.01"
+        tempfile.gettempdir(),
+        "spark_graft_ann_index",
+        os.path.basename(os.path.normpath(SF_CORRECT)),
     )
     return C, qvec, index_dir, rows
 

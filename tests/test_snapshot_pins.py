@@ -33,6 +33,15 @@ PINS = {
     "t_wordpiece_vocab": "6cdb7cad4a15311be3c5999e76f28cbe",
     "mm_audio_mfcc": "8dddd56b809495596a5926f48c6863df",
     "t_wordpiece_tokens": "66b54c7e232f0a346c70fc0d8f74826c",
+    # plans/model_twins.py (kernel-cell VALUES twins, tools/gen_plans.py —
+    # their kernels are additionally pinned by reference goldens)
+    "m_af_cells": "2c00e721447e9f7f6b25ccc362a33687",
+    "m_delaunay_cells": "43e27084aa6f1480733fda759c059d52",
+    "m_efpi_cells": "f51862f817c0d281505f2db0f133eac0",
+    "m_graph_cells": "ee220cfa184f58813326cd8ee84795bf",
+    "m_graph_custom_cells": "f71b0a68dc4933233974bb500c6ecd4a",
+    "m_pi_cells": "f1382c779dd93c1a18e3e6168f82187b",
+    "m_savgol_cells": "3bd1dd66ec88467e09a5938a836accfd",
 }
 
 
@@ -52,14 +61,27 @@ def test_snapshot_oracles_match_pins():
 
 
 def test_every_snapshot_class_oracle_is_pinned():
-    """The sweep's EXPECTED_SNAPSHOT set and the VALUES twins must all be
-    pinned — a new snapshot-class oracle added without a pin re-opens the
-    silent-re-baseline hole."""
+    """The sweep's EXPECTED_SNAPSHOT set AND every literal-VALUES oracle in
+    the registry must be pinned — a new snapshot-class oracle added without
+    a pin re-opens the silent-re-baseline hole for exactly the class of
+    oracle this file exists to guard (r10 review finding #2: the first
+    version only checked EXPECTED_SNAPSHOT membership)."""
     import os
+    import re
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from tools.oracle_sweep import EXPECTED_SNAPSHOT
 
+    from unravelsports_spark.plans import ORACLE_SQL
+
     unpinned = EXPECTED_SNAPSHOT - set(PINS)
     assert not unpinned, f"snapshot-class oracles without a pin: {unpinned}"
+
+    values_pat = re.compile(r"FROM\s*\(\s*VALUES", re.I)
+    values_oracles = {k for k, v in ORACLE_SQL.items() if values_pat.search(v)}
+    unpinned_values = values_oracles - set(PINS)
+    assert not unpinned_values, (
+        "literal-VALUES oracles without a pin (add the md5 to PINS): "
+        f"{sorted(unpinned_values)}"
+    )

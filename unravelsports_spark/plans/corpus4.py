@@ -690,7 +690,7 @@ _ANN_RECALL_K = 10
 
 
 def _ann_recall_sql() -> str:
-    from .pipeline import _cos_sql
+    from .pipeline import _cos_sql, _cos_sql_guarded
 
     nq, k = _ANN_RECALL_NQ, _ANN_RECALL_K
     return f"""
@@ -699,14 +699,14 @@ def _ann_recall_sql() -> str:
     allp AS (
       SELECT q.qid, e.vec_id,
              ROW_NUMBER() OVER (PARTITION BY q.qid
-                                ORDER BY {_cos_sql('e.v', 'q.qv')} DESC, e.vec_id) AS rk
+                                ORDER BY {_cos_sql_guarded('e.v', 'q.qv')} DESC, e.vec_id) AS rk
       FROM e CROSS JOIN qs q),
     exact AS (SELECT qid, vec_id FROM allp WHERE rk <= {k}),
     c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
     scored AS (
       SELECT e.vec_id, e.v, c.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+                                ORDER BY {_cos_sql_guarded('e.v', 'c.cv')} DESC, c.cid) AS rn
       FROM e CROSS JOIN c),
     cells AS (SELECT vec_id, v, cid AS cell FROM scored WHERE rn = 1),
     qcells AS (
@@ -718,7 +718,7 @@ def _ann_recall_sql() -> str:
     ret AS (
       SELECT pr.p, qc.qid, cells.vec_id,
              ROW_NUMBER() OVER (PARTITION BY pr.p, qc.qid
-                                ORDER BY {_cos_sql('cells.v', 'qc.qv')} DESC,
+                                ORDER BY {_cos_sql_guarded('cells.v', 'qc.qv')} DESC,
                                          cells.vec_id) AS rk
       FROM qcells qc
       JOIN cells ON cells.cell = qc.cell
@@ -813,7 +813,10 @@ def s_ann_recall(spark, sf_dir):
         (r["vec_id"], list(r["v"])) for r in panel if r["vec_id"] % 50 == 0
     ]
     # query probe cells: O(model) driver arithmetic, same dim-ascending
-    # accumulation as the kernel/oracle so the probe ranking cannot diverge
+    # accumulation as the kernel/oracle so the probe ranking cannot diverge.
+    # Unguarded like the oracle's panel-side prk site: zero-norm PANEL
+    # vectors (queries/centroids) are a model-input precondition — only
+    # CORPUS-side zero norms get the kernel/oracle 0.0 guard (r10 review)
     def _cos(a, b):
         dot = n2a = n2b = 0.0
         for x, y in zip(a, b):
@@ -1108,7 +1111,7 @@ _RRF_TOP = 10     # fused output size
 
 def _hybrid_rrf_sql() -> str:
     from .corpus3 import _bm25_sql
-    from .pipeline import _cos_sql
+    from .pipeline import _cos_sql_guarded
 
     d, top, kk = _RRF_DEPTH, _RRF_TOP, _RRF_K
     one = "CAST(1.0 AS DOUBLE)"
@@ -1122,7 +1125,7 @@ def _hybrid_rrf_sql() -> str:
           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
     dense AS (
       SELECT vec_id,
-             ROW_NUMBER() OVER (ORDER BY {_cos_sql('e.v', 'q.qv')} DESC,
+             ROW_NUMBER() OVER (ORDER BY {_cos_sql_guarded('e.v', 'q.qv')} DESC,
                                 vec_id) AS r_dense
       FROM e, q),
     densek AS (SELECT vec_id, r_dense FROM dense WHERE r_dense <= {d}),

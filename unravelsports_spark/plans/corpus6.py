@@ -244,13 +244,20 @@ def t_ppl_bucket_sample(spark, sf_dir):
 # twin verified in tests/test_pipeline_ops.py)
 # ---------------------------------------------------------------------------
 
-_CBS_D2 = """
+#: euclid d2 between two DuckDB lists — the same left-to-right
+#: dim-ascending fold sequence as operators/similarity.with_nearest_centroid
+#: (and, on the Spark driver side, ann_search_from_index's probe ranking).
+#: ONE template for every consumer in this file (r10 review finding #5: a
+#: second hand-copied variant desynchronizes silently).
+_D2_SQL = """
       list_reduce(
-        list_transform(range(1, len(e.embedding) + 1),
-          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
-             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))),
-        (a, b) -> a + b)
+        list_transform(range(1, len({a}) + 1),
+          i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+             * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),
+        (x, y) -> x + y)
 """
+
+_CBS_D2 = _D2_SQL.format(a="e.embedding", b="c.cemb")
 
 
 @query(
@@ -342,15 +349,8 @@ def a23_k_anonymity(spark, sf_dir):
 # driver-certifiable end to end.
 # ---------------------------------------------------------------------------
 
-#: euclid d2 between a corpus embedding and a literal centroid list — the
-#: same fold sequence as operators/similarity.with_nearest_centroid
-_IDX_D2 = """
-      list_reduce(
-        list_transform(range(1, len({a}) + 1),
-          i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
-             * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),
-        (x, y) -> x + y)
-"""
+#: the shared _D2_SQL fold (see the cluster-balanced section above)
+_IDX_D2 = _D2_SQL
 
 _COS_IDX = (
     "list_dot_product(a.v, q.qv) / "
@@ -432,6 +432,15 @@ def s_ann_from_index(spark, sf_dir):
         "spark_graft_ann_index",
         os.path.basename(os.path.normpath(sf_dir)),
     )
+    # Hermetic build (r10 review finding #4): the query writes exactly
+    # batch_id={0,1}, but the SEARCH reads the whole directory — a stale
+    # batch_id=2 from an older code version (or another checkout sharing
+    # the tempdir) would win the latest-batch dedup and leak phantom rows
+    # into the certified result. Clear the dir first so the read set is
+    # exactly what this run wrote.
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
     # batch 0: full corpus; batch 1: every-10th vector re-ingested (same
     # embedding — exercises the latest-batch-wins dedup without moving the
     # oracle). mode=overwrite per batch dir = the foreachBatch replay rule.

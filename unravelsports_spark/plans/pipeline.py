@@ -348,9 +348,33 @@ def s_ann_top_pairs(spark, sf_dir):
 
 
 def _cos_sql(a: str, b: str) -> str:
+    """Unguarded cosine (NaN when either norm is zero). Symmetric with the
+    unguarded Spark expression paths (`_cos_col`, `with_cosine`): both
+    engines produce NaN AND both order NaN above every real value under
+    DESC, so cross-engine hashes agree even on degenerate input — but
+    top-k QUALITY degrades, so zero-norm vectors are a documented caller
+    precondition on these paths. Pair with :func:`_cos_sql_guarded` for
+    oracles whose Spark twin is a GUARDED Arrow kernel (ADVICE r9 #3)."""
     return (
         f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
         f"sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _cos_sql_guarded(a: str, b: str) -> str:
+    """The DuckDB twin of the zero-norm guard in the Arrow cosine kernels
+    (operators/similarity._cosine_vs_refs / _cosine_vs_queries_with_cell):
+    cosine 0.0 when either norm is zero, the identical quotient otherwise
+    (the THEN branch is byte-for-byte _cos_sql's formula). Use this in any
+    oracle whose Spark side computes cosines through a guarded kernel —
+    an unguarded oracle would NaN-rank exactly the rows the kernel zeroes
+    (r10 review finding #1)."""
+    denom = (
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return (
+        f"CASE WHEN {denom} > 0 THEN list_dot_product({a}, {b}) / {denom} "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
     )
 
 

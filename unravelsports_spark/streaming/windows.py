@@ -1062,7 +1062,16 @@ def ann_search_from_index(
 
     q = np.asarray(query_vec, dtype=float)
     C = np.asarray(centroids, dtype=float)
-    order = np.argsort(np.linalg.norm(C - q, axis=1))
+    # rank probe cells by the SAME left-to-right dim-ascending d2 fold the
+    # SQL oracle's list_reduce uses (np.linalg.norm's pairwise summation
+    # can order near-equidistant centroids differently by ~1 ulp — r10
+    # review finding); stable argsort = lowest-index tie-break, matching
+    # ORDER BY d2, cell
+    d2 = np.zeros(len(C))
+    for d in range(C.shape[1]):
+        diff = C[:, d] - q[d]
+        d2 = d2 + diff * diff
+    order = np.argsort(d2, kind="stable")
     cells = [int(c) for c in order[: int(n_probe)]]
     idx = spark.read.parquet(index_dir).filter(F.col("cell").isin(cells))
     if dedup_updates:
