@@ -1,0 +1,133 @@
+"""Per-dimension embedding stats (operators/embstats.py) and the JSONL
+source boundary (sources/jsonl.py) — built round 10, driver registration
+round 11. The DuckDB twins verified here are the r11 oracles."""
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_CORRECT
+
+# the exact SQL twin for the r11 `s_embedding_dim_stats` registration —
+# the same 2^-20 integer grid as the certified PQ/IVF-PQ oracles
+EMB_DIM_STATS_SQL = """
+    WITH comp AS (
+      SELECT u.i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+    SELECT CAST(pos AS INT) AS pos, COUNT(*) AS n,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q,
+           CAST(MIN(q) AS BIGINT) AS min_q,
+           CAST(MAX(q) AS BIGINT) AS max_q
+    FROM comp GROUP BY pos ORDER BY pos
+"""
+
+
+def test_embedding_dim_stats_matches_duckdb(spark, duck):
+    """Exact integer-grid per-dimension stats over the embeddings table —
+    count/sum/mean/min/max bit-identical to the SQL twin in any
+    aggregation order."""
+    from unravelsports_spark.operators.embstats import embedding_dim_stats
+    from unravelsports_spark.session import read_table
+
+    e = read_table(spark, SF_CORRECT, "embeddings")
+    got = sorted(map(tuple, embedding_dim_stats(e).collect()))
+    want = sorted(map(tuple, duck.execute(EMB_DIM_STATS_SQL).fetchall()))
+    assert got == want and len(got) == 64
+
+
+def test_embedding_dim_stats_order_invariant(spark):
+    """Integer aggregation is associative: a reshuffled corpus produces
+    BIT-identical stats (the reason the grid path exists — a double AVG
+    would not)."""
+    from unravelsports_spark.operators.embstats import embedding_dim_stats
+    from unravelsports_spark.session import read_table
+
+    e = read_table(spark, SF_CORRECT, "embeddings")
+    a = sorted(map(tuple, embedding_dim_stats(e).collect()))
+    b = sorted(map(tuple, embedding_dim_stats(e.repartition(17)).collect()))
+    assert a == b
+
+
+def test_embedding_dim_stats_known_values(spark):
+    from unravelsports_spark.operators.embstats import embedding_dim_stats
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5]), (1, [0.5, 0.25])], ["vec_id", "embedding"]
+    )
+    got = {r["pos"]: r for r in embedding_dim_stats(df).collect()}
+    Q = 1 << 20
+    assert got[0]["sum_q"] == Q + Q // 2 and got[0]["n"] == 2
+    assert got[1]["min_q"] == -Q // 2 and got[1]["max_q"] == Q // 4
+    # div() truncates toward zero — pinned so the oracle's // (floor) is
+    # only used where both agree (non-negative sums here)
+    assert got[0]["mean_q"] == (Q + Q // 2) // 2
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path, duck):
+    """documents → JSONL shards → PERMISSIVE schema'd read: clean rows
+    round-trip exactly (hash-compared source rollup vs DuckDB on the
+    original parquet — the r11 `o17_jsonl_roundtrip` oracle shape), an
+    injected malformed line lands in _corrupt_record instead of failing
+    or vanishing."""
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.sources.jsonl import (
+        quarantine_counts,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = read_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", "source", "text"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path)
+    got = sorted(
+        map(
+            tuple,
+            back.where(F.col("_corrupt_record").isNull())
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).alias("total_chars"),
+                F.sum("doc_id").alias("sum_ids"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM documents GROUP BY source
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 20
+
+    # inject a corrupt SHARD (one malformed line): quarantined, not
+    # dropped/fatal. A new file + refreshByPath, because Spark's global
+    # FileStatusCache pins the first read's listing/lengths for the path.
+    with open(f"{path}/part-corrupt.json", "w") as fh:
+        fh.write('{"doc_id": 999999, "source": "x", "text": truncated\n')
+    spark.catalog.refreshByPath(path)
+    back2 = read_jsonl(spark, path)
+    qc = quarantine_counts(back2).collect()[0]
+    assert qc["n_quarantined"] == 1
+    assert qc["n_clean"] == docs.count()
+    # corrupt-only filters on the RAW datasource are disallowed by Spark —
+    # persist first (quarantine_counts does the same internally)
+    from unravelsports_spark.cache import release_tracked, tracked_persist
+
+    bad = (
+        tracked_persist(back2)
+        .where(F.col("_corrupt_record").isNotNull())
+        .collect()
+    )
+    assert len(bad) == 1 and "truncated" in bad[0]["_corrupt_record"]
+    release_tracked()

@@ -1,0 +1,85 @@
+"""JSONL (newline-delimited JSON) source/sink for document corpora (engine
+addition §2.1 surface; built round 10, driver registration round 11).
+
+Crawl pipelines overwhelmingly EXCHANGE documents as JSONL (Common
+Crawl derivatives, RedPajama/Dolma dumps, annotation tool exports) and
+STORE them as parquet — this module is that boundary, Spark-first:
+
+- :func:`write_jsonl`: `df.write.json` with deterministic layout — no
+  hand-rolled serializers; Spark's JSON datasource handles quoting,
+  unicode and nulls, and writes one shard per partition (the layout a
+  1000-executor export needs — never a single-file collect).
+- :func:`read_jsonl`: schema'd `spark.read.json` (an EXPLICIT schema, so
+  the reader never pays the double-scan inference pass over 100 TB and
+  never silently widens a type on a dirty shard) in PERMISSIVE mode with
+  a `_corrupt_record` column: a malformed line lands in quarantine
+  instead of failing the job or being dropped silently — the ingest
+  contract a crawl pipeline needs, and the behavior
+  :func:`quarantine_counts` certifies.
+
+Reference surface note: the reference ingests provider JSON through
+kloppy-style loaders (datasets/kloppy_bridge.py covers that); this module
+is the generic corpus-side JSON boundary those loaders don't provide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: the documents-table exchange schema (doc_id, source, text) plus the
+#: PERMISSIVE-mode quarantine column
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write as sharded JSONL (one file per partition)."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA
+) -> DataFrame:
+    """Schema'd PERMISSIVE read with a quarantine column: well-formed rows
+    parse into ``schema``; malformed lines surface whole in
+    ``_corrupt_record`` with NULL data columns. Filter
+    ``_corrupt_record IS NULL`` for the clean view;
+    ``_corrupt_record IS NOT NULL`` is the quarantine."""
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def quarantine_counts(df: DataFrame) -> DataFrame:
+    """(n_clean, n_quarantined) over a :func:`read_jsonl` frame — the
+    ingest-health check a pipeline alerts on.
+
+    Spark (since 2.3) REFUSES queries over a raw JSON datasource that
+    reference only the corrupt-record column (the parser would have to
+    re-run just to report its own failures), with "cache the parsed
+    result" as the documented escape — so this helper persists the frame
+    through the repo's tracked-cache facility (released at the next query
+    boundary like every other tracked persist). Callers doing their own
+    corrupt-only filters on a :func:`read_jsonl` frame need the same."""
+    from ..cache import tracked_persist
+
+    cached = tracked_persist(df)
+    return cached.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_clean"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias(
+            "n_quarantined"
+        ),
+    )
