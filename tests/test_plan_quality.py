@@ -460,3 +460,53 @@ def test_w14_counts_reduce_before_window(spark):
     assert plan.count("Exchange") == 2
     # scan reads only ts + event_type
     assert "user_id" not in plan and "event_id" not in plan
+
+
+def test_k_anonymity_two_phase_no_expand(spark):
+    """a23: the class-size histogram must be two map-side-combinable
+    aggregations — no Expand (a COUNT(DISTINCT) formulation would triple
+    rows through the exchange), no window, no join."""
+    plan = plan_of(spark, "a23_k_anonymity")
+    assert "Expand" not in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_ppl_bucket_no_per_group_document_sort(spark):
+    """t_ppl_bucket_sample: tercile boundaries come from a combinable
+    (group, score) COUNT plus a window over DISTINCT score values — the
+    corpus-sized frame is never globally sorted per group (an ntile
+    formulation would single-reduce each group at 100 TB), and the
+    boundary table broadcasts back."""
+    plan = plan_of(spark, "t_ppl_bucket_sample")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan  # bounds join back, never shuffled
+
+
+def test_cluster_balanced_sample_narrow_rank_exchange(spark):
+    """s_cluster_balanced_sample: the per-cell rank window runs over a
+    PROJECTED (cell, id) frame — the exchange must not carry the 64-dim
+    embedding vectors — and the kept-id set broadcasts back."""
+    from unravelsports_spark.plans import QUERIES
+
+    df = QUERIES["s_cluster_balanced_sample"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the rank window's input exchange is embedding-free: every
+    # hashpartitioning(cell...) line must sit in a subtree whose exchange
+    # row is narrow (no 'embedding' in the exchange's output columns)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(cell[^\n]*", plan):
+        assert "embedding" not in m.group(0)
+
+
+def test_ann_from_index_partition_and_column_pruning(spark):
+    """s_ann_from_index: probed cells prune at the parquet reader
+    (PartitionFilters) on the wide scan; the latest-batch ledger scan is
+    column-pruned to vec_id + partition columns."""
+    plan = plan_of(spark, "s_ann_from_index")
+    assert "PartitionFilters: [cell" in plan.replace(
+        "PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell"
+    ) or " IN (" in plan.split("PartitionFilters")[1][:120]
+    assert "ReadSchema: struct<vec_id:bigint>" in plan
