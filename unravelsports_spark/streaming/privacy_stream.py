@@ -1,0 +1,76 @@
+"""Incremental privacy auditing over an append stream (engine addition
+§2.12 streaming matrix; built round 10) — the k-anonymity release gate
+as a CONTINUOUSLY maintained report instead of a per-release batch scan.
+
+Why this exists at 100 TB: the batch audit
+(:func:`~unravelsports_spark.operators.filtering.k_anonymity_report`)
+re-scans the corpus per release. But equivalence-class sizes are
+ASSOCIATIVE integer sums over the quasi-identifier key, so a stream of
+new rows maintains the audit with per-batch deltas — the same mergeable-
+ledger discipline as the BM25 term-stats index
+(streaming/windows.py:streaming_term_stats): every micro-batch writes its
+(quasi..., n) class-count delta under ``batch_id=N`` (overwrite — a
+replayed batch rewrites its own partition, never double-counts), and the
+report is a sum over the ledger. New rows can only GROW classes, so a
+class that reaches k stays safe and the gate can flip release decisions
+batch by batch without ever re-reading history.
+
+Equivalence contract (tested): the merged report over any batch split ==
+the batch ``k_anonymity_report`` on the union of the batches, exactly.
+Assumes each row arrives in exactly one batch (dedup upstream, as with
+every ledger twin here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_k_anonymity(
+    stream_df,
+    quasi_cols: list,
+    ledger_dir: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch writer: per micro-batch, one combinable groupBy on the
+    quasi columns → (quasi..., n) delta rows under
+    ``{ledger_dir}/batch_id=N``. Returns the unstarted writeStream (caller
+    adds trigger/starts — the repo's ledger-twin convention)."""
+    qs = [F.col(c) for c in quasi_cols]
+
+    def _process(batch_df, batch_id: int):
+        delta = batch_df.groupBy(*qs).agg(F.count("*").alias("n"))
+        delta.write.mode("overwrite").parquet(f"{ledger_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def k_anonymity_from_ledger(
+    spark: SparkSession, ledger_dir: str, quasi_cols: list, k: int = 5
+) -> DataFrame:
+    """The certified batch report, recomputed from the ledger: sum the
+    per-batch class deltas (associative), then the same class-size
+    histogram as ``k_anonymity_report`` — bit-identical to running the
+    batch audit on the union of all ingested batches. The ledger is
+    class-sized, not corpus-sized, so the report never re-reads the
+    stream's history."""
+    classes = (
+        spark.read.parquet(ledger_dir)
+        .groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.sum("n").alias("class_size"))
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count("*").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < int(k)).alias("at_risk"),
+        )
+        .orderBy("class_size")
+    )
