@@ -33,6 +33,9 @@ def test_embedding_dim_stats_matches_duckdb(spark, duck):
     got = sorted(map(tuple, embedding_dim_stats(e).collect()))
     want = sorted(map(tuple, duck.execute(EMB_DIM_STATS_SQL).fetchall()))
     assert got == want and len(got) == 64
+    # the negative-sum mean path (div vs // both truncate toward zero) is
+    # genuinely exercised by the fixture — don't let a data regen drop it
+    assert any(r[2] < 0 and r[2] % r[1] != 0 for r in got)
 
 
 def test_embedding_dim_stats_order_invariant(spark):
@@ -58,9 +61,14 @@ def test_embedding_dim_stats_known_values(spark):
     Q = 1 << 20
     assert got[0]["sum_q"] == Q + Q // 2 and got[0]["n"] == 2
     assert got[1]["min_q"] == -Q // 2 and got[1]["max_q"] == Q // 4
-    # div() truncates toward zero — pinned so the oracle's // (floor) is
-    # only used where both agree (non-negative sums here)
+    # Spark's div() AND DuckDB's // both truncate toward zero (verified:
+    # duckdb SELECT -7 // 2 = -3), so negative non-divisible sums — 34 of
+    # the 64 dimensions at sf0.01 — agree across engines. Do NOT "fix"
+    # either side to floor semantics; that breaks the oracle on those rows.
     assert got[0]["mean_q"] == (Q + Q // 2) // 2
+    import duckdb as _dd
+
+    assert _dd.sql("SELECT -7 // 2").fetchone()[0] == -3  # truncation, not floor
 
 
 def test_jsonl_roundtrip_and_quarantine(spark, tmp_path, duck):

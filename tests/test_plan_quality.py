@@ -474,13 +474,25 @@ def test_k_anonymity_two_phase_no_expand(spark):
 
 def test_ppl_bucket_no_per_group_document_sort(spark):
     """t_ppl_bucket_sample: tercile boundaries come from a combinable
-    (group, score) COUNT plus a window over DISTINCT score values — the
+    (group, score) COUNT plus windows over the DISTINCT-score frame — the
     corpus-sized frame is never globally sorted per group (an ntile
     formulation would single-reduce each group at 100 TB), and the
-    boundary table broadcasts back."""
+    boundary table broadcasts back. Pinned structurally: exactly the two
+    boundary windows (cum + total) exist, BOTH sit ABOVE the per-(group,
+    score) partial aggregation in the plan tree (their input is the
+    distinct-value frame, not the corpus), and no ntile appears."""
     plan = plan_of(spark, "t_ppl_bucket_sample")
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan  # bounds join back, never shuffled
+    assert "ntile" not in plan.lower()
+    assert plan.count("Window") == 2, plan.count("Window")
+    # each Window's own subtree must contain the per-(source, ppl)
+    # partial_count aggregate (the distinct-value reduction) BELOW it —
+    # i.e. a partial_count appears after the window in the printed tree
+    last_window = plan.rindex("Window")
+    assert "partial_count" in plan[last_window:], (
+        "boundary windows no longer sit above the per-score reduction"
+    )
 
 
 def test_cluster_balanced_sample_narrow_rank_exchange(spark):
@@ -492,13 +504,24 @@ def test_cluster_balanced_sample_narrow_rank_exchange(spark):
     df = QUERIES["s_cluster_balanced_sample"](spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    # the rank window's input exchange is embedding-free: every
-    # hashpartitioning(cell...) line must sit in a subtree whose exchange
-    # row is narrow (no 'embedding' in the exchange's output columns)
-    import re
-
-    for m in re.finditer(r"Exchange hashpartitioning\(cell[^\n]*", plan):
-        assert "embedding" not in m.group(0)
+    # the rank window's input exchange must be embedding-free. toString()
+    # Exchange lines carry only partitioning keys (r10 review pass 2
+    # finding #1: matching them was vacuous) — the FORMATTED explain lists
+    # each node's Input columns, so check those.
+    fmt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted explain: node-detail blocks "(n) Exchange\nInput [..]:
+    # [...]\nArguments: hashpartitioning(...)" separated by blank lines
+    checked = 0
+    for b in fmt.split("\n\n"):
+        head = b.split("\n")[0].rstrip()
+        if not head.endswith("Exchange") or "hashpartitioning(cell" not in b:
+            continue
+        checked += 1
+        inp = [l for l in b.split("\n") if l.startswith("Input")]
+        assert inp and all("embedding" not in l for l in inp), b
+    assert checked >= 1, f"no cell exchange found:\n{fmt[:2000]}"
 
 
 def test_ann_from_index_partition_and_column_pruning(spark):
@@ -506,7 +529,11 @@ def test_ann_from_index_partition_and_column_pruning(spark):
     (PartitionFilters) on the wide scan; the latest-batch ledger scan is
     column-pruned to vec_id + partition columns."""
     plan = plan_of(spark, "s_ann_from_index")
-    assert "PartitionFilters: [cell" in plan.replace(
-        "PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell"
-    ) or " IN (" in plan.split("PartitionFilters")[1][:120]
+    # a clean assertion failure (not IndexError) when pruning disappears
+    # entirely — r10 review pass 2 finding #9
+    assert "PartitionFilters" in plan, "no PartitionFilters anywhere in plan"
+    tails = [s[:160] for s in plan.split("PartitionFilters")[1:]]
+    assert any(
+        "cell" in t and (" IN (" in t or "isnotnull(cell" in t) for t in tails
+    ), tails
     assert "ReadSchema: struct<vec_id:bigint>" in plan

@@ -27,24 +27,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: quantization grid — matches operators/pq.py:_int_grid so calibration
-#: stats and the PQ/IVF quantizers speak the same units
-Q_BITS = 20
-Q = 1 << Q_BITS
+# the CANONICAL quantization grid (operators/pq.py) — imported, not
+# re-implemented, so calibration stats and the PQ/IVF quantizers cannot
+# desynchronize if the grid ever changes (r10 review pass 2 finding #5)
+from .pq import Q, _int_grid  # noqa: F401  (Q re-exported for callers)
 
 
 def embedding_dim_stats(
     df: DataFrame, emb_col: str = "embedding"
 ) -> DataFrame:
     """(pos, n, sum_q, mean_q, min_q, max_q) per dimension, all exact
-    int64 on the 2^-20 grid. ``pos`` is 0-based. NULL vectors are skipped
-    by the explode; ragged dimensions simply report their own n."""
-    comp = df.select(
-        F.posexplode(emb_col).alias("pos", "_v")
-    ).select(
-        "pos",
-        F.floor(F.col("_v").cast("double") * F.lit(float(Q))).cast("bigint").alias("q"),
-    )
+    int64 on pq.py's 2^-20 grid (the SAME `_int_grid` expression the
+    quantizers use). ``pos`` is 0-based. NULL vectors are skipped by the
+    explode; ragged dimensions simply report their own n. ``mean_q`` is
+    Spark's `div` — integral division truncating toward zero, which is
+    also what DuckDB's `//` does (both engines truncate; pinned in
+    tests)."""
+    comp = df.select(F.posexplode(_int_grid(emb_col)).alias("pos", "q"))
     return (
         comp.groupBy("pos")
         .agg(

@@ -77,9 +77,15 @@ def quarantine_counts(df: DataFrame) -> DataFrame:
     from ..cache import tracked_persist
 
     cached = tracked_persist(df)
+    # coalesce: SUM over ZERO rows is NULL, and a health check on an
+    # empty/not-yet-populated directory must report (0, 0) — a NULL
+    # n_quarantined makes 'n_quarantined > 0' alerts silently never fire
+    # (r10 review pass 2 finding #7)
     return cached.agg(
-        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_clean"),
-        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias(
-            "n_quarantined"
-        ),
+        F.coalesce(
+            F.sum(F.col("_corrupt_record").isNull().cast("long")), F.lit(0)
+        ).alias("n_clean"),
+        F.coalesce(
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long")), F.lit(0)
+        ).alias("n_quarantined"),
     )

@@ -39,6 +39,31 @@ def streaming_k_anonymity(
     qs = [F.col(c) for c in quasi_cols]
 
     def _process(batch_df, batch_id: int):
+        if batch_id == 0:
+            # Fresh-checkpoint guard (r10 review pass 2 finding #2): a
+            # stream restarted with a NEW checkpoint against an EXISTING
+            # ledger re-numbers batches from 0 — it would overwrite
+            # batch_id=0 but leave the old run's batch_id>=1 partitions in
+            # the sum, silently double-counting classes and OPENING the
+            # release gate on wrong data. Ledger and checkpoint lifetimes
+            # are coupled: wipe both or neither. Best-effort local-FS
+            # check; on object stores the coupling is the caller contract.
+            import glob
+            import os
+
+            stale = [
+                p
+                for p in glob.glob(os.path.join(ledger_dir, "batch_id=*"))
+                if not p.endswith("batch_id=0")
+            ]
+            if stale:
+                raise ValueError(
+                    "streaming_k_anonymity: batch 0 of a fresh checkpoint "
+                    f"but the ledger already has {len(stale)} partitions "
+                    "from a previous run — summing both would double-count "
+                    "classes. Delete the ledger (or reuse the original "
+                    f"checkpoint): {sorted(stale)[:3]}..."
+                )
         delta = batch_df.groupBy(*qs).agg(F.count("*").alias("n"))
         delta.write.mode("overwrite").parquet(f"{ledger_dir}/batch_id={batch_id}")
 
@@ -58,19 +83,13 @@ def k_anonymity_from_ledger(
     batch audit on the union of all ingested batches. The ledger is
     class-sized, not corpus-sized, so the report never re-reads the
     stream's history."""
+    from ..operators.filtering import class_size_histogram
+
     classes = (
         spark.read.parquet(ledger_dir)
         .groupBy(*[F.col(c) for c in quasi_cols])
         .agg(F.sum("n").alias("class_size"))
     )
-    return (
-        classes.groupBy("class_size")
-        .agg(F.count("*").alias("n_classes"))
-        .select(
-            "class_size",
-            "n_classes",
-            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
-            (F.col("class_size") < int(k)).alias("at_risk"),
-        )
-        .orderBy("class_size")
-    )
+    # the SAME histogram stage as the certified batch report — shared
+    # code, so the bit-equality contract cannot drift (r10 review pass 2)
+    return class_size_histogram(classes, k)
