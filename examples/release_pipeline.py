@@ -1,0 +1,104 @@
+"""Dataset RELEASE pipeline on the synthetic corpus: leakage-safe splits →
+privacy gates → calibrated export — the migration path for a team shipping
+a training-data release (the complement of examples/corpus_pipeline.py,
+which builds the corpus; this one gates and packages it).
+
+Run: python examples/release_pipeline.py  [SPARK_GRAFT_SF_DIR overrides
+the default /root/testdata/sf0.001]. Every step is the same operator the
+certified driver queries use (or their r11-queued twins).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(spark, sf_dir: str) -> dict:
+    import pyspark.sql.functions as F
+
+    from unravelsports_spark.operators.corpus_splits import (
+        cluster_safe_split,
+        split_audit,
+    )
+    from unravelsports_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from unravelsports_spark.operators.embstats import Q, embedding_dim_stats
+    from unravelsports_spark.operators.filtering import k_anonymity_report
+    from unravelsports_spark.operators.privacy import l_diversity_report
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.sources.jsonl import (
+        quarantine_counts,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    # 1. leakage-safe splits: train/val/test keyed on the near-dup CLUSTER
+    # (an eval doc can never have a near-duplicate in train, by
+    # construction — not by audit)
+    sigs = minhash_signatures(doc_shingles(docs, distinct=False), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    assigned = cluster_safe_split(docs.select("doc_id", "source"), pairs)
+    audit = {
+        r["split"]: (r["n_docs"], r["n_clusters"], r["n_straddling"])
+        for r in split_audit(assigned).collect()
+    }
+
+    # 2. privacy gates on the metadata that ships WITH the release: class
+    # sizes (k-anonymity) and sensitive-value diversity (l-diversity) over
+    # the (source, split) quasi-identifiers
+    meta = assigned.withColumn("len_bucket", (F.length("text") / 128).cast("int")) \
+        if "text" in assigned.columns else assigned.join(
+            docs.select("doc_id", "text"), "doc_id"
+        ).withColumn("len_bucket", (F.length("text") / 128).cast("int"))
+    kanon = k_anonymity_report(meta, ["source", "split"], k=5)
+    at_risk_rows = (
+        kanon.where("at_risk").agg(F.coalesce(F.sum("n_rows"), F.lit(0))).first()[0]
+    )
+    ldiv = l_diversity_report(meta, ["source", "split"], "len_bucket", l=2)
+    homogeneous_rows = (
+        ldiv.where("at_risk").agg(F.coalesce(F.sum("n_rows"), F.lit(0))).first()[0]
+    )
+
+    # 3. export: the train split ships as sharded JSONL; the ingest-health
+    # check must come back clean
+    out_dir = os.path.join(tempfile.mkdtemp(), "release_train_jsonl")
+    train = assigned.where(F.col("split") == "train").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    write_jsonl(train.select("doc_id", "source", "text"), out_dir)
+    qc = quarantine_counts(read_jsonl(spark, out_dir)).first()
+
+    # 4. ANN-index calibration for the release's embedding table: exact
+    # per-dimension ranges on the PQ grid (what the quantizers consume)
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim_stats = embedding_dim_stats(emb).collect()
+    max_abs = max(max(abs(r["min_q"]), abs(r["max_q"])) for r in dim_stats) / Q
+
+    return {
+        "splits": audit,
+        "k_anon_at_risk_rows": int(at_risk_rows),
+        "l_div_homogeneous_rows": int(homogeneous_rows),
+        "exported_clean": int(qc["n_clean"]),
+        "exported_quarantined": int(qc["n_quarantined"]),
+        "n_dims": len(dim_stats),
+        "max_abs_component": float(max_abs),
+    }
+
+
+if __name__ == "__main__":
+    from unravelsports_spark.session import get_spark
+
+    out = main(
+        get_spark(),
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+    )
+    print(out)

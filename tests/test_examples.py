@@ -67,3 +67,21 @@ def test_tokenizer_pipeline_example(spark):
         assert fw == w and fp >= w and ff >= 100.0
     assert out["wordpiece_unk"] >= 0
     assert len(out["top_wp_merges"]) == 5
+
+
+def test_release_pipeline_example(spark):
+    from examples.release_pipeline import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    # every split audited, nothing straddles (the structural invariant)
+    assert set(out["splits"]) <= {"train", "val", "test"} and out["splits"]
+    assert all(v[2] == 0 for v in out["splits"].values())
+    assert sum(v[0] for v in out["splits"].values()) > 0
+    # privacy gates produce finite, non-negative row counts
+    assert out["k_anon_at_risk_rows"] >= 0
+    assert out["l_div_homogeneous_rows"] >= 0
+    # the JSONL export round-trips clean
+    assert out["exported_quarantined"] == 0
+    assert out["exported_clean"] == out["splits"].get("train", (0,))[0]
+    # calibration covers the full embedding table
+    assert out["n_dims"] == 64 and 0 < out["max_abs_component"] < 16
