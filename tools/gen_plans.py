@@ -74,6 +74,10 @@ NOTES = {
     "q6_forecast_revenue": "TPC-H Q6 shape: every predicate (shipdate range, discount band, quantity cap) pushed to the parquet scan over a 4-column ReadSchema; one partial/final agg pair, single-row exchange - no join, no window; revenue in exact cent x basis-point int64 units.",
     "o16_frequent_part_pairs": "market-basket pairs: (txn, item) distinct combines map-side; the max-basket skew cap is a semi filter BEFORE the self-join (one malformed basket cannot emit k^2/2 rows); the pair join meets on the transaction key; top-20 via TakeOrderedAndProject.",
     "w14_daily_anomalies": "rolling z-score: the event log reduces to per-(key, day) counts FIRST (partial+final agg), then ONE bounded rows-frame window over that tiny table - two exchanges total, scan reads only (ts, event_type).",
+    "a23_k_anonymity": "r10 privacy audit: two map-side-combinable aggregations (quasi classes, then the size histogram) - no Expand, no window, no join; the scan reads only the two quasi columns.",
+    "t_ppl_bucket_sample": "r10 CCNet bucketing: tercile boundaries come from a combinable (source, score) count plus two windows over the DISTINCT-score frame (never a per-group corpus sort / ntile); the bounds table broadcasts back onto the scored projection; md5 keep-decisions are pure codegen.",
+    "s_cluster_balanced_sample": "r10 balanced sampling: nearest-centroid assignment is a literal projection (zero shuffles); the per-cell rank window's exchange carries ONLY (cell, id, hash key) - never the 64-dim vectors (formatted-explain-guarded); the kept-id set broadcasts back onto a re-scanned projection.",
+    "s_ann_from_index": "r10 streamed-index search: the probed 3 of 8 cells prune at the parquet reader (PartitionFilters on the cell directory), the latest-batch dedup ledger scan is column-pruned to vec_id + partition columns, and the final cosine ranks via TakeOrderedAndProject over the pruned candidates.",
 }
 
 
