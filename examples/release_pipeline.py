@@ -55,10 +55,9 @@ def main(spark, sf_dir: str) -> dict:
     # 2. privacy gates on the metadata that ships WITH the release: class
     # sizes (k-anonymity) and sensitive-value diversity (l-diversity) over
     # the (source, split) quasi-identifiers
-    meta = assigned.withColumn("len_bucket", (F.length("text") / 128).cast("int")) \
-        if "text" in assigned.columns else assigned.join(
-            docs.select("doc_id", "text"), "doc_id"
-        ).withColumn("len_bucket", (F.length("text") / 128).cast("int"))
+    meta = assigned.join(docs.select("doc_id", "text"), "doc_id").withColumn(
+        "len_bucket", (F.length("text") / 128).cast("int")
+    )
     kanon = k_anonymity_report(meta, ["source", "split"], k=5)
     at_risk_rows = (
         kanon.where("at_risk").agg(F.coalesce(F.sum("n_rows"), F.lit(0))).first()[0]
@@ -69,13 +68,20 @@ def main(spark, sf_dir: str) -> dict:
     )
 
     # 3. export: the train split ships as sharded JSONL; the ingest-health
-    # check must come back clean
-    out_dir = os.path.join(tempfile.mkdtemp(), "release_train_jsonl")
-    train = assigned.where(F.col("split") == "train").join(
-        docs.select("doc_id", "text"), "doc_id"
-    )
-    write_jsonl(train.select("doc_id", "source", "text"), out_dir)
-    qc = quarantine_counts(read_jsonl(spark, out_dir)).first()
+    # check must come back clean. The export dir is cleaned in the finally
+    # below (repeated runs must not accumulate full train-split copies).
+    tmp_root = tempfile.mkdtemp()
+    out_dir = os.path.join(tmp_root, "release_train_jsonl")
+    try:
+        train = assigned.where(F.col("split") == "train").join(
+            docs.select("doc_id", "text"), "doc_id"
+        )
+        write_jsonl(train.select("doc_id", "source", "text"), out_dir)
+        qc = quarantine_counts(read_jsonl(spark, out_dir)).first()
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
     # 4. ANN-index calibration for the release's embedding table: exact
     # per-dimension ranges on the PQ grid (what the quantizers consume)

@@ -12,8 +12,9 @@ contiguous slices; candidates meet ONLY inside a (band, slice-value)
 bucket, then the exact distance ``bit_count(xor)`` verifies each
 candidate once. Pigeonhole guarantee: a pair at Hamming distance
 h < bands shares at least one untouched band, so recall is 1.0 for
-h ≤ bands - 1 and degrades gracefully above (more bands = higher recall
-= bigger buckets; the minhash bands-vs-rows trade-off, in bit space).
+h ≤ bands - 1 among buckets that survive the ``max_bucket`` cap, and
+degrades gracefully above (more bands = higher recall = bigger buckets;
+the minhash bands-vs-rows trade-off, in bit space).
 
 Everything is integer arithmetic DuckDB reproduces exactly (arithmetic
 shift + mask, xor, bit_count — pinned cross-engine in tests), so the
@@ -41,12 +42,16 @@ def hamming_neardup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) for every pair sharing ≥1 band slice with
     exact ``bit_count(xor) <= threshold`` — id_a < id_b, each pair once.
-    64 must divide into ``bands`` equal slices. Recall is exact for
-    ``threshold < bands`` (pigeonhole); above that it is the banded
-    approximation, like every LSH. Buckets larger than ``max_bucket``
-    are dropped BEFORE the self-join (degenerate constant codes)."""
-    if 64 % int(bands) != 0:
-        raise ValueError("bands must divide 64")
+    ``bands`` must divide 64 and be ≥ 2 (one band is no banding: every
+    code lands in a single bucket AND its 2^64 mask overflows a long).
+    Recall is exact for ``threshold < bands`` (pigeonhole) AMONG SURVIVING
+    buckets: a bucket larger than ``max_bucket`` is dropped whole BEFORE
+    the self-join — including any exact-duplicate pairs inside it — so a
+    corpus whose degenerate constant code exceeds the cap trades those
+    pairs for not going quadratic (raise the cap, or dedup constant codes
+    exactly first, when that cluster matters)."""
+    if 64 % int(bands) != 0 or int(bands) < 2:
+        raise ValueError("bands must divide 64 and be >= 2")
     width = 64 // int(bands)
     mask = (1 << width) - 1
     h = F.col(hash_col).cast("bigint")
@@ -67,6 +72,12 @@ def hamming_neardup_pairs(
             )
         ).alias("bk"),
     ).select("_id", "_h", "bk.band", "bk.key")
+    # the (possibly expensive) fingerprint lineage feeds the hot-bucket
+    # aggregate AND both self-join sides — persist it once (released at
+    # the next query boundary), the lsh_candidate_pairs discipline
+    from ..cache import tracked_persist
+
+    keyed = tracked_persist(keyed)
     hot = (
         keyed.groupBy("band", "key")
         .agg(F.count("*").alias("_n"))
