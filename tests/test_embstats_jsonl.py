@@ -139,3 +139,48 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path, duck):
     )
     assert len(bad) == 1 and "truncated" in bad[0]["_corrupt_record"]
     release_tracked()
+
+
+def test_embedding_dim_stats_property_matches_numpy(spark):
+    """Property (hypothesis): for random float32-representable vectors the
+    grid stats equal an independent numpy recompute exactly — count, sum,
+    truncating mean, min and max, negative values included."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from unravelsports_spark.operators.embstats import Q, embedding_dim_stats
+
+    vecs = st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8.0, max_value=8.0, allow_nan=False, width=32
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(vecs)
+    def law(vs):
+        rows = [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["pos"]: r for r in embedding_dim_stats(df).collect()}
+        for pos in range(3):
+            qs = [
+                int(np.floor(np.float64(np.float32(v[pos])) * Q))
+                for v in vs
+            ]
+            r = got[pos]
+            assert r["n"] == len(qs) and r["sum_q"] == sum(qs)
+            assert r["min_q"] == min(qs) and r["max_q"] == max(qs)
+            # div truncates toward zero (NOT python's floor //) — exact
+            # integer form, no float division
+            s = sum(qs)
+            expected = -((-s) // len(qs)) if s < 0 else s // len(qs)
+            assert r["mean_q"] == expected, (pos, s, len(qs), r["mean_q"])
+
+    law()

@@ -134,3 +134,43 @@ def test_hamming_rejects_bad_bands(spark):
     df = spark.createDataFrame([(1, 2)], "id long, h long")
     with pytest.raises(ValueError):
         hamming_neardup_pairs(df, "h", "id", bands=5)
+
+
+def test_hamming_banded_equals_bruteforce_below_bands(spark):
+    """Property (hypothesis): for threshold < bands the banded miner's
+    output EQUALS brute-force exact Hamming pairs — the pigeonhole
+    guarantee as a law over random codes, not one example."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.operators.hamming import hamming_neardup_pairs
+
+    codes = st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(codes)
+    def law(hs):
+        rows = [(i, h) for i, h in enumerate(hs)]
+        df = spark.createDataFrame(rows, "id long, h long")
+        got = sorted(
+            map(
+                tuple,
+                hamming_neardup_pairs(df, "h", "id", threshold=3, bands=4).collect(),
+            )
+        )
+        release_tracked()
+        want = sorted(
+            (i, j, bin((hs[i] ^ hs[j]) & ((1 << 64) - 1)).count("1"))
+            for i in range(len(hs))
+            for j in range(i + 1, len(hs))
+            if bin((hs[i] ^ hs[j]) & ((1 << 64) - 1)).count("1") <= 3
+        )
+        assert got == want, (got, want)
+
+    law()
