@@ -73,9 +73,9 @@ def main(spark, sf_dir: str) -> dict:
     tmp_root = tempfile.mkdtemp()
     out_dir = os.path.join(tmp_root, "release_train_jsonl")
     try:
-        train = assigned.where(F.col("split") == "train").join(
-            docs.select("doc_id", "text"), "doc_id"
-        )
+        # export the SAME joined view the privacy gates audited (a second
+        # hand-declared join could silently diverge from it)
+        train = meta.where(F.col("split") == "train")
         write_jsonl(train.select("doc_id", "source", "text"), out_dir)
         qc = quarantine_counts(read_jsonl(spark, out_dir)).first()
     finally:

@@ -50,7 +50,9 @@ def hamming_neardup_pairs(
     corpus whose degenerate constant code exceeds the cap trades those
     pairs for not going quadratic (raise the cap, or dedup constant codes
     exactly first, when that cluster matters)."""
-    if 64 % int(bands) != 0 or int(bands) < 2:
+    # check >= 2 FIRST: `64 % 0` would raise ZeroDivisionError before the
+    # documented ValueError (r10 review pass 4)
+    if int(bands) < 2 or 64 % int(bands) != 0:
         raise ValueError("bands must divide 64 and be >= 2")
     width = 64 // int(bands)
     mask = (1 << width) - 1
