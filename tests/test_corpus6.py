@@ -16,12 +16,11 @@ from .conftest import SF_CORRECT
 
 
 def _index_fixture(spark):
-    """Run the registered query once (it builds /tmp/.../sf0.01 as a side
-    effect) and return (centroids, query_vec, index_dir, result_rows)."""
-    import os
-    import tempfile
-
+    """Run the registered query once (it builds the PID-keyed scratch index
+    as a side effect) and return (centroids, query_vec, index_dir,
+    result_rows)."""
     from unravelsports_spark.plans import QUERIES
+    from unravelsports_spark.plans.corpus6 import _index_dir
     from unravelsports_spark.session import read_table
 
     rows = [tuple(r) for r in QUERIES["s_ann_from_index"](spark, SF_CORRECT).collect()]
@@ -38,12 +37,7 @@ def _index_fixture(spark):
         float(v)
         for v in emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
     ]
-    index_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_ann_index",
-        os.path.basename(os.path.normpath(SF_CORRECT)),
-    )
-    return C, qvec, index_dir, rows
+    return C, qvec, _index_dir(SF_CORRECT), rows
 
 
 def test_s_ann_from_index_matches_duckdb(spark, duck):

@@ -358,6 +358,28 @@ _COS_IDX = (
 )
 
 
+def _index_dir(sf_dir: str) -> str:
+    """Scratch location for the certified index build — keyed by PID as
+    well as scale factor (ADVICE r10 #1): two CONCURRENT runs against the
+    same sf (parallel CI, a second checkout) previously shared one fixed
+    path, so one run's hermetic rmtree could clear the directory while the
+    other was reading it. PID-keying gives each process its own tree while
+    keeping repeated runs WITHIN a process self-limiting (they reuse and
+    re-clear the same dir instead of accumulating one copy per run; a
+    recycled PID inherits only a dir the build clears first anyway). The
+    path is scratch layout only — index contents, search plan shape, and
+    certified values are untouched. tests/test_corpus6.py imports this
+    helper, so test and query can never disagree about the location."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ann_index_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
 def _ann_from_index_sql() -> str:
     d2_ec = _IDX_D2.format(a="e.v", b="c.cv")
     d2_cq = _IDX_D2.format(a="c.cv", b="q.qv")
@@ -405,9 +427,6 @@ def s_ann_from_index(spark, sf_dir):
     At 100 TB this is the serving path for a streamed ANN index: ingest is
     a stateless projection + partitioned append; every query reads
     n_probe/k of the corpus at the SCAN, never post-filter."""
-    import os
-    import tempfile
-
     import numpy as np
 
     from ..operators.similarity import with_nearest_centroid
@@ -427,15 +446,11 @@ def s_ann_from_index(spark, sf_dir):
         for v in emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
     ]
 
-    index_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_ann_index",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    index_dir = _index_dir(sf_dir)
     # Hermetic build (r10 review finding #4): the query writes exactly
     # batch_id={0,1}, but the SEARCH reads the whole directory — a stale
-    # batch_id=2 from an older code version (or another checkout sharing
-    # the tempdir) would win the latest-batch dedup and leak phantom rows
+    # batch_id=2 from an older code version (or an earlier run of this
+    # process) would win the latest-batch dedup and leak phantom rows
     # into the certified result. Clear the dir first so the read set is
     # exactly what this run wrote.
     import shutil

@@ -13,6 +13,17 @@ segmentation relationally.
 - with_watermark: late-data bound for stateful streaming aggs
 - stateful_running_counts: `applyInPandasWithState` example operator — the
   mechanism EFPI's cross-frame hysteresis (K13) needs under streaming.
+
+Ledger-twin caveat (VERDICT r10 #7): every foreachBatch ledger writer here
+(streaming_incremental_dedup, streaming_semdedup, streaming_neardup_dedup,
+streaming_shard_append, streaming_term_stats, streaming_user_days,
+streaming_ann_ingest) keys its output by batch_id from the CHECKPOINT's
+numbering — the ledger and checkpoint lifetimes are coupled (wipe both or
+neither). Restarting with a fresh checkpoint against a surviving ledger
+re-numbers batches from 0 and double-counts history in any ledger sum.
+These writers carry no runtime guard (privacy_stream.py's batch-0 guard is
+a best-effort local-FS glob that object-store listing semantics defeat);
+the coupling is the caller contract.
 """
 
 from __future__ import annotations
