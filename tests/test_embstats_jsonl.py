@@ -1,25 +1,13 @@
 """Per-dimension embedding stats (operators/embstats.py) and the JSONL
-source boundary (sources/jsonl.py) — built round 10, driver registration
-round 11. The DuckDB twins verified here are the r11 oracles."""
+source boundary (sources/jsonl.py) — built round 10, driver-registered
+round 11 (plans/corpus7.py). The canonical oracle SQL moved there at
+registration; this test imports it so twin and oracle cannot drift."""
 
 from pyspark.sql import functions as F
 
-from .conftest import SF_CORRECT
+from unravelsports_spark.plans.corpus7 import EMB_DIM_STATS_SQL
 
-# the exact SQL twin for the r11 `s_embedding_dim_stats` registration —
-# the same 2^-20 integer grid as the certified PQ/IVF-PQ oracles
-EMB_DIM_STATS_SQL = """
-    WITH comp AS (
-      SELECT u.i - 1 AS pos,
-             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
-      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
-    SELECT CAST(pos AS INT) AS pos, COUNT(*) AS n,
-           CAST(SUM(q) AS BIGINT) AS sum_q,
-           CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q,
-           CAST(MIN(q) AS BIGINT) AS min_q,
-           CAST(MAX(q) AS BIGINT) AS max_q
-    FROM comp GROUP BY pos ORDER BY pos
-"""
+from .conftest import SF_CORRECT
 
 
 def test_embedding_dim_stats_matches_duckdb(spark, duck):

@@ -1,30 +1,13 @@
 """l-diversity audit (operators/privacy.py) and leakage-safe cluster splits
-(operators/corpus_splits.py) — built round 10, driver registration round 11
-(the r10 certification window is slot-exact). The DuckDB twins verified here
-are the r11 oracles."""
+(operators/corpus_splits.py) — built round 10, driver-registered round 11
+(plans/corpus7.py). The canonical oracle SQL moved there at registration;
+these tests import it so twin and oracle cannot drift."""
 
 from pyspark.sql import functions as F
 
-from .conftest import SF_CORRECT
+from unravelsports_spark.plans.corpus7 import L_DIVERSITY_SQL
 
-# the exact SQL twin for the r11 `a24_l_diversity` registration
-L_DIVERSITY_SQL = """
-    WITH tagged AS (
-      SELECT c_nationkey, c_mktsegment,
-             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
-      FROM customer),
-    per_value AS (
-      SELECT c_nationkey, c_mktsegment, bal_bucket, COUNT(*) AS cnt
-      FROM tagged GROUP BY 1, 2, 3),
-    per_class AS (
-      SELECT c_nationkey, c_mktsegment,
-             COUNT(*) AS l_distinct, SUM(cnt) AS class_rows
-      FROM per_value GROUP BY 1, 2)
-    SELECT l_distinct, COUNT(*) AS n_classes,
-           CAST(SUM(class_rows) AS BIGINT) AS n_rows,
-           l_distinct < 3 AS at_risk
-    FROM per_class GROUP BY l_distinct ORDER BY l_distinct
-"""
+from .conftest import SF_CORRECT
 
 
 def test_l_diversity_matches_duckdb(spark, duck):
@@ -83,41 +66,13 @@ def test_l_diversity_null_sensitive_is_one_value(spark):
     assert got == {1: 1, 2: 1}
 
 
-# the exact SQL twin for the r11 `d_cluster_safe_split` registration —
-# the recursive-CTE closure is the certified d_dup_clusters shape
+# the exact SQL twin for the `d_cluster_safe_split` registration — the
+# canonical string lives in plans/corpus7.py (recursive-CTE closure over
+# the certified d_dup_clusters shape)
 def _split_audit_sql() -> str:
-    from unravelsports_spark.plans.pipeline import _lsh_sql
+    from unravelsports_spark.plans.corpus7 import _split_audit_sql as canon
 
-    return (
-        "WITH RECURSIVE pairs AS (" + _lsh_sql() + """),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    reach(a, b) AS (SELECT a, b FROM sym
-                    UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
-    assigned AS (
-      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-      FROM documents d LEFT JOIN comp c USING (doc_id)),
-    tagged AS (
-      SELECT *, CASE WHEN pct < 80 THEN 'train'
-                     WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
-      FROM (SELECT *,
-                   CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 4))
-                        AS INT) % 100 AS pct
-            FROM assigned)),
-    per_comp AS (SELECT component, split, COUNT(*) AS n
-                 FROM tagged GROUP BY 1, 2),
-    comp_splits AS (SELECT component, COUNT(*) AS ns FROM per_comp GROUP BY 1)
-    SELECT split, CAST(SUM(n) AS BIGINT) AS n_docs,
-           COUNT(*) AS n_clusters,
-           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
-             AS n_docs_in_dup_clusters,
-           CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_straddling
-    FROM per_comp JOIN comp_splits USING (component)
-    GROUP BY split ORDER BY split
-    """
-    )
+    return canon()
 
 
 def _assigned(spark):

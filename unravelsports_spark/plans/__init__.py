@@ -12,3 +12,4 @@ from . import snapshots  # noqa: F401  (snapshot oracles for deterministic estim
 from . import corpus4  # noqa: F401  (registers round-4 data-selection/sharding queries)
 from . import corpus5  # noqa: F401  (registers round-9 mining/spectral/unigram queries)
 from . import corpus6  # noqa: F401  (registers round-10 wordpiece/mfcc/sampling/privacy/index queries)
+from . import corpus7  # noqa: F401  (registers round-11 privacy/splits/embstats/jsonl/video/audio queries)
