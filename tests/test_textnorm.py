@@ -1,0 +1,153 @@
+"""Unicode text normalization (operators/textnorm.py, built round 11 —
+VERDICT r10 #3). The NFC leg is driver-certified against DuckDB's
+nfc_normalize (plans/corpus7.py t_text_normalize); the NFKC/cleanup leg has
+no DuckDB builtin, so it is pinned here by a VALUES twin (hardcoded
+expected strings) plus the before/after dedup-key delta the operator
+exists to provide."""
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_CORRECT
+
+# ---------------------------------------------------------------------------
+# NFKC VALUES twin: (input, expected) pairs covering every pipeline stage.
+# Expected strings are hand-derived from the Unicode spec (compatibility
+# decompositions + canonical composition), not from running the operator —
+# regenerating them requires re-deriving, not re-snapshotting.
+# ---------------------------------------------------------------------------
+NFKC_CASES = [
+    # canonical composition (shared with NFC)
+    ("cafe\u0301", "caf\u00e9"),
+    # compatibility folds NFC must NOT do: ligature, fullwidth, superscript
+    ("\ufb01le", "file"),
+    ("\uff11\uff12\uff13", "123"),
+    ("x\u00b2", "x2"),
+    # NBSP is compatibility-mapped to SPACE, then collapsed with neighbors
+    ("a\u00a0\u00a0b", "a b"),
+    # Cf strip: zero-width space / joiner, soft hyphen, BOM
+    ("a\u200bb c\u00add", "ab cd"),
+    ("e\u200d\ufefff", "ef"),
+    # Cc strip (BEL, STX) while ASCII whitespace controls collapse
+    ("x\u0007y\tz\u0002", "xy z"),
+    # whitespace canonicalization + trim
+    ("  two  words \n here  ", "two words here"),
+    ("", ""),
+]
+
+
+def test_nfkc_values_twin(spark):
+    from unravelsports_spark.operators.textnorm import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(NFKC_CASES)], ["id", "text"]
+    )
+    got = {
+        r["id"]: r["norm_text"]
+        for r in normalize_text(df, form="NFKC").collect()
+    }
+    for i, (_, want) in enumerate(NFKC_CASES):
+        assert got[i] == want, (i, ascii(NFKC_CASES[i][0]), ascii(got[i]), ascii(want))
+
+
+def test_nfc_preserves_compatibility_forms(spark):
+    """NFC composes canonically but must NOT fold compatibility forms —
+    the ligature and fullwidth digits survive (that aggressiveness is
+    exactly what the form parameter selects)."""
+    from unravelsports_spark.operators.textnorm import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "café ﬁle １")], ["id", "text"]
+    )
+    [r] = normalize_text(df, form="NFC").collect()
+    assert r["norm_text"] == "café ﬁle １"
+
+
+def test_normalize_str_independent_recompute():
+    """Driver-side normalize_str equals an independently-written
+    recompute (normalize, then per-char category filter, then split/join
+    — a different formulation of the same spec) over the NFKC cases and
+    the registered query's suffix corpus."""
+    import unicodedata
+
+    from unravelsports_spark.operators.textnorm import normalize_str
+    from unravelsports_spark.plans.corpus7 import _TEXTNORM_SUFFIXES
+
+    def independent(s, form):
+        out = []
+        for ch in unicodedata.normalize(form, s):
+            cat = unicodedata.category(ch)
+            if ch in "\t\n\v\f\r":
+                out.append(" ")
+            elif cat in ("Cc", "Cf"):
+                continue
+            else:
+                out.append(ch)
+        return " ".join(w for w in "".join(out).split(" ") if w)
+
+    for s, _ in NFKC_CASES:
+        assert normalize_str(s, "NFKC") == independent(s, "NFKC"), ascii(s)
+    for sfx in _TEXTNORM_SUFFIXES:
+        probe = "A document body " + sfx
+        assert normalize_str(probe, "NFC") == independent(probe, "NFC"), ascii(sfx)
+
+
+def test_dedup_key_delta(spark):
+    """The reason the operator exists: unicode variants of ONE document
+    (decomposed accent, zero-width insertion, NBSP spacing under NFKC)
+    defeat the byte-level dedup fingerprint BEFORE normalization and
+    collapse to one survivor AFTER."""
+    from unravelsports_spark.operators.dedup import exact_dedup
+    from unravelsports_spark.operators.textnorm import normalize_text
+
+    variants = [
+        (0, "the caf\u00e9 menu changed"),
+        (1, "the cafe\u0301 menu changed"),
+        (2, "the caf\u00e9 menu\u200b changed"),
+        (3, "the caf\u00e9\u00a0menu changed"),
+        (4, "an unrelated document"),
+    ]
+    df = spark.createDataFrame(variants, ["doc_id", "text"])
+    before = exact_dedup(df)
+    assert before.count() == 5  # every variant survives: dedup is defeated
+    normed = normalize_text(df, form="NFKC")
+    after = exact_dedup(normed, text_col="norm_text")
+    assert after.count() == 2  # 4 variants collapse to one + the unrelated
+    assert {r["doc_id"] for r in after.collect()} == {0, 4}
+
+
+def test_null_passthrough_and_bad_form(spark):
+    import pytest
+
+    from unravelsports_spark.operators.textnorm import normalize_text
+
+    df = spark.createDataFrame([(0, None), (1, "  a  ")], ["id", "text"])
+    got = {r["id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert got[0] is None and got[1] == "a"
+    with pytest.raises(ValueError):
+        normalize_text(df, form="NFX")
+
+
+def test_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) for both forms over the
+    registered query's suffix corpus — normalized text is a fixed point,
+    so re-running ingest canonicalization can never move fingerprints."""
+    from unravelsports_spark.operators.textnorm import normalize_str
+    from unravelsports_spark.plans.corpus7 import _TEXTNORM_SUFFIXES
+
+    for form in ("NFC", "NFKC"):
+        for sfx in _TEXTNORM_SUFFIXES:
+            once = normalize_str("Body text " + sfx, form)
+            assert normalize_str(once, form) == once
+
+
+def test_registered_query_matches_duckdb(spark, duck):
+    """Mirror of the sweep gate for t_text_normalize at SF_CORRECT (the
+    NFC leg's full SQL twin — nfc_normalize + identical regex pipeline)."""
+    from unravelsports_spark.plans import ORACLE_SQL, QUERIES
+
+    got = sorted(map(tuple, QUERIES["t_text_normalize"](spark, SF_CORRECT).collect()))
+    want = sorted(map(tuple, duck.execute(ORACLE_SQL["t_text_normalize"]).fetchall()))
+    assert got == want and len(got) == 20
+    # the normalization must genuinely fire: most docs carry a suffix that
+    # changes under the pipeline, so n_changed > 0 for every source
+    assert all(r[4] > 0 for r in got)

@@ -417,3 +417,90 @@ def mm_audio_segments(spark, sf_dir):
             "aggregate(segment_starts, 0L, (acc, x) -> acc + cast(x as bigint))"
         ).alias("start_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t_text_normalize (operators/textnorm.py — built round 11, VERDICT r10 #3:
+# the pre-fingerprint Unicode canonicalization stage)
+# ---------------------------------------------------------------------------
+
+#: per-doc unicode suffixes keyed by doc_id % 6 — the documents table is
+#: pure printable ASCII (probed: zero non-ASCII, zero tabs/newlines at
+#: sf0.01 and sf0.1), so these injections fully control the unicode
+#: repertoire the query certifies: each variant exercises one pipeline
+#: stage (NFC composition ×2, Cc control strip, Cf zero-width/soft-hyphen/
+#: BOM strip, whitespace canonicalization) with ~1/6 of the corpus behind
+#: it. The DuckDB twin rebuilds the IDENTICAL strings with chr() (E'\\u'
+#: escapes don't parse there).
+_TEXTNORM_SUFFIXES = [
+    "",
+    " cafe\u0301 crame\u0301e",
+    " A\u030angstro\u0308m",
+    " x\u0007y end\u0002",
+    " a\u200bb c\u00add \ufeffe",
+    "  tab\there  and\u000bthere ",
+]
+
+_TEXTNORM_SQL = """
+    WITH sfx AS (
+      SELECT doc_id, source,
+             text || (LIST_VALUE('',
+                ' cafe'||chr(769)||' crame'||chr(769)||'e',
+                ' A'||chr(778)||'ngstro'||chr(776)||'m',
+                ' x'||chr(7)||'y end'||chr(2),
+                ' a'||chr(8203)||'b c'||chr(173)||'d '||chr(65279)||'e',
+                '  tab'||chr(9)||'here  and'||chr(11)||'there '
+             ))[CAST(doc_id % 6 AS INT) + 1] AS raw
+      FROM documents),
+    n AS (
+      SELECT source, raw,
+             trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+               '[\\x00-\\x08\\x0e-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{2060}\\x{feff}\\x{ad}]',
+               '', 'g'),
+               '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')) AS norm
+      FROM sfx)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(length(raw)) AS BIGINT) AS total_raw_chars,
+           CAST(SUM(length(norm)) AS BIGINT) AS total_norm_chars,
+           CAST(SUM(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CAST(('0x' || substring(md5(norm), 1, 8)) AS BIGINT))
+             AS BIGINT) AS fp_sum
+    FROM n GROUP BY source
+"""
+
+
+@query("t_text_normalize", oracle=_TEXTNORM_SQL)
+def t_text_normalize(spark, sf_dir):
+    """Unicode text normalization certified end to end (engine addition
+    §2.12; the pre-fingerprint stage every corpus-prep pipeline runs —
+    without it a zero-width space or a decomposed accent defeats every
+    byte-level dedup key in operators/dedup.py): per doc a deterministic
+    unicode suffix (see _TEXTNORM_SUFFIXES) is concatenated in Catalyst,
+    operators/textnorm.normalize_text canonicalizes it (NFC → Cc/Cf strip
+    → whitespace collapse, one Arrow pass), and the per-source rollup
+    pins raw/normalized char counts, how many docs changed, and the SUM
+    of 32-bit md5 prefixes of the normalized text — the fingerprint sum
+    certifies the exact normalized BYTES, so any drift in composition,
+    stripping, or collapse order flips the hash. The DuckDB twin is
+    nfc_normalize + the identical regex pipeline (the NFKC leg has no
+    DuckDB builtin and is pinned by a VALUES twin + independent
+    pure-Python recompute in tests/test_textnorm.py). Plan: JVM-side
+    concat, ONE Arrow pass, JVM-side md5/length, one combinable groupBy."""
+    from ..operators.textnorm import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _TEXTNORM_SUFFIXES]),
+        (F.col("doc_id") % 6).cast("int") + 1,
+    )
+    raw = docs.select("source", F.concat(F.col("text"), sfx).alias("raw"))
+    normed = normalize_text(raw, text_col="raw", form="NFC", out_col="norm_text")
+    fp = F.conv(F.substring(F.md5("norm_text"), 1, 8), 16, 10).cast("long")
+    return normed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("raw")).alias("total_raw_chars"),
+        F.sum(F.length("norm_text")).alias("total_norm_chars"),
+        F.sum((F.col("norm_text") != F.col("raw")).cast("long")).alias("n_changed"),
+        F.sum(fp).alias("fp_sum"),
+    )
