@@ -72,6 +72,28 @@ def test_queries_order_puts_uncertified_first():
     assert prios[:WINDOW].count(2) == 0  # window holds no already-certified
 
 
+def test_stale_rows_only_checks_lead_the_tail():
+    """The six rows-only model checks overflow one 50-slot window, so they
+    alternate rounds (VERDICT r10 #1): the _ROWS_ONLY_STALE trio (last
+    driver-run two rounds ago) must precede the fresh trio in queries()
+    order, and when priority-0 leaves exactly 3 free slots they are the
+    ones that run."""
+    mod = _load_entry()
+    from unravelsports_spark.plans import ORACLE_SQL, QUERIES
+
+    names = list(mod.queries())
+    stale = [names.index(n) for n in mod._ROWS_ONLY_STALE]
+    fresh = [
+        names.index(n)
+        for n in QUERIES
+        if n not in mod._CERTIFIED
+        and n not in ORACLE_SQL
+        and n not in mod._ROWS_ONLY_STALE
+    ]
+    assert fresh, "no fresh rows-only checks — update _ROWS_ONLY_STALE"
+    assert max(stale) < min(fresh), (stale, fresh)
+
+
 def test_read_table_cache_single_generation(spark, tmp_path):
     """read_table reuses the analyzed DataFrame within one session (no
     footer re-read) and read_table_cache_clear() resets it; the cache

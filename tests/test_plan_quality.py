@@ -537,3 +537,52 @@ def test_ann_from_index_partition_and_column_pruning(spark):
         "cell" in t and (" IN (" in t or "isnotnull(cell" in t) for t in tails
     ), tails
     assert "ReadSchema: struct<vec_id:bigint>" in plan
+
+
+def test_l_diversity_three_phase_no_expand(spark):
+    """a24: value-counts → class-l → histogram, each a map-side-combinable
+    two-phase aggregation — no Expand, no window, no join; the corpus
+    touches exactly one corpus-sized exchange (on (quasi..., sensitive)),
+    the rest are class/histogram-sized."""
+    plan = plan_of(spark, "a24_l_diversity")
+    assert "Expand" not in plan
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("partial_count") == 3  # one per phase
+
+
+def test_embedding_dim_stats_fanout_then_combine(spark):
+    """s_embedding_dim_stats: the posexplode fan-out (rows × dim) must be
+    reduced by a partial aggregate BEFORE its exchange — the shuffle
+    carries O(dim × partitions) rows, never the exploded corpus — and the
+    scan reads only the embedding column."""
+    plan = plan_of(spark, "s_embedding_dim_stats")
+    assert "Generate posexplode" in plan
+    assert "partial_sum" in plan and "partial_min" in plan
+    # partial agg sits ABOVE the Generate in the printed tree (map-side)
+    assert plan.index("partial_sum") < plan.index("Generate posexplode")
+    assert "ReadSchema: struct<embedding:array<float>>" in plan
+    assert "vec_id" not in plan  # column pruning through the explode
+
+
+def test_text_normalize_single_pass_single_exchange(spark):
+    """t_text_normalize: suffix concat in Catalyst, exactly ONE Arrow
+    MapInPandas pass, md5/length/conv JVM-side in a partial aggregate,
+    exactly ONE hash exchange (the per-source combine) — the Python
+    boundary is crossed once and the shuffle carries source-sized
+    partials, never documents."""
+    plan = plan_of(spark, "t_text_normalize")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan  # md5/length sums combine map-side
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+
+
+def test_media_detectors_zero_shuffle_pruned_scan(spark):
+    """mm_video_scene_cuts / mm_audio_segments: per-clip detectors are
+    pure Arrow map stages — ZERO exchanges — and the documents scan is
+    pruned to doc_id only (payloads are synthesized, never shuffled)."""
+    for name in ("mm_video_scene_cuts", "mm_audio_segments"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, name
+        assert plan.count("MapInPandas") == 2, name  # synth + detector

@@ -165,10 +165,17 @@ def main() -> None:
         "  jaccard output pairs per scale: "
         + ", ".join(f"{f}x={p}" for f, p in zip(factors, pairs))
     )
+    from unravelsports_spark.operators.textnorm import normalize_text
+
     for name, mk in {
         "jaccard_pairs(dup-heavy)": lambda d: jaccard_pairs(doc_shingles(d)),
         "incremental_dedup(vs ledger)": lambda d: incremental_dedup(d, seen=ledger),
         "exact_dedup(all-unique)": lambda d: exact_dedup(d),
+        # r11: the pre-fingerprint unicode canonicalization pass — one
+        # Arrow stage, zero shuffles, so the decade ratio must stay ~10
+        # (pure linear) with no fixed-cost cliff from the memoized
+        # codepoint table
+        "normalize_text(NFKC)": lambda d: normalize_text(d, form="NFKC"),
     }.items():
         walls = [timed(lambda s=s: mk(doc_scales[s])) for s in factors]
         print(fmt_row(name, walls))
