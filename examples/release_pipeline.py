@@ -32,6 +32,7 @@ def main(spark, sf_dir: str) -> dict:
     from unravelsports_spark.operators.embstats import Q, embedding_dim_stats
     from unravelsports_spark.operators.filtering import k_anonymity_report
     from unravelsports_spark.operators.privacy import l_diversity_report
+    from unravelsports_spark.operators.textnorm import normalize_text
     from unravelsports_spark.session import read_table
     from unravelsports_spark.sources.jsonl import (
         quarantine_counts,
@@ -39,7 +40,18 @@ def main(spark, sf_dir: str) -> dict:
         write_jsonl,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    raw_docs = read_table(spark, sf_dir, "documents")
+
+    # 0. Unicode canonicalization BEFORE any fingerprinting (r11): a
+    # decomposed accent or a zero-width insertion would otherwise defeat
+    # every dedup key downstream — the splits would treat unicode variants
+    # of one document as unrelated and could leak one into eval.
+    docs = normalize_text(raw_docs, form="NFKC").select(
+        "doc_id", "source", F.col("norm_text").alias("text")
+    )
+    n_normalized = docs.join(
+        raw_docs.select("doc_id", F.col("text").alias("_raw")), "doc_id"
+    ).where(F.col("text") != F.col("_raw")).count()
 
     # 1. leakage-safe splits: train/val/test keyed on the near-dup CLUSTER
     # (an eval doc can never have a near-duplicate in train, by
@@ -90,6 +102,7 @@ def main(spark, sf_dir: str) -> dict:
     max_abs = max(max(abs(r["min_q"]), abs(r["max_q"])) for r in dim_stats) / Q
 
     return {
+        "n_normalized": int(n_normalized),
         "splits": audit,
         "k_anon_at_risk_rows": int(at_risk_rows),
         "l_div_homogeneous_rows": int(homogeneous_rows),

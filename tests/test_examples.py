@@ -73,6 +73,10 @@ def test_release_pipeline_example(spark):
     from examples.release_pipeline import main
 
     out = main(spark, "/root/testdata/sf0.001")
+    # the canonicalization stage ran (ASCII corpus: NFKC is the identity,
+    # so nothing should report as changed — a nonzero count here means the
+    # normalizer is mangling clean text)
+    assert out["n_normalized"] == 0
     # every split audited, nothing straddles (the structural invariant)
     assert set(out["splits"]) <= {"train", "val", "test"} and out["splits"]
     assert all(v[2] == 0 for v in out["splits"].values())
