@@ -40,18 +40,21 @@ def main(spark, sf_dir: str) -> dict:
         write_jsonl,
     )
 
+    from unravelsports_spark.cache import tracked_persist
+
     raw_docs = read_table(spark, sf_dir, "documents")
 
     # 0. Unicode canonicalization BEFORE any fingerprinting (r11): a
     # decomposed accent or a zero-width insertion would otherwise defeat
     # every dedup key downstream — the splits would treat unicode variants
     # of one document as unrelated and could leak one into eval.
-    docs = normalize_text(raw_docs, form="NFKC").select(
-        "doc_id", "source", F.col("norm_text").alias("text")
-    )
-    n_normalized = docs.join(
-        raw_docs.select("doc_id", F.col("text").alias("_raw")), "doc_id"
-    ).where(F.col("text") != F.col("_raw")).count()
+    # normalize_text carries text and norm_text side by side, so the
+    # changed-row count needs no join (r11 review finding #3); the
+    # normalized frame is persisted once — shingling, the privacy join
+    # and the export all consume it below.
+    normed = tracked_persist(normalize_text(raw_docs, form="NFKC"))
+    n_normalized = normed.where(F.col("norm_text") != F.col("text")).count()
+    docs = normed.select("doc_id", "source", F.col("norm_text").alias("text"))
 
     # 1. leakage-safe splits: train/val/test keyed on the near-dup CLUSTER
     # (an eval doc can never have a near-duplicate in train, by
@@ -101,6 +104,9 @@ def main(spark, sf_dir: str) -> dict:
     dim_stats = embedding_dim_stats(emb).collect()
     max_abs = max(max(abs(r["min_q"]), abs(r["max_q"])) for r in dim_stats) / Q
 
+    from unravelsports_spark.cache import release_tracked
+
+    release_tracked()
     return {
         "n_normalized": int(n_normalized),
         "splits": audit,

@@ -554,7 +554,11 @@ def test_embedding_dim_stats_fanout_then_combine(spark):
     """s_embedding_dim_stats: the posexplode fan-out (rows × dim) must be
     reduced by a partial aggregate BEFORE its exchange — the shuffle
     carries O(dim × partitions) rows, never the exploded corpus — and the
-    scan reads only the embedding column."""
+    scan reads only the embedding column. clearCache first: an earlier
+    test's cached embeddings relation substitutes an InMemoryTableScan
+    (full schema, vec_id included) for the parquet scan and makes the
+    pruning assertions order-dependent (failed in-suite, passed alone)."""
+    spark.catalog.clearCache()
     plan = plan_of(spark, "s_embedding_dim_stats")
     assert "Generate posexplode" in plan
     assert "partial_sum" in plan and "partial_min" in plan
@@ -569,7 +573,9 @@ def test_text_normalize_single_pass_single_exchange(spark):
     MapInPandas pass, md5/length/conv JVM-side in a partial aggregate,
     exactly ONE hash exchange (the per-source combine) — the Python
     boundary is crossed once and the shuffle carries source-sized
-    partials, never documents."""
+    partials, never documents. clearCache: a cached documents relation
+    would substitute an InMemoryTableScan for the pruned parquet scan."""
+    spark.catalog.clearCache()
     plan = plan_of(spark, "t_text_normalize")
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange hashpartitioning") == 1
@@ -580,7 +586,9 @@ def test_text_normalize_single_pass_single_exchange(spark):
 def test_media_detectors_zero_shuffle_pruned_scan(spark):
     """mm_video_scene_cuts / mm_audio_segments: per-clip detectors are
     pure Arrow map stages — ZERO exchanges — and the documents scan is
-    pruned to doc_id only (payloads are synthesized, never shuffled)."""
+    pruned to doc_id only (payloads are synthesized, never shuffled).
+    clearCache: a cached documents relation would mask the pruned scan."""
+    spark.catalog.clearCache()
     for name in ("mm_video_scene_cuts", "mm_audio_segments"):
         plan = plan_of(spark, name)
         assert "Exchange" not in plan, name

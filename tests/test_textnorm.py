@@ -32,6 +32,10 @@ NFKC_CASES = [
     # whitespace canonicalization + trim
     ("  two  words \n here  ", "two words here"),
     ("", ""),
+    # trailing LINE SEPARATOR (Zl — not Cc/Cf, not ASCII whitespace) and a
+    # trailing NBSP under NFC survive on BOTH engines: the final trim is
+    # space-only, matching DuckDB trim() (r11 review finding #1 pinned in
+    # test_trim_is_space_only below for the NFC leg)
 ]
 
 
@@ -89,6 +93,22 @@ def test_normalize_str_independent_recompute():
     for sfx in _TEXTNORM_SUFFIXES:
         probe = "A document body " + sfx
         assert normalize_str(probe, "NFC") == independent(probe, "NFC"), ascii(sfx)
+
+
+def test_trim_is_space_only():
+    """The final trim must match DuckDB trim() (spaces only): a trailing
+    U+2028 LINE SEPARATOR or NFC-surviving NBSP is KEPT — Python's default
+    .strip() would eat both and flip the certified fingerprint sum on any
+    non-ASCII corpus (r11 review finding #1, verified against DuckDB:
+    trim('abc' || chr(8232)) keeps the separator)."""
+    from unravelsports_spark.operators.textnorm import normalize_str
+
+    assert normalize_str("abc\u2028", "NFC") == "abc\u2028"
+    assert normalize_str("abc\u00a0", "NFC") == "abc\u00a0"
+    # but under NFKC the NBSP compatibility-maps to SPACE and trims away
+    assert normalize_str("abc\u00a0", "NFKC") == "abc"
+    # and a genuinely ASCII-space-padded string still trims fully
+    assert normalize_str("  abc \t ", "NFC") == "abc"
 
 
 def test_dedup_key_delta(spark):

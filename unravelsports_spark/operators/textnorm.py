@@ -79,8 +79,22 @@ def _strip_table() -> dict:
 def normalize_str(s: str, form: str = "NFC") -> str:
     """The exact per-string pipeline (normalize → strip Cc/Cf → collapse
     whitespace → trim) — exposed so tests can recompute independently and
-    so driver-side callers (oracle generators) share one definition."""
-    return _WS_RE.sub(" ", unicodedata.normalize(form, s).translate(_strip_table())).strip()
+    so driver-side callers (oracle generators) share one definition.
+
+    The final trim is ``.strip(" ")`` — SPACE ONLY, deliberately not
+    Python's default ``.strip()`` (r11 review finding #1): after the
+    collapse every leading/trailing ASCII-whitespace run is exactly one
+    space, and DuckDB's ``trim()`` (the registered oracle's final step)
+    trims spaces only — a bare ``.strip()`` would also eat U+2028/U+2029/
+    NBSP and silently diverge from the certified twin the first time the
+    corpus isn't pure ASCII. Zl/Zp/Zs characters beyond ASCII pass through
+    UNCHANGED on both sides by design (they are content-bearing layout;
+    callers wanting them folded normalize with NFKC, which maps the Zs
+    compatibility spaces — though not LS/PS — to SPACE before the
+    collapse)."""
+    return _WS_RE.sub(
+        " ", unicodedata.normalize(form, s).translate(_strip_table())
+    ).strip(" ")
 
 
 def normalize_text(

@@ -369,15 +369,25 @@ def _index_dir(sf_dir: str) -> str:
     recycled PID inherits only a dir the build clears first anyway). The
     path is scratch layout only — index contents, search plan shape, and
     certified values are untouched. tests/test_corpus6.py imports this
-    helper, so test and query can never disagree about the location."""
+    helper, so test and query can never disagree about the location.
+
+    The per-PID root is atexit-removed (r11 review finding #2): the old
+    fixed path was self-limiting because every run re-cleared it, but a
+    PID-keyed tree would otherwise leak one embeddings-sized parquet copy
+    per process until the tempdir fills. atexit is safe here — the driver
+    collects the returned frame long before interpreter exit."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ann_index_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ann_index_{os.getpid()}"
     )
+    if not getattr(_index_dir, "_cleanup_registered", False):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _index_dir._cleanup_registered = True
+    return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
 
 
 def _ann_from_index_sql() -> str:
