@@ -18,6 +18,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(spark, sf_dir: str) -> dict:
+    from unravelsports_spark.cache import release_tracked, tracked_persist
+    from unravelsports_spark.operators.textnorm import normalize_text
+    from unravelsports_spark.session import read_table
+
+    raw_docs = read_table(spark, sf_dir, "documents")
+
+    # 0. Unicode canonicalization BEFORE any fingerprinting (r11): a
+    # decomposed accent or a zero-width insertion would otherwise defeat
+    # every dedup key downstream — the splits would treat unicode variants
+    # of one document as unrelated and could leak one into eval.
+    # normalize_text carries text and norm_text side by side, so the
+    # changed-row count needs no join (r11 review finding #3); the
+    # normalized frame is persisted once — shingling, the privacy join
+    # and the export all consume it below.
+    normed = tracked_persist(normalize_text(raw_docs, form="NFKC"))
+    try:
+        return _gated_release(spark, sf_dir, normed)
+    finally:
+        # r11 review pass 2 #3: release on EVERY path — an exception
+        # mid-pipeline must not leave the persisted corpus-sized frame
+        # cached in a shared session
+        release_tracked()
+
+
+def _gated_release(spark, sf_dir: str, normed) -> dict:
     import pyspark.sql.functions as F
 
     from unravelsports_spark.operators.corpus_splits import (
@@ -32,7 +57,6 @@ def main(spark, sf_dir: str) -> dict:
     from unravelsports_spark.operators.embstats import Q, embedding_dim_stats
     from unravelsports_spark.operators.filtering import k_anonymity_report
     from unravelsports_spark.operators.privacy import l_diversity_report
-    from unravelsports_spark.operators.textnorm import normalize_text
     from unravelsports_spark.session import read_table
     from unravelsports_spark.sources.jsonl import (
         quarantine_counts,
@@ -40,19 +64,6 @@ def main(spark, sf_dir: str) -> dict:
         write_jsonl,
     )
 
-    from unravelsports_spark.cache import tracked_persist
-
-    raw_docs = read_table(spark, sf_dir, "documents")
-
-    # 0. Unicode canonicalization BEFORE any fingerprinting (r11): a
-    # decomposed accent or a zero-width insertion would otherwise defeat
-    # every dedup key downstream — the splits would treat unicode variants
-    # of one document as unrelated and could leak one into eval.
-    # normalize_text carries text and norm_text side by side, so the
-    # changed-row count needs no join (r11 review finding #3); the
-    # normalized frame is persisted once — shingling, the privacy join
-    # and the export all consume it below.
-    normed = tracked_persist(normalize_text(raw_docs, form="NFKC"))
     n_normalized = normed.where(F.col("norm_text") != F.col("text")).count()
     docs = normed.select("doc_id", "source", F.col("norm_text").alias("text"))
 
@@ -104,9 +115,6 @@ def main(spark, sf_dir: str) -> dict:
     dim_stats = embedding_dim_stats(emb).collect()
     max_abs = max(max(abs(r["min_q"]), abs(r["max_q"])) for r in dim_stats) / Q
 
-    from unravelsports_spark.cache import release_tracked
-
-    release_tracked()
     return {
         "n_normalized": int(n_normalized),
         "splits": audit,

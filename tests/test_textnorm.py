@@ -171,3 +171,43 @@ def test_registered_query_matches_duckdb(spark, duck):
     # the normalization must genuinely fire: most docs carry a suffix that
     # changes under the pipeline, so n_changed > 0 for every source
     assert all(r[4] > 0 for r in got)
+
+
+def test_exotic_boundary_chars_match_oracle(spark, tmp_path):
+    """Cross-engine parity on the divergence classes review pass 2 proved
+    (r11): C1 controls (NEL), bidi Cf (LRM/RLO), invisible operators
+    (U+2061), arabic number sign (U+0600), tag-plane Cf (U+E0041), the
+    Unicode-15 hieroglyph format controls (_CF_FORWARD), boundary NBSP /
+    ideographic space (DuckDB trim() would eat them - the oracle's
+    space-only regexp must not), and trailing LS. The REGISTERED query
+    runs against a synthetic documents table holding these at word
+    boundaries and must hash-match its own oracle."""
+    import duckdb
+
+    from unravelsports_spark.plans import ORACLE_SQL, QUERIES
+
+    rows = [
+        (0, "src0", "plain body text"),
+        (1, "src0", "nel\u0085joined"),
+        (2, "src0", "lrm\u200emark rlo\u202einjection"),
+        (3, "src1", "fn\u2061apply \u0600year"),
+        (4, "src1", "tag\U000e0041ged"),
+        (5, "src1", "hiero\U00013439glyph \U0001343fend"),
+        (6, "src2", "\u00a0leading nbsp and trailing\u00a0"),
+        (7, "src2", "\u3000ideographic bounds\u3000"),
+        (8, "src2", "trailing line sep\u2028"),
+        (9, "src2", "  ascii pad  "),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+    got = sorted(map(tuple, QUERIES["t_text_normalize"](spark, d).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{d}/documents.parquet/*.parquet')"  # Spark writes a shard dir
+    )
+    want = sorted(map(tuple, con.execute(ORACLE_SQL["t_text_normalize"]).fetchall()))
+    assert got == want and len(got) == 3
+    # and the normalization genuinely fired on the exotic rows
+    assert any(r[4] > 0 for r in got)

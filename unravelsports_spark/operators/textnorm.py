@@ -56,12 +56,24 @@ _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 #: the five Cc controls that are whitespace, not junk
 _WS_CONTROLS = set("\t\n\v\f\r")
 
+#: Cf codepoints the ORACLE's RE2 ``\p{Cf}`` strips that this Python's
+#: unicodedata (Unicode 14) does not yet classify as Cf: the Egyptian
+#: hieroglyph format controls added in Unicode 15. Pinned explicitly so the
+#: two engines strip the IDENTICAL set (r11 review pass 2 finding #2 — a
+#: full 0..0x10FFFF bidirectional scan of RE2-\p{Cf} vs unicodedata found
+#: exactly these 7 in RE2-only and zero in Python-only). If a future
+#: DuckDB/RE2 Unicode bump adds more Cf chars, the cross-engine parity test
+#: (tests/test_textnorm.py::test_exotic_boundary_chars_match_oracle) is the
+#: tripwire; extend this pin then.
+_CF_FORWARD = frozenset(range(0x13439, 0x13440))
+
 _STRIP_TABLE: dict | None = None
 
 
 def _strip_table() -> dict:
     """str.translate table deleting every Cc (except ASCII whitespace) and
-    every Cf codepoint — built once per process from the full Unicode
+    every Cf codepoint (unicodedata's table ∪ the pinned ``_CF_FORWARD``
+    forward-compat set) — built once per process from the full Unicode
     range (Cf spans astral planes: tags, musical/shorthand format chars),
     then memoized module-globally so executor task deserialization never
     rebuilds it."""
@@ -70,7 +82,10 @@ def _strip_table() -> dict:
         _STRIP_TABLE = dict.fromkeys(
             cp
             for cp in range(sys.maxunicode + 1)
-            if unicodedata.category(chr(cp)) in ("Cc", "Cf")
+            if (
+                unicodedata.category(chr(cp)) in ("Cc", "Cf")
+                or cp in _CF_FORWARD
+            )
             and chr(cp) not in _WS_CONTROLS
         )
     return _STRIP_TABLE
@@ -82,16 +97,17 @@ def normalize_str(s: str, form: str = "NFC") -> str:
     so driver-side callers (oracle generators) share one definition.
 
     The final trim is ``.strip(" ")`` — SPACE ONLY, deliberately not
-    Python's default ``.strip()`` (r11 review finding #1): after the
-    collapse every leading/trailing ASCII-whitespace run is exactly one
-    space, and DuckDB's ``trim()`` (the registered oracle's final step)
-    trims spaces only — a bare ``.strip()`` would also eat U+2028/U+2029/
-    NBSP and silently diverge from the certified twin the first time the
-    corpus isn't pure ASCII. Zl/Zp/Zs characters beyond ASCII pass through
-    UNCHANGED on both sides by design (they are content-bearing layout;
-    callers wanting them folded normalize with NFKC, which maps the Zs
-    compatibility spaces — though not LS/PS — to SPACE before the
-    collapse)."""
+    Python's default ``.strip()`` (r11 review finding #1, corrected by
+    pass 2): a bare ``.strip()`` eats U+2028/U+2029/NBSP, and DuckDB's
+    ``trim()`` is DIFFERENT again (it strips every Zs codepoint but keeps
+    Zl/Zp — measured, not assumed). Space-only is the one rule both
+    engines express exactly, so the registered oracle trims with
+    ``regexp_replace('^ +| +$')`` rather than ``trim()``, and after the
+    collapse every boundary ASCII-whitespace run is one space anyway.
+    Zl/Zp/Zs characters beyond ASCII pass through UNCHANGED on both sides
+    by design (content-bearing layout; callers wanting them folded
+    normalize with NFKC, which maps the Zs compatibility spaces — though
+    not LS/PS — to SPACE before the collapse)."""
     return _WS_RE.sub(
         " ", unicodedata.normalize(form, s).translate(_strip_table())
     ).strip(" ")

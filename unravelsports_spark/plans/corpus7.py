@@ -454,10 +454,10 @@ _TEXTNORM_SQL = """
       FROM documents),
     n AS (
       SELECT source, raw,
-             trim(regexp_replace(regexp_replace(nfc_normalize(raw),
-               '[\\x00-\\x08\\x0e-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{2060}\\x{feff}\\x{ad}]',
-               '', 'g'),
-               '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')) AS norm
+             regexp_replace(regexp_replace(regexp_replace(nfc_normalize(raw),
+               '[\\x00-\\x08\\x0e-\\x1f\\x7f-\\x9f\\p{Cf}]', '', 'g'),
+               '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'),
+               '^ +| +$', '', 'g') AS norm
       FROM sfx)
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(length(raw)) AS BIGINT) AS total_raw_chars,
