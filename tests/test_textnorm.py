@@ -34,8 +34,9 @@ NFKC_CASES = [
     ("", ""),
     # trailing LINE SEPARATOR (Zl — not Cc/Cf, not ASCII whitespace) and a
     # trailing NBSP under NFC survive on BOTH engines: the final trim is
-    # space-only, matching DuckDB trim() (r11 review finding #1 pinned in
-    # test_trim_is_space_only below for the NFC leg)
+    # space-only on each side (the operator strips " " only; the oracle
+    # trims with regexp '^ +| +$' — NOT DuckDB trim(), which eats all Zs;
+    # r11 review findings pass 1 #1 + pass 2 #1, pinned below)
 ]
 
 
@@ -73,7 +74,7 @@ def test_normalize_str_independent_recompute():
     the registered query's suffix corpus."""
     import unicodedata
 
-    from unravelsports_spark.operators.textnorm import normalize_str
+    from unravelsports_spark.operators.textnorm import _CF_FORWARD, normalize_str
     from unravelsports_spark.plans.corpus7 import _TEXTNORM_SUFFIXES
 
     def independent(s, form):
@@ -82,7 +83,10 @@ def test_normalize_str_independent_recompute():
             cat = unicodedata.category(ch)
             if ch in "\t\n\v\f\r":
                 out.append(" ")
-            elif cat in ("Cc", "Cf"):
+            elif cat in ("Cc", "Cf") or ord(ch) in _CF_FORWARD:
+                # the operator's spec: Cc/Cf per unicodedata UNION the
+                # pinned forward-compat Cf set (r11 pass 3 finding #3 —
+                # the recompute must track the shipped spec)
                 continue
             else:
                 out.append(ch)
@@ -90,17 +94,20 @@ def test_normalize_str_independent_recompute():
 
     for s, _ in NFKC_CASES:
         assert normalize_str(s, "NFKC") == independent(s, "NFKC"), ascii(s)
-    for sfx in _TEXTNORM_SUFFIXES:
-        probe = "A document body " + sfx
-        assert normalize_str(probe, "NFC") == independent(probe, "NFC"), ascii(sfx)
+    probes = ["A document body " + sfx for sfx in _TEXTNORM_SUFFIXES]
+    probes.append("hiero\U00013439glyph \U0001343fend")  # _CF_FORWARD live
+    for probe in probes:
+        assert normalize_str(probe, "NFC") == independent(probe, "NFC"), ascii(probe)
+    assert normalize_str("a\U00013439b", "NFC") == "ab"  # pin actually strips
 
 
 def test_trim_is_space_only():
-    """The final trim must match DuckDB trim() (spaces only): a trailing
-    U+2028 LINE SEPARATOR or NFC-surviving NBSP is KEPT — Python's default
-    .strip() would eat both and flip the certified fingerprint sum on any
-    non-ASCII corpus (r11 review finding #1, verified against DuckDB:
-    trim('abc' || chr(8232)) keeps the separator)."""
+    """The final trim is SPACE-ONLY on both engines (operator .strip(" ");
+    oracle regexp '^ +| +$' — deliberately not DuckDB trim(), which strips
+    every Zs, nor Python .strip(), which also eats Zl/Zp): a trailing
+    U+2028 LINE SEPARATOR or NFC-surviving NBSP is KEPT. Either default
+    would flip the certified fingerprint sum on a non-ASCII corpus (r11
+    review pass 1 #1 + pass 2 #1)."""
     from unravelsports_spark.operators.textnorm import normalize_str
 
     assert normalize_str("abc\u2028", "NFC") == "abc\u2028"
@@ -186,17 +193,21 @@ def test_exotic_boundary_chars_match_oracle(spark, tmp_path):
 
     from unravelsports_spark.plans import ORACLE_SQL, QUERIES
 
+    # boundary-trailing rows take doc_id % 6 == 0 so the registered
+    # query's suffix injection appends NOTHING and the exotic char stays
+    # at the true trim boundary (r11 pass 3 finding #2 — a non-empty
+    # suffix would displace it mid-string and void the trim coverage)
     rows = [
-        (0, "src0", "plain body text"),
-        (1, "src0", "nel\u0085joined"),
-        (2, "src0", "lrm\u200emark rlo\u202einjection"),
-        (3, "src1", "fn\u2061apply \u0600year"),
-        (4, "src1", "tag\U000e0041ged"),
-        (5, "src1", "hiero\U00013439glyph \U0001343fend"),
-        (6, "src2", "\u00a0leading nbsp and trailing\u00a0"),
-        (7, "src2", "\u3000ideographic bounds\u3000"),
-        (8, "src2", "trailing line sep\u2028"),
-        (9, "src2", "  ascii pad  "),
+        (1, "src0", "plain body text"),
+        (2, "src0", "nel\u0085joined"),
+        (3, "src0", "lrm\u200emark rlo\u202einjection"),
+        (4, "src1", "fn\u2061apply \u0600year"),
+        (5, "src1", "tag\U000e0041ged"),
+        (7, "src1", "hiero\U00013439glyph \U0001343fend"),
+        (0, "src2", "\u00a0leading nbsp and trailing\u00a0"),
+        (6, "src2", "\u3000ideographic bounds\u3000"),
+        (12, "src2", "trailing line sep\u2028"),
+        (18, "src2", "  ascii pad  "),
     ]
     d = str(tmp_path)
     spark.createDataFrame(rows, "doc_id long, source string, text string") \
@@ -211,3 +222,37 @@ def test_exotic_boundary_chars_match_oracle(spark, tmp_path):
     assert got == want and len(got) == 3
     # and the normalization genuinely fired on the exotic rows
     assert any(r[4] > 0 for r in got)
+
+
+def test_cf_table_parity_tripwire(duck):
+    """The REAL _CF_FORWARD tripwire (r11 pass 3 finding #1): re-derive the
+    RE2-\\p{Cf} set from the INSTALLED DuckDB over the full codepoint range
+    and require it to equal Python's Cf table UNION the pinned forward set
+    exactly — a future DuckDB/RE2 Unicode bump that adds (or removes) Cf
+    codepoints fails HERE, not as a silent certified-hash divergence on the
+    first real corpus that contains one. (~2 s: one vectorized SQL scan.)"""
+    import sys
+    import unicodedata
+
+    from unravelsports_spark.operators.textnorm import _CF_FORWARD
+
+    rows = duck.execute(
+        """
+        SELECT i FROM (
+          SELECT i FROM range(0, 55296) t(i)
+          UNION ALL
+          SELECT i FROM range(57344, 1114112) t(i)
+        ) WHERE regexp_matches(chr(CAST(i AS INT)), '\\p{Cf}')
+        """
+    ).fetchall()
+    re2_cf = {r[0] for r in rows}
+    py_cf = {
+        cp
+        for cp in range(sys.maxunicode + 1)
+        if unicodedata.category(chr(cp)) == "Cf"
+    }
+    assert re2_cf == py_cf | set(_CF_FORWARD), {
+        "re2_only": sorted(hex(c) for c in re2_cf - py_cf - set(_CF_FORWARD)),
+        "pin_dead": sorted(hex(c) for c in set(_CF_FORWARD) - re2_cf),
+        "py_only": sorted(hex(c) for c in py_cf - re2_cf),
+    }
