@@ -78,6 +78,13 @@ NOTES = {
     "t_ppl_bucket_sample": "r10 CCNet bucketing: tercile boundaries come from a combinable (source, score) count plus two windows over the DISTINCT-score frame (never a per-group corpus sort / ntile); the bounds table broadcasts back onto the scored projection; md5 keep-decisions are pure codegen.",
     "s_cluster_balanced_sample": "r10 balanced sampling: nearest-centroid assignment is a literal projection (zero shuffles); the per-cell rank window's exchange carries ONLY (cell, id, hash key) - never the 64-dim vectors (formatted-explain-guarded); the kept-id set broadcasts back onto a re-scanned projection.",
     "s_ann_from_index": "r10 streamed-index search: the probed 3 of 8 cells prune at the parquet reader (PartitionFilters on the cell directory), the latest-batch dedup ledger scan is column-pruned to vec_id + partition columns, and the final cosine ranks via TakeOrderedAndProject over the pruned candidates.",
+    "a24_l_diversity": "r11 l-diversity audit: three chained map-side-combinable aggregations (value counts -> class l -> histogram) - no Expand (a COUNT DISTINCT formulation would triple rows through the exchange), no window, no join; exactly one corpus-sized exchange on (quasi..., sensitive).",
+    "d_cluster_safe_split": "r11 leakage-safe splits: connected components (large-star/small-star) over the certified LSH pairs, one broadcast-sized left join back to the doc spine, md5(component) split assignment in codegen; the audit is one combinable (component, split) rollup + a components-sized self-check join - the zero-straddle invariant rides INSIDE the certified hash.",
+    "s_embedding_dim_stats": "r11 quantizer calibration: one posexplode fan-out reduced by a map-side partial aggregate BEFORE its exchange (the shuffle carries O(dim x partitions) rows, never the exploded corpus); exact int64 on the canonical 2^-20 grid; scan reads only the embedding column.",
+    "o17_jsonl_roundtrip": "r11 JSONL boundary: sharded write.json -> schema'd PERMISSIVE read (explicit schema - no inference double-scan) with the corrupt row quarantined by _corrupt_record; the certified rollup excludes it AND counts it exactly once; tiny result materialized so the scratch dir can be removed.",
+    "mm_video_scene_cuts": "r11 scene cuts: two Arrow MapInPandas stages (mux, then parse+decode+diff) over a doc_id-only pruned scan - ZERO exchanges; per clip two decoded frames resident; cut positions certified via the closed-form arithmetic-series sum.",
+    "mm_audio_segments": "r11 audio segments: two Arrow MapInPandas stages (WAV synth, then decode + vectorized frame-RMS) over a doc_id-only pruned scan - ZERO exchanges; O(samples) per clip; segment starts certified via the burst-arithmetic sum.",
+    "t_text_normalize": "r11 unicode canonicalization: suffix concat in Catalyst, ONE Arrow MapInPandas pass (stdlib unicodedata, memoized Cc/Cf table), md5/length/conv JVM-side in a partial aggregate, exactly one hash exchange carrying source-sized partials - the Python boundary is crossed once and documents never shuffle.",
 }
 
 

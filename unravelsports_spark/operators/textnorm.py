@@ -62,9 +62,11 @@ _WS_CONTROLS = set("\t\n\v\f\r")
 #: two engines strip the IDENTICAL set (r11 review pass 2 finding #2 — a
 #: full 0..0x10FFFF bidirectional scan of RE2-\p{Cf} vs unicodedata found
 #: exactly these 7 in RE2-only and zero in Python-only). If a future
-#: DuckDB/RE2 Unicode bump adds more Cf chars, the cross-engine parity test
-#: (tests/test_textnorm.py::test_exotic_boundary_chars_match_oracle) is the
-#: tripwire; extend this pin then.
+#: DuckDB/RE2 Unicode bump changes Cf membership, the tripwire is
+#: tests/test_textnorm.py::test_cf_table_parity_tripwire (it re-derives
+#: RE2's full \\p{Cf} set from the installed DuckDB at test time and
+#: requires exact equality with unicodedata's Cf ∪ this pin); extend the
+#: pin when it fires.
 _CF_FORWARD = frozenset(range(0x13439, 0x13440))
 
 _STRIP_TABLE: dict | None = None
