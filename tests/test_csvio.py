@@ -1,0 +1,166 @@
+"""CSV corpus boundary (sources/csvio.py) — built round 11, driver
+registration queued r13. CSV_ROUNDTRIP_SQL verified here is the r13
+`o18_csv_roundtrip` oracle; `_csv_roundtrip_query` is the query shape that
+will move to the plans registry at registration.
+
+The injected suffixes make RFC-4180 quoting LOAD-BEARING: embedded commas,
+embedded doubled quotes and boundary spaces must survive the write/read
+byte-exactly or the md5-prefix fingerprint sum flips. The oracle recomputes
+the rollup from the ORIGINAL parquet plus the same injection arithmetic —
+the CSV bytes exist only between Spark's writer and Spark's reader."""
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_CORRECT
+
+#: quoting-hazard suffixes keyed by (doc_id // 20) % 4 — source IS
+#: doc_id % 20, so plain %4 is constant per source (the boilerplate-test
+#: lesson); ASCII only, newlines deliberately absent so the certified
+#: path stays line-splittable (see the csvio module caveat)
+_CSV_SUFFIXES = [
+    "",
+    ', "quoted, with commas",',
+    ' say ""twice"" done',
+    "  padded ends  ",
+]
+
+CSV_ROUNDTRIP_SQL = """
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || (LIST_VALUE('',
+               ', "quoted, with commas",',
+               ' say ""twice"" done',
+               '  padded ends  '
+             ))[CAST((doc_id // 20) % 4 AS INT) + 1] AS text
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))
+             AS BIGINT) AS fp_sum,
+           CAST(1 AS BIGINT) AS n_quarantined
+    FROM aug GROUP BY source
+"""
+
+
+def _csv_roundtrip_query(spark, sf_dir):
+    """The r13 o18_csv_roundtrip query shape: quoting-hazard suffixes in
+    Catalyst, sharded RFC-4180 write, PERMISSIVE schema'd read with one
+    injected malformed line (unparseable doc_id), per-source rollup whose
+    fingerprint sum pins the exact round-tripped bytes and whose
+    n_quarantined pins the quarantine count. Per-invocation mkdtemp,
+    result materialized before cleanup (the o17 discipline)."""
+    import os
+    import shutil
+    import tempfile
+
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.sources.csvio import read_csv, write_csv
+    from unravelsports_spark.sources.jsonl import quarantine_counts
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    try:
+        path = os.path.join(tmp, "docs")
+        docs = read_table(spark, sf_dir, "documents")
+        sfx = F.element_at(
+            F.array(*[F.lit(s) for s in _CSV_SUFFIXES]),
+            F.expr("cast((doc_id div 20) % 4 as int) + 1"),
+        )
+        aug = docs.select(
+            "doc_id", "source", F.concat(F.col("text"), sfx).alias("text")
+        )
+        write_csv(aug, path)
+        # injected before the first read of the brand-new dir (no
+        # FileStatusCache refresh needed): doc_id is not a number ->
+        # PERMISSIVE quarantines the whole line
+        with open(os.path.join(path, "part-corrupt.csv"), "w") as fh:
+            fh.write("doc_id,source,text\nnotanumber,srcX,hello\n")
+        back = read_csv(spark, path)
+        fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        rollup = (
+            back.where(F.col("_corrupt_record").isNull())
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).alias("total_chars"),
+                F.sum(fp).alias("fp_sum"),
+            )
+            .crossJoin(quarantine_counts(back).select("n_quarantined"))
+        )
+        rows = rollup.collect()
+        return spark.createDataFrame(rows, rollup.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_csv_roundtrip_matches_duckdb(spark, duck):
+    got = sorted(map(tuple, _csv_roundtrip_query(spark, SF_CORRECT).collect()))
+    want = sorted(map(tuple, duck.execute(CSV_ROUNDTRIP_SQL).fetchall()))
+    assert got == want and len(got) == 20
+
+
+def test_embedded_newline_needs_multiline(spark, tmp_path):
+    """Embedded newlines round-trip ONLY under multi_line=True — the
+    default line-splittable read quarantines/garbles them, which is the
+    documented trade (JSONL is the recommended carrier there)."""
+    from unravelsports_spark.sources.csvio import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(0, "a", "line one\nline two"), (1, "a", "plain")],
+        "doc_id long, source string, text string",
+    )
+    p = str(tmp_path / "nl")
+    write_csv(df, p)
+    ml = {
+        r["doc_id"]: r["text"]
+        for r in read_csv(spark, p, multi_line=True)
+        .where(F.col("_corrupt_record").isNull())
+        .collect()
+    }
+    assert ml == {0: "line one\nline two", 1: "plain"}
+    flat = read_csv(spark, p).where(F.col("_corrupt_record").isNull())
+    texts = {r["text"] for r in flat.collect()}
+    assert "line one\nline two" not in texts  # default mode cannot carry it
+
+
+def test_quote_comma_roundtrip_exact(spark, tmp_path):
+    """The RFC-4180 dialect carries commas, doubled quotes, leading/
+    trailing spaces and empty strings byte-exactly."""
+    from unravelsports_spark.sources.csvio import read_csv, write_csv
+
+    vals = ['a,b,"c" d', '""', "  pad  ", "", 'quote"inside', ",lead", "trail,"]
+    df = spark.createDataFrame(
+        [(i, "s", v) for i, v in enumerate(vals)],
+        "doc_id long, source string, text string",
+    )
+    p = str(tmp_path / "q")
+    write_csv(df, p)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in read_csv(spark, p)
+        .where(F.col("_corrupt_record").isNull())
+        .collect()
+    }
+    # Spark's CSV writer emits empty string as an empty (NULL-reading)
+    # field — the one known lossy cell; everything else is byte-exact
+    for i, v in enumerate(vals):
+        if v == "":
+            assert got[i] in ("", None)
+        else:
+            assert got[i] == v, (i, ascii(v), ascii(got[i]))
+
+
+def test_corrupt_line_quarantined(spark, tmp_path):
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.sources.csvio import read_csv, write_csv
+    from unravelsports_spark.sources.jsonl import quarantine_counts
+
+    df = spark.createDataFrame(
+        [(0, "a", "x")], "doc_id long, source string, text string"
+    )
+    p = str(tmp_path / "c")
+    write_csv(df, p)
+    with open(f"{p}/part-bad.csv", "w") as fh:
+        fh.write("doc_id,source,text\nNaN-ish,s,t\n")
+    qc = quarantine_counts(read_csv(spark, p)).collect()[0]
+    release_tracked()
+    assert (qc["n_clean"], qc["n_quarantined"]) == (1, 1)
