@@ -17,8 +17,13 @@ from .conftest import SF_CORRECT
 #: doc_id % 20, so plain %4 is constant per source (the boilerplate-test
 #: lesson); ASCII only, newlines deliberately absent so the certified
 #: path stays line-splittable (see the csvio module caveat)
+#: every class NON-EMPTY (r11 pass 5 finding #4): Spark reads an empty
+#: CSV field back as NULL (the documented lossy cell), so an empty base
+#: text + empty suffix would drop out of the Spark sums while DuckDB
+#: hashes md5('') — non-empty suffixes make empty fields impossible by
+#: construction at ANY scale factor
 _CSV_SUFFIXES = [
-    "",
+    " plain tail",
     ', "quoted, with commas",',
     ' say ""twice"" done',
     "  padded ends  ",
@@ -27,7 +32,7 @@ _CSV_SUFFIXES = [
 CSV_ROUNDTRIP_SQL = """
     WITH aug AS (
       SELECT doc_id, source,
-             text || (LIST_VALUE('',
+             text || (LIST_VALUE(' plain tail',
                ', "quoted, with commas",',
                ' say ""twice"" done',
                '  padded ends  '
@@ -54,7 +59,7 @@ def _csv_roundtrip_query(spark, sf_dir):
     import tempfile
 
     from unravelsports_spark.session import read_table
-    from unravelsports_spark.sources.csvio import read_csv, write_csv
+    from unravelsports_spark.sources.csvio import read_csv_checked, write_csv
     from unravelsports_spark.sources.jsonl import quarantine_counts
 
     tmp = tempfile.mkdtemp(prefix="spark_graft_csv_")
@@ -74,7 +79,12 @@ def _csv_roundtrip_query(spark, sf_dir):
         # PERMISSIVE quarantines the whole line
         with open(os.path.join(path, "part-corrupt.csv"), "w") as fh:
             fh.write("doc_id,source,text\nnotanumber,srcX,hello\n")
-        back = read_csv(spark, path)
+        # CHECKED read, explicitly (r11 pass 5 finding #2): the rollup
+        # below prunes doc_id, and on a raw CSV frame the parser would
+        # then pass the corrupt row as clean (a 21st 'srcX' group). The
+        # correctness of this oracle must not hang on quarantine_counts'
+        # internal persist as a side effect.
+        back = read_csv_checked(spark, path)
         fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
         rollup = (
             back.where(F.col("_corrupt_record").isNull())
@@ -164,3 +174,56 @@ def test_corrupt_line_quarantined(spark, tmp_path):
     qc = quarantine_counts(read_csv(spark, p)).collect()[0]
     release_tracked()
     assert (qc["n_clean"], qc["n_quarantined"]) == (1, 1)
+
+
+def test_pruning_hazard_and_checked_read(spark, tmp_path):
+    """The CSV-specific quarantine hazard, pinned (r11 pass 5 finding #1):
+    on a RAW read, a projection that prunes the malformed column ingests
+    the corrupt row as clean; read_csv_checked closes it for every
+    downstream projection. Also pins the corrupt-only-reference crash
+    (finding #3) so the docstrings stay honest."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.sources.csvio import (
+        read_csv,
+        read_csv_checked,
+        write_csv,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", "x")], "doc_id long, source string, text string"
+    )
+    p = str(tmp_path / "h")
+    write_csv(df, p)
+    with open(f"{p}/part-bad.csv", "w") as fh:
+        fh.write("doc_id,source,text\nnotanumber,srcX,oops\n")
+
+    # ALL raw-frame assertions BEFORE read_csv_checked exists: the
+    # checked frame persists the IDENTICAL logical plan, and Spark's cache
+    # manager then serves the raw frame from the InMemoryRelation too —
+    # masking both hazards (observed: the raise below vanished once the
+    # cache was live; that masking is itself why the hazards are so easy
+    # to ship).
+    raw = read_csv(spark, p)
+    leaked = (
+        raw.where(F.col("_corrupt_record").isNull())
+        .select("source", "text")
+        .collect()
+    )
+    assert len(leaked) == 2, "Spark now validates pruned columns - update csvio docs"
+    with pytest.raises((Exception, Py4JJavaError)) as ei:
+        raw.where(F.col("_corrupt_record").isNull()).count()
+    assert "CORRUPT_RECORD" in str(ei.value).upper()
+
+    checked = read_csv_checked(spark, p)
+    clean = (
+        checked.where(F.col("_corrupt_record").isNull())
+        .select("source", "text")
+        .collect()
+    )
+    assert len(clean) == 1 and clean[0]["source"] == "a"
+    # clean-row counts work on the checked frame
+    assert checked.where(F.col("_corrupt_record").isNull()).count() == 1
+    release_tracked()

@@ -8,10 +8,23 @@ exports, label vendor returns). Spark-first like sources/jsonl.py:
   default, so the shards are readable by DuckDB/pandas/Excel and survive
   embedded commas and quotes byte-exactly. One shard per partition.
 - :func:`read_csv`: explicit schema (never the double-scan inference pass)
-  in PERMISSIVE mode with a `_corrupt_record` quarantine — a malformed
-  line (bad number, broken quoting) surfaces whole instead of failing the
-  job or vanishing. :func:`~unravelsports_spark.sources.jsonl.
-  quarantine_counts` works on the result unchanged (same column contract).
+  in PERMISSIVE mode with a `_corrupt_record` quarantine.
+  :func:`~unravelsports_spark.sources.jsonl.quarantine_counts` works on
+  the result unchanged (same column contract).
+
+CSV quarantine hazard (r11 review pass 5 — measured, Spark-specific): the
+CSV parser validates ONLY the columns a query references. A downstream
+projection that prunes the malformed column reads the corrupt row AS CLEAN
+(`select('source','text')` happily returns the row whose doc_id failed to
+parse), and a query whose pruned references collapse to the corrupt-record
+column alone raises QUERY_ONLY_CORRUPT_RECORD_COLUMN. Quarantine-correct
+consumption therefore requires parsing every schema column once — that is
+:func:`read_csv_checked` (one full parse, persisted through the tracked
+cache; the audit you came for costs exactly that parse). Use the raw
+:func:`read_csv` only when every downstream query references all schema
+columns. JSONL does not share this hazard (its parser validates the whole
+line regardless of pruning), which is one more reason it is the preferred
+carrier at scale.
 
 Scale caveat the API makes explicit: records with EMBEDDED NEWLINES need
 ``multi_line=True``, and multiLine CSV parses each FILE as one unsplittable
@@ -26,7 +39,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .jsonl import DOC_SCHEMA  # the shared (doc_id, source, text) contract
+from .jsonl import (  # the shared (doc_id, source, text) + quarantine contract
+    DOC_SCHEMA,
+    with_corrupt_record,
+)
 
 #: RFC-4180 dialect: doubled-quote escaping, header row per shard.
 #: ignore*WhiteSpace are EXPLICIT on both sides because their defaults
@@ -54,13 +70,14 @@ def read_csv(
     schema: T.StructType = DOC_SCHEMA,
     multi_line: bool = False,
 ) -> DataFrame:
-    """Schema'd PERMISSIVE read with a quarantine column: well-formed rows
-    parse into ``schema``; a malformed line surfaces whole in
-    ``_corrupt_record`` with NULL data columns. ``multi_line=True`` only
-    for records with embedded newlines (see the module scale caveat)."""
-    full = T.StructType(
-        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
-    )
+    """RAW schema'd PERMISSIVE read with a quarantine column — correct
+    ONLY for queries that reference every schema column (see the module
+    quarantine-hazard note: CSV validates just the referenced columns, so
+    a pruning projection ingests corrupt rows as clean and a corrupt-only
+    reference raises). For audit-grade semantics use
+    :func:`read_csv_checked`. ``multi_line=True`` only for records with
+    embedded newlines (see the module scale caveat)."""
+    full = with_corrupt_record(schema)
     return (
         spark.read.schema(full)
         .options(**_CSV_OPTS)
@@ -69,3 +86,21 @@ def read_csv(
         .option("multiLine", str(bool(multi_line)).lower())
         .csv(path)
     )
+
+
+def read_csv_checked(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOC_SCHEMA,
+    multi_line: bool = False,
+) -> DataFrame:
+    """Quarantine-CORRECT read: the full-schema parse is materialized once
+    through the tracked cache (released at the repo's usual query
+    boundaries), so every downstream projection — however narrow — sees
+    the corrupt rows flagged and never re-triggers the pruning hazard.
+    The cost is the one full parse the audit requires anyway; at 100 TB
+    run it at ingest, land clean rows to parquet, and let every later
+    query read the columnar copy instead of re-parsing CSV."""
+    from ..cache import tracked_persist
+
+    return tracked_persist(read_csv(spark, path, schema, multi_line))

@@ -44,6 +44,15 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def with_corrupt_record(schema: T.StructType) -> T.StructType:
+    """``schema`` + the ``_corrupt_record`` quarantine column — ONE
+    definition shared by every PERMISSIVE boundary reader (jsonl + csvio),
+    so the quarantine column contract cannot drift between formats."""
+    return T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA
 ) -> DataFrame:
@@ -52,9 +61,7 @@ def read_jsonl(
     ``_corrupt_record`` with NULL data columns. Filter
     ``_corrupt_record IS NULL`` for the clean view;
     ``_corrupt_record IS NOT NULL`` is the quarantine."""
-    full = T.StructType(
-        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
-    )
+    full = with_corrupt_record(schema)
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
