@@ -183,7 +183,7 @@ def test_pruning_hazard_and_checked_read(spark, tmp_path):
     downstream projection. Also pins the corrupt-only-reference crash
     (finding #3) so the docstrings stay honest."""
     import pytest
-    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
 
     from unravelsports_spark.cache import release_tracked
     from unravelsports_spark.sources.csvio import (
@@ -213,7 +213,7 @@ def test_pruning_hazard_and_checked_read(spark, tmp_path):
         .collect()
     )
     assert len(leaked) == 2, "Spark now validates pruned columns - update csvio docs"
-    with pytest.raises((Exception, Py4JJavaError)) as ei:
+    with pytest.raises(AnalysisException) as ei:
         raw.where(F.col("_corrupt_record").isNull()).count()
     assert "CORRUPT_RECORD" in str(ei.value).upper()
 

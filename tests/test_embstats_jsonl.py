@@ -172,3 +172,42 @@ def test_embedding_dim_stats_property_matches_numpy(spark):
             assert r["mean_q"] == expected, (pos, s, len(qs), r["mean_q"])
 
     law()
+
+
+def test_jsonl_type_corruption_pruning_hazard(spark, tmp_path):
+    """JSONL shares the TYPE-level pruning hazard (r11 pass 6 #1/#2): a
+    valid-JSON row whose doc_id fails the long cast leaks as clean under a
+    pruned projection on the raw read; read_jsonl_checked closes it. (The
+    o17 oracle is immune regardless: its injected line is SYNTAX-corrupt,
+    and its rollup references every schema column.) Raw assertions run
+    BEFORE the checked read exists — the persisted twin plan would serve
+    the raw frame and mask the leak (the csvio cache-masking lesson)."""
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.sources.jsonl import (
+        read_jsonl,
+        read_jsonl_checked,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", "x")], "doc_id long, source string, text string"
+    )
+    p = str(tmp_path / "docs")
+    write_jsonl(df, p)
+    with open(f"{p}/part-typebad.json", "w") as fh:
+        fh.write('{"doc_id": "notanumber", "source": "bad", "text": "oops"}\n')
+    raw = read_jsonl(spark, p)
+    leaked = (
+        raw.where(F.col("_corrupt_record").isNull())
+        .select("source", "text")
+        .collect()
+    )
+    assert len(leaked) == 2, "Spark now casts pruned JSON columns - update docs"
+    checked = read_jsonl_checked(spark, p)
+    clean = (
+        checked.where(F.col("_corrupt_record").isNull())
+        .select("source", "text")
+        .collect()
+    )
+    assert len(clean) == 1 and clean[0]["source"] == "a"
+    release_tracked()

@@ -22,9 +22,11 @@ consumption therefore requires parsing every schema column once — that is
 :func:`read_csv_checked` (one full parse, persisted through the tracked
 cache; the audit you came for costs exactly that parse). Use the raw
 :func:`read_csv` only when every downstream query references all schema
-columns. JSONL does not share this hazard (its parser validates the whole
-line regardless of pruning), which is one more reason it is the preferred
-carrier at scale.
+columns. JSONL shares the TYPE-level leg of this hazard (a valid-JSON row
+whose field fails the schema cast also leaks under pruning — see
+read_jsonl/read_jsonl_checked); only SYNTAX-level corruption is
+pruning-immune there. CSV corruption is usually type-level (every field is
+a bare string until cast), which is why the hazard bites hardest here.
 
 Scale caveat the API makes explicit: records with EMBEDDED NEWLINES need
 ``multi_line=True``, and multiLine CSV parses each FILE as one unsplittable
@@ -100,7 +102,13 @@ def read_csv_checked(
     the corrupt rows flagged and never re-triggers the pruning hazard.
     The cost is the one full parse the audit requires anyway; at 100 TB
     run it at ingest, land clean rows to parquet, and let every later
-    query read the columnar copy instead of re-parsing CSV."""
+    query read the columnar copy instead of re-parsing CSV.
+
+    Release caveat (r11 pass 6 #3): after ``release_tracked()`` a
+    STILL-HELD checked frame recomputes from the raw files and silently
+    reverts to pruned-parse semantics — treat the frame's lifetime as
+    ending at the release boundary (re-read, or land clean rows to
+    parquet first)."""
     from ..cache import tracked_persist
 
     return tracked_persist(read_csv(spark, path, schema, multi_line))

@@ -56,11 +56,16 @@ def with_corrupt_record(schema: T.StructType) -> T.StructType:
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA
 ) -> DataFrame:
-    """Schema'd PERMISSIVE read with a quarantine column: well-formed rows
-    parse into ``schema``; malformed lines surface whole in
-    ``_corrupt_record`` with NULL data columns. Filter
-    ``_corrupt_record IS NULL`` for the clean view;
-    ``_corrupt_record IS NOT NULL`` is the quarantine."""
+    """RAW schema'd PERMISSIVE read with a quarantine column: SYNTAX-level
+    corruption (an unparseable line) surfaces whole in ``_corrupt_record``
+    regardless of what a downstream query projects. TYPE-level corruption
+    (valid JSON whose field fails the schema cast, e.g. a string doc_id)
+    is only detected when the query references the failing column —
+    Spark's pruned parse skips the cast, so a narrow projection ingests
+    such rows as clean (measured; the same hazard as csvio's, which is
+    worse there because CSV corruption is USUALLY type-level). For
+    audit-grade semantics across arbitrary projections use
+    :func:`read_jsonl_checked`."""
     full = with_corrupt_record(schema)
     return (
         spark.read.schema(full)
@@ -68,6 +73,22 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_jsonl_checked(
+    spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA
+) -> DataFrame:
+    """Quarantine-CORRECT read (the csvio.read_csv_checked pattern): one
+    full-schema parse materialized through the tracked cache, so every
+    downstream projection — however narrow — sees type-corrupt rows
+    flagged. Release caveat (r11 pass 6 #3): after ``release_tracked()``
+    a STILL-HELD frame recomputes from the raw source and silently
+    reverts to pruned-parse semantics — treat the checked frame's
+    lifetime as ending at the release boundary (re-read, or land clean
+    rows to parquet first, which is the 100 TB-correct move anyway)."""
+    from ..cache import tracked_persist
+
+    return tracked_persist(read_jsonl(spark, path, schema))
 
 
 def quarantine_counts(df: DataFrame) -> DataFrame:
@@ -81,9 +102,14 @@ def quarantine_counts(df: DataFrame) -> DataFrame:
     through the repo's tracked-cache facility (released at the next query
     boundary like every other tracked persist). Callers doing their own
     corrupt-only filters on a :func:`read_jsonl` frame need the same."""
+    from pyspark import StorageLevel
+
     from ..cache import tracked_persist
 
-    cached = tracked_persist(df)
+    # an already-persisted input (a checked read) is used as-is — a second
+    # tracked_persist would log 'already cached' and duplicate the release
+    # bookkeeping (r11 pass 6 #4)
+    cached = df if df.storageLevel != StorageLevel.NONE else tracked_persist(df)
     # coalesce: SUM over ZERO rows is NULL, and a health check on an
     # empty/not-yet-populated directory must report (0, 0) — a NULL
     # n_quarantined makes 'n_quarantined > 0' alerts silently never fire
