@@ -218,12 +218,16 @@ def test_pruning_hazard_and_checked_read(spark, tmp_path):
     assert "CORRUPT_RECORD" in str(ei.value).upper()
 
     checked = read_csv_checked(spark, p)
-    clean = (
-        checked.where(F.col("_corrupt_record").isNull())
-        .select("source", "text")
-        .collect()
-    )
-    assert len(clean) == 1 and clean[0]["source"] == "a"
-    # clean-row counts work on the checked frame
-    assert checked.where(F.col("_corrupt_record").isNull()).count() == 1
-    release_tracked()
+    try:
+        clean = (
+            checked.where(F.col("_corrupt_record").isNull())
+            .select("source", "text")
+            .collect()
+        )
+        assert len(clean) == 1 and clean[0]["source"] == "a"
+        # clean-row counts work on the checked frame
+        assert checked.where(F.col("_corrupt_record").isNull()).count() == 1
+    finally:
+        # an assertion failure must not leak the persisted frame into the
+        # shared-session suite (r11 pass 7 #3)
+        release_tracked()

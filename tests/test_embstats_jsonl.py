@@ -204,10 +204,14 @@ def test_jsonl_type_corruption_pruning_hazard(spark, tmp_path):
     )
     assert len(leaked) == 2, "Spark now casts pruned JSON columns - update docs"
     checked = read_jsonl_checked(spark, p)
-    clean = (
-        checked.where(F.col("_corrupt_record").isNull())
-        .select("source", "text")
-        .collect()
-    )
-    assert len(clean) == 1 and clean[0]["source"] == "a"
-    release_tracked()
+    try:
+        clean = (
+            checked.where(F.col("_corrupt_record").isNull())
+            .select("source", "text")
+            .collect()
+        )
+        assert len(clean) == 1 and clean[0]["source"] == "a"
+    finally:
+        # an assertion failure must not leak the persisted frame into the
+        # shared-session suite (r11 pass 7 #3)
+        release_tracked()

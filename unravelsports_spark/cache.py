@@ -24,18 +24,34 @@ _TRACKED: list[DataFrame] = []
 
 def tracked_persist(df: DataFrame, level=None) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK by default) and register it for later
-    :func:`release_tracked` cleanup. Returns the persisted DataFrame."""
+    :func:`release_tracked` cleanup. Returns the persisted DataFrame.
+
+    Idempotent (r11 pass 7 #1): a frame already tracked is returned as-is
+    (one registration, one release); a frame already cached (a checked
+    boundary read fed back in, or a caller's own persist) skips the
+    redundant ``.persist()`` call — which would only log 'already cached'
+    — but IS registered, so the release-at-boundary guarantee holds for
+    everything that flows through here."""
     from pyspark import StorageLevel
 
-    out = df.persist(level or StorageLevel.MEMORY_AND_DISK)
-    _TRACKED.append(out)
-    return out
+    if any(t is df for t in _TRACKED):
+        return df
+    if df.storageLevel == StorageLevel.NONE:
+        df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _TRACKED.append(df)
+    return df
 
 
 def release_tracked() -> int:
     """Unpersist every table registered since the last release; returns the
-    number released. Safe to call at any time — a consumer that re-runs a
-    released query simply recomputes and re-persists."""
+    number released. Safe to call at any time for RESULT correctness — a
+    consumer that re-runs a released query simply recomputes and
+    re-persists. One class of persist is correctness-LOAD-BEARING though:
+    the checked boundary readers (sources/jsonl.read_jsonl_checked,
+    sources/csvio.read_csv_checked) rely on the cache to defeat the CSV/
+    JSON pruned-parse quarantine hazard, and a still-held checked frame
+    recomputes with RAW semantics after release — their docstrings carry
+    the lifetime contract."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()

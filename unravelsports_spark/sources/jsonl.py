@@ -102,14 +102,14 @@ def quarantine_counts(df: DataFrame) -> DataFrame:
     through the repo's tracked-cache facility (released at the next query
     boundary like every other tracked persist). Callers doing their own
     corrupt-only filters on a :func:`read_jsonl` frame need the same."""
-    from pyspark import StorageLevel
-
     from ..cache import tracked_persist
 
-    # an already-persisted input (a checked read) is used as-is — a second
-    # tracked_persist would log 'already cached' and duplicate the release
-    # bookkeeping (r11 pass 6 #4)
-    cached = df if df.storageLevel != StorageLevel.NONE else tracked_persist(df)
+    # tracked_persist is idempotent (r11 pass 7 #1): a checked-read input
+    # is neither re-persisted nor double-registered, while a caller's
+    # untracked persist still gets REGISTERED so release_tracked keeps its
+    # release-at-boundary guarantee (the pass-6 local dedupe here had
+    # silently dropped that for pre-cached inputs)
+    cached = tracked_persist(df)
     # coalesce: SUM over ZERO rows is NULL, and a health check on an
     # empty/not-yet-populated directory must report (0, 0) — a NULL
     # n_quarantined makes 'n_quarantined > 0' alerts silently never fire
