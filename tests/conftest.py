@@ -11,6 +11,19 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    # ADVICE r11 #5: the Unicode-pin tripwires are deliberate environment
+    # couplings — a failure after a DuckDB/Python upgrade is a pin-update
+    # task, not a code regression. The marker makes that recognizable
+    # (deselect with `-m "not environment_parity"` while updating pins).
+    config.addinivalue_line(
+        "markers",
+        "environment_parity: pins installed-engine Unicode/regex tables; "
+        "a failure after an engine version bump means 'update the pin', "
+        "not 'the operator regressed'",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("unravelsports-spark-tests")

@@ -136,6 +136,43 @@ def test_strip_preserves_order_and_empty_docs(spark):
     assert got[1]["clean_text"] == "" and got[1]["lines_after"] == 0
 
 
+def test_null_text_docs_vanish_from_accounting(spark):
+    """The NULL-text contract (ADVICE r11 #2): a NULL-text doc yields zero
+    exploded lines and so appears in NEITHER flags nor per-doc output —
+    while a ''-text doc yields one empty line and a counters row. Callers
+    needing NULL docs in the accounting coalesce first; this pins both
+    sides of that boundary so the silent drop can't go unnoticed."""
+    from pyspark.sql import types as T
+
+    from unravelsports_spark.operators.boilerplate import (
+        boilerplate_flags,
+        strip_boilerplate,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(0, "A", "body\nFOOT"), (1, "A", None), (2, "A", "")], schema
+    )
+    flags = spark.createDataFrame([("A", "FOOT", 9)], ["source", "line", "doc_freq"])
+    got = {r["doc_id"]: r for r in strip_boilerplate(docs, flags).collect()}
+    assert set(got) == {0, 2}  # doc 1 (NULL text) vanished
+    assert (got[2]["lines_before"], got[2]["clean_text"]) == (1, "")
+    # and the NULL doc contributes nothing to doc-frequency either:
+    n_docs_seen = {
+        r["source"]: r["doc_freq"]
+        for r in boilerplate_flags(docs, min_frac=0.0, min_docs=1)
+        .where(F.col("line") == "body")
+        .collect()
+    }
+    assert n_docs_seen == {"A": 1}
+
+
 def test_plan_no_expand_broadcast_flags(spark):
     """Scale shape: the doc-frequency path has no Expand (two-phase
     distinct-then-count, never COUNT(DISTINCT)); the flag join back onto

@@ -5,6 +5,7 @@ no DuckDB builtin, so it is pinned here by a VALUES twin (hardcoded
 expected strings) plus the before/after dedup-key delta the operator
 exists to provide."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from .conftest import SF_CORRECT
@@ -152,6 +153,10 @@ def test_null_passthrough_and_bad_form(spark):
     assert got[0] is None and got[1] == "a"
     with pytest.raises(ValueError):
         normalize_text(df, form="NFX")
+    # out_col collision fails LOUD at call time (ADVICE r11 #3), not as a
+    # downstream ambiguous-reference AnalysisException
+    with pytest.raises(ValueError, match="already a column"):
+        normalize_text(df, out_col="text")
 
 
 def test_idempotent(spark):
@@ -224,6 +229,7 @@ def test_exotic_boundary_chars_match_oracle(spark, tmp_path):
     assert any(r[4] > 0 for r in got)
 
 
+@pytest.mark.environment_parity
 def test_cf_table_parity_tripwire(duck):
     """The REAL _CF_FORWARD tripwire (r11 pass 3 finding #1): re-derive the
     RE2-\\p{Cf} set from the INSTALLED DuckDB over the full codepoint range

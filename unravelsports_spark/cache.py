@@ -31,7 +31,16 @@ def tracked_persist(df: DataFrame, level=None) -> DataFrame:
     boundary read fed back in, or a caller's own persist) skips the
     redundant ``.persist()`` call — which would only log 'already cached'
     — but IS registered, so the release-at-boundary guarantee holds for
-    everything that flows through here."""
+    everything that flows through here.
+
+    Scope note (ADVICE r11 #4): the dedupe is per WRAPPER OBJECT, not per
+    logical plan — two DataFrame wrappers over the same plan (e.g.
+    ``read_csv_checked`` called twice on one path) each register, Spark's
+    cache manager resolves both to ONE cached relation, and release then
+    unpersists that shared relation at the first pop and no-ops at the
+    second. Harmless (unpersist is idempotent and release recomputation is
+    always result-safe), but 'one registration, one release' holds per
+    wrapper, not per plan."""
     from pyspark import StorageLevel
 
     if any(t is df for t in _TRACKED):

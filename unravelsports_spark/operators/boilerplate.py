@@ -24,6 +24,17 @@ Scale shape (pure Catalyst — no UDF anywhere):
 - reassembly: collect_list of (pos, line) structs with boilerplate lines
   nulled out (collect_list drops nulls), array_sort for in-doc order,
   concat_ws — deterministic under any partitioning.
+
+NULL-text contract (ADVICE r11 #2, pinned in tests): a document whose
+``text_col`` is NULL produces ZERO exploded lines (``split(NULL)`` is
+NULL and ``posexplode`` of NULL yields no rows), so it VANISHES from
+every output here — no flags contribution, no per-doc counters row. The
+DuckDB twin agrees exactly (``string_split(NULL)`` unnests to nothing),
+which is what makes the silent drop easy to miss. Callers whose corpus
+can carry NULL text and who need those docs in the accounting must
+``coalesce(text, '')`` BEFORE calling (an empty-string doc yields one
+empty line and a counters row); the registered query's corpus is
+NULL-free by construction (``concat_ws`` never returns NULL).
 """
 
 from __future__ import annotations

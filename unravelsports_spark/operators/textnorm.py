@@ -127,6 +127,13 @@ def normalize_text(
     before dedup). One Arrow pass; all other columns ride through."""
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normalization form: {form!r}")
+    if out_col in df.columns:
+        # fail loud here (ADVICE r11 #3): appending a duplicate field name
+        # would otherwise surface downstream as an obscure ambiguous-
+        # reference AnalysisException far from the cause
+        raise ValueError(
+            f"out_col {out_col!r} is already a column of the input frame"
+        )
     schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.StringType())]
     )

@@ -375,18 +375,28 @@ def _index_dir(sf_dir: str) -> str:
     fixed path was self-limiting because every run re-cleared it, but a
     PID-keyed tree would otherwise leak one embeddings-sized parquet copy
     per process until the tempdir fills. atexit is safe here — the driver
-    collects the returned frame long before interpreter exit."""
+    collects the returned frame long before interpreter exit. The cleanup
+    is PID-guarded (ADVICE r11 #1): a forked child inherits the parent's
+    atexit registry, and an unguarded callback would rmtree the PARENT's
+    still-live index tree on child exit — so the callback no-ops unless
+    os.getpid() equals the PID that registered it, and the registered-flag
+    is PID-keyed so the child registers its OWN cleanup for its own root
+    on first use."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ann_index_{os.getpid()}"
-    )
-    if not getattr(_index_dir, "_cleanup_registered", False):
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _index_dir._cleanup_registered = True
+    pid = os.getpid()
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_index_{pid}")
+    if getattr(_index_dir, "_cleanup_pid", None) != pid:
+
+        def _cleanup(root=root, pid=pid):
+            if os.getpid() == pid:  # never fire in a forked child
+                shutil.rmtree(root, ignore_errors=True)
+
+        atexit.register(_cleanup)
+        _index_dir._cleanup_pid = pid
     return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
 
 
