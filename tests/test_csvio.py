@@ -231,3 +231,35 @@ def test_pruning_hazard_and_checked_read(spark, tmp_path):
         # an assertion failure must not leak the persisted frame into the
         # shared-session suite (r11 pass 7 #3)
         release_tracked()
+
+
+def test_materialized_checked_read_survives_release(spark, tmp_path):
+    """The materialize= hardening (VERDICT r11 #5): the landed-parquet
+    checked read keeps quarantine-correct semantics AFTER release_tracked
+    and a full cache clear — the one place where a cache decision was
+    correctness-load-bearing, now opt-out. Also pins that corrupt-only
+    references are legal on the landed copy (parquet, not the csv
+    datasource, so the no-re-parse restriction doesn't apply)."""
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.sources.csvio import read_csv_checked, write_csv
+
+    df = spark.createDataFrame(
+        [(0, "a", "x")], "doc_id long, source string, text string"
+    )
+    p = str(tmp_path / "h")
+    write_csv(df, p)
+    with open(f"{p}/part-bad.csv", "w") as fh:
+        fh.write("doc_id,source,text\nnotanumber,srcX,oops\n")
+
+    checked = read_csv_checked(spark, p, materialize=str(tmp_path / "landed"))
+    release_tracked()
+    spark.catalog.clearCache()  # prove nothing cache-resident is load-bearing
+    clean = (
+        checked.where(F.col("_corrupt_record").isNull())
+        .select("source", "text")
+        .collect()
+    )
+    assert len(clean) == 1 and clean[0]["source"] == "a"
+    # corrupt-only reference: raises on the raw csv datasource (pinned
+    # above), works on the landed copy
+    assert checked.where(F.col("_corrupt_record").isNotNull()).count() == 1

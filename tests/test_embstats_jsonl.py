@@ -215,3 +215,30 @@ def test_jsonl_type_corruption_pruning_hazard(spark, tmp_path):
         # an assertion failure must not leak the persisted frame into the
         # shared-session suite (r11 pass 7 #3)
         release_tracked()
+
+
+def test_jsonl_materialized_checked_read_survives_release(spark, tmp_path):
+    """materialize= on the JSONL side (VERDICT r11 #5): type-corrupt rows
+    stay flagged under a pruned projection after release_tracked + a full
+    cache clear, because the parse landed to parquet."""
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.sources.jsonl import read_jsonl_checked, write_jsonl
+
+    df = spark.createDataFrame(
+        [(0, "a", "x")], "doc_id long, source string, text string"
+    )
+    p = str(tmp_path / "docs")
+    write_jsonl(df, p)
+    with open(f"{p}/part-typebad.json", "w") as fh:
+        fh.write('{"doc_id": "notanumber", "source": "bad", "text": "oops"}\n')
+
+    checked = read_jsonl_checked(spark, p, materialize=str(tmp_path / "landed"))
+    release_tracked()
+    spark.catalog.clearCache()
+    clean = (
+        checked.where(F.col("_corrupt_record").isNull())
+        .select("source", "text")
+        .collect()
+    )
+    assert len(clean) == 1 and clean[0]["source"] == "a"
+    assert checked.where(F.col("_corrupt_record").isNotNull()).count() == 1

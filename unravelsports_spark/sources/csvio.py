@@ -95,6 +95,7 @@ def read_csv_checked(
     path: str,
     schema: T.StructType = DOC_SCHEMA,
     multi_line: bool = False,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Quarantine-CORRECT read: the full-schema parse is materialized once
     through the tracked cache (released at the repo's usual query
@@ -107,8 +108,15 @@ def read_csv_checked(
     Release caveat (r11 pass 6 #3): after ``release_tracked()`` a
     STILL-HELD checked frame recomputes from the raw files and silently
     reverts to pruned-parse semantics — treat the frame's lifetime as
-    ending at the release boundary (re-read, or land clean rows to
-    parquet first)."""
+    ending at the release boundary, OR pass ``materialize=<scratch dir>``
+    (VERDICT r11 #5) to land the parse to parquet via
+    :func:`~unravelsports_spark.sources.jsonl.materialize_checked`: the
+    landed copy's quarantine semantics live in the files, not the cache,
+    and survive release/eviction/restart."""
     from ..cache import tracked_persist
+    from .jsonl import materialize_checked
 
-    return tracked_persist(read_csv(spark, path, schema, multi_line))
+    raw = read_csv(spark, path, schema, multi_line)
+    if materialize is not None:
+        return materialize_checked(raw, spark, materialize)
+    return tracked_persist(raw)

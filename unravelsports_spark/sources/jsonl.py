@@ -75,8 +75,30 @@ def read_jsonl(
     )
 
 
+def materialize_checked(raw: DataFrame, spark: SparkSession, dest: str) -> DataFrame:
+    """Land ONE full-schema parse of a PERMISSIVE boundary read to parquet
+    at ``dest`` (clean rows AND the ``_corrupt_record`` quarantine column)
+    and return a reader over the landed copy — shared by the jsonl and
+    csvio checked readers (VERDICT r11 #5).
+
+    Writing projects EVERY schema column, which is exactly the full parse
+    the pruning hazard requires, and parquet stores parsed VALUES — so the
+    returned frame's quarantine semantics are pinned in the files and
+    survive any cache eviction, ``release_tracked()``, or process restart
+    (unlike the tracked-cache path, whose correctness ends at the release
+    boundary). Corrupt-only references are also legal on the landed copy:
+    the no-re-parse restriction applies to the json/csv datasource, not to
+    parquet. This is the 100 TB ingest recipe the docstrings recommend —
+    parse once at the boundary, let every later query read columnar."""
+    raw.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)
+
+
 def read_jsonl_checked(
-    spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOC_SCHEMA,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Quarantine-CORRECT read (the csvio.read_csv_checked pattern): one
     full-schema parse materialized through the tracked cache, so every
@@ -84,11 +106,17 @@ def read_jsonl_checked(
     flagged. Release caveat (r11 pass 6 #3): after ``release_tracked()``
     a STILL-HELD frame recomputes from the raw source and silently
     reverts to pruned-parse semantics — treat the checked frame's
-    lifetime as ending at the release boundary (re-read, or land clean
-    rows to parquet first, which is the 100 TB-correct move anyway)."""
+    lifetime as ending at the release boundary, OR pass
+    ``materialize=<scratch dir>`` to land the parse to parquet instead
+    (:func:`materialize_checked`): the landed copy's quarantine semantics
+    live in the files, not the cache, at the cost of one scratch write —
+    the 100 TB-correct move anyway."""
     from ..cache import tracked_persist
 
-    return tracked_persist(read_jsonl(spark, path, schema))
+    raw = read_jsonl(spark, path, schema)
+    if materialize is not None:
+        return materialize_checked(raw, spark, materialize)
+    return tracked_persist(raw)
 
 
 def quarantine_counts(df: DataFrame) -> DataFrame:
