@@ -1,92 +1,20 @@
 """Boilerplate line removal (operators/boilerplate.py) — built round 11,
-driver registration round 12 (the r11 window is slot-exact at 47 p0 + the
-three stale rows-only checks). BOILERPLATE_SQL verified here is the r12
-`t_boilerplate_strip` oracle; `_boilerplate_query` is the query shape that
-will move to the plans registry at registration."""
+driver-registered round 12 as `t_boilerplate_strip` (plans/corpus8.py).
+The canonical oracle SQL moved there at registration; this suite imports
+it (no drift possible) and exercises the operator's contract edges."""
 
 from pyspark.sql import functions as F
 
+from unravelsports_spark.plans import QUERIES
+from unravelsports_spark.plans.corpus8 import BOILERPLATE_SQL
+
 from .conftest import SF_CORRECT
-
-# the exact SQL twin for the r12 `t_boilerplate_strip` registration —
-# per-source footer injected into ~half of each source's docs — keyed by
-# (doc_id // 20) % 2 because source IS doc_id % 20, so plain parity would be
-# constant per source (found the hard way: src1 got zero footers) — and a
-# unique note into the rest (doc-frequency 1, must never flag); the
-# fingerprint sum pins the exact reassembled bytes
-BOILERPLATE_SQL = """
-    WITH aug AS (
-      SELECT doc_id, source,
-             text || chr(10) ||
-             CASE WHEN (doc_id // 20) % 2 = 0
-                  THEN 'visit the ' || source || ' portal today'
-                  ELSE 'unique note ' || CAST(doc_id AS VARCHAR) END AS text
-      FROM documents),
-    lines AS (
-      SELECT doc_id, source, parts[u.i] AS line, u.i AS pos
-      FROM (SELECT doc_id, source, string_split(text, chr(10)) AS parts FROM aug),
-           unnest(range(1, len(parts) + 1)) AS u(i)),
-    freq AS (
-      SELECT source, line, COUNT(*) AS doc_freq
-      FROM (SELECT DISTINCT source, line, doc_id FROM lines) GROUP BY 1, 2),
-    tot AS (SELECT source, COUNT(*) AS n_docs FROM aug GROUP BY 1),
-    bp AS (SELECT f.source, f.line FROM freq f JOIN tot t USING (source)
-           WHERE doc_freq >= GREATEST(5, CAST(CEIL(0.3 * n_docs) AS BIGINT))),
-    flagged AS (
-      SELECT l.doc_id, l.source, l.line, l.pos,
-             (b.line IS NOT NULL) AS is_bp
-      FROM lines l LEFT JOIN bp b ON l.source = b.source AND l.line = b.line),
-    per_doc AS (
-      SELECT doc_id, source,
-             COUNT(*) AS lines_before,
-             SUM(CASE WHEN is_bp THEN 0 ELSE 1 END) AS lines_after,
-             SUM(length(line)) + COUNT(*) - 1 AS raw_chars,
-             COALESCE(string_agg(CASE WHEN is_bp THEN NULL ELSE line END,
-                                 chr(10) ORDER BY pos), '') AS clean_text
-      FROM flagged GROUP BY 1, 2)
-    SELECT source, COUNT(*) AS n_docs,
-           CAST(SUM(lines_before) AS BIGINT) AS lines_before,
-           CAST(SUM(lines_after) AS BIGINT) AS lines_after,
-           CAST(SUM(raw_chars) AS BIGINT) AS chars_before,
-           CAST(SUM(length(clean_text)) AS BIGINT) AS chars_after,
-           CAST(SUM(CAST(('0x' || substring(md5(clean_text), 1, 8)) AS BIGINT))
-             AS BIGINT) AS fp_sum
-    FROM per_doc GROUP BY source
-"""
-
-
-def _boilerplate_query(spark, sf_dir):
-    """The r12 t_boilerplate_strip query shape: footer injection in
-    Catalyst, flags at min_frac=0.3/min_docs=5, strip, per-source rollup
-    with the reassembled-bytes fingerprint sum inside the hash."""
-    from unravelsports_spark.operators.boilerplate import (
-        boilerplate_flags,
-        strip_boilerplate,
-    )
-    from unravelsports_spark.session import read_table
-
-    docs = read_table(spark, sf_dir, "documents")
-    footer = F.when(
-        F.expr("(doc_id div 20) % 2 = 0"),
-        F.concat(F.lit("visit the "), F.col("source"), F.lit(" portal today")),
-    ).otherwise(F.concat(F.lit("unique note "), F.col("doc_id").cast("string")))
-    aug = docs.select(
-        "doc_id", "source", F.concat_ws("\n", "text", footer).alias("text")
-    )
-    stripped = strip_boilerplate(aug, boilerplate_flags(aug))
-    fp = F.conv(F.substring(F.md5("clean_text"), 1, 8), 16, 10).cast("long")
-    return stripped.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("lines_before").alias("lines_before"),
-        F.sum("lines_after").alias("lines_after"),
-        F.sum("raw_chars").alias("chars_before"),
-        F.sum(F.length("clean_text")).alias("chars_after"),
-        F.sum(fp).alias("fp_sum"),
-    )
 
 
 def test_boilerplate_strip_matches_duckdb(spark, duck):
-    got = sorted(map(tuple, _boilerplate_query(spark, SF_CORRECT).collect()))
+    got = sorted(
+        map(tuple, QUERIES["t_boilerplate_strip"](spark, SF_CORRECT).collect())
+    )
     want = sorted(map(tuple, duck.execute(BOILERPLATE_SQL).fetchall()))
     assert got == want and len(got) == 20
     # the footer must genuinely be detected and removed in every source

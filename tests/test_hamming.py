@@ -1,79 +1,25 @@
-"""Hamming-LSH near-dup mining (operators/hamming.py) — built round 10.
-The DuckDB twin verified here is the oracle shape for a future
-`mm_phash_neardup` / `d_simhash_neardup` registration."""
+"""Hamming-LSH near-dup mining (operators/hamming.py) — built round 10,
+driver-registered round 12 as `d_simhash_neardup` (plans/corpus8.py). The
+canonical twin SQL moved there at registration; this suite imports it and
+pins the pigeonhole/cap/validation contract edges."""
 
 from pyspark.sql import functions as F
 
 
-def _twin_sql(src: str, threshold: int, bands: int = 4,
-              max_bucket: int = 10_000) -> str:
-    width = 64 // bands
-    mask = (1 << width) - 1
-    return f"""
-    WITH keyed AS (
-      SELECT id AS _id, h AS _h, u.b AS band, (h >> (u.b * {width})) & {mask} AS key
-      FROM {src}, unnest(range(0, {bands})) AS u(b)),
-    hot AS (SELECT band, key FROM keyed GROUP BY 1, 2
-            HAVING COUNT(*) > {max_bucket}),
-    ok AS (SELECT k.* FROM keyed k ANTI JOIN hot USING (band, key))
-    SELECT DISTINCT a._id AS id_a, b._id AS id_b,
-           bit_count(xor(a._h, b._h)) AS hamming
-    FROM ok a JOIN ok b ON a.band = b.band AND a.key = b.key AND a._id < b._id
-    WHERE bit_count(xor(a._h, b._h)) <= {threshold}
-    """
-
-
 def test_hamming_neardup_matches_duckdb(spark, duck):
-    """Banded candidates + exact verify over the corpus fingerprints
-    (simhash of the documents table — a REAL skewed hash distribution),
-    exact vs the SQL twin including negative codes and arithmetic-shift
-    semantics."""
-    from unravelsports_spark.operators.dedup import simhash
-    from unravelsports_spark.operators.hamming import hamming_neardup_pairs
-    from unravelsports_spark.session import read_table
+    """The registered query (banded candidates + exact verify over the
+    corpus simhash fingerprints — a REAL skewed hash distribution,
+    sign-bit-mixed so negative codes and arithmetic-shift band keys are
+    exercised) exact vs the canonical oracle, both imported from the
+    registry."""
+    from unravelsports_spark.plans import ORACLE_SQL, QUERIES
 
     from .conftest import SF_CORRECT
 
-    docs = read_table(spark, SF_CORRECT, "documents")
-    # widen the 16-bit simhash into the 64-bit id-mixed code a perceptual
-    # hash would produce (keeps the test on real, collision-rich data);
-    # odd ids get the SIGN BIT set so negative codes — and the arithmetic-
-    # shift-plus-mask band keys they produce — are genuinely exercised
-    MIN64 = -(1 << 63)
-    fps = simhash(docs, bits=16).select(
-        F.col("doc_id").alias("id"),
-        (
-            F.col("simhash")
-            + F.shiftleft(F.col("simhash"), 16)
-            + F.shiftleft(F.pmod(F.col("doc_id"), F.lit(7)), 32)
-        )
-        .cast("bigint")
-        .bitwiseXOR(
-            F.when(F.pmod("doc_id", F.lit(2)) == 1, F.lit(MIN64))
-            .otherwise(F.lit(0))
-            .cast("bigint")
-        )
-        .alias("h"),
-    )
     got = sorted(
-        map(
-            tuple,
-            hamming_neardup_pairs(fps, "h", "id", threshold=3, bands=4).collect(),
-        )
+        map(tuple, QUERIES["d_simhash_neardup"](spark, SF_CORRECT).collect())
     )
-    # fully independent twin: DuckDB recomputes the fingerprints through
-    # the certified d_simhash SQL and the same integer widening
-    from unravelsports_spark.plans.pipeline import _simhash_sql
-
-    src = f"""(
-      WITH sh AS ({_simhash_sql(16)})
-      SELECT doc_id AS id,
-             xor(simhash + (simhash << 16) + ((doc_id % 7) << 32),
-                 CASE WHEN doc_id % 2 = 1
-                      THEN CAST(-9223372036854775808 AS BIGINT)
-                      ELSE CAST(0 AS BIGINT) END) AS h
-      FROM sh) fps"""
-    want = sorted(map(tuple, duck.execute(_twin_sql(src, 3)).fetchall()))
+    want = sorted(map(tuple, duck.execute(ORACLE_SQL["d_simhash_neardup"]).fetchall()))
     assert got == want and len(got) > 0
 
 

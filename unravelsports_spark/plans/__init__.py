@@ -13,3 +13,4 @@ from . import corpus4  # noqa: F401  (registers round-4 data-selection/sharding 
 from . import corpus5  # noqa: F401  (registers round-9 mining/spectral/unigram queries)
 from . import corpus6  # noqa: F401  (registers round-10 wordpiece/mfcc/sampling/privacy/index queries)
 from . import corpus7  # noqa: F401  (registers round-11 privacy/splits/embstats/jsonl/video/audio queries)
+from . import corpus8  # noqa: F401  (registers round-12 boilerplate/hamming-neardup/html-extract queries)
