@@ -18,11 +18,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(spark, sf_dir: str) -> dict:
+    import pyspark.sql.functions as F
+
     from unravelsports_spark.cache import release_tracked, tracked_persist
+    from unravelsports_spark.operators.htmltext import extract_html_text
     from unravelsports_spark.operators.textnorm import normalize_text
     from unravelsports_spark.session import read_table
 
-    raw_docs = read_table(spark, sf_dir, "documents")
+    crawl = read_table(spark, sf_dir, "documents")
+
+    # -1. Markup extraction FIRST (r12; the crawl-ingest step every web
+    # corpus runs before anything text-level): strip script/style/comment
+    # blocks and tags, decode the pinned entity set. A pure projection —
+    # it fuses into the scan. On this synthetic (markup-free) corpus the
+    # stage is an exact no-op, pinned below the same way the textnorm
+    # stage pins n_normalized == 0 on clean ASCII.
+    raw_docs = extract_html_text(crawl, text_col="text", out_col="demarked")
+    raw_docs = raw_docs.select(
+        "doc_id",
+        "source",
+        (F.col("demarked") != F.col("text")).alias("_markup_changed"),
+        F.col("demarked").alias("text"),
+    )
 
     # 0. Unicode canonicalization BEFORE any fingerprinting (r11): a
     # decomposed accent or a zero-width insertion would otherwise defeat
@@ -64,6 +81,7 @@ def _gated_release(spark, sf_dir: str, normed) -> dict:
         write_jsonl,
     )
 
+    n_markup_changed = normed.where(F.col("_markup_changed")).count()
     n_normalized = normed.where(F.col("norm_text") != F.col("text")).count()
     docs = normed.select("doc_id", "source", F.col("norm_text").alias("text"))
 
@@ -116,6 +134,7 @@ def _gated_release(spark, sf_dir: str, normed) -> dict:
     max_abs = max(max(abs(r["min_q"]), abs(r["max_q"])) for r in dim_stats) / Q
 
     return {
+        "n_markup_changed": int(n_markup_changed),
         "n_normalized": int(n_normalized),
         "splits": audit,
         "k_anon_at_risk_rows": int(at_risk_rows),

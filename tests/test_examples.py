@@ -73,9 +73,11 @@ def test_release_pipeline_example(spark):
     from examples.release_pipeline import main
 
     out = main(spark, "/root/testdata/sf0.001")
-    # the canonicalization stage ran (ASCII corpus: NFKC is the identity,
-    # so nothing should report as changed — a nonzero count here means the
-    # normalizer is mangling clean text)
+    # the markup-extraction stage ran (markup-free corpus: extraction is
+    # the identity — a nonzero count means the extractor is eating clean
+    # text), then canonicalization (ASCII corpus: NFKC identity, same
+    # contract)
+    assert out["n_markup_changed"] == 0
     assert out["n_normalized"] == 0
     # every split audited, nothing straddles (the structural invariant)
     assert set(out["splits"]) <= {"train", "val", "test"} and out["splits"]

@@ -594,3 +594,42 @@ def test_media_detectors_zero_shuffle_pruned_scan(spark):
         assert "Exchange" not in plan, name
         assert "ReadSchema: struct<doc_id:bigint>" in plan, name
         assert plan.count("MapInPandas") == 2, name  # synth + detector
+
+
+def test_boilerplate_strip_no_expand_broadcast_flags(spark):
+    """t_boilerplate_strip: the doc-frequency path is distinct-then-count
+    (never COUNT(DISTINCT)'s Expand); the per-source totals and the
+    template-sized flag table come back as broadcasts, so the flag join
+    onto the exploded corpus adds no shuffle. clearCache: a cached
+    documents relation would mask the scan shape."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "t_boilerplate_strip")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_neardup_co_bucketed_join(spark):
+    """d_simhash_neardup: candidates meet ONLY inside (band, key) buckets
+    — the self-join must be a shuffled equi-join on those keys, never a
+    cartesian/nested-loop — and the hot-bucket cap is a left-anti join
+    BEFORE the quadratic step."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "d_simhash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # the hot-bucket cap
+
+
+def test_html_extract_jvm_projection_single_exchange(spark):
+    """t_html_extract: the whole extraction chain is JVM-side (ZERO
+    Python/Arrow stages — regexp_replace + literal replace inside
+    codegen), md5/length partials combine map-side, and exactly ONE hash
+    exchange (the per-source combine) moves source-sized partials."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "t_html_extract")
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan

@@ -165,7 +165,11 @@ def main() -> None:
         "  jaccard output pairs per scale: "
         + ", ".join(f"{f}x={p}" for f, p in zip(factors, pairs))
     )
+    from unravelsports_spark.operators.htmltext import extract_html_text
     from unravelsports_spark.operators.textnorm import normalize_text
+
+    def _html(d):
+        return extract_html_text(d, text_col="text", out_col="clean_text")
 
     for name, mk in {
         "jaccard_pairs(dup-heavy)": lambda d: jaccard_pairs(doc_shingles(d)),
@@ -176,6 +180,10 @@ def main() -> None:
         # (pure linear) with no fixed-cost cliff from the memoized
         # codepoint table
         "normalize_text(NFKC)": lambda d: normalize_text(d, form="NFKC"),
+        # r12: markup extraction — a codegen'd JVM projection (regexp +
+        # literal replace chain), the cheapest stage in the crawl chain;
+        # decade ratio must stay ~linear with no Python/Arrow involvement
+        "extract_html_text": lambda d: _html(d),
     }.items():
         walls = [timed(lambda s=s: mk(doc_scales[s])) for s in factors]
         print(fmt_row(name, walls))
