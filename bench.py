@@ -81,6 +81,16 @@ HEADLINE = [
     # asymmetric containment mining over the same inverted index (the
     # doc-inside-doc signal a Jaccard threshold misses)
     "d_containment_top_pairs",
+    # round-12 addition: Hamming-LSH near-dup mining — 128k exact-verified
+    # pairs at sf0.1 (DuckDB ~0.4 s on the same band/verify chain), so the
+    # ratio measures the banded self-join plan, not scheduling floors
+    "d_simhash_neardup",
+    # NOT headlined: t_boilerplate_strip / t_html_extract — their DuckDB
+    # oracles run in 54/73 ms at sf0.1 (source-sized rollups over one
+    # projection pass), so a bench row would measure 2-3 Spark job floors
+    # against a near-zero denominator, like q1/w5 already do. Their scale
+    # behavior is covered by the SCALING.md probes (extract_html_text is a
+    # pure codegen'd projection; boilerplate's shape is plan-guarded).
     # NOT headlined: d_kcore_peeling — its wall is ~7 sequential
     # materialization-job floors over a ~650-row edge list (profiled:
     # LSH edge build+checkpoint 1.6 s of 2.1 s total; the MATERIALIZED

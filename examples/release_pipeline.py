@@ -81,8 +81,14 @@ def _gated_release(spark, sf_dir: str, normed) -> dict:
         write_jsonl,
     )
 
-    n_markup_changed = normed.where(F.col("_markup_changed")).count()
-    n_normalized = normed.where(F.col("norm_text") != F.col("text")).count()
+    # both gate counters in ONE pass over the persisted frame (r12 review
+    # pass 1 #4: two .count() jobs where one agg does)
+    n_markup_changed, n_normalized = normed.agg(
+        F.coalesce(F.sum(F.col("_markup_changed").cast("long")), F.lit(0)),
+        F.coalesce(
+            F.sum((F.col("norm_text") != F.col("text")).cast("long")), F.lit(0)
+        ),
+    ).first()
     docs = normed.select("doc_id", "source", F.col("norm_text").alias("text"))
 
     # 1. leakage-safe splits: train/val/test keyed on the near-dup CLUSTER

@@ -40,6 +40,8 @@ def test_edge_semantics_cross_engine(spark, duck):
         'pre<script type="x">var y = 1 < 2;</script\t>post',
         "<STYLE>.c{}</STYLE><DIV CLASS='x'>up</DIV><BR/>",
         "<!-- a <b>never seen</b> --><p>kept</p>",
+        "pre<script>secret()</script\x0b>post",
+        "&amp;#38; one level too",
         None,
     ]
     df = spark.createDataFrame(
@@ -59,7 +61,14 @@ def test_edge_semantics_cross_engine(spark, duck):
     assert got[5] == "pre post"  # whitespace before '>' in the close tag
     assert got[7] == "  kept "  # comment content (tags included) gone;
     # two leading spaces: comment → ' ' then '<p>' → ' '
-    assert got[8] is None
+    # r12 review pass 1 #1: a VERTICAL TAB inside the close tag — Java's
+    # \s includes U+000B, RE2's does not, so the explicit class in
+    # _BLOCK_PATTERNS is what keeps both engines removing the block
+    assert got[8] == "pre post"
+    # r12 review pass 1 #2: BOTH amp spellings decode exactly one level —
+    # sequential literal replaces would re-decode the re-formed '&#38;'
+    assert got[9] == "&#38; one level too"
+    assert got[10] is None
 
 
 def test_out_col_collision_fails_loud(spark):

@@ -144,8 +144,6 @@ def test_dedup_key_delta(spark):
 
 
 def test_null_passthrough_and_bad_form(spark):
-    import pytest
-
     from unravelsports_spark.operators.textnorm import normalize_text
 
     df = spark.createDataFrame([(0, None), (1, "  a  ")], ["id", "text"])

@@ -168,9 +168,6 @@ def main() -> None:
     from unravelsports_spark.operators.htmltext import extract_html_text
     from unravelsports_spark.operators.textnorm import normalize_text
 
-    def _html(d):
-        return extract_html_text(d, text_col="text", out_col="clean_text")
-
     for name, mk in {
         "jaccard_pairs(dup-heavy)": lambda d: jaccard_pairs(doc_shingles(d)),
         "incremental_dedup(vs ledger)": lambda d: incremental_dedup(d, seen=ledger),
@@ -183,7 +180,7 @@ def main() -> None:
         # r12: markup extraction — a codegen'd JVM projection (regexp +
         # literal replace chain), the cheapest stage in the crawl chain;
         # decade ratio must stay ~linear with no Python/Arrow involvement
-        "extract_html_text": lambda d: _html(d),
+        "extract_html_text": lambda d: extract_html_text(d),
     }.items():
         walls = [timed(lambda s=s: mk(doc_scales[s])) for s in factors]
         print(fmt_row(name, walls))

@@ -26,18 +26,21 @@ Semantics (a deliberate regex extractor, not an HTML5 parser):
 - every remaining ``<…>`` tag becomes ONE SPACE (not ''), so
   ``…text</p><p>more…`` never fuses words; the downstream whitespace
   collapse in ``normalize_text`` owns run-of-space cleanup.
-- a PINNED entity set decodes via literal single-pass replaces:
-  named ``&lt; &gt; &quot; &apos; &nbsp; &amp;`` plus their numeric
-  twins ``&#60; &#62; &#34; &#39; &#160; &#38;``. ``&nbsp;``/``&#160;``
-  map to a PLAIN SPACE (extraction folds layout spacing; callers wanting
-  U+00A0 preserved decode differently). The amp-family decodes LAST and
-  single-pass (no rescan of replaced text — Java, DuckDB, and Python
-  ``str.replace`` all agree), so ``&amp;lt;`` yields the literal text
-  ``&lt;`` exactly once — never a double-decoded ``<`` (the classic
-  entity-chain bug, pinned in tests). Entities outside the pin
-  (``&copy;``, general ``&#NNNN;``) pass through unchanged: Catalyst
-  cannot synthesize chr(NNNN) in a replace, and a silent partial decode
-  would be worse than a visible passthrough.
+- a PINNED entity set decodes single-level: named
+  ``&lt; &gt; &quot; &apos; &nbsp; &amp;`` plus their numeric twins
+  ``&#60; &#62; &#34; &#39; &#160; &#38;``. ``&nbsp;``/``&#160;`` map to
+  a PLAIN SPACE (extraction folds layout spacing; callers wanting U+00A0
+  preserved decode differently). The non-amp entities are literal
+  single-pass replaces (their outputs can never assemble a new entity);
+  the AMP FAMILY decodes LAST and as ONE regex alternation pass
+  (``&amp;|&#38;`` → ``&``), because two sequential literal replaces
+  would rescan each other's output: ``&amp;#38;`` must yield the literal
+  text ``&#38;`` exactly as ``&amp;lt;`` yields ``&lt;`` — one decode
+  level for EVERY spelling, never a double-decoded ``&`` or ``<`` (the
+  classic entity-chain bug; both edges pinned in tests). Entities outside
+  the pin (``&copy;``, general ``&#NNNN;``) pass through unchanged:
+  Catalyst cannot synthesize chr(NNNN) in a replace, and a silent partial
+  decode would be worse than a visible passthrough.
 - NULL text stays NULL (regexp_replace/replace are NULL-propagating on
   both engines).
 """
@@ -48,16 +51,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: block/tag removal, in order: comments, script blocks, style blocks,
-#: every remaining tag → one space. Java/RE2-common syntax only.
+#: every remaining tag → one space. Java/RE2-common syntax only — the
+#: close-tag whitespace is an EXPLICIT class, not ``\s``, because the two
+#: engines disagree on ``\s`` itself: Java's includes U+000B (vertical
+#: tab), RE2's does not (r12 review pass 1 #1, confirmed live — a VT
+#: inside ``</script␋>`` made the engines extract different bytes). The
+#: class spells out Java's five-plus-VT set so both strip identically.
 _BLOCK_PATTERNS = (
     r"(?s)<!--.*?-->",
-    r"(?is)<script[^>]*>.*?</script\s*>",
-    r"(?is)<style[^>]*>.*?</style\s*>",
+    "(?is)<script[^>]*>.*?</script[ \\t\\n\\x0b\\f\\r]*>",
+    "(?is)<style[^>]*>.*?</style[ \\t\\n\\x0b\\f\\r]*>",
     r"(?s)<[^>]*>",
 )
 
-#: the pinned entity set, DECODE ORDER IS LOAD-BEARING: amp-family last,
-#: so already-escaped text (``&amp;lt;``) decodes exactly one level.
+#: the pinned entity set, DECODE ORDER IS LOAD-BEARING: the amp family
+#: decodes LAST — and in ONE regexp alternation pass, not two sequential
+#: literal replaces (r12 review pass 1 #2): sequentially, ``&amp;`` → ``&``
+#: re-forms ``&#38;`` out of ``&amp;#38;`` and the later literal pass
+#: double-decodes it to bare ``&`` (and swapping the order just moves the
+#: hole to ``&#38;amp;``). A single left-to-right regex pass never rescans
+#: its own replacements, so BOTH spellings decode exactly one level.
+#: The non-amp entities are safe as literal replaces: their outputs
+#: (``< > " '`` space) can never assemble a new entity.
 ENTITIES = (
     ("&lt;", "<"),
     ("&#60;", "<"),
@@ -69,9 +84,10 @@ ENTITIES = (
     ("&#39;", "'"),
     ("&nbsp;", " "),
     ("&#160;", " "),
-    ("&amp;", "&"),
-    ("&#38;", "&"),
 )
+
+#: amp family — one alternation, one pass (see ENTITIES note)
+_AMP_PATTERN = "&amp;|&#38;"
 
 
 def html_text_expr(col) -> F.Column:
@@ -83,7 +99,7 @@ def html_text_expr(col) -> F.Column:
         c = F.regexp_replace(c, pat, " ")
     for src, dst in ENTITIES:
         c = F.replace(c, F.lit(src), F.lit(dst))
-    return c
+    return F.regexp_replace(c, _AMP_PATTERN, "&")
 
 
 def extract_html_text(
@@ -92,11 +108,10 @@ def extract_html_text(
     """Append ``out_col`` = the markup-stripped, entity-decoded form of
     ``text_col`` (NULL stays NULL; all other columns ride through). See
     the module docstring for the pinned semantics. Fails loud on an
-    ``out_col`` collision (the textnorm ADVICE r11 #3 rule)."""
-    if out_col in df.columns:
-        raise ValueError(
-            f"out_col {out_col!r} is already a column of the input frame"
-        )
+    ``out_col`` collision (the shared textnorm rule, ADVICE r11 #3)."""
+    from . import require_new_column
+
+    require_new_column(df, out_col)
     return df.withColumn(out_col, html_text_expr(text_col))
 
 
@@ -107,9 +122,12 @@ def html_text_sql(expr: str) -> str:
     parity check pins that the pattern tables match)."""
     c = expr
     for pat in _BLOCK_PATTERNS:
-        c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
+        # quote-escape the pattern too (r12 review pass 1 #3): the table
+        # is designed to be edited, and the first future pattern with a
+        # literal quote must not produce malformed SQL in every oracle
+        c = f"regexp_replace({c}, '{pat.replace(chr(39), chr(39) * 2)}', ' ', 'g')"
     for src, dst in ENTITIES:
         dst_sql = dst.replace("'", "''")
         src_sql = src.replace("'", "''")
         c = f"replace({c}, '{src_sql}', '{dst_sql}')"
-    return c
+    return f"regexp_replace({c}, '{_AMP_PATTERN}', '&', 'g')"

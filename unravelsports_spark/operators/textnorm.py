@@ -127,13 +127,9 @@ def normalize_text(
     before dedup). One Arrow pass; all other columns ride through."""
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normalization form: {form!r}")
-    if out_col in df.columns:
-        # fail loud here (ADVICE r11 #3): appending a duplicate field name
-        # would otherwise surface downstream as an obscure ambiguous-
-        # reference AnalysisException far from the cause
-        raise ValueError(
-            f"out_col {out_col!r} is already a column of the input frame"
-        )
+    from . import require_new_column  # fail loud on collision (ADVICE r11 #3)
+
+    require_new_column(df, out_col)
     schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.StringType())]
     )
