@@ -1,0 +1,148 @@
+"""t-closeness audit (operators/privacy.py:t_closeness_report) — built
+round 12, driver registration queued r13 (`a25_t_closeness`). The
+T_CLOSENESS_SQL twin verified here moves to the plans registry at
+registration, per the corpus7/corpus8 discipline."""
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_CORRECT
+
+# the exact SQL twin for the r13 `a25_t_closeness` registration — same
+# quasi-identifiers and sensitive bucket as the certified a24_l_diversity,
+# so the three privacy audits (k-anon, l-div, t-closeness) read one
+# release surface. HUGEINT cross-products mirror the operator's
+# decimal(38,0); `//` and Spark's `div` agree on positive operands.
+T_CLOSENESS_SQL = """
+    WITH rows_ AS (
+      SELECT c_nationkey AS q1, c_mktsegment AS q2,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS v
+      FROM customer WHERE c_acctbal IS NOT NULL),
+    pv AS (SELECT q1, q2, v, COUNT(*) AS c FROM rows_ GROUP BY 1, 2, 3),
+    per_class AS (SELECT q1, q2, SUM(c) AS cc FROM pv GROUP BY 1, 2),
+    gdist AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cumg
+              FROM (SELECT v, COUNT(*) AS cnt FROM rows_ GROUP BY 1)),
+    gtot AS (SELECT COUNT(*) AS gg, COUNT(DISTINCT v) AS m FROM rows_),
+    grid AS (
+      SELECT pc.q1, pc.q2, pc.cc, g.v, g.cumg, t.gg, t.m,
+             COALESCE(p.c, 0) AS c0
+      FROM per_class pc CROSS JOIN gdist g CROSS JOIN gtot t
+      LEFT JOIN pv p ON p.q1 = pc.q1 AND p.q2 = pc.q2 AND p.v = g.v),
+    cum AS (SELECT *, SUM(c0) OVER (PARTITION BY q1, q2 ORDER BY v) AS cumc
+            FROM grid),
+    emd AS (
+      SELECT q1, q2, MAX(cc) AS cc, MAX(gg) AS gg, MAX(m) AS m,
+             SUM(ABS(CAST(cumc AS HUGEINT) * gg
+                     - CAST(cumg AS HUGEINT) * cc)) AS num
+      FROM cum GROUP BY 1, 2),
+    ppm AS (SELECT cc, CASE WHEN m <= 1 THEN 0
+              ELSE CAST((num * 1000000)
+                        // (CAST(m - 1 AS HUGEINT) * cc * gg) AS BIGINT)
+            END AS emd_ppm
+            FROM emd)
+    SELECT emd_ppm // 100000 AS emd_decile, emd_ppm > 150000 AS at_risk,
+           COUNT(*) AS n_classes, CAST(SUM(cc) AS BIGINT) AS n_rows
+    FROM ppm GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _report(spark, sf_dir):
+    """The r13 a25_t_closeness query shape."""
+    from unravelsports_spark.operators.privacy import t_closeness_report
+    from unravelsports_spark.session import read_table
+
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return t_closeness_report(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket", t_ppm=150_000
+    )
+
+
+def test_t_closeness_matches_duckdb(spark, duck):
+    got = sorted(map(tuple, _report(spark, SF_CORRECT).collect()))
+    want = sorted(map(tuple, duck.execute(T_CLOSENESS_SQL).fetchall()))
+    assert got == want and len(got) > 0
+    # the audit must genuinely discriminate: some classes near the global
+    # distribution, some far (all-one-decile output would certify nothing)
+    assert len({d for d, *_ in got}) > 1
+
+
+def test_t_closeness_hand_example(spark):
+    """EMD pinned against hand arithmetic. Global over values {1, 2}:
+    nine 1s + three 2s (G=12, cumG=[9,12], m=2). Class A = four 1s →
+    cumC=[4,4] → |4·12−9·4| + 0 = 12 → EMD = 12/(1·4·12) = 0.25 (ppm
+    250000, decile 2, at_risk at t=0.15). Class B = {1,1,2,2} → cumC=[2,4]
+    → |24−36| = 12 → 0.25 likewise. Class C = {1,1,1,2} → cumC=[3,4] →
+    |36−36| = 0 → EXACTLY the global mix, EMD 0, not at risk."""
+    from unravelsports_spark.operators.privacy import t_closeness_report
+
+    rows = (
+        [("A", 1)] * 4
+        + [("B", 1), ("B", 1), ("B", 2), ("B", 2)]
+        + [("C", 1), ("C", 1), ("C", 1), ("C", 2)]
+    )
+    df = spark.createDataFrame(rows, ["klass", "v"])
+    got = sorted(
+        map(tuple, t_closeness_report(df, ["klass"], "v", t_ppm=150_000).collect())
+    )
+    assert got == [(0, False, 1, 4), (2, True, 2, 8)]
+
+
+def test_t_closeness_null_and_degenerate_contracts(spark):
+    """NULL sensitive rows are EXCLUDED from both distributions (engines
+    disagree on NULL sort placement — the docstring contract); an
+    all-one-value corpus is trivially 0-close (the m=1 division guard)."""
+    from unravelsports_spark.operators.privacy import t_closeness_report
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", None), ("B", 1), ("B", None)],
+        "klass string, v int",
+    )
+    got = sorted(map(tuple, t_closeness_report(df, ["klass"], "v").collect()))
+    # after NULL exclusion both classes hold one 1 → m=1 → EMD 0; n_rows
+    # counts only the non-NULL rows
+    assert got == [(0, False, 2, 2)]
+
+
+def test_t_closeness_skew_beats_l_diversity(spark):
+    """The operator's reason to exist: a class can PASS l-diversity (many
+    distinct values) while t-closeness flags it — distinctness is not
+    distributional closeness."""
+    from unravelsports_spark.operators.privacy import (
+        l_diversity_report,
+        t_closeness_report,
+    )
+
+    # class "flat": 24 rows evenly over 0..3 (dominates the global mix);
+    # class "skew": 8 rows, 4 distinct values (PASSES l=3) but almost all
+    # mass on 0. Sizes are deliberately UNEQUAL — with two equal classes
+    # the global is their midpoint and both deviate identically (found
+    # writing this test). Hand EMD: skew num=144 → 144/(3·8·32) = 0.1875
+    # (187500 ppm, flagged at t=0.1); flat num=144 → 144/(3·24·32) =
+    # 0.0625 (62500 ppm, clean).
+    rows = [("skew", v) for v in [0, 0, 0, 0, 0, 1, 2, 3]] + [
+        ("flat", v) for v in [0, 1, 2, 3] * 6
+    ]
+    df = spark.createDataFrame(rows, ["klass", "v"])
+    ldiv = {r["l_distinct"]: r["at_risk"] for r in
+            l_diversity_report(df, ["klass"], "v", l=3).collect()}
+    assert ldiv == {4: False}  # BOTH classes pass l-diversity
+    tclose = sorted(
+        map(tuple, t_closeness_report(df, ["klass"], "v", t_ppm=100_000).collect())
+    )
+    assert tclose == [(0, False, 1, 24), (1, True, 1, 8)]  # skew flagged alone
+
+
+def test_t_closeness_plan_shape(spark):
+    """Scale shape: one corpus-sized exchange (the (quasi…, sensitive)
+    collapse); the global distribution/totals come back broadcast; no
+    Expand; the class×value grid window is the only Window."""
+    plan = (
+        _report(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

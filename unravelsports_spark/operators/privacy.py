@@ -7,7 +7,9 @@ combination. Size alone is not enough for release gating: a class of 50
 rows whose sensitive attribute is the SAME value for all 50 leaks that
 value to anyone who can place a person in the class (the homogeneity
 attack l-diversity exists to flag — Machanavajjhala et al. 2007). This
-module adds that second axis.
+module adds that second axis, and (r12) the third:
+:func:`t_closeness_report`, which catches the SKEW leg l-diversity
+misses — distinct values whose distribution still concentrates on one.
 
 Scale shape (both reports): the same two-phase map-side-combinable rollup
 discipline as k_anonymity_report / d_cdc_chunks — one corpus-sized shuffle
@@ -62,4 +64,127 @@ def l_diversity_report(
             (F.col("l_distinct") < int(l)).alias("at_risk"),
         )
         .orderBy("l_distinct")
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    t_ppm: int = 150_000,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007 — the third
+    privacy axis; built r12, driver registration queued r13): l-diversity
+    counts distinct sensitive values but misses SKEW — a class whose
+    values are {low, low, …, low, high} is "diverse" yet still tells an
+    attacker the person is almost certainly low. t-closeness bounds the
+    EARTH MOVER'S DISTANCE between each class's sensitive-value
+    distribution and the GLOBAL distribution; for an ordered numeric
+    attribute with equal-step ground distance,
+    ``EMD = (1/(m-1)) · Σ_i |cum(P)_i − cum(Q)_i|`` over the m ordered
+    values.
+
+    Exactness contract: the EMD is computed in INTEGER arithmetic —
+    per position, ``|cumC_i·G − cumG_i·C|`` (class/global cumulative
+    counts cross-multiplied; decimal(38,0) products, so no overflow until
+    38 digits) — then floored once onto a parts-per-million grid:
+    ``emd_ppm = (Σ … · 1_000_000) div ((m−1)·C·G)``. Every engine
+    reproduces that bit-for-bit (positive integer div), so the report is
+    oracle-certifiable; ``at_risk`` is DEFINED on the ppm projection
+    (``emd_ppm > t_ppm``), deterministic rather than ε-close. A corpus
+    with m == 1 sensitive value is trivially 0-close (guarded — no
+    division by m−1 = 0).
+
+    NULL contract: rows with a NULL sensitive value are EXCLUDED from
+    both distributions (a NULL has no position in the ordered domain, and
+    engines disagree on NULL sort placement — letting it through would
+    silently flip cumulative sums between engines). Audit NULL leakage
+    with :func:`l_diversity_report`, which counts NULL as a value.
+
+    Output: (emd_decile, at_risk, n_classes, n_rows) ordered by decile —
+    the histogram of classes per 10%-EMD bucket (decile = emd_ppm div
+    100_000), flagged against ``t_ppm``. Tiny, and never itself leaks a
+    quasi-identifier combination.
+
+    Plan: one corpus-sized shuffle on (quasi…, sensitive) — the same
+    phase-1 collapse as l_diversity_report; the global distribution and
+    its total are BROADCAST (m rows / 1 row); the dense class×value grid
+    is classes·m rows with ONE window cumsum partitioned by class; then
+    class- and histogram-sized aggregations. No Expand, no corpus-sized
+    join."""
+    from pyspark.sql import Window
+
+    qs = [F.col(c) for c in quasi_cols]
+    rows = df.where(F.col(sensitive_col).isNotNull())
+    # phase 1: the one corpus-sized collapse
+    pv = rows.groupBy(*qs, F.col(sensitive_col).alias("_v")).agg(
+        F.count("*").alias("_c")
+    )
+    per_class = pv.groupBy(*qs).agg(F.sum("_c").alias("_C"))
+    # global ordered distribution + cumulative counts (m rows)
+    gdist = rows.groupBy(F.col(sensitive_col).alias("_v")).agg(
+        F.count("*").alias("_g")
+    )
+    wg = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    gdist = gdist.select("_v", F.sum("_g").over(wg).alias("_cumg"))
+    gtot = rows.agg(
+        F.count("*").alias("_G"),
+        F.count_distinct(F.col(sensitive_col)).alias("_m"),
+    )
+    # dense grid: every class × every global value (absent values carry
+    # cnt 0 — the cumulative sums need them) + the 1-row totals, all
+    # broadcast; ONE window cumsum per class. per_class derives FROM pv
+    # (class-sized input — recomputing it from the corpus would add a
+    # second corpus-sized aggregation), so joining pv back is a self-join:
+    # the count column must re-enter under a FRESH alias or the analyzer
+    # sees pv's `_c` attribute on both sides (AMBIGUOUS_REFERENCE — found
+    # the hard way in r12)
+    pv_back = pv.select(
+        *[F.col(c) for c in quasi_cols], "_v", F.col("_c").alias("_cback")
+    )
+    grid = (
+        per_class.join(F.broadcast(gdist))
+        .join(F.broadcast(gtot))
+        .join(pv_back, [*quasi_cols, "_v"], "left")
+        .withColumn("_c0", F.coalesce(F.col("_cback"), F.lit(0)))
+    )
+    wc = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(38,0)"
+    grid = grid.withColumn("_cumc", F.sum("_c0").over(wc))
+    term = F.abs(
+        F.col("_cumc").cast(dec) * F.col("_G").cast(dec)
+        - F.col("_cumg").cast(dec) * F.col("_C").cast(dec)
+    )
+    per_class_emd = grid.groupBy(*qs).agg(
+        F.sum(term).alias("_num"),
+        F.max("_C").alias("_Cc"),
+        F.max("_G").alias("_Gg"),
+        F.max("_m").alias("_mm"),
+    )
+    ppm = F.when(F.col("_mm") <= 1, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            "cast((_num * cast(1000000 as decimal(38,0))) div "
+            "(cast(_mm - 1 as decimal(38,0)) * cast(_Cc as decimal(38,0))"
+            " * cast(_Gg as decimal(38,0))) as long)"
+        )
+    )
+    per_class_emd = per_class_emd.select(
+        F.col("_Cc").alias("_rows"), ppm.alias("emd_ppm")
+    )
+    # at_risk is PER CLASS (emd_ppm > t_ppm), then the histogram groups by
+    # (decile, at_risk) — a threshold off a decile boundary must split the
+    # bucket, not mislabel half of it
+    return (
+        per_class_emd.select(
+            F.expr("emd_ppm div 100000").alias("emd_decile"),
+            (F.col("emd_ppm") > int(t_ppm)).alias("at_risk"),
+            "_rows",
+        )
+        .groupBy("emd_decile", "at_risk")
+        .agg(F.count("*").alias("n_classes"), F.sum("_rows").alias("n_rows"))
+        .orderBy("emd_decile", "at_risk")
     )
