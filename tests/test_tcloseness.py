@@ -19,14 +19,15 @@ T_CLOSENESS_SQL = """
       FROM customer WHERE c_acctbal IS NOT NULL),
     pv AS (SELECT q1, q2, v, COUNT(*) AS c FROM rows_ GROUP BY 1, 2, 3),
     per_class AS (SELECT q1, q2, SUM(c) AS cc FROM pv GROUP BY 1, 2),
-    gdist AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cumg
-              FROM (SELECT v, COUNT(*) AS cnt FROM rows_ GROUP BY 1)),
-    gtot AS (SELECT COUNT(*) AS gg, COUNT(DISTINCT v) AS m FROM rows_),
+    gcnt AS (SELECT v, SUM(c) AS g FROM pv GROUP BY 1),
+    gdist AS (SELECT v, SUM(g) OVER (ORDER BY v) AS cumg FROM gcnt),
+    gtot AS (SELECT SUM(g) AS gg, COUNT(*) AS m FROM gcnt),
     grid AS (
       SELECT pc.q1, pc.q2, pc.cc, g.v, g.cumg, t.gg, t.m,
              COALESCE(p.c, 0) AS c0
       FROM per_class pc CROSS JOIN gdist g CROSS JOIN gtot t
-      LEFT JOIN pv p ON p.q1 = pc.q1 AND p.q2 = pc.q2 AND p.v = g.v),
+      LEFT JOIN pv p ON p.q1 IS NOT DISTINCT FROM pc.q1
+                    AND p.q2 IS NOT DISTINCT FROM pc.q2 AND p.v = g.v),
     cum AS (SELECT *, SUM(c0) OVER (PARTITION BY q1, q2 ORDER BY v) AS cumc
             FROM grid),
     emd AS (
@@ -102,6 +103,27 @@ def test_t_closeness_null_and_degenerate_contracts(spark):
     # after NULL exclusion both classes hold one 1 → m=1 → EMD 0; n_rows
     # counts only the non-NULL rows
     assert got == [(0, False, 2, 2)]
+
+
+def test_t_closeness_null_quasi_class_is_first_class(spark):
+    """A NULL quasi-identifier value forms its own equivalence class, like
+    the sibling audits (r12 review pass 2 #1): the grid join is null-SAFE,
+    so a NULL-keyed class matches its own value counts. Here the NULL
+    class IS the whole corpus → EMD exactly 0; the null-unsafe join this
+    pins against produced an impossible >100% EMD (ppm 1_750_000) for the
+    same input."""
+    from unravelsports_spark.operators.privacy import t_closeness_report
+
+    rows = [(None, 1)] * 9 + [(None, 2)] * 3
+    df = spark.createDataFrame(rows, "klass string, v int")
+    got = sorted(map(tuple, t_closeness_report(df, ["klass"], "v").collect()))
+    assert got == [(0, False, 1, 12)]
+    # and mixed NULL/non-NULL classes each audit against the shared global
+    rows2 = rows + [("A", 1)] * 3 + [("A", 2)] * 1
+    df2 = spark.createDataFrame(rows2, "klass string, v int")
+    got2 = sorted(map(tuple, t_closeness_report(df2, ["klass"], "v").collect()))
+    # both classes are 3:1 over {1,2} = exactly the global mix → EMD 0
+    assert got2 == [(0, False, 2, 16)]
 
 
 def test_t_closeness_skew_beats_l_diversity(spark):

@@ -11,13 +11,17 @@ module adds that second axis, and (r12) the third:
 :func:`t_closeness_report`, which catches the SKEW leg l-diversity
 misses — distinct values whose distribution still concentrates on one.
 
-Scale shape (both reports): the same two-phase map-side-combinable rollup
-discipline as k_anonymity_report / d_cdc_chunks — one corpus-sized shuffle
-on (quasi..., sensitive), then class- and histogram-sized aggregations; no
-windows, no joins, no Expand (a COUNT(DISTINCT) inside the class agg would
-triple rows through the exchange — the distinct collapses in phase 1
-instead). The output is a tiny histogram that never itself leaks a
-quasi-identifier combination.
+Scale shape: every report starts from the same two-phase map-side-
+combinable collapse as k_anonymity_report / d_cdc_chunks — ONE
+corpus-sized shuffle on (quasi..., sensitive), then class-sized work.
+The k-anon/l-div rollups stay join-free and window-free end to end (a
+COUNT(DISTINCT) inside the class agg would triple rows through the
+exchange — the distinct collapses in phase 1 instead);
+:func:`t_closeness_report` additionally builds a classes×m value grid
+from broadcast-sized pieces with one class-partitioned window cumsum —
+still nothing corpus-sized beyond the phase-1 exchange (r12 review pass
+2 #3 scoped this paragraph). Every output is a tiny histogram that never
+itself leaks a quasi-identifier combination.
 """
 
 from __future__ import annotations
@@ -106,51 +110,67 @@ def t_closeness_report(
     100_000), flagged against ``t_ppm``. Tiny, and never itself leaks a
     quasi-identifier combination.
 
+    NULL QUASI-identifier values form their own equivalence class, like
+    the sibling audits (null-SAFE join keys throughout — a null-unsafe
+    grid join would give every NULL-keyed class zero matched counts and
+    an impossible >100% EMD; r12 review pass 2 #1, regression-pinned).
+
     Plan: one corpus-sized shuffle on (quasi…, sensitive) — the same
-    phase-1 collapse as l_diversity_report; the global distribution and
-    its total are BROADCAST (m rows / 1 row); the dense class×value grid
-    is classes·m rows with ONE window cumsum partitioned by class; then
-    class- and histogram-sized aggregations. No Expand, no corpus-sized
-    join."""
+    phase-1 collapse as l_diversity_report; EVERYTHING downstream derives
+    from that class-sized frame (per-class totals, the global
+    distribution, its totals — never a second corpus scan; r12 review
+    pass 2 #2); the global distribution and totals are BROADCAST (m rows
+    / 1 row); the dense class×value grid is classes·m rows with ONE
+    window cumsum partitioned by class; then class- and histogram-sized
+    aggregations. No Expand, no corpus-sized join."""
+    import functools
+
     from pyspark.sql import Window
 
     qs = [F.col(c) for c in quasi_cols]
     rows = df.where(F.col(sensitive_col).isNotNull())
-    # phase 1: the one corpus-sized collapse
+    # phase 1: the ONE corpus-sized collapse; everything below reuses it
     pv = rows.groupBy(*qs, F.col(sensitive_col).alias("_v")).agg(
         F.count("*").alias("_c")
     )
     per_class = pv.groupBy(*qs).agg(F.sum("_c").alias("_C"))
-    # global ordered distribution + cumulative counts (m rows)
-    gdist = rows.groupBy(F.col(sensitive_col).alias("_v")).agg(
-        F.count("*").alias("_g")
+    # global ordered distribution + totals from the CLASS-SIZED pv (fresh
+    # aliases: per_class/pv_back share pv's lineage, and reusing pv's
+    # attribute ids across the self-joins below trips AMBIGUOUS_REFERENCE)
+    gcnt = (
+        pv.select(F.col("_v").alias("_gv"), F.col("_c").alias("_gc"))
+        .groupBy("_gv")
+        .agg(F.sum("_gc").alias("_g"))
     )
-    wg = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    gdist = gdist.select("_v", F.sum("_g").over(wg).alias("_cumg"))
-    gtot = rows.agg(
-        F.count("*").alias("_G"),
-        F.count_distinct(F.col(sensitive_col)).alias("_m"),
-    )
+    wg = Window.orderBy("_gv").rowsBetween(Window.unboundedPreceding, 0)
+    gdist = gcnt.select("_gv", F.sum("_g").over(wg).alias("_cumg"))
+    gtot = gcnt.agg(F.sum("_g").alias("_G"), F.count("*").alias("_m"))
     # dense grid: every class × every global value (absent values carry
     # cnt 0 — the cumulative sums need them) + the 1-row totals, all
     # broadcast; ONE window cumsum per class. per_class derives FROM pv
-    # (class-sized input — recomputing it from the corpus would add a
-    # second corpus-sized aggregation), so joining pv back is a self-join:
-    # the count column must re-enter under a FRESH alias or the analyzer
-    # sees pv's `_c` attribute on both sides (AMBIGUOUS_REFERENCE — found
-    # the hard way in r12)
+    # (class-sized input), so joining pv back is a self-join: every
+    # rejoined column re-enters under a FRESH alias (AMBIGUOUS_REFERENCE
+    # otherwise — found the hard way in r12), and the quasi keys join
+    # NULL-SAFELY so a NULL-keyed class matches its own counts.
     pv_back = pv.select(
-        *[F.col(c) for c in quasi_cols], "_v", F.col("_c").alias("_cback")
+        *[F.col(c).alias(f"_qb{i}") for i, c in enumerate(quasi_cols)],
+        F.col("_v").alias("_vb"),
+        F.col("_c").alias("_cback"),
+    )
+    back_cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_qb{i}")) for i, c in enumerate(quasi_cols)]
+        + [F.col("_gv") == F.col("_vb")],  # _v is filtered non-null above
     )
     grid = (
         per_class.join(F.broadcast(gdist))
         .join(F.broadcast(gtot))
-        .join(pv_back, [*quasi_cols, "_v"], "left")
+        .join(pv_back, back_cond, "left")
         .withColumn("_c0", F.coalesce(F.col("_cback"), F.lit(0)))
     )
     wc = (
         Window.partitionBy(*quasi_cols)
-        .orderBy("_v")
+        .orderBy("_gv")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     dec = "decimal(38,0)"
