@@ -1,0 +1,193 @@
+"""WARC source/sink (sources/warc.py) — built round 12, driver
+registration queued r13 (`o19_warc_roundtrip`). WARC_ROUNDTRIP_SQL
+verified here moves to the plans registry at registration, per the
+corpus7/corpus8 discipline."""
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_CORRECT
+
+# the exact SQL twin for the r13 `o19_warc_roundtrip` registration: clean
+# rows must round-trip byte-exactly through the WARC container (headers,
+# CRLF framing, gzip members), the injected corrupt shard must be excluded
+# from the rollup AND counted exactly once — the o17 discipline at the
+# crawl-container boundary
+WARC_ROUNDTRIP_SQL = """
+    SELECT source || '.example' AS source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))
+             AS BIGINT) AS fp_sum,
+           CAST(1 AS BIGINT) AS n_quarantined
+    FROM documents GROUP BY source
+"""
+
+
+def _records(n=3, payload=b"hello world"):
+    return [
+        {
+            "rec_type": "response",
+            "record_id": f"<urn:uuid:{i}>",
+            "warc_date": "2026-01-01T00:00:00Z",
+            "target_uri": f"http://h{i}.example/{i}",
+            "content_type": "text/html",
+            "payload": payload + str(i).encode(),
+        }
+        for i in range(n)
+    ]
+
+
+def test_codec_roundtrip_plain_and_gzip():
+    from unravelsports_spark.sources.warc import (
+        decode_warc_records,
+        encode_warc_records,
+    )
+
+    recs = _records()
+    for gz in (False, True):
+        back = decode_warc_records(encode_warc_records(recs, gzip_records=gz))
+        assert len(back) == 3 and all(r["_corrupt_record"] is None for r in back)
+        for want, got in zip(recs, back):
+            for k in ("rec_type", "record_id", "warc_date", "target_uri",
+                      "content_type", "payload"):
+                assert got[k] == want[k], (gz, k)
+    # binary payloads (CRLF bytes, fake WARC magic INSIDE a payload) must
+    # survive verbatim — Content-Length framing, not delimiter scanning
+    tricky = _records(1, payload=b"\r\n\r\nWARC/1.0\r\nnot a header\x00\xff")
+    back = decode_warc_records(encode_warc_records(tricky))
+    assert len(back) == 1 and back[0]["payload"] == tricky[0]["payload"]
+
+
+def test_codec_quarantine_and_resync():
+    """A malformed span becomes ONE quarantine row and parsing RESYNCS at
+    the next magic; truncation at the tail quarantines the tail."""
+    from unravelsports_spark.sources.warc import (
+        decode_warc_records,
+        encode_warc_records,
+    )
+
+    a, b = _records(2)[0], _records(2)[1]
+    good_a = encode_warc_records([a])
+    good_b = encode_warc_records([b])
+    blob = good_a + b"this is garbage, not a record\r\n" + good_b
+    rows = decode_warc_records(blob)
+    assert [r["_corrupt_record"] is not None for r in rows] == [False, True, False]
+    assert rows[0]["payload"] == a["payload"] and rows[2]["payload"] == b["payload"]
+    # truncated final record → clean first + quarantined tail
+    rows = decode_warc_records(good_a + good_b[: len(good_b) // 2])
+    assert len(rows) == 2
+    assert rows[0]["_corrupt_record"] is None
+    assert rows[1]["_corrupt_record"] is not None
+    # truncated gzip member likewise
+    gz = encode_warc_records([a], gzip_records=True)
+    gz2 = encode_warc_records([b], gzip_records=True)
+    rows = decode_warc_records(gz + gz2[: len(gz2) // 2])
+    assert len(rows) == 2 and rows[1]["_corrupt_record"] is not None
+
+
+def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):
+    """The r13 o19_warc_roundtrip query shape: documents → sharded WARC
+    export (uuid shards, one per Arrow batch) → binaryFile read + Arrow
+    decode with quarantine → per-source rollup equal to DuckDB on the
+    ORIGINAL parquet. One garbage shard is injected, so quarantine
+    semantics are load-bearing in the hash: excluded from the rollup AND
+    counted exactly once."""
+    import os
+    import shutil
+    import tempfile
+
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.sources.jsonl import quarantine_counts
+    from unravelsports_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+        write_warc,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_warc_")
+    try:
+        docs = read_table(spark, sf_dir, "documents").select(
+            F.concat(
+                F.lit("http://"), "source", F.lit(".example/"), F.col("doc_id")
+            ).alias("target_uri"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        manifest = write_warc(docs, tmp, gzip_records=gzip_records).collect()
+        assert sum(m["n_records"] for m in manifest) == docs.count()
+        with open(os.path.join(tmp, "part-corrupt.warc"), "wb") as fh:
+            fh.write(b"not a warc shard at all \x00\xff garbage")
+        back = read_warc(spark, tmp)
+        rollup = (
+            warc_to_documents(back)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).alias("total_chars"),
+                F.sum(
+                    F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+                ).alias("fp_sum"),
+            )
+            .crossJoin(quarantine_counts(back).select("n_quarantined"))
+        )
+        rows = rollup.collect()
+        return spark.createDataFrame(rows, rollup.schema)
+    finally:
+        from unravelsports_spark.cache import release_tracked
+
+        release_tracked()  # quarantine_counts' tracked persist
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_warc_roundtrip_matches_duckdb(spark, duck):
+    got = sorted(map(tuple, _warc_roundtrip_query(spark, SF_CORRECT).collect()))
+    want = sorted(map(tuple, duck.execute(WARC_ROUNDTRIP_SQL).fetchall()))
+    assert got == want and len(got) == 20
+
+
+def test_warc_roundtrip_gzip_members(spark, duck):
+    """The per-record-gzip layout (Common Crawl) round-trips to the same
+    rollup."""
+    got = sorted(
+        map(
+            tuple,
+            _warc_roundtrip_query(spark, SF_CORRECT, gzip_records=True).collect(),
+        )
+    )
+    want = sorted(map(tuple, duck.execute(WARC_ROUNDTRIP_SQL).fetchall()))
+    assert got == want
+
+
+def test_warc_feeds_the_crawl_chain(spark, tmp_path):
+    """The boundary composes: WARC payloads carrying real markup flow
+    through warc_to_documents → extract_html_text and come out as clean
+    text — the full crawl ingest path from container to content."""
+    from unravelsports_spark.operators.htmltext import extract_html_text
+    from unravelsports_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                f"http://site.example/{i}",
+                f"<html><body><p>article {i}</p><script>x()</script></body></html>".encode(),
+            )
+            for i in range(4)
+        ],
+        "target_uri string, payload binary",
+    )
+    out = str(tmp_path / "crawl")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    write_warc(pages, out).collect()
+    docs = warc_to_documents(read_warc(spark, out))
+    got = {
+        r["url"]: r["clean_text"]
+        for r in extract_html_text(docs, text_col="text").collect()
+    }
+    assert len(got) == 4
+    assert got["http://site.example/2"].split() == ["article", "2"]
+    assert all(r == "site.example" for r in
+               {x["source"] for x in docs.select("source").collect()})
