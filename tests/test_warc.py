@@ -84,6 +84,46 @@ def test_codec_quarantine_and_resync():
     assert len(rows) == 2 and rows[1]["_corrupt_record"] is not None
 
 
+def test_codec_hostile_and_span_contracts():
+    """r12 review pass 3 pins: negative Content-Length quarantines (it
+    used to walk pos backward — an infinite loop); a corrupt span whose
+    bytes CONTAIN a fake WARC magic still surfaces as ONE quarantine row
+    (consecutive corrupt rows coalesce); a garbage span BETWEEN gzip
+    members resyncs at the next gzip magic instead of eating the rest of
+    the shard; gzip members are mtime-0 (byte-reproducible exports)."""
+    import gzip as _gzip
+
+    from unravelsports_spark.sources.warc import (
+        decode_warc_records,
+        encode_warc_records,
+    )
+
+    a, b = _records(2)
+    good_a, good_b = encode_warc_records([a]), encode_warc_records([b])
+    # negative Content-Length: one quarantine row, loop terminates
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -999999\r\n\r\n"
+        b"payload\r\n\r\n"
+    )
+    rows = decode_warc_records(bad + good_a)
+    clean = [r for r in rows if r["_corrupt_record"] is None]
+    assert len(clean) == 1 and clean[0]["payload"] == a["payload"]
+    # fake magic INSIDE a garbage span: still one coalesced quarantine row
+    rows = decode_warc_records(
+        good_a + b"junk WARC/1.0\r\nno length here junk" + good_b
+    )
+    assert [r["_corrupt_record"] is not None for r in rows] == [False, True, False]
+    # gzip mid-stream garbage: resync at the next member magic
+    gz_a = encode_warc_records([a], gzip_records=True)
+    gz_b = encode_warc_records([b], gzip_records=True)
+    rows = decode_warc_records(gz_a + b"garbage bytes" + gz_b)
+    assert [r["_corrupt_record"] is not None for r in rows] == [False, True, False]
+    assert rows[2]["payload"] == b["payload"]
+    # reproducibility: two encodes of the same records are byte-identical
+    assert encode_warc_records([a], gzip_records=True) == gz_a
+    assert _gzip.decompress(gz_a) == good_a
+
+
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):
     """The r13 o19_warc_roundtrip query shape: documents → sharded WARC
     export (uuid shards, one per Arrow batch) → binaryFile read + Arrow
@@ -154,6 +194,36 @@ def test_warc_roundtrip_gzip_members(spark, duck):
     )
     want = sorted(map(tuple, duck.execute(WARC_ROUNDTRIP_SQL).fetchall()))
     assert got == want
+
+
+def test_write_nulls_idempotency_and_roundtrip_fields(spark, tmp_path):
+    """r12 review pass 3 pins on the writer: NULL payload → empty-payload
+    record (never a task crash); NULL target_uri → header omitted (never
+    the literal 'None'); re-collecting the manifest overwrites the SAME
+    deterministic shard names (no duplicate shards to double-count); a
+    content_type column round-trips instead of being forced to
+    text/html."""
+    import os
+
+    from unravelsports_spark.sources.warc import read_warc, write_warc
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.example/1", b"body", "application/json"),
+            (None, None, None),
+        ],
+        "target_uri string, payload binary, content_type string",
+    ).coalesce(1)
+    out = str(tmp_path / "w")
+    os.makedirs(out)
+    m1 = sorted(r["shard"] for r in write_warc(df, out).collect())
+    m2 = sorted(r["shard"] for r in write_warc(df, out).collect())
+    assert m1 == m2 and len(os.listdir(out)) == len(m1)  # idempotent names
+    back = {r["target_uri"]: r for r in read_warc(spark, out).collect()}
+    assert set(back) == {"http://a.example/1", None}
+    assert back["http://a.example/1"]["content_type"] == "application/json"
+    assert back[None]["payload"] == b"" and back[None]["content_type"] == "text/html"
+    assert all(r["_corrupt_record"] is None for r in back.values())
 
 
 def test_warc_feeds_the_crawl_chain(spark, tmp_path):

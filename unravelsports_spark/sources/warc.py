@@ -11,9 +11,11 @@ no external WARC library, the format is simple enough to own):
 - :func:`write_warc` — DISTRIBUTED sharded export: one Arrow batch per
   shard file via ``mapInPandas``, returning a manifest frame (shard path,
   record/byte counts) whose collection drives the write. Shards are
-  uuid-named (concurrent writers never collide) and optionally
-  per-record-gzipped (``gzip_records=True`` — the Common Crawl layout,
-  each record its own gzip member).
+  deterministically ``part-<partition>-<batch>`` named and overwritten,
+  so task retries / speculative attempts / manifest re-collection are
+  idempotent; optionally per-record-gzipped (``gzip_records=True`` — the
+  Common Crawl layout, each record its own mtime-0 gzip member, so
+  identical inputs give byte-identical shards).
 - :func:`read_warc` — ``spark.read.format("binaryFile")`` over the shard
   glob, then one Arrow decode pass per file. Output carries the SAME
   ``_corrupt_record`` quarantine contract as sources/jsonl + sources/csvio
@@ -84,45 +86,61 @@ def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
             b"Content-Length: " + str(len(payload)).encode(),
         ]
         rec = b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
-        out.append(gzip.compress(rec) if gzip_records else rec)
+        # mtime=0: gzip embeds wall-clock mtime by default, which would
+        # make byte-identical inputs produce byte-different shards and
+        # defeat reproducible exports (r12 review pass 3 #7)
+        out.append(gzip.compress(rec, mtime=0) if gzip_records else rec)
     return b"".join(out)
 
 
 def _split_gzip_members(data: bytes) -> list:
-    """Split a multi-member gzip stream into decompressed members (the
-    per-record-gzip WARC layout). A truncated/corrupt trailing member
-    comes back as a RAW undecodable bytes marker (None, tail)."""
+    """Split a multi-member gzip stream into ("member", decompressed) /
+    ("corrupt", raw span) segments (the per-record-gzip WARC layout).
+    After a corrupt or truncated member the scan RESYNCS at the next gzip
+    magic (r12 review pass 3 #2 — without it one flipped byte mid-shard
+    silently ate every record after it, while the plain layout resynced);
+    the partial decompression of a bad member never leaks as a member."""
     import zlib
 
-    members, pos = [], 0
+    segs, pos = [], 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
             out = d.decompress(data[pos:])
+            ok = d.eof
         except zlib.error:
-            return members, data[pos:]
-        if not d.eof:  # truncated final member — the PARTIAL decompression
-            # must not leak as a member (it would double-count as both a
-            # truncated-record row and the raw-tail quarantine row)
-            return members, data[pos:]
-        members.append(out)
+            ok = False
+        if not ok:  # corrupt or truncated member: quarantine the span up
+            # to the next magic and resync there
+            nxt = data.find(_GZ_MAGIC, pos + 2)
+            segs.append(("corrupt", data[pos:] if nxt < 0 else data[pos:nxt]))
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        segs.append(("member", out))
         pos = len(data) - len(d.unused_data)
-    return members, b""
+    return segs
 
 
 def decode_warc_records(data: bytes) -> list:
     """Parse WARC bytes into row dicts (WARC_SCHEMA minus shard). A
     malformed span becomes ONE quarantine dict (``_corrupt_record`` =
     printable prefix of the bad bytes, everything else None) and the
-    parser resyncs at the next ``WARC/1.`` magic — the jsonl/csv
-    PERMISSIVE discipline in codec form."""
+    parser resyncs at the next ``WARC/1.`` (or gzip) magic — the
+    jsonl/csv PERMISSIVE discipline in codec form. CONSECUTIVE quarantine
+    rows coalesce into one (r12 review pass 3 #6): a corrupt span whose
+    bytes happen to contain a fake magic — entirely plausible, a span can
+    contain a record's own payload — would otherwise split into several
+    rows and flip any oracle that pins the quarantine COUNT."""
     if data[:2] == _GZ_MAGIC:
-        members, tail = _split_gzip_members(data)
         rows = []
-        for m in members:
-            rows.extend(decode_warc_records(m))
-        if tail:
-            rows.append(_corrupt_row(tail))
+        for kind, seg in _split_gzip_members(data):
+            if kind == "member":
+                for row in decode_warc_records(seg):
+                    _append(rows, row)
+            else:
+                _append(rows, _corrupt_row(seg))
         return rows
 
     rows, pos = [], 0
@@ -131,14 +149,14 @@ def decode_warc_records(data: bytes) -> list:
             nxt = data.find(_MAGIC, pos + 1)
             bad = data[pos:] if nxt < 0 else data[pos:nxt]
             if bad.strip(b"\r\n"):  # inter-record CRLF padding is legal
-                rows.append(_corrupt_row(bad))
+                _append(rows, _corrupt_row(bad))
             if nxt < 0:
                 break
             pos = nxt
             continue
         hdr_end = data.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
-            rows.append(_corrupt_row(data[pos:]))
+            _append(rows, _corrupt_row(data[pos:]))
             break
         headers = {}
         for line in data[pos:hdr_end].split(b"\r\n")[1:]:
@@ -146,14 +164,17 @@ def decode_warc_records(data: bytes) -> list:
             headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers[b"content-length"])
+            if length < 0:  # r12 review pass 3 #1: a negative length
+                # walked pos BACKWARD — an infinite loop on hostile input
+                raise ValueError("negative Content-Length")
         except (KeyError, ValueError):
-            rows.append(_corrupt_row(data[pos:hdr_end]))
+            _append(rows, _corrupt_row(data[pos:hdr_end]))
             pos = hdr_end + 4
             continue
         body_start = hdr_end + 4
         payload = data[body_start:body_start + length]
         if len(payload) < length:  # truncated record
-            rows.append(_corrupt_row(data[pos:]))
+            _append(rows, _corrupt_row(data[pos:]))
             break
         rows.append(
             {
@@ -182,6 +203,19 @@ def _corrupt_row(bad: bytes) -> dict:
     }
 
 
+def _append(rows: list, row: dict) -> None:
+    """Append, coalescing consecutive quarantine rows into one span."""
+    if (
+        row["_corrupt_record"] is not None
+        and rows
+        and rows[-1]["_corrupt_record"] is not None
+    ):
+        merged = rows[-1]["_corrupt_record"] + row["_corrupt_record"]
+        rows[-1]["_corrupt_record"] = merged[:256]
+        return
+    rows.append(row)
+
+
 def write_warc(
     df: DataFrame,
     path: str,
@@ -189,14 +223,28 @@ def write_warc(
     date: str = "2026-01-01T00:00:00Z",
 ) -> DataFrame:
     """Distributed sharded WARC export. ``df`` columns: ``target_uri``
-    (string), ``payload`` (binary), optional ``record_id`` (string;
-    uuid-generated when absent). One shard file per Arrow batch, uuid
-    named under ``path`` (caller creates/owns the directory — on a real
+    (string, nullable — a NULL simply omits the WARC-Target-URI header),
+    ``payload`` (binary, nullable — NULL writes an empty-payload record;
+    the boilerplate NULL-contract discipline: documented, never a task
+    crash), optional ``record_id`` / ``warc_date`` / ``content_type``
+    columns override the defaults per record. One shard file per Arrow
+    batch under ``path`` (caller creates/owns the directory — on a real
     cluster point it at shared storage). Returns the MANIFEST frame
     (shard, n_records, n_bytes); collecting it drives the write —
-    ``write_warc(df, p).collect()`` is the complete export. ``date`` is a
-    fixed WARC-Date for reproducible exports (pass per-record dates via a
-    ``warc_date`` column instead when present)."""
+    ``write_warc(df, p).collect()`` is the complete export.
+
+    Idempotency (r12 review pass 3 #3): shards are DETERMINISTICALLY
+    named ``part-<partitionId>-<batchIdx>`` and opened with overwrite, so
+    a task retry, speculative duplicate attempt, or a re-collection of
+    the manifest rewrites the SAME files instead of accumulating
+    uuid-suffixed duplicates that a later read_warc would double-count.
+    The caller still owns directory hygiene: exporting a DIFFERENT frame
+    into a non-empty path leaves stale shards (start from a fresh dir,
+    like every df.write mode="overwrite" user expects).
+
+    ``date`` is the fixed default WARC-Date; with ``gzip_records`` the
+    members are mtime-0, so identical inputs give byte-identical
+    shards."""
     import os
 
     import pandas as pd
@@ -204,30 +252,40 @@ def write_warc(
     cols = df.columns
 
     def writer(batches):
-        for pdf in batches:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        for batch_idx, pdf in enumerate(batches):
             if not len(pdf):
                 continue
-            records = []
-            for _, row in pdf.iterrows():
-                records.append(
-                    {
-                        "rec_type": "response",
-                        "record_id": (
-                            str(row["record_id"])
-                            if "record_id" in cols
-                            else f"<urn:uuid:{uuid.uuid4()}>"
-                        ),
-                        "warc_date": (
-                            str(row["warc_date"]) if "warc_date" in cols else date
-                        ),
-                        "target_uri": str(row["target_uri"]),
-                        "content_type": "text/html",
-                        "payload": bytes(row["payload"]),
-                    }
+            rid = (
+                pdf["record_id"].tolist()
+                if "record_id" in cols
+                else [f"<urn:uuid:{uuid.uuid4()}>" for _ in range(len(pdf))]
+            )
+            wd = pdf["warc_date"].tolist() if "warc_date" in cols else [date] * len(pdf)
+            ct = (
+                pdf["content_type"].tolist()
+                if "content_type" in cols
+                else ["text/html"] * len(pdf)
+            )
+            records = [
+                {
+                    "rec_type": "response",
+                    "record_id": r,
+                    "warc_date": w,
+                    "target_uri": None if u is None else str(u),
+                    "content_type": c if c is not None else "text/html",
+                    "payload": b"" if p is None else bytes(p),
+                }
+                for u, p, r, w, c in zip(
+                    pdf["target_uri"], pdf["payload"], rid, wd, ct
                 )
+            ]
             blob = encode_warc_records(records, gzip_records)
             ext = ".warc.gz" if gzip_records else ".warc"
-            shard = os.path.join(path, f"part-{uuid.uuid4().hex}{ext}")
+            shard = os.path.join(path, f"part-{pid:05d}-{batch_idx:04d}{ext}")
             with open(shard, "wb") as fh:
                 fh.write(blob)
             yield pd.DataFrame(
@@ -272,15 +330,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def warc_to_documents(df: DataFrame) -> DataFrame:
-    """Clean WARC rows → the (source, text) document shape the text
+    """Clean WARC rows → the (source, url, text) document shape the text
     stages consume: utf-8 decoded payloads of clean ``response`` records,
-    source = the URI host (the t_url_domains convention)."""
+    ``source`` = the lowercased URI host via the SAME
+    :func:`~unravelsports_spark.operators.filtering.with_url_parts`
+    extraction the t_url_domains pipeline uses (r12 review pass 3 #5 — a
+    second hand-rolled host regex had already diverged on scheme case,
+    host case, and ``?#`` handling)."""
+    from ..operators.filtering import with_url_parts
+
     clean = df.where(
         F.col("_corrupt_record").isNull() & (F.col("rec_type") == "response")
-    )
-    host = F.regexp_extract(F.col("target_uri"), r"^[a-z]+://([^/]+)", 1)
-    return clean.select(
-        host.alias("source"),
+    ).select(
         F.col("target_uri").alias("url"),
         F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+    return with_url_parts(clean, "url").select(
+        F.col("domain").alias("source"), "url", "text"
     )
