@@ -122,6 +122,23 @@ def test_codec_hostile_and_span_contracts():
     # reproducibility: two encodes of the same records are byte-identical
     assert encode_warc_records([a], gzip_records=True) == gz_a
     assert _gzip.decompress(gz_a) == good_a
+    # r12 pass 4 pins:
+    # #3 — leading garbage on a GZIP shard quarantines the prefix and
+    # still recovers every member (byte-0 dispatch used to eat the shard)
+    rows = decode_warc_records(b"leading junk" + gz_a + gz_b)
+    assert [r["_corrupt_record"] is not None for r in rows] == [True, False, False]
+    assert rows[1]["payload"] == a["payload"] and rows[2]["payload"] == b["payload"]
+    # #4 — CRLF in a header value is folded, never smuggled as framing
+    evil = dict(a, target_uri="http://x/\r\nContent-Length: 0\r\n\r\nfake")
+    back = decode_warc_records(encode_warc_records([evil]))
+    assert len(back) == 1 and back[0]["_corrupt_record"] is None
+    assert back[0]["payload"] == a["payload"]
+    assert "\r" not in back[0]["target_uri"]
+    # #7 — empty-string target_uri round-trips as '', None as NULL
+    for uri in ("", None):
+        rec = dict(a, target_uri=uri)
+        back = decode_warc_records(encode_warc_records([rec]))
+        assert back[0]["target_uri"] == uri
 
 
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):
@@ -210,7 +227,9 @@ def test_write_nulls_idempotency_and_roundtrip_fields(spark, tmp_path):
     df = spark.createDataFrame(
         [
             ("http://a.example/1", b"body", "application/json"),
-            (None, None, None),
+            (None, None, None),  # NULL in EVERY optional column (pass 4
+            # #1: a NULL content_type/record_id/warc_date must take the
+            # absent-column default, never serialize as 'None')
         ],
         "target_uri string, payload binary, content_type string",
     ).coalesce(1)

@@ -65,24 +65,35 @@ WARC_SCHEMA = T.StructType(
 )
 
 
+def _hval(v) -> bytes:
+    """Header value, CRLF-SANITIZED (r12 review pass 4 #4): a scraped URI
+    carrying an embedded CRLF would otherwise end the header block early
+    — corrupted framing at best, attacker-smuggled fake WARC headers at
+    worst. Folded to single spaces, the header-continuation semantic."""
+    return str(v).replace("\r", " ").replace("\n", " ").encode()
+
+
 def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
     """Serialize records (dicts with rec_type, record_id, warc_date,
     target_uri, content_type, payload: bytes) to WARC/1.0 bytes —
     header block, CRLF-CRLF, payload, CRLF-CRLF; optionally one gzip
-    member per record (the Common Crawl layout)."""
+    member per record (the Common Crawl layout). Header values are
+    CRLF-sanitized (:func:`_hval`); ``target_uri`` omits its header ONLY
+    when None — an EMPTY STRING round-trips as '' (pass 4 #7: truthiness
+    here silently turned '' into NULL on read-back)."""
     out = []
     for r in records:
         payload = bytes(r.get("payload") or b"")
         headers = [
             b"WARC/1.0",
-            b"WARC-Type: " + str(r.get("rec_type", "response")).encode(),
-            b"WARC-Record-ID: " + str(r.get("record_id", "")).encode(),
-            b"WARC-Date: " + str(r.get("warc_date", "")).encode(),
+            b"WARC-Type: " + _hval(r.get("rec_type", "response")),
+            b"WARC-Record-ID: " + _hval(r.get("record_id", "")),
+            b"WARC-Date: " + _hval(r.get("warc_date", "")),
         ]
-        if r.get("target_uri"):
-            headers.append(b"WARC-Target-URI: " + str(r["target_uri"]).encode())
+        if r.get("target_uri") is not None:
+            headers.append(b"WARC-Target-URI: " + _hval(r["target_uri"]))
         headers += [
-            b"Content-Type: " + str(r.get("content_type", "text/plain")).encode(),
+            b"Content-Type: " + _hval(r.get("content_type", "text/plain")),
             b"Content-Length: " + str(len(payload)).encode(),
         ]
         rec = b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
@@ -102,11 +113,13 @@ def _split_gzip_members(data: bytes) -> list:
     the partial decompression of a bad member never leaks as a member."""
     import zlib
 
+    mv = memoryview(data)  # pass 4 #6: a bytes slice per member copied
+    # the whole remainder each iteration — O(n²) on a many-member shard
     segs, pos = [], 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out = d.decompress(data[pos:])
+            out = d.decompress(mv[pos:])
             ok = d.eof
         except zlib.error:
             ok = False
@@ -133,15 +146,35 @@ def decode_warc_records(data: bytes) -> list:
     bytes happen to contain a fake magic — entirely plausible, a span can
     contain a record's own payload — would otherwise split into several
     rows and flip any oracle that pins the quarantine COUNT."""
-    if data[:2] == _GZ_MAGIC:
-        rows = []
-        for kind, seg in _split_gzip_members(data):
-            if kind == "member":
-                for row in decode_warc_records(seg):
-                    _append(rows, row)
-            else:
-                _append(rows, _corrupt_row(seg))
-        return rows
+    # layout dispatch by FIRST magic, not just byte 0 (pass 4 #3): a gzip
+    # shard with leading garbage must still route to the gzip path and
+    # resync there, with the prefix quarantined — byte-0 dispatch sent it
+    # down the plain path, which collapsed the whole shard to one corrupt
+    # row. (A plain shard starts with WARC/1. at 0, so gz can never win
+    # there; compressed bytes containing a coincidental 'WARC/1.' before
+    # the first member would misroute, but that needs the 7-byte magic by
+    # chance inside garbage-BEFORE-the-first-member — vanishing odds on a
+    # heuristic path that only runs for already-corrupt shards.)
+    gz_at = data.find(_GZ_MAGIC)
+    pl_at = data.find(_MAGIC)
+    if gz_at >= 0 and (pl_at < 0 or gz_at < pl_at):
+        segs = _split_gzip_members(data[gz_at:])
+        # ambiguity guard: the 2-byte gzip magic can occur by chance in
+        # binary garbage that PRECEDES a plain-layout record. If the gzip
+        # candidate's first segment doesn't actually decompress and a
+        # plain magic exists later, the plain path (which resyncs at
+        # WARC/1.) recovers more — fall through to it.
+        if not (segs and segs[0][0] == "corrupt" and pl_at >= 0):
+            rows = []
+            if gz_at > 0:
+                _append(rows, _corrupt_row(data[:gz_at]))
+            for kind, seg in segs:
+                if kind == "member":
+                    for row in decode_warc_records(seg):
+                        _append(rows, row)
+                else:
+                    _append(rows, _corrupt_row(seg))
+            return rows
 
     rows, pos = [], 0
     while pos < len(data):
@@ -176,12 +209,15 @@ def decode_warc_records(data: bytes) -> list:
         if len(payload) < length:  # truncated record
             _append(rows, _corrupt_row(data[pos:]))
             break
+        tu = headers.get(b"warc-target-uri")
         rows.append(
             {
                 "rec_type": headers.get(b"warc-type", b"").decode("utf-8", "replace"),
                 "record_id": headers.get(b"warc-record-id", b"").decode("utf-8", "replace"),
                 "warc_date": headers.get(b"warc-date", b"").decode("utf-8", "replace"),
-                "target_uri": headers.get(b"warc-target-uri", b"").decode("utf-8", "replace") or None,
+                # absent header → NULL; PRESENT-but-empty → '' (pass 4 #7:
+                # the old `or None` collapsed the two)
+                "target_uri": None if tu is None else tu.decode("utf-8", "replace"),
                 "content_type": headers.get(b"content-type", b"").decode("utf-8", "replace"),
                 "payload": payload,
                 "_corrupt_record": None,
@@ -233,18 +269,23 @@ def write_warc(
     (shard, n_records, n_bytes); collecting it drives the write —
     ``write_warc(df, p).collect()`` is the complete export.
 
-    Idempotency (r12 review pass 3 #3): shards are DETERMINISTICALLY
-    named ``part-<partitionId>-<batchIdx>`` and opened with overwrite, so
-    a task retry, speculative duplicate attempt, or a re-collection of
-    the manifest rewrites the SAME files instead of accumulating
-    uuid-suffixed duplicates that a later read_warc would double-count.
-    The caller still owns directory hygiene: exporting a DIFFERENT frame
-    into a non-empty path leaves stale shards (start from a fresh dir,
-    like every df.write mode="overwrite" user expects).
+    Idempotency (r12 review pass 3 #3, hardened pass 4 #2): shards are
+    DETERMINISTICALLY named ``part-<partitionId>-<batchIdx>``, so a task
+    retry, speculative duplicate attempt, or a re-collection of the
+    manifest rewrites the SAME files instead of accumulating
+    uuid-suffixed duplicates that a later read_warc would double-count —
+    and each write lands via tmp-file + ``os.replace`` (atomic on POSIX),
+    so two overlapping attempts each publish a COMPLETE shard (last
+    rename wins) rather than interleaving a torn one. The caller still
+    owns directory hygiene: exporting a DIFFERENT frame into a non-empty
+    path leaves stale shards (start from a fresh dir, like every
+    df.write mode="overwrite" user expects).
 
     ``date`` is the fixed default WARC-Date; with ``gzip_records`` the
-    members are mtime-0, so identical inputs give byte-identical
-    shards."""
+    members are mtime-0. Byte-identical re-exports require the caller to
+    supply a ``record_id`` column (pass 4 #5) — without one, fresh uuids
+    are generated per attempt, so shards are structurally identical but
+    not byte-identical across runs."""
     import os
 
     import pandas as pd
@@ -273,10 +314,16 @@ def write_warc(
             records = [
                 {
                     "rec_type": "response",
-                    "record_id": r,
-                    "warc_date": w,
+                    # NULLs in the OPTIONAL columns fall back to the same
+                    # defaults as an absent column (pass 4 #1: a NULL
+                    # record_id/warc_date serialized as the literal
+                    # header value 'None')
+                    "record_id": (
+                        f"<urn:uuid:{uuid.uuid4()}>" if r is None else str(r)
+                    ),
+                    "warc_date": date if w is None else str(w),
                     "target_uri": None if u is None else str(u),
-                    "content_type": c if c is not None else "text/html",
+                    "content_type": "text/html" if c is None else str(c),
                     "payload": b"" if p is None else bytes(p),
                 }
                 for u, p, r, w, c in zip(
@@ -286,8 +333,15 @@ def write_warc(
             blob = encode_warc_records(records, gzip_records)
             ext = ".warc.gz" if gzip_records else ".warc"
             shard = os.path.join(path, f"part-{pid:05d}-{batch_idx:04d}{ext}")
-            with open(shard, "wb") as fh:
+            # tmp + atomic rename (pass 4 #2): concurrent attempts on the
+            # deterministic name each publish a complete file. The tmp
+            # name is a DOTFILE without '.warc' in it, so neither the
+            # read_warc glob nor Spark's hidden-file filter can ever pick
+            # up a crash-leftover partial
+            tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "wb") as fh:
                 fh.write(blob)
+            os.replace(tmp, shard)
             yield pd.DataFrame(
                 {
                     "shard": [shard],
