@@ -139,6 +139,28 @@ def test_codec_hostile_and_span_contracts():
         rec = dict(a, target_uri=uri)
         back = decode_warc_records(encode_warc_records([rec]))
         assert back[0]["target_uri"] == uri
+    # r12 pass 5 pins:
+    # #3 — a gzip shard whose FIRST member is corrupt (and contains a
+    # fake plain magic) still recovers the later intact members
+    rows = decode_warc_records(
+        gz_a[: len(gz_a) // 2] + b" WARC/1.0 fake " + gz_b
+    )
+    assert rows[-1]["_corrupt_record"] is None
+    assert rows[-1]["payload"] == b["payload"]
+    # #4 — CRLF padding before the first gzip member is NOT quarantined
+    # (the plain path's inter-record-padding exemption, both layouts)
+    rows = decode_warc_records(b"\r\n" + gz_a)
+    assert [r["_corrupt_record"] for r in rows] == [None]
+    # #5 — the PUBLIC codec normalizes explicit None header fields to the
+    # absent-key defaults (never the literal 'None')
+    blob = encode_warc_records(
+        [{"rec_type": None, "record_id": None, "warc_date": None,
+          "content_type": None, "payload": b"x"}]
+    )
+    assert b"None" not in blob
+    back = decode_warc_records(blob)
+    assert back[0]["rec_type"] == "response"
+    assert back[0]["content_type"] == "text/plain"
 
 
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):
@@ -226,12 +248,16 @@ def test_write_nulls_idempotency_and_roundtrip_fields(spark, tmp_path):
 
     df = spark.createDataFrame(
         [
-            ("http://a.example/1", b"body", "application/json"),
-            (None, None, None),  # NULL in EVERY optional column (pass 4
-            # #1: a NULL content_type/record_id/warc_date must take the
-            # absent-column default, never serialize as 'None')
+            ("http://a.example/1", b"body", "application/json", "<urn:uuid:7>",
+             "2025-12-31T00:00:00Z"),
+            (None, None, None, None, None),  # NULL in EVERY optional
+            # column (pass 4 #1 / pass 5 #6: a NULL record_id / warc_date
+            # / content_type must take the absent-column default, never
+            # serialize as the literal 'None' — and these columns must be
+            # PRESENT in the frame for the per-value branches to run)
         ],
-        "target_uri string, payload binary, content_type string",
+        "target_uri string, payload binary, content_type string,"
+        " record_id string, warc_date string",
     ).coalesce(1)
     out = str(tmp_path / "w")
     os.makedirs(out)
@@ -241,7 +267,12 @@ def test_write_nulls_idempotency_and_roundtrip_fields(spark, tmp_path):
     back = {r["target_uri"]: r for r in read_warc(spark, out).collect()}
     assert set(back) == {"http://a.example/1", None}
     assert back["http://a.example/1"]["content_type"] == "application/json"
+    assert back["http://a.example/1"]["record_id"] == "<urn:uuid:7>"
+    assert back["http://a.example/1"]["warc_date"] == "2025-12-31T00:00:00Z"
     assert back[None]["payload"] == b"" and back[None]["content_type"] == "text/html"
+    assert back[None]["record_id"].startswith("<urn:uuid:")  # fresh uuid
+    assert back[None]["record_id"] != "None"
+    assert back[None]["warc_date"] == "2026-01-01T00:00:00Z"  # the default
     assert all(r["_corrupt_record"] is None for r in back.values())
 
 

@@ -81,19 +81,26 @@ def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
     CRLF-sanitized (:func:`_hval`); ``target_uri`` omits its header ONLY
     when None — an EMPTY STRING round-trips as '' (pass 4 #7: truthiness
     here silently turned '' into NULL on read-back)."""
+    def hv(r, key, default):
+        # an EXPLICIT None normalizes to the same default as an absent
+        # key (pass 5 #5 — dict.get defaults only cover absence, so any
+        # caller of the public codec could serialize the literal 'None')
+        v = r.get(key)
+        return _hval(default if v is None else v)
+
     out = []
     for r in records:
         payload = bytes(r.get("payload") or b"")
         headers = [
             b"WARC/1.0",
-            b"WARC-Type: " + _hval(r.get("rec_type", "response")),
-            b"WARC-Record-ID: " + _hval(r.get("record_id", "")),
-            b"WARC-Date: " + _hval(r.get("warc_date", "")),
+            b"WARC-Type: " + hv(r, "rec_type", "response"),
+            b"WARC-Record-ID: " + hv(r, "record_id", ""),
+            b"WARC-Date: " + hv(r, "warc_date", ""),
         ]
         if r.get("target_uri") is not None:
             headers.append(b"WARC-Target-URI: " + _hval(r["target_uri"]))
         headers += [
-            b"Content-Type: " + _hval(r.get("content_type", "text/plain")),
+            b"Content-Type: " + hv(r, "content_type", "text/plain"),
             b"Content-Length: " + str(len(payload)).encode(),
         ]
         rec = b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
@@ -113,13 +120,24 @@ def _split_gzip_members(data: bytes) -> list:
     the partial decompression of a bad member never leaks as a member."""
     import zlib
 
-    mv = memoryview(data)  # pass 4 #6: a bytes slice per member copied
-    # the whole remainder each iteration — O(n²) on a many-member shard
+    # feed each decompressobj BOUNDED chunks (pass 4 #6 / pass 5 #1):
+    # handing it the whole tail makes zlib materialize the entire
+    # remainder in d.unused_data per member — O(n²) memcpy on a
+    # many-member shard; with 1 MiB chunks the per-member leftover is
+    # bounded by the chunk size
+    CHUNK = 1 << 20
+    mv = memoryview(data)
     segs, pos = [], 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out, fed, ok = [], pos, False
         try:
-            out = d.decompress(mv[pos:])
+            while fed < len(data):
+                nxt_fed = min(fed + CHUNK, len(data))
+                out.append(d.decompress(mv[fed:nxt_fed]))
+                fed = nxt_fed
+                if d.eof:
+                    break
             ok = d.eof
         except zlib.error:
             ok = False
@@ -131,8 +149,8 @@ def _split_gzip_members(data: bytes) -> list:
                 break
             pos = nxt
             continue
-        segs.append(("member", out))
-        pos = len(data) - len(d.unused_data)
+        segs.append(("member", b"".join(out)))
+        pos = fed - len(d.unused_data)
     return segs
 
 
@@ -159,14 +177,19 @@ def decode_warc_records(data: bytes) -> list:
     pl_at = data.find(_MAGIC)
     if gz_at >= 0 and (pl_at < 0 or gz_at < pl_at):
         segs = _split_gzip_members(data[gz_at:])
-        # ambiguity guard: the 2-byte gzip magic can occur by chance in
-        # binary garbage that PRECEDES a plain-layout record. If the gzip
-        # candidate's first segment doesn't actually decompress and a
-        # plain magic exists later, the plain path (which resyncs at
-        # WARC/1.) recovers more — fall through to it.
-        if not (segs and segs[0][0] == "corrupt" and pl_at >= 0):
+        # ambiguity guard (scope per pass 5 #3): the 2-byte gzip magic can
+        # occur by chance in binary garbage preceding a plain-layout
+        # record. Fall through to the plain path ONLY when the gzip
+        # candidate recovered NOTHING (no segment decompressed) and a
+        # plain magic exists — a shard whose FIRST member is corrupt but
+        # whose later members decompressed fine is genuinely gzip and
+        # must keep those members.
+        recovered = any(k == "member" for k, _ in segs)
+        if recovered or pl_at < 0:
             rows = []
-            if gz_at > 0:
+            # CRLF padding before the first member is legal inter-record
+            # padding, same exemption as the plain path (pass 5 #4)
+            if gz_at > 0 and data[:gz_at].strip(b"\r\n"):
                 _append(rows, _corrupt_row(data[:gz_at]))
             for kind, seg in segs:
                 if kind == "member":
@@ -311,20 +334,26 @@ def write_warc(
                 if "content_type" in cols
                 else ["text/html"] * len(pdf)
             )
+            # NULLs in the OPTIONAL columns fall back to the same
+            # defaults as an absent column (pass 4 #1), and the null
+            # check is pandas-aware (pass 5 #2: a nullable TIMESTAMP
+            # warc_date surfaces as NaT, which `is None` misses and
+            # str() turns into the literal header 'NaT'). Timestamp
+            # values serialize via str() — pass warc_date as ISO-8601
+            # STRINGS when the exact header format matters.
+            def isnull(v):
+                return v is None or (not isinstance(v, (str, bytes)) and pd.isna(v))
+
             records = [
                 {
                     "rec_type": "response",
-                    # NULLs in the OPTIONAL columns fall back to the same
-                    # defaults as an absent column (pass 4 #1: a NULL
-                    # record_id/warc_date serialized as the literal
-                    # header value 'None')
                     "record_id": (
-                        f"<urn:uuid:{uuid.uuid4()}>" if r is None else str(r)
+                        f"<urn:uuid:{uuid.uuid4()}>" if isnull(r) else str(r)
                     ),
-                    "warc_date": date if w is None else str(w),
-                    "target_uri": None if u is None else str(u),
-                    "content_type": "text/html" if c is None else str(c),
-                    "payload": b"" if p is None else bytes(p),
+                    "warc_date": date if isnull(w) else str(w),
+                    "target_uri": None if isnull(u) else str(u),
+                    "content_type": "text/html" if isnull(c) else str(c),
+                    "payload": b"" if isnull(p) else bytes(p),
                 }
                 for u, p, r, w, c in zip(
                     pdf["target_uri"], pdf["payload"], rid, wd, ct
