@@ -161,6 +161,21 @@ def test_codec_hostile_and_span_contracts():
     back = decode_warc_records(blob)
     assert back[0]["rec_type"] == "response"
     assert back[0]["content_type"] == "text/plain"
+    # r12 pass 6 pins:
+    # #1 — a plain record whose garbage PREFIX contains the gzip magic
+    # and whose PAYLOAD contains a valid gzip member must still decode
+    # via the plain path (the gzip interpretation yields no clean WARC
+    # row, so it must not be committed to)
+    embedded = dict(a, payload=b"archive: " + _gzip.compress(b"inner", mtime=0))
+    rows = decode_warc_records(
+        b"\x01\x1f\x8b\x02 junk " + encode_warc_records([embedded])
+    )
+    clean = [r for r in rows if r["_corrupt_record"] is None]
+    assert len(clean) == 1 and clean[0]["payload"] == embedded["payload"]
+    # #3 — CRLF padding BETWEEN and AFTER gzip members is legal, exactly
+    # as in the plain layout
+    rows = decode_warc_records(gz_a + b"\r\n" + gz_b + b"\r\n")
+    assert [r["_corrupt_record"] for r in rows] == [None, None]
 
 
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):

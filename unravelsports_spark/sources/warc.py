@@ -120,13 +120,18 @@ def _split_gzip_members(data: bytes) -> list:
     the partial decompression of a bad member never leaks as a member."""
     import zlib
 
-    # feed each decompressobj BOUNDED chunks (pass 4 #6 / pass 5 #1):
-    # handing it the whole tail makes zlib materialize the entire
-    # remainder in d.unused_data per member — O(n²) memcpy on a
-    # many-member shard; with 1 MiB chunks the per-member leftover is
-    # bounded by the chunk size
-    CHUNK = 1 << 20
-    mv = memoryview(data)
+    # feed each decompressobj BOUNDED chunks and REWIND pos to the exact
+    # consumed offset when a member ends (pass 4 #6 / pass 5 #1 / pass 6
+    # #2): handing zlib the whole tail materializes the entire remainder
+    # in d.unused_data per member (O(n²) memcpy on a many-member shard),
+    # and carrying unused_data forward as the next member's buffer just
+    # cascades shrinking copies inside each chunk. With a small chunk and
+    # pos-rewind, per-member overhead is ≤ 2·CHUNK (one fed slice + the
+    # zlib-internal unused_data tail) — the stdlib-gzip read-size class
+    # of trade-off, linear in input for members ≥ CHUNK and a small
+    # bounded constant per tiny member (measured ~linear in member count;
+    # the 1 MiB-chunk version was 6.4× time for 2× members).
+    CHUNK = 8 << 10
     segs, pos = [], 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
@@ -134,7 +139,7 @@ def _split_gzip_members(data: bytes) -> list:
         try:
             while fed < len(data):
                 nxt_fed = min(fed + CHUNK, len(data))
-                out.append(d.decompress(mv[fed:nxt_fed]))
+                out.append(d.decompress(data[fed:nxt_fed]))
                 fed = nxt_fed
                 if d.eof:
                     break
@@ -142,9 +147,14 @@ def _split_gzip_members(data: bytes) -> list:
         except zlib.error:
             ok = False
         if not ok:  # corrupt or truncated member: quarantine the span up
-            # to the next magic and resync there
+            # to the next magic and resync there. Spans that are pure
+            # CRLF padding (between members, or trailing) are LEGAL and
+            # skipped — the plain path's inter-record exemption, both
+            # layouts (pass 6 #3)
             nxt = data.find(_GZ_MAGIC, pos + 2)
-            segs.append(("corrupt", data[pos:] if nxt < 0 else data[pos:nxt]))
+            span = data[pos:] if nxt < 0 else data[pos:nxt]
+            if span.strip(b"\r\n"):
+                segs.append(("corrupt", span))
             if nxt < 0:
                 break
             pos = nxt
@@ -176,28 +186,26 @@ def decode_warc_records(data: bytes) -> list:
     gz_at = data.find(_GZ_MAGIC)
     pl_at = data.find(_MAGIC)
     if gz_at >= 0 and (pl_at < 0 or gz_at < pl_at):
-        segs = _split_gzip_members(data[gz_at:])
-        # ambiguity guard (scope per pass 5 #3): the 2-byte gzip magic can
-        # occur by chance in binary garbage preceding a plain-layout
-        # record. Fall through to the plain path ONLY when the gzip
-        # candidate recovered NOTHING (no segment decompressed) and a
-        # plain magic exists — a shard whose FIRST member is corrupt but
-        # whose later members decompressed fine is genuinely gzip and
-        # must keep those members.
-        recovered = any(k == "member" for k, _ in segs)
-        if recovered or pl_at < 0:
-            rows = []
-            # CRLF padding before the first member is legal inter-record
-            # padding, same exemption as the plain path (pass 5 #4)
-            if gz_at > 0 and data[:gz_at].strip(b"\r\n"):
-                _append(rows, _corrupt_row(data[:gz_at]))
-            for kind, seg in segs:
-                if kind == "member":
-                    for row in decode_warc_records(seg):
-                        _append(rows, row)
-                else:
-                    _append(rows, _corrupt_row(seg))
-            return rows
+        # build the gzip interpretation ONCE, then commit to it only if
+        # it yields at least one CLEAN WARC ROW or no plain magic exists
+        # (ambiguity guard, sharpened pass 6 #1: the 2-byte gzip magic —
+        # or even a VALID gzip member, e.g. crawled .gz content inside a
+        # record payload — can occur in/after garbage that precedes a
+        # plain-layout record; 'some segment decompressed' was too weak a
+        # commit test and destroyed recoverable plain records).
+        gz_rows, clean = [], 0
+        if gz_at > 0 and data[:gz_at].strip(b"\r\n"):
+            _append(gz_rows, _corrupt_row(data[:gz_at]))
+        for kind, seg in _split_gzip_members(data[gz_at:]):
+            if kind == "member":
+                for row in decode_warc_records(seg):
+                    if row["_corrupt_record"] is None:
+                        clean += 1
+                    _append(gz_rows, row)
+            else:
+                _append(gz_rows, _corrupt_row(seg))
+        if clean > 0 or pl_at < 0:
+            return gz_rows
 
     rows, pos = [], 0
     while pos < len(data):
