@@ -176,6 +176,25 @@ def test_codec_hostile_and_span_contracts():
     # as in the plain layout
     rows = decode_warc_records(gz_a + b"\r\n" + gz_b + b"\r\n")
     assert [r["_corrupt_record"] for r in rows] == [None, None]
+    # r12 pass 7 pins:
+    # #1 — SINGLE-byte padding or garbage between members must not eat
+    # the following member (the pos+2 resync skipped a magic at pos+1)
+    rows = decode_warc_records(gz_a + b"\n" + gz_b)
+    assert [r["_corrupt_record"] for r in rows] == [None, None]
+    rows = decode_warc_records(gz_a + b"X" + gz_b)
+    assert [r["_corrupt_record"] is None for r in rows] == [True, False, True]
+    assert rows[2]["payload"] == b["payload"]
+    # #2 — a plain record whose payload is a crawled .warc.gz (the gzip
+    # interpretation ALSO yields a clean row) still decodes via the plain
+    # reading: ties prefer plain, so the OUTER record survives and the
+    # payload-embedded one is never reported as shard content
+    warc_gz_payload = dict(a, payload=b"archive: " + gz_b)
+    rows = decode_warc_records(
+        b"\x01\x1f\x8b\x02 junk " + encode_warc_records([warc_gz_payload])
+    )
+    clean = [r for r in rows if r["_corrupt_record"] is None]
+    assert len(clean) == 1 and clean[0]["payload"] == warc_gz_payload["payload"]
+    assert clean[0]["target_uri"] == a["target_uri"]
 
 
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):

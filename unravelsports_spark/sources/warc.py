@@ -150,8 +150,11 @@ def _split_gzip_members(data: bytes) -> list:
             # to the next magic and resync there. Spans that are pure
             # CRLF padding (between members, or trailing) are LEGAL and
             # skipped — the plain path's inter-record exemption, both
-            # layouts (pass 6 #3)
-            nxt = data.find(_GZ_MAGIC, pos + 2)
+            # layouts (pass 6 #3). Resync from pos+1, not pos+2 (pass 7
+            # #1): a single pad/garbage byte puts the next magic at
+            # pos+1, and a magic can never START at pos+1 when pos itself
+            # is one (0x8b ≠ 0x1f), so +1 never re-finds the failed start.
+            nxt = data.find(_GZ_MAGIC, pos + 1)
             span = data[pos:] if nxt < 0 else data[pos:nxt]
             if span.strip(b"\r\n"):
                 segs.append(("corrupt", span))
@@ -186,27 +189,37 @@ def decode_warc_records(data: bytes) -> list:
     gz_at = data.find(_GZ_MAGIC)
     pl_at = data.find(_MAGIC)
     if gz_at >= 0 and (pl_at < 0 or gz_at < pl_at):
-        # build the gzip interpretation ONCE, then commit to it only if
-        # it yields at least one CLEAN WARC ROW or no plain magic exists
-        # (ambiguity guard, sharpened pass 6 #1: the 2-byte gzip magic —
-        # or even a VALID gzip member, e.g. crawled .gz content inside a
-        # record payload — can occur in/after garbage that precedes a
-        # plain-layout record; 'some segment decompressed' was too weak a
-        # commit test and destroyed recoverable plain records).
-        gz_rows, clean = [], 0
+        # build the gzip interpretation, then commit to it only if no
+        # plain magic exists OR it recovers MORE clean WARC rows than the
+        # plain interpretation of the same bytes (ambiguity rule,
+        # sharpened twice — pass 6 #1, pass 7 #2: the gzip magic, a valid
+        # gzip member, or even a crawled .warc.gz inside a record PAYLOAD
+        # can all appear in/after garbage preceding a plain record; on a
+        # TIE the plain reading wins, because its clean rows prove real
+        # record starts while the gzip hit may be payload-embedded).
+        # The double decode runs only on ambiguous — already corrupt —
+        # shards, never on the clean path.
+        gz_rows, gz_clean = [], 0
         if gz_at > 0 and data[:gz_at].strip(b"\r\n"):
             _append(gz_rows, _corrupt_row(data[:gz_at]))
         for kind, seg in _split_gzip_members(data[gz_at:]):
             if kind == "member":
                 for row in decode_warc_records(seg):
                     if row["_corrupt_record"] is None:
-                        clean += 1
+                        gz_clean += 1
                     _append(gz_rows, row)
             else:
                 _append(gz_rows, _corrupt_row(seg))
-        if clean > 0 or pl_at < 0:
+        if pl_at < 0:
             return gz_rows
+        pl_rows = _decode_plain(data)
+        pl_clean = sum(1 for r in pl_rows if r["_corrupt_record"] is None)
+        return gz_rows if gz_clean > pl_clean else pl_rows
+    return _decode_plain(data)
 
+
+def _decode_plain(data: bytes) -> list:
+    """The plain-layout record loop (see :func:`decode_warc_records`)."""
     rows, pos = [], 0
     while pos < len(data):
         if data[pos:pos + len(_MAGIC)] != _MAGIC:
