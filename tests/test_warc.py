@@ -195,6 +195,29 @@ def test_codec_hostile_and_span_contracts():
     clean = [r for r in rows if r["_corrupt_record"] is None]
     assert len(clean) == 1 and clean[0]["payload"] == warc_gz_payload["payload"]
     assert clean[0]["target_uri"] == a["target_uri"]
+    # r12 pass 8 pins (hostile-input bounds — both must QUARANTINE, never
+    # crash or hang the task):
+    # #1 — a shard gzip-wrapped far beyond any real nesting hits the
+    # depth cap and quarantines instead of RecursionError
+    nested = good_a
+    for _ in range(1000):
+        nested = _gzip.compress(nested, mtime=0)
+    rows = decode_warc_records(nested)  # must return, not raise
+    assert rows and all(r["_corrupt_record"] is not None for r in rows)
+    # ...while one legitimate nesting level still decodes clean
+    rows = decode_warc_records(_gzip.compress(good_a, mtime=0))
+    assert [r["_corrupt_record"] for r in rows] == [None]
+    # #2 — a resync storm (many embedded magics, each decompressing far
+    # into the tail before failing) stays within the failed-work budget:
+    # bounded time, remainder quarantined, and any CLEAN prefix survives
+    import time as _time
+
+    storm = gz_a + (b"\x1f\x8b\x08" + b"\x00" * 300) * 500
+    t0 = _time.monotonic()
+    rows = decode_warc_records(storm)
+    assert _time.monotonic() - t0 < 10.0
+    assert rows[0]["_corrupt_record"] is None  # the real member survived
+    assert all(r["_corrupt_record"] is not None for r in rows[1:])
 
 
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):

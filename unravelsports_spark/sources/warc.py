@@ -132,6 +132,13 @@ def _split_gzip_members(data: bytes) -> list:
     # bounded constant per tiny member (measured ~linear in member count;
     # the 1 MiB-chunk version was 6.4× time for 2× members).
     CHUNK = 8 << 10
+    # cumulative FAILED-attempt budget (r12 review pass 8 #2): a crafted
+    # shard can seed K gzip magics that each decompress the whole
+    # remaining tail before failing — O(K·n) decompress work on the
+    # quarantine path. Legit corrupt spans fail fast or rarely, so a
+    # few-times-the-shard budget never binds on real data; once a hostile
+    # shard exhausts it, the remainder quarantines as one span.
+    failed_budget = 4 * len(data) + (64 << 10)
     segs, pos = [], 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
@@ -154,7 +161,10 @@ def _split_gzip_members(data: bytes) -> list:
             # #1): a single pad/garbage byte puts the next magic at
             # pos+1, and a magic can never START at pos+1 when pos itself
             # is one (0x8b ≠ 0x1f), so +1 never re-finds the failed start.
+            failed_budget -= fed - pos
             nxt = data.find(_GZ_MAGIC, pos + 1)
+            if failed_budget <= 0:  # hostile resync storm: stop here
+                nxt = -1
             span = data[pos:] if nxt < 0 else data[pos:nxt]
             if span.strip(b"\r\n"):
                 segs.append(("corrupt", span))
@@ -167,7 +177,7 @@ def _split_gzip_members(data: bytes) -> list:
     return segs
 
 
-def decode_warc_records(data: bytes) -> list:
+def decode_warc_records(data: bytes, _depth: int = 0) -> list:
     """Parse WARC bytes into row dicts (WARC_SCHEMA minus shard). A
     malformed span becomes ONE quarantine dict (``_corrupt_record`` =
     printable prefix of the bad bytes, everything else None) and the
@@ -176,7 +186,16 @@ def decode_warc_records(data: bytes) -> list:
     rows coalesce into one (r12 review pass 3 #6): a corrupt span whose
     bytes happen to contain a fake magic — entirely plausible, a span can
     contain a record's own payload — would otherwise split into several
-    rows and flip any oracle that pins the quarantine COUNT."""
+    rows and flip any oracle that pins the quarantine COUNT.
+
+    ``_depth`` caps gzip NESTING (r12 review pass 8 #1): a ~23 KB shard
+    gzip-wrapped a thousand times would otherwise recurse through the
+    member loop to a RecursionError that escapes the quarantine contract
+    and kills the Spark task. Real layouts nest once (members around
+    records); past the cap a still-compressed segment parses as plain
+    bytes and quarantines like any other malformation."""
+    if data[:2] == _GZ_MAGIC and _depth >= 8:
+        return _decode_plain(data)
     # layout dispatch by FIRST magic, not just byte 0 (pass 4 #3): a gzip
     # shard with leading garbage must still route to the gzip path and
     # resync there, with the prefix quarantined — byte-0 dispatch sent it
@@ -204,7 +223,7 @@ def decode_warc_records(data: bytes) -> list:
             _append(gz_rows, _corrupt_row(data[:gz_at]))
         for kind, seg in _split_gzip_members(data[gz_at:]):
             if kind == "member":
-                for row in decode_warc_records(seg):
+                for row in decode_warc_records(seg, _depth + 1):
                     if row["_corrupt_record"] is None:
                         gz_clean += 1
                     _append(gz_rows, row)
