@@ -195,29 +195,45 @@ def test_codec_hostile_and_span_contracts():
     clean = [r for r in rows if r["_corrupt_record"] is None]
     assert len(clean) == 1 and clean[0]["payload"] == warc_gz_payload["payload"]
     assert clean[0]["target_uri"] == a["target_uri"]
-    # r12 pass 8 pins (hostile-input bounds — both must QUARANTINE, never
-    # crash or hang the task):
-    # #1 — a shard gzip-wrapped far beyond any real nesting hits the
-    # depth cap and quarantines instead of RecursionError
-    nested = good_a
-    for _ in range(1000):
-        nested = _gzip.compress(nested, mtime=0)
-    rows = decode_warc_records(nested)  # must return, not raise
-    assert rows and all(r["_corrupt_record"] is not None for r in rows)
+    # r12 pass 8 pins, rebuilt pass 9 (hostile-input bounds — all must
+    # QUARANTINE, never crash or hang the task):
+    # #1 — gzip-wrapped far beyond any real nesting hits the depth cap
+    # instead of RecursionError, INCLUDING with a pad byte before every
+    # nested magic (pass 9 #1: a byte-0 probe was bypassed by the pad;
+    # the cap now gates the dispatch branch itself)
+    for pad in (b"", b"\r\n"):
+        nested = good_a
+        for _ in range(1000):
+            nested = pad + _gzip.compress(nested, mtime=0)
+        rows = decode_warc_records(nested)  # must return, not raise
+        assert rows and all(r["_corrupt_record"] is not None for r in rows)
     # ...while one legitimate nesting level still decodes clean
     rows = decode_warc_records(_gzip.compress(good_a, mtime=0))
     assert [r["_corrupt_record"] for r in rows] == [None]
-    # #2 — a resync storm (many embedded magics, each decompressing far
-    # into the tail before failing) stays within the failed-work budget:
-    # bounded time, remainder quarantined, and any CLEAN prefix survives
+    # #2/#3 — decompression bombs: members that inflate ~1000:1 and then
+    # fail (truncated trailer) must charge the work budget (pass 9 #2:
+    # the first budget subtracted zero for attempts raising in their
+    # first chunk and never counted OUTPUT bytes). 400 bombs × 8 MB
+    # output ≈ 3.2 GB of unbudgeted decompress work; the budget caps
+    # total work at ~100× the 3 MB shard, so the whole decode stays well
+    # under the unbudgeted wall. The clean leading member must survive.
     import time as _time
 
-    storm = gz_a + (b"\x1f\x8b\x08" + b"\x00" * 300) * 500
+    bomb = _gzip.compress(b"\x00" * (8 << 20), mtime=0)[:-8]
+    storm = gz_a + bomb * 400
     t0 = _time.monotonic()
     rows = decode_warc_records(storm)
-    assert _time.monotonic() - t0 < 10.0
+    assert _time.monotonic() - t0 < 8.0
     assert rows[0]["_corrupt_record"] is None  # the real member survived
     assert all(r["_corrupt_record"] is not None for r in rows[1:])
+    # and a single VALID member inflating past the absolute budget arm
+    # quarantines instead of materializing the whole output (pass 9 #3):
+    # 400 KB shard → budget ≈ 40 MB, member would inflate to 512 MB
+    big = _gzip.compress(b"\x00" * (512 << 20), mtime=0)
+    t0 = _time.monotonic()
+    rows = decode_warc_records(big)
+    assert _time.monotonic() - t0 < 8.0
+    assert rows and all(r["_corrupt_record"] is not None for r in rows)
 
 
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):
