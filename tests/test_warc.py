@@ -210,13 +210,12 @@ def test_codec_hostile_and_span_contracts():
     # ...while one legitimate nesting level still decodes clean
     rows = decode_warc_records(_gzip.compress(good_a, mtime=0))
     assert [r["_corrupt_record"] for r in rows] == [None]
-    # #2/#3 — decompression bombs: members that inflate ~1000:1 and then
-    # fail (truncated trailer) must charge the work budget (pass 9 #2:
-    # the first budget subtracted zero for attempts raising in their
-    # first chunk and never counted OUTPUT bytes). 400 bombs × 8 MB
-    # output ≈ 3.2 GB of unbudgeted decompress work; the budget caps
-    # total work at ~100× the 3 MB shard, so the whole decode stays well
-    # under the unbudgeted wall. The clean leading member must survive.
+    # #2/#3 (rebuilt pass 10) — FAILED decompression bombs: members that
+    # inflate ~1000:1 and then fail (truncated trailer) charge the
+    # failed-work arm, including output produced-then-discarded. 400
+    # bombs × 8 MB output ≈ 3.2 GB of unbudgeted decompress work; the
+    # failed arm caps it at 32×input + 64 MB. The clean leading member
+    # must survive.
     import time as _time
 
     bomb = _gzip.compress(b"\x00" * (8 << 20), mtime=0)[:-8]
@@ -226,14 +225,46 @@ def test_codec_hostile_and_span_contracts():
     assert _time.monotonic() - t0 < 8.0
     assert rows[0]["_corrupt_record"] is None  # the real member survived
     assert all(r["_corrupt_record"] is not None for r in rows[1:])
-    # and a single VALID member inflating past the absolute budget arm
-    # quarantines instead of materializing the whole output (pass 9 #3):
-    # 400 KB shard → budget ≈ 40 MB, member would inflate to 512 MB
-    big = _gzip.compress(b"\x00" * (512 << 20), mtime=0)
-    t0 = _time.monotonic()
-    rows = decode_warc_records(big)
-    assert _time.monotonic() - t0 < 8.0
-    assert rows and all(r["_corrupt_record"] is not None for r in rows)
+
+
+def test_codec_budget_never_binds_on_legit_data(monkeypatch):
+    """Pass 10 #1/#2/#4/#5 pins — the hostile-input bounds must NEVER
+    quarantine legitimate data: clean decompression is uncharged whatever
+    its ratio (this codec's own writer emits ~1000:1 members for
+    repetitive payloads), tiny-member shards pay no chunk-granularity
+    tax, and a member COMPLETING in the chunk that tips the memory arm is
+    kept. The memory arm itself is exercised via a small monkeypatched
+    cap — exceeding it quarantines the REMAINDER, keeps what finished."""
+    import unravelsports_spark.sources.warc as W
+
+    # ~1000:1 members (1 MiB zeros → ~1 KB compressed), self-written
+    recs = [
+        dict(_records(1)[0], record_id=f"<urn:uuid:{i}>",
+             payload=b"\x00" * (1 << 20))
+        for i in range(4)
+    ]
+    blob = W.encode_warc_records(recs, gzip_records=True)
+    assert len(blob) < 16 << 10  # genuinely ~1000:1
+    rows = W.decode_warc_records(blob)
+    assert [r["_corrupt_record"] for r in rows] == [None] * 4
+    assert all(r["payload"] == b"\x00" * (1 << 20) for r in rows)
+    # many tiny members: all decode, no per-member chunk tax
+    tiny = W.encode_warc_records(
+        [dict(_records(1)[0], record_id=f"<urn:uuid:{i}>")
+         for i in range(20_000)],
+        gzip_records=True,
+    )
+    rows = W.decode_warc_records(tiny)
+    assert len(rows) == 20_000
+    assert all(r["_corrupt_record"] is None for r in rows)
+    # memory arm: with a tiny cap, completed members up to the cap are
+    # KEPT (including the one whose final chunk tips it) and the
+    # remainder quarantines as one span
+    monkeypatch.setattr(W, "_MAX_DECODE_OUTPUT", 2 << 20)
+    rows = W.decode_warc_records(blob)
+    clean = [r for r in rows if r["_corrupt_record"] is None]
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(clean) >= 1 and len(corrupt) == 1  # kept prefix + one span
 
 
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):

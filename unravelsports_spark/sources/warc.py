@@ -111,13 +111,36 @@ def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
     return b"".join(out)
 
 
-def _split_gzip_members(data: bytes) -> list:
+#: global cap on cumulative decompressed OUTPUT per top-level decode call
+#: (the memory arm; threaded through nesting levels). NOT a work limit on
+#: legit data: a shard whose decompressed content exceeds this could not
+#: be materialized as rows by the task anyway — resize shards (the module
+#: scale caveat) rather than raise it. Tests monkeypatch it to exercise
+#: the bound without gigabytes of work.
+_MAX_DECODE_OUTPUT = 8 << 30
+
+
+def _split_gzip_members(data: bytes, budget: dict) -> list:
     """Split a multi-member gzip stream into ("member", decompressed) /
     ("corrupt", raw span) segments (the per-record-gzip WARC layout).
     After a corrupt or truncated member the scan RESYNCS at the next gzip
     magic (r12 review pass 3 #2 — without it one flipped byte mid-shard
     silently ate every record after it, while the plain layout resynced);
-    the partial decompression of a bad member never leaks as a member."""
+    the partial decompression of a bad member never leaks as a member.
+
+    ``budget`` is the decode call's SHARED hostile-input ledger (one dict
+    across all nesting levels — pass 10 #3: per-level budgets reset and
+    multiplied): ``failed`` charges consumed+produced bytes of FAILED
+    attempts only — clean decompression is never charged, whatever its
+    ratio, because quarantining legitimate high-ratio data (this module's
+    own writer emits 1000:1 shards for repetitive payloads) is strictly
+    worse than bounded slowness (pass 10 #1/#2/#5 — the two previous
+    budget designs both false-positived on legit shards); ``output``
+    charges ALL produced bytes (the memory arm), whose exhaustion means
+    the shard's decompressed content exceeds what a task could hold as
+    rows anyway. Either arm exhausting quarantines the remainder as one
+    span — bounded work, bounded memory, never a crash, never a false
+    quarantine below the documented caps."""
     import zlib
 
     # feed each decompressobj BOUNDED chunks and REWIND pos to the exact
@@ -132,65 +155,74 @@ def _split_gzip_members(data: bytes) -> list:
     # bounded constant per tiny member (measured ~linear in member count;
     # the 1 MiB-chunk version was 6.4× time for 2× members).
     CHUNK = 8 << 10
-    # DECOMPRESS-WORK budget, decremented PER CHUNK for both bytes FED
-    # and bytes PRODUCED, across clean and failed attempts alike (r12
-    # review pass 8 #2, rebuilt pass 9 #2/#3 after the first budget was
-    # empirically defeated twice: an attempt that raises inside its first
-    # chunk had subtracted zero, and input-byte accounting missed the
-    # ~1000:1 output amplification of a decompression bomb). Legit gzip
-    # sits at 3–20:1, so 100× input never binds on real shards; the 4 GiB
-    # absolute arm also bounds peak memory for the accumulated output of
-    # one giant member. Exhaustion quarantines the REMAINDER as one span
-    # — bounded work, bounded memory, never a crash.
-    work_budget = min(100 * len(data), 4 << 30) + (1 << 20)
     segs, pos = [], 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out, fed, ok = [], pos, False
+        out, fed, ok, produced = [], pos, False, 0
         try:
             while fed < len(data):
                 nxt_fed = min(fed + CHUNK, len(data))
-                work_budget -= nxt_fed - fed  # count BEFORE the call so a
-                # chunk that raises is still charged
                 piece = d.decompress(data[fed:nxt_fed])
-                work_budget -= len(piece)
-                out.append(piece)
                 fed = nxt_fed
-                if work_budget < 0:
-                    raise zlib.error("decompress work budget exhausted")
+                produced += len(piece)
+                budget["output"] -= len(piece)
+                out.append(piece)
+                # eof BEFORE the cap check (pass 10 #4): a member that
+                # COMPLETES in the chunk that tips the arm is kept; only
+                # further work stops
                 if d.eof:
                     break
+                if budget["output"] < 0:
+                    raise zlib.error("decode output cap exceeded")
             ok = d.eof
         except zlib.error:
             ok = False
-        if work_budget < 0:  # hostile shard (bomb or resync storm):
+        if not ok:
+            # charge the FAILED attempt: bytes fed (chunk-rounded — legit
+            # shards fail rarely, so granularity can't bind) + bytes
+            # produced-then-discarded (the bomb amplification)
+            budget["failed"] -= (fed - pos) + produced
+        exhausted = budget["failed"] < 0 or budget["output"] < 0
+        if ok:
+            # a COMPLETED member is always kept, even when its last chunk
+            # tipped an arm (pass 10 #4); exhaustion then only stops
+            # further work
+            segs.append(("member", b"".join(out)))
+            pos = fed - len(d.unused_data)
+            if exhausted and pos < len(data):
+                span = data[pos:]
+                if span.strip(b"\r\n"):
+                    segs.append(("corrupt", span))
+                break
+            continue
+        if exhausted:
+            # hostile shard (resync storm / bomb / over-cap output):
             # quarantine everything not yet cleanly parsed and stop
             span = data[pos:]
             if span.strip(b"\r\n"):
                 segs.append(("corrupt", span))
             break
-        if not ok:  # corrupt or truncated member: quarantine the span up
-            # to the next magic and resync there. Spans that are pure
-            # CRLF padding (between members, or trailing) are LEGAL and
-            # skipped — the plain path's inter-record exemption, both
-            # layouts (pass 6 #3). Resync from pos+1, not pos+2 (pass 7
-            # #1): a single pad/garbage byte puts the next magic at
-            # pos+1, and a magic can never START at pos+1 when pos itself
-            # is one (0x8b ≠ 0x1f), so +1 never re-finds the failed start.
-            nxt = data.find(_GZ_MAGIC, pos + 1)
-            span = data[pos:] if nxt < 0 else data[pos:nxt]
-            if span.strip(b"\r\n"):
-                segs.append(("corrupt", span))
-            if nxt < 0:
-                break
-            pos = nxt
-            continue
-        segs.append(("member", b"".join(out)))
-        pos = fed - len(d.unused_data)
+        # corrupt or truncated member: quarantine the span up
+        # to the next magic and resync there. Spans that are pure
+        # CRLF padding (between members, or trailing) are LEGAL and
+        # skipped — the plain path's inter-record exemption, both
+        # layouts (pass 6 #3). Resync from pos+1, not pos+2 (pass 7
+        # #1): a single pad/garbage byte puts the next magic at
+        # pos+1, and a magic can never START at pos+1 when pos itself
+        # is one (0x8b ≠ 0x1f), so +1 never re-finds the failed start.
+        nxt = data.find(_GZ_MAGIC, pos + 1)
+        span = data[pos:] if nxt < 0 else data[pos:nxt]
+        if span.strip(b"\r\n"):
+            segs.append(("corrupt", span))
+        if nxt < 0:
+            break
+        pos = nxt
     return segs
 
 
-def decode_warc_records(data: bytes, _depth: int = 0) -> list:
+def decode_warc_records(
+    data: bytes, _depth: int = 0, _budget: dict | None = None
+) -> list:
     """Parse WARC bytes into row dicts (WARC_SCHEMA minus shard). A
     malformed span becomes ONE quarantine dict (``_corrupt_record`` =
     printable prefix of the bad bytes, everything else None) and the
@@ -209,7 +241,20 @@ def decode_warc_records(data: bytes, _depth: int = 0) -> list:
     bytes and quarantines like any other malformation. The cap gates the
     DISPATCH BRANCH below, not a magic-at-byte-0 probe (pass 9 #1: one
     pad byte before each nested magic bypassed the probe while the
-    branch still recursed)."""
+    branch still recursed).
+
+    ``_budget`` is the hostile-input ledger (see
+    :func:`_split_gzip_members`), created once at the TOP-LEVEL call and
+    threaded through every nesting level (pass 10 #3: fresh per-level
+    budgets let a nested bomb multiply the bound per level)."""
+    if _budget is None:
+        _budget = {
+            # failed-attempt work: never charged on clean data, so it
+            # cannot false-positive; generous multiple of the input
+            "failed": 32 * len(data) + (64 << 20),
+            # cumulative decompressed output across all levels
+            "output": _MAX_DECODE_OUTPUT,
+        }
     # layout dispatch by FIRST magic, not just byte 0 (pass 4 #3): a gzip
     # shard with leading garbage must still route to the gzip path and
     # resync there, with the prefix quarantined — byte-0 dispatch sent it
@@ -235,9 +280,9 @@ def decode_warc_records(data: bytes, _depth: int = 0) -> list:
         gz_rows, gz_clean = [], 0
         if gz_at > 0 and data[:gz_at].strip(b"\r\n"):
             _append(gz_rows, _corrupt_row(data[:gz_at]))
-        for kind, seg in _split_gzip_members(data[gz_at:]):
+        for kind, seg in _split_gzip_members(data[gz_at:], _budget):
             if kind == "member":
-                for row in decode_warc_records(seg, _depth + 1):
+                for row in decode_warc_records(seg, _depth + 1, _budget):
                     if row["_corrupt_record"] is None:
                         gz_clean += 1
                     _append(gz_rows, row)
