@@ -257,14 +257,25 @@ def test_codec_budget_never_binds_on_legit_data(monkeypatch):
     rows = W.decode_warc_records(tiny)
     assert len(rows) == 20_000
     assert all(r["_corrupt_record"] is None for r in rows)
-    # memory arm: with a tiny cap, completed members up to the cap are
-    # KEPT (including the one whose final chunk tips it) and the
-    # remainder quarantines as one span
-    monkeypatch.setattr(W, "_MAX_DECODE_OUTPUT", 2 << 20)
+    # memory arm, EXACT tipping semantics (pass 11 #5): put the cap 10
+    # bytes INSIDE member 3's final decompress piece — the call that tips
+    # the arm also reaches eof, so member 3 is KEPT (the pass 10 #4
+    # contract: eof break before the cap check); member 4 then
+    # quarantines as exactly one span. A regression that re-orders the
+    # eof break after the cap check drops member 3 and fails the == 3.
+    member_len = len(W.encode_warc_records([recs[0]]))  # decompressed size
+    monkeypatch.setattr(W, "_MAX_DECODE_OUTPUT", 3 * member_len - 10)
     rows = W.decode_warc_records(blob)
     clean = [r for r in rows if r["_corrupt_record"] is None]
     corrupt = [r for r in rows if r["_corrupt_record"] is not None]
-    assert len(clean) >= 1 and len(corrupt) == 1  # kept prefix + one span
+    assert len(clean) == 3 and len(corrupt) == 1
+    assert [r["record_id"] for r in clean] == [f"<urn:uuid:{i}>" for i in range(3)]
+    # and a cap mid-member (not in the final piece) keeps only 2: the
+    # third member cannot finish under the arm and quarantines with the
+    # remainder
+    monkeypatch.setattr(W, "_MAX_DECODE_OUTPUT", 3 * member_len - (256 << 10))
+    rows = W.decode_warc_records(blob)
+    assert sum(r["_corrupt_record"] is None for r in rows) == 2
 
 
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):

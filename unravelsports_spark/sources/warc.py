@@ -111,13 +111,15 @@ def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
     return b"".join(out)
 
 
-#: global cap on cumulative decompressed OUTPUT per top-level decode call
-#: (the memory arm; threaded through nesting levels). NOT a work limit on
-#: legit data: a shard whose decompressed content exceeds this could not
-#: be materialized as rows by the task anyway — resize shards (the module
-#: scale caveat) rather than raise it. Tests monkeypatch it to exercise
-#: the bound without gigabytes of work.
-_MAX_DECODE_OUTPUT = 8 << 30
+#: global cap on cumulative LIVE decompressed output per top-level decode
+#: call (the memory arm; threaded through nesting levels; discarded
+#: failed-attempt output is refunded — freed memory doesn't deplete it).
+#: NOT a work limit: a shard whose decompressed content exceeds this
+#: could not be materialized as rows by the task anyway — content beyond
+#: the cap quarantines; SIZE SHARDS (the module scale caveat) or tune
+#: this to the executor's memory rather than raise it blindly. Tests
+#: monkeypatch it to exercise the bound without gigabytes of work.
+_MAX_DECODE_OUTPUT = 4 << 30
 
 
 def _split_gzip_members(data: bytes, budget: dict) -> list:
@@ -154,34 +156,57 @@ def _split_gzip_members(data: bytes, budget: dict) -> list:
     # of trade-off, linear in input for members ≥ CHUNK and a small
     # bounded constant per tiny member (measured ~linear in member count;
     # the 1 MiB-chunk version was 6.4× time for 2× members).
-    CHUNK = 8 << 10
+    CHUNK_IN = 8 << 10
+    # max_length per decompress call (r12 review pass 11 #2): without it,
+    # one 8 KB chunk can inflate ~8 MB INSIDE a single call that then
+    # raises — work the ledger never observes. Bounding each call's
+    # output and draining unconsumed_tail makes every unit of work
+    # visible to the arms BEFORE the next unit is spent.
+    CHUNK_OUT = 64 << 10
     segs, pos = [], 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out, fed, ok, produced = [], pos, False, 0
+        out, ok, produced, attempt_in = [], False, 0, 0
+        fed, pending = pos, b""
         try:
-            while fed < len(data):
-                nxt_fed = min(fed + CHUNK, len(data))
-                piece = d.decompress(data[fed:nxt_fed])
-                fed = nxt_fed
+            while True:
+                if not pending:
+                    if fed >= len(data):
+                        break
+                    nxt_fed = min(fed + CHUNK_IN, len(data))
+                    pending = data[fed:nxt_fed]
+                    # charge input BEFORE the call (pass 9 #2 / pass 11
+                    # #1: a call that raises must still have been paid
+                    # for) — into the attempt-local counter; it lands on
+                    # the failed arm only if the attempt fails
+                    attempt_in += nxt_fed - fed
+                    fed = nxt_fed
+                piece = d.decompress(pending, CHUNK_OUT)
+                pending = d.unconsumed_tail
                 produced += len(piece)
                 budget["output"] -= len(piece)
                 out.append(piece)
                 # eof BEFORE the cap check (pass 10 #4): a member that
-                # COMPLETES in the chunk that tips the arm is kept; only
+                # COMPLETES in the call that tips the arm is kept; only
                 # further work stops
                 if d.eof:
                     break
                 if budget["output"] < 0:
                     raise zlib.error("decode output cap exceeded")
+                if not piece and not pending and fed >= len(data):
+                    break  # truncated: no input left, no progress
             ok = d.eof
         except zlib.error:
             ok = False
         if not ok:
-            # charge the FAILED attempt: bytes fed (chunk-rounded — legit
-            # shards fail rarely, so granularity can't bind) + bytes
-            # produced-then-discarded (the bomb amplification)
-            budget["failed"] -= (fed - pos) + produced
+            # charge the FAILED attempt's work: bytes fed (including the
+            # chunk that raised) + bytes produced-then-discarded (the
+            # bomb amplification, observed incrementally via CHUNK_OUT);
+            # REFUND the discarded output to the memory arm (pass 11 #4:
+            # freed memory must not deplete it and falsely quarantine
+            # later valid members)
+            budget["failed"] -= attempt_in + produced
+            budget["output"] += produced
         exhausted = budget["failed"] < 0 or budget["output"] < 0
         if ok:
             # a COMPLETED member is always kept, even when its last chunk
