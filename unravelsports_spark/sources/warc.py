@@ -165,8 +165,16 @@ def _split_gzip_members(data: bytes, budget: dict) -> list:
     CHUNK_OUT = 64 << 10
     segs, pos = [], 0
     while pos < len(data):
+        if budget["failed"] < 0 or budget["output"] < 0:
+            # an arm already exhausted (possibly by an OUTER or nested
+            # level of this decode call — the ledger is shared): nothing
+            # further may decompress; quarantine on sight
+            span = data[pos:]
+            if span.strip(b"\r\n"):
+                segs.append(("corrupt", span))
+            break
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out, ok, produced, attempt_in = [], False, 0, 0
+        out, ok, produced, capped = [], False, 0, False
         fed, pending = pos, b""
         try:
             while True:
@@ -174,12 +182,10 @@ def _split_gzip_members(data: bytes, budget: dict) -> list:
                     if fed >= len(data):
                         break
                     nxt_fed = min(fed + CHUNK_IN, len(data))
-                    pending = data[fed:nxt_fed]
                     # charge input BEFORE the call (pass 9 #2 / pass 11
                     # #1: a call that raises must still have been paid
-                    # for) — into the attempt-local counter; it lands on
-                    # the failed arm only if the attempt fails
-                    attempt_in += nxt_fed - fed
+                    # for); the attempt's input charge is (fed − pos)
+                    pending = data[fed:nxt_fed]
                     fed = nxt_fed
                 piece = d.decompress(pending, CHUNK_OUT)
                 pending = d.unconsumed_tail
@@ -192,20 +198,25 @@ def _split_gzip_members(data: bytes, budget: dict) -> list:
                 if d.eof:
                     break
                 if budget["output"] < 0:
+                    capped = True
                     raise zlib.error("decode output cap exceeded")
-                if not piece and not pending and fed >= len(data):
-                    break  # truncated: no input left, no progress
             ok = d.eof
         except zlib.error:
             ok = False
-        if not ok:
-            # charge the FAILED attempt's work: bytes fed (including the
-            # chunk that raised) + bytes produced-then-discarded (the
-            # bomb amplification, observed incrementally via CHUNK_OUT);
-            # REFUND the discarded output to the memory arm (pass 11 #4:
-            # freed memory must not deplete it and falsely quarantine
-            # later valid members)
-            budget["failed"] -= attempt_in + produced
+        if not ok and not capped:
+            # a genuinely FAILED attempt charges the hostile-work arm:
+            # bytes fed (including the chunk that raised) + bytes
+            # produced-then-discarded (the bomb amplification, observed
+            # incrementally via CHUNK_OUT); its discarded output is
+            # REFUNDED to the memory arm (pass 11 #4: freed memory must
+            # not deplete it and falsely quarantine later valid members).
+            # A CAP-EXCEEDED attempt is different (pass 12 #1): it is not
+            # hostile-work evidence, so the failed arm is untouched — and
+            # the output arm stays NEGATIVE (sticky), because un-sticking
+            # it would let a shard of repeated cap-trippers redo cap-sized
+            # work per member; once over the cap, the rest of the decode
+            # call quarantines (the documented mis-sized-shard outcome).
+            budget["failed"] -= (fed - pos) + produced
             budget["output"] += produced
         exhausted = budget["failed"] < 0 or budget["output"] < 0
         if ok:
@@ -303,6 +314,7 @@ def decode_warc_records(
         # The double decode runs only on ambiguous — already corrupt —
         # shards, never on the clean path.
         gz_rows, gz_clean = [], 0
+        output_before = _budget["output"]
         if gz_at > 0 and data[:gz_at].strip(b"\r\n"):
             _append(gz_rows, _corrupt_row(data[:gz_at]))
         for kind, seg in _split_gzip_members(data[gz_at:], _budget):
@@ -317,7 +329,19 @@ def decode_warc_records(
             return gz_rows
         pl_rows = _decode_plain(data)
         pl_clean = sum(1 for r in pl_rows if r["_corrupt_record"] is None)
-        return gz_rows if gz_clean > pl_clean else pl_rows
+        if gz_clean > pl_clean:
+            return gz_rows
+        # the gzip interpretation LOST the vote and is discarded — refund
+        # its net output charge (pass 12 #2: the memory arm tracks LIVE
+        # bytes; a phantom charge for freed rows would falsely quarantine
+        # later members at outer levels). The failed-arm charges stand:
+        # that work genuinely happened. EXCEPTION: if the build tripped
+        # the output cap, it stays sticky-negative — un-sticking would
+        # let K crafted members each redo cap-sized discarded work
+        # (K·cap total, unbounded in K).
+        if _budget["output"] >= 0:
+            _budget["output"] = output_before
+        return pl_rows
     return _decode_plain(data)
 
 
