@@ -272,10 +272,42 @@ def test_codec_budget_never_binds_on_legit_data(monkeypatch):
     assert [r["record_id"] for r in clean] == [f"<urn:uuid:{i}>" for i in range(3)]
     # and a cap mid-member (not in the final piece) keeps only 2: the
     # third member cannot finish under the arm and quarantines with the
-    # remainder
+    # remainder — this also pins the cap's STICKINESS (pass 12 #1):
+    # member 4 is perfectly valid and under-sized, yet never decoded
     monkeypatch.setattr(W, "_MAX_DECODE_OUTPUT", 3 * member_len - (256 << 10))
     rows = W.decode_warc_records(blob)
     assert sum(r["_corrupt_record"] is None for r in rows) == 2
+
+
+def test_codec_discarded_interpretation_work_is_charged():
+    """Pass 13 #1 pin (the reviewer's own PoC shape): K members of
+    gzip(gzip(big zeros) + one plain record) each decompress their inner
+    zeros CLEANLY, lose the interpretation vote (0 clean gzip rows vs 1
+    plain), and are discarded — a bare memory-arm refund re-armed the
+    budget and let the shard force K × sub-cap work, unbounded in K.
+    With the discarded work charged to the failed arm, the arm binds
+    after ~64 MB of it: bounded time, SOME leading members decode, the
+    remainder quarantines."""
+    import gzip as _gzip
+    import time as _time
+
+    from unravelsports_spark.sources.warc import (
+        decode_warc_records,
+        encode_warc_records,
+    )
+
+    inner = _gzip.compress(b"\x00" * (8 << 20), mtime=0)  # 8 MB discarded/at a time
+    rec = encode_warc_records(
+        [{"target_uri": "http://k/", "payload": b"x"}]
+    )
+    member = _gzip.compress(inner + rec, mtime=0)
+    shard = member * 400  # unbudgeted: 400 × 8 MB ≈ 3.2 GB of inflate
+    t0 = _time.monotonic()
+    rows = decode_warc_records(shard)
+    assert _time.monotonic() - t0 < 6.0
+    n_clean = sum(r["_corrupt_record"] is None for r in rows)
+    assert 0 < n_clean < 200  # leading members decoded, then the arm bound
+    assert any(r["_corrupt_record"] is not None for r in rows)
 
 
 def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):

@@ -122,9 +122,14 @@ def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
 _MAX_DECODE_OUTPUT = 4 << 30
 
 
-def _split_gzip_members(data: bytes, budget: dict) -> list:
-    """Split a multi-member gzip stream into ("member", decompressed) /
-    ("corrupt", raw span) segments (the per-record-gzip WARC layout).
+def _split_gzip_members(data: bytes, budget: dict):
+    """LAZILY split a multi-member gzip stream into ("member",
+    decompressed) / ("corrupt", raw span) segments (the per-record-gzip
+    WARC layout). A GENERATOR by contract (r12 pass 13): the consumer
+    decodes each member as it is yielded, so the shared budget's state
+    BETWEEN members reflects stream order — a materialized list would
+    split the whole shard first and then judge early members against the
+    ledger as later members left it.
     After a corrupt or truncated member the scan RESYNCS at the next gzip
     magic (r12 review pass 3 #2 — without it one flipped byte mid-shard
     silently ate every record after it, while the plain layout resynced);
@@ -163,7 +168,7 @@ def _split_gzip_members(data: bytes, budget: dict) -> list:
     # output and draining unconsumed_tail makes every unit of work
     # visible to the arms BEFORE the next unit is spent.
     CHUNK_OUT = 64 << 10
-    segs, pos = [], 0
+    pos = 0
     while pos < len(data):
         if budget["failed"] < 0 or budget["output"] < 0:
             # an arm already exhausted (possibly by an OUTER or nested
@@ -171,7 +176,7 @@ def _split_gzip_members(data: bytes, budget: dict) -> list:
             # further may decompress; quarantine on sight
             span = data[pos:]
             if span.strip(b"\r\n"):
-                segs.append(("corrupt", span))
+                yield ("corrupt", span)
             break
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         out, ok, produced, capped = [], False, 0, False
@@ -223,12 +228,12 @@ def _split_gzip_members(data: bytes, budget: dict) -> list:
             # a COMPLETED member is always kept, even when its last chunk
             # tipped an arm (pass 10 #4); exhaustion then only stops
             # further work
-            segs.append(("member", b"".join(out)))
+            yield ("member", b"".join(out))
             pos = fed - len(d.unused_data)
             if exhausted and pos < len(data):
                 span = data[pos:]
                 if span.strip(b"\r\n"):
-                    segs.append(("corrupt", span))
+                    yield ("corrupt", span)
                 break
             continue
         if exhausted:
@@ -236,7 +241,7 @@ def _split_gzip_members(data: bytes, budget: dict) -> list:
             # quarantine everything not yet cleanly parsed and stop
             span = data[pos:]
             if span.strip(b"\r\n"):
-                segs.append(("corrupt", span))
+                yield ("corrupt", span)
             break
         # corrupt or truncated member: quarantine the span up
         # to the next magic and resync there. Spans that are pure
@@ -249,11 +254,10 @@ def _split_gzip_members(data: bytes, budget: dict) -> list:
         nxt = data.find(_GZ_MAGIC, pos + 1)
         span = data[pos:] if nxt < 0 else data[pos:nxt]
         if span.strip(b"\r\n"):
-            segs.append(("corrupt", span))
+            yield ("corrupt", span)
         if nxt < 0:
             break
         pos = nxt
-    return segs
 
 
 def decode_warc_records(
@@ -317,6 +321,16 @@ def decode_warc_records(
         output_before = _budget["output"]
         if gz_at > 0 and data[:gz_at].strip(b"\r\n"):
             _append(gz_rows, _corrupt_row(data[:gz_at]))
+        # _split_gzip_members is a GENERATOR (pass 13 #1, the actual
+        # leak): nested decodes here charge the shared ledger per member,
+        # and the split's loop-top exhaustion check must SEE those
+        # charges before splitting the next member — a materialized list
+        # split the whole shard first, so K members each spent sub-cap
+        # discarded work after an arm was already negative. Exhaustion
+        # mid-stream is the split's job (it quarantines the remainder in
+        # stream order); no consumer-side re-check, which would misfire
+        # on a legitimately-kept member whose own final call tipped the
+        # arm (the pass 10 #4 contract).
         for kind, seg in _split_gzip_members(data[gz_at:], _budget):
             if kind == "member":
                 for row in decode_warc_records(seg, _depth + 1, _budget):
@@ -332,14 +346,16 @@ def decode_warc_records(
         if gz_clean > pl_clean:
             return gz_rows
         # the gzip interpretation LOST the vote and is discarded — refund
-        # its net output charge (pass 12 #2: the memory arm tracks LIVE
-        # bytes; a phantom charge for freed rows would falsely quarantine
-        # later members at outer levels). The failed-arm charges stand:
-        # that work genuinely happened. EXCEPTION: if the build tripped
-        # the output cap, it stays sticky-negative — un-sticking would
-        # let K crafted members each redo cap-sized discarded work
-        # (K·cap total, unbounded in K).
+        # its net output charge to the MEMORY arm (pass 12 #2: it tracks
+        # LIVE bytes; a phantom charge for freed rows would falsely
+        # quarantine later members at outer levels) but charge that same
+        # discarded work to the FAILED arm (pass 13 #1: a bare refund
+        # re-armed the budget, letting K crafted members each spend
+        # sub-cap discarded work — unbounded in K; the work genuinely
+        # happened and a losing interpretation IS hostile-work evidence).
+        # EXCEPTION: a build that tripped the cap stays sticky-negative.
         if _budget["output"] >= 0:
+            _budget["failed"] -= output_before - _budget["output"]
             _budget["output"] = output_before
         return pl_rows
     return _decode_plain(data)
