@@ -1,0 +1,135 @@
+"""CRAWL-INGEST pipeline, container to content (round 12): the chain a
+web-corpus team runs BEFORE corpus_pipeline.py's filter→dedup→select→pack
+— WARC shards in, clean deduplicatable text out.
+
+    WARC (sources/warc.py, per-record-gzip — the Common Crawl layout)
+      → quarantine audit (shared _corrupt_record contract)
+      → warc_to_documents (host = the t_url_domains extraction)
+      → extract_html_text (operators/htmltext.py: blocks/tags/entities)
+      → normalize_text    (operators/textnorm.py: NFKC + Cc/Cf + ws)
+      → strip_boilerplate (operators/boilerplate.py: template lines)
+      → exact_dedup fingerprints, ready for the corpus pipeline
+
+Run: python examples/crawl_ingest_pipeline.py  [SPARK_GRAFT_SF_DIR
+overrides the default /root/testdata/sf0.001]. The synthetic documents
+table stands in for crawl payloads: each doc is wrapped in markup + a
+shared per-site footer, exported as a genuine WARC shard set (one corrupt
+shard injected), and must come out the far end byte-identical to the
+original text — the whole chain proves itself by round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(spark, sf_dir: str) -> dict:
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.operators.boilerplate import (
+        boilerplate_flags,
+        strip_boilerplate,
+    )
+    from unravelsports_spark.operators.htmltext import extract_html_text
+    from unravelsports_spark.operators.textnorm import normalize_text
+    from unravelsports_spark.session import read_table
+    from unravelsports_spark.sources.jsonl import quarantine_counts
+    from unravelsports_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+        write_warc,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    # Synthesize the crawl: markup-wrapped pages with a per-site footer
+    # (template line) around the original text. doc_id // 20 keys the
+    # footer like the certified t_boilerplate_strip query — source IS
+    # doc_id % 20, so plain parity would be constant per source.
+    # note: no text inside <title> — title text is CONTENT to the
+    # extractor (only script/style/comment blocks are removed whole), and
+    # the round-trip proof needs the body to be the only content
+    page = F.concat(
+        F.lit('<html><head><title></title><style>.x{}</style></head><body><p>'),
+        F.col("text"),
+        F.lit("</p><script>track()</script><div>site footer for "),
+        F.col("source"),
+        F.lit("</div></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://"), "source", F.lit(".example/"), F.col("doc_id")
+        ).alias("target_uri"),
+        F.encode(page, "UTF-8").alias("payload"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_crawl_")
+    try:
+        manifest = write_warc(pages, tmp, gzip_records=True).collect()
+        with open(os.path.join(tmp, "part-corrupt.warc"), "wb") as fh:
+            fh.write(b"not a warc shard \x00\xff")
+
+        raw = read_warc(spark, tmp)
+        qc = quarantine_counts(raw).first()
+
+        # container → documents → markup-free → canonical → template-free
+        d0 = warc_to_documents(raw).withColumn(
+            "doc_id", F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+        )
+        d1 = extract_html_text(d0, text_col="text", out_col="markup_free")
+        d2 = normalize_text(d1, text_col="markup_free", form="NFKC")
+        # block boundaries became spaces; re-line the footer for the
+        # line-granular boilerplate stage (a real pipeline emits newlines
+        # at block tags)
+        lined = d2.select(
+            "doc_id",
+            "source",
+            F.regexp_replace(
+                "norm_text", r" (site footer for \S+)$", "\n$1"
+            ).alias("text"),
+        )
+        # min_docs=2: the smoke corpus has 2-3 docs per source, below the
+        # production default of 5 (the certified query keeps the default
+        # at sf0.01 where sources hold 25 docs)
+        flags = boilerplate_flags(lined, min_docs=2)
+        cleaned = strip_boilerplate(lined, flags)
+
+        # the round-trip proof: cleaned text must equal the ORIGINAL
+        # corpus text byte-for-byte (host-keyed sources differ, so join
+        # back on doc_id)
+        orig = docs.select("doc_id", F.col("text").alias("orig_text"))
+        comp = cleaned.join(orig, "doc_id").select(
+            (F.col("clean_text") == F.col("orig_text")).alias("roundtrip_ok")
+        )
+        agg = comp.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("roundtrip_ok").cast("long")).alias("n_ok"),
+        ).first()
+
+        return {
+            "n_shards": len(manifest),
+            "n_quarantined": int(qc["n_quarantined"]),
+            "n_docs": int(agg["n"]),
+            "n_roundtrip_ok": int(agg["n_ok"]),
+            "n_boilerplate_flagged": flags.count(),
+        }
+    finally:
+        release_tracked()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    from unravelsports_spark.session import get_spark
+
+    out = main(
+        get_spark(),
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+    )
+    print(out)

@@ -69,6 +69,21 @@ def test_tokenizer_pipeline_example(spark):
     assert len(out["top_wp_merges"]) == 5
 
 
+def test_crawl_ingest_pipeline_example(spark):
+    """The r12 container-to-content chain: WARC (gzip members) → html
+    extract → normalize → boilerplate must reproduce the ORIGINAL corpus
+    text byte-for-byte on every doc, with the injected corrupt shard
+    quarantined exactly once and the per-site footer flagged in every
+    source."""
+    from examples.crawl_ingest_pipeline import main
+
+    out = main(spark, "/root/testdata/sf0.001")
+    assert out["n_quarantined"] == 1
+    assert out["n_docs"] > 0
+    assert out["n_roundtrip_ok"] == out["n_docs"]  # byte-exact round trip
+    assert out["n_boilerplate_flagged"] > 0
+
+
 def test_release_pipeline_example(spark):
     from examples.release_pipeline import main
 

@@ -85,6 +85,9 @@ NOTES = {
     "mm_video_scene_cuts": "r11 scene cuts: two Arrow MapInPandas stages (mux, then parse+decode+diff) over a doc_id-only pruned scan - ZERO exchanges; per clip two decoded frames resident; cut positions certified via the closed-form arithmetic-series sum.",
     "mm_audio_segments": "r11 audio segments: two Arrow MapInPandas stages (WAV synth, then decode + vectorized frame-RMS) over a doc_id-only pruned scan - ZERO exchanges; O(samples) per clip; segment starts certified via the burst-arithmetic sum.",
     "t_text_normalize": "r11 unicode canonicalization: suffix concat in Catalyst, ONE Arrow MapInPandas pass (stdlib unicodedata, memoized Cc/Cf table), md5/length/conv JVM-side in a partial aggregate, exactly one hash exchange carrying source-sized partials - the Python boundary is crossed once and documents never shuffle.",
+    "t_boilerplate_strip": "r12 boilerplate removal: explode -> distinct-then-count doc frequency (two-phase, no Expand), per-source totals and the template-sized flag table come back as broadcasts (the flag join adds no shuffle), in-order reassembly via collect_list(struct)+array_sort in ONE corpus-sized aggregate.",
+    "d_simhash_neardup": "r12 Hamming-LSH mining: one projection fans each 64-bit code into 4 (band, key) rows; the hot-bucket cap is a LEFT ANTI join BEFORE the quadratic step; candidates meet only inside co-bucketed (band, key) partitions (shuffled equi-join, never cartesian), exact bit_count(xor) verifies post-join.",
+    "t_html_extract": "r12 markup extraction: the whole strip/decode chain is JVM-side regexp_replace + literal replace inside whole-stage codegen - ZERO Python stages, ZERO shuffles in the extraction itself; one hash exchange carries source-sized md5/length partials; scan pruned to (doc_id, text, source).",
 }
 
 
