@@ -50,9 +50,10 @@ def main(spark, sf_dir: str) -> dict:
     docs = read_table(spark, sf_dir, "documents")
 
     # Synthesize the crawl: markup-wrapped pages with a per-site footer
-    # (template line) around the original text. doc_id // 20 keys the
-    # footer like the certified t_boilerplate_strip query — source IS
-    # doc_id % 20, so plain parity would be constant per source.
+    # (one template line, CONSTANT per source — sites share a footer
+    # across all their pages; the certified t_boilerplate_strip query
+    # instead varies injection WITHIN each source to prove threshold
+    # selectivity — this example proves end-to-end removal).
     # note: no text inside <title> — title text is CONTENT to the
     # extractor (only script/style/comment blocks are removed whole), and
     # the round-trip proof needs the body to be the only content
@@ -95,10 +96,12 @@ def main(spark, sf_dir: str) -> dict:
                 "norm_text", r" (site footer for \S+)$", "\n$1"
             ).alias("text"),
         )
-        # min_docs=2: the smoke corpus has 2-3 docs per source, below the
-        # production default of 5 (the certified query keeps the default
-        # at sf0.01 where sources hold 25 docs)
-        flags = boilerplate_flags(lined, min_docs=2)
+        # persist: the flag table feeds the broadcast join AND the
+        # n_boilerplate_flagged count below — without it each action
+        # recomputes the corpus-sized doc-frequency chain
+        from unravelsports_spark.cache import tracked_persist
+
+        flags = tracked_persist(boilerplate_flags(lined))
         cleaned = strip_boilerplate(lined, flags)
 
         # the round-trip proof: cleaned text must equal the ORIGINAL

@@ -79,9 +79,12 @@ def test_crawl_ingest_pipeline_example(spark):
 
     out = main(spark, "/root/testdata/sf0.001")
     assert out["n_quarantined"] == 1
-    assert out["n_docs"] > 0
-    assert out["n_roundtrip_ok"] == out["n_docs"]  # byte-exact round trip
-    assert out["n_boilerplate_flagged"] > 0
+    # EVERY source doc must survive the whole chain (a silent drop in the
+    # decoder/join would otherwise pass on the survivors alone) AND
+    # round-trip byte-exactly
+    assert out["n_docs"] == 500
+    assert out["n_roundtrip_ok"] == out["n_docs"]
+    assert out["n_boilerplate_flagged"] == 20  # one footer per source
 
 
 def test_release_pipeline_example(spark):
