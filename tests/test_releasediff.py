@@ -1,0 +1,123 @@
+"""Corpus release diff (operators/releasediff.py) — built round 12,
+driver registration queued r13 (`d_release_diff`). RELEASE_DIFF_SQL
+verified here moves to the plans registry at registration, per the
+corpus7/corpus8 discipline."""
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_CORRECT
+
+# the exact SQL twin for the r13 `d_release_diff` registration: release
+# N+1 is derived from the documents table in closed form — doc_id%7==0
+# removed, doc_id%5==0 (of the survivors) modified with a ' v2' suffix,
+# one added doc per doc_id%11==0 under id+1000000 — so the expected
+# (source, status) rollup is fully recomputable by DuckDB
+RELEASE_DIFF_SQL = """
+    WITH old AS (SELECT doc_id, source, text FROM documents),
+    survivors AS (SELECT * FROM old WHERE doc_id % 7 <> 0),
+    new_ AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM survivors
+      UNION ALL
+      SELECT doc_id + 1000000, source, 'new doc ' || CAST(doc_id AS VARCHAR)
+      FROM old WHERE doc_id % 11 = 0),
+    o AS (SELECT doc_id AS id, source AS src_o, md5(COALESCE(text, '')) AS fp_o,
+                 length(COALESCE(text, '')) AS ch_o FROM old),
+    n AS (SELECT doc_id AS id, source AS src_n, md5(COALESCE(text, '')) AS fp_n,
+                 length(COALESCE(text, '')) AS ch_n FROM new_),
+    j AS (SELECT COALESCE(o.id, n.id) AS id,
+                 COALESCE(n.src_n, o.src_o) AS source,
+                 CASE WHEN fp_o IS NULL THEN 'added'
+                      WHEN fp_n IS NULL THEN 'removed'
+                      WHEN fp_o = fp_n THEN 'unchanged'
+                      ELSE 'modified' END AS status,
+                 COALESCE(ch_o, 0) AS chars_old, COALESCE(ch_n, 0) AS chars_new
+          FROM o FULL OUTER JOIN n ON o.id = n.id)
+    SELECT source, status, COUNT(*) AS n_docs,
+           CAST(SUM(chars_old) AS BIGINT) AS chars_old,
+           CAST(SUM(chars_new) AS BIGINT) AS chars_new,
+           CAST(SUM(chars_new - chars_old) AS BIGINT) AS chars_delta
+    FROM j GROUP BY source, status ORDER BY source, status
+"""
+
+
+def _diff_query(spark, sf_dir):
+    """The r13 d_release_diff query shape."""
+    from unravelsports_spark.operators.releasediff import release_diff_report
+    from unravelsports_spark.session import read_table
+
+    old = read_table(spark, sf_dir, "documents")
+    survivors = old.where(F.col("doc_id") % 7 != 0)
+    modified = survivors.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    new = modified.unionByName(added)
+    return release_diff_report(old.select("doc_id", "source", "text"), new)
+
+
+def test_release_diff_matches_duckdb(spark, duck):
+    got = sorted(map(tuple, _diff_query(spark, SF_CORRECT).collect()))
+    want = sorted(map(tuple, duck.execute(RELEASE_DIFF_SQL).fetchall()))
+    assert got == want and len(got) > 20
+    # every status class genuinely present in the certified output
+    assert {s for _, s, *_ in got} == {"added", "removed", "modified", "unchanged"}
+
+
+def test_release_diff_per_doc_contracts(spark):
+    """Status semantics pinned per doc: added/removed/modified/unchanged,
+    NULL text fingerprints as '' (a doc whose text went NULL reports as
+    modified, never a silent dropout), and a source change alone is NOT a
+    modification (the join is by id, source is an attribute — new wins)."""
+    from unravelsports_spark.operators.releasediff import release_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "same"), (2, "a", "will change"), (3, "a", "goes away"),
+         (4, "a", "text to null"), (5, "b", "moves source")],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "same"), (2, "a", "changed!"), (6, "a", "brand new"),
+         (4, "a", None), (5, "c", "moves source")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in release_diff(old, new).collect()}
+    assert got[1]["status"] == "unchanged"
+    assert got[2]["status"] == "modified"
+    assert got[3]["status"] == "removed" and got[3]["chars_new"] == 0
+    assert got[4]["status"] == "modified" and got[4]["chars_new"] == 0
+    assert got[5]["status"] == "unchanged" and got[5]["source"] == "c"
+    assert got[6]["status"] == "added" and got[6]["chars_old"] == 0
+
+
+def test_release_diff_plan_shape(spark):
+    """Scale shape: ONE exchange pair feeding a co-partitioned
+    SortMergeJoin on the id (never broadcast — both releases are
+    corpus-sized), fingerprints projected below the join so text never
+    shuffles, no cartesian."""
+    plan = (
+        _diff_query(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both sides shuffle on the id key, and BOTH fingerprint at the scan
+    # (md5 appears in each side's pre-exchange projection, so raw text
+    # never rides the exchange)
+    assert plan.count("Exchange hashpartitioning(_id") == 2
+    # every scan-side branch fingerprints BEFORE its exchange (the old
+    # side once, the new side once per union branch), so raw text never
+    # rides an exchange
+    assert plan.count("md5(cast(coalesce(text") == 3

@@ -1,0 +1,96 @@
+"""Corpus release diff (engine addition §2.12; built round 12, driver
+registration queued r13 as `d_release_diff`) — the release-auditing stage
+between two corpus versions: before shipping release N+1, a training-data
+team answers "what changed since N" (docs added / removed / modified /
+unchanged, and how much text moved, per source). Without it a pipeline
+regression — a filter silently eating a source, an extraction change
+rewriting half the corpus — ships unnoticed; with it the release note is
+a query.
+
+Spark-first shape (pure Catalyst, exactly SQL-certifiable):
+- each side reduces to (id, source, fingerprint, chars) AT THE SCAN — the
+  md5 fingerprint replaces carrying text through the join, so the one
+  shuffle moves ~50 bytes/doc regardless of document size (the
+  operators/dedup.py fingerprint discipline);
+- ONE full-outer join on the id (both sides hash-partition the same key —
+  co-partitioned, no broadcast needed at any scale; at 100 TB bucket both
+  releases by id and the exchange disappears);
+- status is a null/fingerprint case projection; the report is one
+  map-side-combinable rollup per (source, status).
+
+Contract notes:
+- "modified" means the FINGERPRINT changed (byte-level). Pair with
+  textnorm + extract_html_text upstream when semantic identity should
+  survive cosmetic change — the same reasoning as the dedup keys.
+- a doc whose SOURCE changed but text didn't reports as modified=False
+  under its NEW source (the join is by id; source is an attribute). The
+  report takes source from the side that has it (new wins when both do).
+- NULL text fingerprints as the md5 of '' via coalesce — a doc whose text
+  went NULL reports as modified, never as a silent join dropout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _keyed(df: DataFrame, id_col: str, source_col: str, text_col: str, tag: str):
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias(f"_src_{tag}"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(f"_fp_{tag}"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias(f"_chars_{tag}"),
+    )
+
+
+def release_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc diff of two releases: (doc_id, source, status,
+    chars_old, chars_new) with status ∈ added | removed | modified |
+    unchanged. One co-partitioned full-outer join on the id; fingerprints
+    computed at the scan so text never shuffles."""
+    o = _keyed(old, id_col, source_col, text_col, "old")
+    n = _keyed(new, id_col, source_col, text_col, "new")
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("_src_new"), F.col("_src_old")).alias(source_col),
+        status.alias("status"),
+        F.coalesce(F.col("_chars_old"), F.lit(0)).alias("chars_old"),
+        F.coalesce(F.col("_chars_new"), F.lit(0)).alias("chars_new"),
+    )
+
+
+def release_diff_report(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The release note: per (source, status) — n_docs, chars_old,
+    chars_new, chars_delta — ordered for the certified hash. Tiny output
+    (sources × 4 rows); one combinable rollup over :func:`release_diff`."""
+    d = release_diff(old, new, id_col, source_col, text_col)
+    return (
+        d.groupBy(source_col, "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars_old").alias("chars_old"),
+            F.sum("chars_new").alias("chars_new"),
+            F.sum(F.col("chars_new") - F.col("chars_old")).alias("chars_delta"),
+        )
+        .orderBy(source_col, "status")
+    )
