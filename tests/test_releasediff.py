@@ -22,9 +22,11 @@ RELEASE_DIFF_SQL = """
       UNION ALL
       SELECT doc_id + 1000000, source, 'new doc ' || CAST(doc_id AS VARCHAR)
       FROM old WHERE doc_id % 11 = 0),
-    o AS (SELECT doc_id AS id, source AS src_o, md5(COALESCE(text, '')) AS fp_o,
+    o AS (SELECT doc_id AS id, source AS src_o,
+                 CASE WHEN text IS NULL THEN 'null' ELSE md5(text) END AS fp_o,
                  length(COALESCE(text, '')) AS ch_o FROM old),
-    n AS (SELECT doc_id AS id, source AS src_n, md5(COALESCE(text, '')) AS fp_n,
+    n AS (SELECT doc_id AS id, source AS src_n,
+                 CASE WHEN text IS NULL THEN 'null' ELSE md5(text) END AS fp_n,
                  length(COALESCE(text, '')) AS ch_n FROM new_),
     j AS (SELECT COALESCE(o.id, n.id) AS id,
                  COALESCE(n.src_n, o.src_o) AS source,
@@ -74,20 +76,22 @@ def test_release_diff_matches_duckdb(spark, duck):
 
 
 def test_release_diff_per_doc_contracts(spark):
-    """Status semantics pinned per doc: added/removed/modified/unchanged,
-    NULL text fingerprints as '' (a doc whose text went NULL reports as
-    modified, never a silent dropout), and a source change alone is NOT a
-    modification (the join is by id, source is an attribute — new wins)."""
+    """Status semantics pinned per doc: added/removed/modified/unchanged;
+    NULL text fingerprints as a NON-md5 sentinel, so text→NULL AND the
+    ''↔NULL transition both report modified (r12 review: a plain
+    coalesce-to-'' fingerprint made ''↔NULL invisible); a source change
+    alone is NOT a modification (the join is by id, source is an
+    attribute — new wins)."""
     from unravelsports_spark.operators.releasediff import release_diff
 
     old = spark.createDataFrame(
         [(1, "a", "same"), (2, "a", "will change"), (3, "a", "goes away"),
-         (4, "a", "text to null"), (5, "b", "moves source")],
+         (4, "a", "text to null"), (5, "b", "moves source"), (7, "a", "")],
         "doc_id long, source string, text string",
     )
     new = spark.createDataFrame(
         [(1, "a", "same"), (2, "a", "changed!"), (6, "a", "brand new"),
-         (4, "a", None), (5, "c", "moves source")],
+         (4, "a", None), (5, "c", "moves source"), (7, "a", None)],
         "doc_id long, source string, text string",
     )
     got = {r["doc_id"]: r for r in release_diff(old, new).collect()}
@@ -97,6 +101,26 @@ def test_release_diff_per_doc_contracts(spark):
     assert got[4]["status"] == "modified" and got[4]["chars_new"] == 0
     assert got[5]["status"] == "unchanged" and got[5]["source"] == "c"
     assert got[6]["status"] == "added" and got[6]["chars_old"] == 0
+    assert got[7]["status"] == "modified"  # '' → NULL is a change
+
+
+def test_release_diff_duplicate_id_fanout_is_visible(spark):
+    """The documented PRECONDITION (unique ids per release) and its
+    failure mode, pinned so the fan-out is at least visible: a duplicated
+    id in one release produces one output row per join pair — counts
+    inflate rather than rows silently vanishing. Callers audit uniqueness
+    first (the docstring's one-liner)."""
+    from unravelsports_spark.operators.releasediff import release_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id long, source string, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "x")], "doc_id long, source string, text string"
+    )
+    rows = release_diff(old, new).collect()
+    assert len(rows) == 2  # fan-out, not a silent collapse or drop
+    assert all(r["status"] == "unchanged" for r in rows)
 
 
 def test_release_diff_plan_shape(spark):
@@ -120,4 +144,4 @@ def test_release_diff_plan_shape(spark):
     # every scan-side branch fingerprints BEFORE its exchange (the old
     # side once, the new side once per union branch), so raw text never
     # rides an exchange
-    assert plan.count("md5(cast(coalesce(text") == 3
+    assert plan.count("md5(cast(text") == 3

@@ -19,14 +19,24 @@ Spark-first shape (pure Catalyst, exactly SQL-certifiable):
   map-side-combinable rollup per (source, status).
 
 Contract notes:
+- PRECONDITION: the id is UNIQUE within each release (the documents-table
+  invariant). A duplicated id fans out through the full-outer join and
+  inflates the counts — this operator AUDITS releases, it does not dedup
+  them; run the one-line check
+  ``df.groupBy(id).count().where("count > 1")`` (or exact_dedup) first
+  when uniqueness is not guaranteed upstream (r12 review finding,
+  fan-out pinned in tests so the failure mode is at least visible).
 - "modified" means the FINGERPRINT changed (byte-level). Pair with
   textnorm + extract_html_text upstream when semantic identity should
   survive cosmetic change — the same reasoning as the dedup keys.
 - a doc whose SOURCE changed but text didn't reports as modified=False
   under its NEW source (the join is by id; source is an attribute). The
   report takes source from the side that has it (new wins when both do).
-- NULL text fingerprints as the md5 of '' via coalesce — a doc whose text
-  went NULL reports as modified, never as a silent join dropout.
+- NULL text fingerprints as the sentinel ``'null'`` (never a valid md5
+  hex), so NULL↔''-and-anything-else transitions ALL report as modified
+  — a doc whose text went NULL is reported, never a silent dropout and
+  never conflated with an empty document (r12 review: a plain
+  coalesce-to-'' fingerprint made ''↔NULL invisible).
 """
 
 from __future__ import annotations
@@ -36,11 +46,16 @@ from pyspark.sql import functions as F
 
 
 def _keyed(df: DataFrame, id_col: str, source_col: str, text_col: str, tag: str):
+    t = F.col(text_col)
+    # NULL → the 'null' sentinel (not a valid md5 hex): distinct from
+    # md5('') so ''↔NULL is a modification, and non-null so the join's
+    # added/removed null-detection logic stays sound
+    fp = F.when(t.isNull(), F.lit("null")).otherwise(F.md5(t))
     return df.select(
         F.col(id_col).alias("_id"),
         F.col(source_col).alias(f"_src_{tag}"),
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(f"_fp_{tag}"),
-        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias(f"_chars_{tag}"),
+        fp.alias(f"_fp_{tag}"),
+        F.length(F.coalesce(t, F.lit(""))).alias(f"_chars_{tag}"),
     )
 
 
