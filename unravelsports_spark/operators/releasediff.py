@@ -19,13 +19,15 @@ Spark-first shape (pure Catalyst, exactly SQL-certifiable):
   map-side-combinable rollup per (source, status).
 
 Contract notes:
-- PRECONDITION: the id is UNIQUE within each release (the documents-table
-  invariant). A duplicated id fans out through the full-outer join and
-  inflates the counts — this operator AUDITS releases, it does not dedup
-  them; run the one-line check
-  ``df.groupBy(id).count().where("count > 1")`` (or exact_dedup) first
-  when uniqueness is not guaranteed upstream (r12 review finding,
-  fan-out pinned in tests so the failure mode is at least visible).
+- PRECONDITION: the id is UNIQUE and NON-NULL within each release (the
+  documents-table invariant). A duplicated id fans out through the
+  full-outer join and inflates the counts; a NULL id never matches its
+  counterpart (SQL join semantics) and reports an unchanged doc as one
+  added + one removed. This operator AUDITS releases, it does not clean
+  them — run ``df.groupBy(id).count().where("count > 1")`` and a
+  ``id IS NULL`` check (or exact_dedup) first when the invariant is not
+  guaranteed upstream (r12 review findings; the dup fan-out is pinned in
+  tests so the failure mode is at least visible).
 - "modified" means the FINGERPRINT changed (byte-level). Pair with
   textnorm + extract_html_text upstream when semantic identity should
   survive cosmetic change — the same reasoning as the dedup keys.
@@ -47,10 +49,10 @@ from pyspark.sql import functions as F
 
 def _keyed(df: DataFrame, id_col: str, source_col: str, text_col: str, tag: str):
     t = F.col(text_col)
-    # NULL → the 'null' sentinel (not a valid md5 hex): distinct from
-    # md5('') so ''↔NULL is a modification, and non-null so the join's
-    # added/removed null-detection logic stays sound
-    fp = F.when(t.isNull(), F.lit("null")).otherwise(F.md5(t))
+    # md5 propagates NULL, coalesced to the 'null' sentinel (not a valid
+    # md5 hex): distinct from md5('') so ''↔NULL is a modification, and
+    # non-null so the join's added/removed detection stays sound
+    fp = F.coalesce(F.md5(t), F.lit("null"))
     return df.select(
         F.col(id_col).alias("_id"),
         F.col(source_col).alias(f"_src_{tag}"),
