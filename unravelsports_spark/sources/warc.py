@@ -595,3 +595,46 @@ def warc_to_documents(df: DataFrame) -> DataFrame:
     return with_url_parts(clean, "url").select(
         F.col("domain").alias("source"), "url", "text"
     )
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING twin of :func:`read_warc` (engine §2.9 surface): a crawl
+    drops shards into a landing directory continuously; this watches it
+    with the binaryFile STREAM source and runs the identical Arrow decode
+    per new shard — the batch≡stream discipline every other boundary in
+    the repo follows (equivalence-tested: availableNow over a static
+    directory produces exactly the batch read's rows).
+
+    Shards are immutable once published (write_warc's atomic rename), so
+    file-level streaming is exactly-once per shard with checkpointing;
+    maxFilesPerTrigger bounds per-batch work when backfilling a large
+    landing directory. The quarantine contract rides through unchanged —
+    corrupt shards surface as `_corrupt_record` rows in the stream, so a
+    `n_quarantined > 0` alert works on the sink."""
+    import pandas as pd
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; this is the
+        # binaryFile datasource's FIXED schema, not an inference skip
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for row in decode_warc_records(bytes(content)):
+                    row["shard"] = p
+                    out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(decode, WARC_SCHEMA)
