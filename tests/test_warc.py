@@ -489,14 +489,18 @@ def test_warc_stream_equals_batch(spark, tmp_path):
         key=repr,  # rows mix None and str across columns
     )
     q = (
-        read_warc_stream(spark, land)
+        read_warc_stream(spark, land, options={"maxFilesPerTrigger": "2"})
         .writeStream.format("memory")
         .queryName("warc_stream_tbl")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        finished = q.awaitTermination(180)
+        assert finished, "stream did not finish within 180s"
+    finally:
+        q.stop()  # a timeout must not leak a live query into the suite
     stream = sorted(
         map(
             tuple,

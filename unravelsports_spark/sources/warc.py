@@ -548,32 +548,33 @@ def write_warc(
     )
 
 
+def _decode_shard_batches(batches):
+    """The ONE Arrow decode stage shared by the batch and stream readers
+    (r12 review: a copy in each would let the quarantine contract drift
+    between them and silently break the advertised batch≡stream
+    equivalence)."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for p, content in zip(pdf["path"], pdf["content"]):
+            for row in decode_warc_records(bytes(content)):
+                row["shard"] = p
+                out.append(row)
+        yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA.fields])
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read WARC shards (plain or per-record-gzip) into WARC_SCHEMA rows
     with the shared quarantine contract — one Arrow decode pass per
     shard; no pruned-parse hazard (see module note)."""
-    import pandas as pd
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
         .select("path", "content")
     )
-
-    def decode(batches):
-        for pdf in batches:
-            out = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for row in decode_warc_records(bytes(content)):
-                    row["shard"] = p
-                    out.append(row)
-            yield pd.DataFrame(
-                out,
-                columns=[f.name for f in WARC_SCHEMA.fields],
-            )
-
-    return files.mapInPandas(decode, WARC_SCHEMA)
+    return files.mapInPandas(_decode_shard_batches, WARC_SCHEMA)
 
 
 def warc_to_documents(df: DataFrame) -> DataFrame:
@@ -597,23 +598,29 @@ def warc_to_documents(df: DataFrame) -> DataFrame:
     )
 
 
-def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_stream(
+    spark: SparkSession, path: str, options: dict | None = None
+) -> DataFrame:
     """STREAMING twin of :func:`read_warc` (engine §2.9 surface): a crawl
     drops shards into a landing directory continuously; this watches it
-    with the binaryFile STREAM source and runs the identical Arrow decode
-    per new shard — the batch≡stream discipline every other boundary in
-    the repo follows (equivalence-tested: availableNow over a static
-    directory produces exactly the batch read's rows).
+    with the binaryFile STREAM source and runs the IDENTICAL Arrow decode
+    (one shared stage — :func:`_decode_shard_batches`) per new shard —
+    the batch≡stream discipline every other boundary in the repo follows
+    (equivalence-tested: availableNow over a static directory produces
+    exactly the batch read's rows).
 
-    Shards are immutable once published (write_warc's atomic rename), so
-    file-level streaming is exactly-once per shard with checkpointing;
-    maxFilesPerTrigger bounds per-batch work when backfilling a large
-    landing directory. The quarantine contract rides through unchanged —
-    corrupt shards surface as `_corrupt_record` rows in the stream, so a
-    `n_quarantined > 0` alert works on the sink."""
-    import pandas as pd
-
-    files = (
+    Exactly-once scope: FileStreamSource keys seen files BY PATH, so the
+    guarantee holds when a published shard's bytes are stable — i.e. the
+    landing dir is written once, or write_warc retries republish
+    byte-identical shards (supply a ``record_id`` column; without one a
+    retried attempt re-rolls uuids under the same deterministic name, and
+    a shard republished AFTER its micro-batch was read would diverge from
+    a later batch read). ``options`` passes source options through —
+    ``{"maxFilesPerTrigger": "64"}`` bounds per-batch work when
+    backfilling a large landing directory. The quarantine contract rides
+    through unchanged — corrupt shards surface as `_corrupt_record` rows
+    in the stream, so a `n_quarantined > 0` alert works on the sink."""
+    reader = (
         spark.readStream.format("binaryFile")
         # streaming sources require an explicit schema; this is the
         # binaryFile datasource's FIXED schema, not an inference skip
@@ -622,19 +629,8 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
             "length long, content binary"
         )
         .option("pathGlobFilter", "*.warc*")
-        .load(path)
-        .select("path", "content")
     )
-
-    def decode(batches):
-        for pdf in batches:
-            out = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for row in decode_warc_records(bytes(content)):
-                    row["shard"] = p
-                    out.append(row)
-            yield pd.DataFrame(
-                out, columns=[f.name for f in WARC_SCHEMA.fields]
-            )
-
-    return files.mapInPandas(decode, WARC_SCHEMA)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_decode_shard_batches, WARC_SCHEMA)
