@@ -23,30 +23,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01..
-# r11). The driver checks a bounded prefix of this dict, so enumerate
+# r12). The driver checks a bounded prefix of this dict, so enumerate
 # never-certified queries first to widen certification breadth; no keys are
-# renamed. Round-12 ROTATION (VERDICT r11 action #1, executed with the slot
-# arithmetic STATUS r11 planned): all 47 hash-green r11 keys
-# (CORRECTNESS_r11.json, 47/47 exact + 3/3 rows-only) ENTER this set. The
-# leaving cohort is t_langid_confusion (the r7 key HELD one extra round —
-# it was always slated to lead this round's exits) plus the OLDEST 43 of
-# the 49-key r8 cohort (s_ann_mllib_brp .. m_pi_cells, list order = the
-# cohort's registry order, last driver-hashed r8). The r8 REMAINDER — the
-# 6 keys m_graph_cells, m_delaunay_cells, m_af_cells, t_corpus_kl,
-# d_bloom_decontamination, d_semantic_contamination — stays certified one
-# more round and LEADS the r13 leaving cohort (the split STATUS r11
-# planned: the whole r8 cohort alone would overfill one 50-slot window).
-# Priority-0 lands EXACTLY on 47:
-#   1 held r7 key + 43 r8 leavers + 3 new r12 registrations
-#   (t_boilerplate_strip + d_simhash_neardup — VERDICT r11 #2 — and
-#   t_html_extract, the r12-built markup-extraction stage, VERDICT r11
-#   #3) = 47 p0,
-# leaving slots 48-50 for the three r11-skipped rows-only model checks
-# (m_pressing_intensity, m_graph_convert, m_af_graph_convert — last
-# driver-run r10, ordered first via _ROWS_ONLY_STALE below); with that,
-# every rows-only check has been driver-run within r10-r12.
-# o18_csv_roundtrip stays unregistered for r13 as VERDICT r11 #4 plans,
-# alongside the 6-key r8 remainder's re-certification.
+# renamed. Round-13 ROTATION (VERDICT r12 action #1, executed with the slot
+# arithmetic STATUS r12 planned): all 47 hash-green r12 keys
+# (CORRECTNESS_r12.json, 47/47 exact + 3/3 rows-only) ENTER this set. The
+# leaving cohort is the 6-key r8 remainder (m_graph_cells, m_delaunay_cells,
+# m_af_cells, t_corpus_kl, d_bloom_decontamination,
+# d_semantic_contamination — last driver-hashed r8, held one extra round by
+# the STATUS r11 split) plus the OLDEST 37 of the r9 cohort
+# (p1_p2_project_filter .. w14_daily_anomalies, list order = the cohort's
+# registry order, last driver-hashed r9). Lineage note: the r9 cohort is 42
+# keys by the CORRECTNESS_r01..r12 union (STATUS r12 wrote "41" — recounted
+# mechanically this round), so the r9 REMAINDER is the 5 keys
+# q6_forecast_revenue, mm_audio_spectral, mm_image_phash, t_unigram_vocab,
+# t_unigram_tokens — they stay certified one more round and LEAD the r14
+# leaving cohort. Priority-0 lands EXACTLY on 47:
+#   6 r8 remainder + 37 r9 leavers + 4 new r13 registrations
+#   (o18_csv_roundtrip, a25_t_closeness, o19_warc_roundtrip,
+#   d_release_diff — VERDICT r12 #1, canonical SQL moved into
+#   plans/corpus9.py) = 47 p0,
+# leaving slots 48-50 for the three r12-skipped rows-only model checks
+# (m_efpi_possession, m_savgol_events, m_graph_convert_delaunay — last
+# driver-run r11, ordered first via _ROWS_ONLY_STALE below); with that,
+# every rows-only check has been driver-run within r11-r13.
 # q1_pricing_summary keeps its documented rotation exemption (ADVICE r6
 # #2): smoke-run by entry() every round + fresh-process re-verified.
 _CERTIFIED = frozenset(
@@ -58,24 +58,12 @@ _CERTIFIED = frozenset(
         # r8/r10 fresh-process oracle compares re-verified it hash-exact
         # at sf0.01.
         "q1_pricing_summary",
-        # r9 green (CORRECTNESS_r09.json): the 33-key r5 cohort re-certs,
-        # d_semdedup_multitable (r9 perf re-cert, plan untouched since),
-        # and the 8 new r9 oracle queries. s_ann_recall and d_cdc_chunks
-        # were also r9-green but re-certify in r10 (plan changes above).
-        "p1_p2_project_filter", "f7_f8_conditional_literals", "p3_filter_eq",
-        "p4_range_between", "p5_modulo_sample", "p6_conditional_cap",
-        "p7_sign_flip", "p8_bool_derive", "j1_dim_join", "j2_agg_back_join",
-        "j3_semi_join", "j4_anti_join", "j5_enrich_revenue", "j7_distinct_join",
-        "a2_distinct_count", "a3_group_stats", "a4_argmin_in_group",
-        "d_jaccard_top_pairs", "w6_savgol_oracle", "t_repetition_stats",
-        "t_sequence_packing", "a15_hll_sketch_union", "w9_interpolate_gaps",
-        "t_bigram_logprob", "t_bpe_merges", "t_bpe_tokenized_stats",
-        "d_semdedup_multitable", "m_efpi_cells", "m_savgol_cells",
-        "t_dsir_scores", "t_dsir_resample", "t_nb_confusion",
-        "t_shard_manifest", "d_incremental_dedup", "o16_frequent_part_pairs",
-        "w13_event_transitions", "w14_daily_anomalies", "q6_forecast_revenue",
-        "mm_audio_spectral", "mm_image_phash", "t_unigram_vocab",
-        "t_unigram_tokens",
+        # r9 green (CORRECTNESS_r09.json) REMAINDER: the youngest 5 of the
+        # 42-key r9 cohort (the other 37 left this round and re-certify in
+        # the r13 window — see the rotation note). These 5 LEAD the r14
+        # leaving cohort.
+        "q6_forecast_revenue", "mm_audio_spectral", "mm_image_phash",
+        "t_unigram_vocab", "t_unigram_tokens",
         # r10 green (CORRECTNESS_r10.json, 47/47 hash-exact): the 37-key
         # r6 cohort re-certs, the 3 plan-change re-certs (s_ann_recall,
         # d_cdc_chunks, t_hybrid_rrf), and the 7 new corpus6 queries.
@@ -94,12 +82,6 @@ _CERTIFIED = frozenset(
         "t_wordpiece_vocab", "t_wordpiece_tokens", "mm_audio_mfcc",
         "t_ppl_bucket_sample", "s_cluster_balanced_sample",
         "a23_k_anonymity", "s_ann_from_index",
-        # r8 green (CORRECTNESS_r08.json) REMAINDER: the youngest 6 of the
-        # 49-key r8 cohort (the other 43 left this round and re-certify in
-        # the r12 window — see the rotation note). These 6 LEAD the r13
-        # leaving cohort.
-        "m_graph_cells", "m_delaunay_cells", "m_af_cells", "t_corpus_kl",
-        "d_bloom_decontamination", "d_semantic_contamination",
         # t_hybrid_rrf (r8 green) re-certifies in r10: its dense side
         # consumes _cosine_vs_refs, which gained the zero-norm guard.
         # r11 green (CORRECTNESS_r11.json, 47/47 hash-exact): the 40-key
@@ -121,18 +103,36 @@ _CERTIFIED = frozenset(
         "d_cross_source_overlap", "a24_l_diversity", "d_cluster_safe_split",
         "s_embedding_dim_stats", "o17_jsonl_roundtrip", "mm_video_scene_cuts",
         "mm_audio_segments", "t_text_normalize",
+        # r12 green (CORRECTNESS_r12.json, 47/47 hash-exact): the held r7
+        # key (t_langid_confusion), the 43-key r8-cohort re-certs, and the
+        # three r12 registrations (t_boilerplate_strip, d_simhash_neardup,
+        # t_html_extract).
+        "t_langid_confusion", "s_ann_mllib_brp", "f9_json_extract",
+        "o12_row_synthesis", "mm_decode_stats", "mm_decode_real",
+        "st_sliding_window", "st_session_window", "j8f_asof_forward",
+        "a9_approx_distinct", "mm_audio_real", "j9_interval_join",
+        "mm_video_real", "a17_sortedness", "a18_outliers", "mm_gif_real",
+        "d_minhash_accuracy", "o13_reservoir_sample", "a11_histogram",
+        "a12_corr_exact", "a13_rollup", "o14_pivot", "w8_rank_distributions",
+        "d_edit_distance", "a14_cube", "f11_string_agg", "f12_array_agg_sorted",
+        "f13_bitwise_agg", "a16_profile", "w10_moving_avg", "o15_morton_key",
+        "j10_full_outer", "st_session_window_native", "f14_variant_json",
+        "f15_sql_text", "q7_volume_shipping", "q10_returned_items",
+        "a22_touch_attribution", "t_bm25_topk", "d_countmin_heavyhitters",
+        "d_dup_spans", "t_mixture_temperature", "d_semdedup_lsh", "m_pi_cells",
+        "t_boilerplate_strip", "d_simhash_neardup", "t_html_extract",
     }
 )
 
 
 # The six rows-only model checks overflow one 50-slot window, so they
-# alternate rounds. These three were last driver-run in r10 (the other
-# three — m_efpi_possession, m_savgol_events, m_graph_convert_delaunay —
-# ran rows-green in r11), so they MUST lead the rows-only tail this round
-# (VERDICT r11 #1); with p0 = 47 they take slots 48-50, and every
-# rows-only check has then been driver-run within r10-r12.
-_ROWS_ONLY_STALE = ("m_pressing_intensity", "m_graph_convert",
-                    "m_af_graph_convert")
+# alternate rounds. These three were last driver-run in r11 (the other
+# three — m_pressing_intensity, m_graph_convert, m_af_graph_convert —
+# ran rows-green in r12), so they MUST lead the rows-only tail this round
+# (VERDICT r12 #1); with p0 = 47 they take slots 48-50, and every
+# rows-only check has then been driver-run within r11-r13.
+_ROWS_ONLY_STALE = ("m_efpi_possession", "m_savgol_events",
+                    "m_graph_convert_delaunay")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -145,7 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 1  # rows-only checks whose turn it is (see above)
         if name not in _CERTIFIED:
             return 2  # rows-only checks that ran last round
-        return 3  # already green in some CORRECTNESS_r01..r11
+        return 3  # already green in some CORRECTNESS_r01..r12
 
     def evicting(fn):
         # Query-boundary cache eviction (VERDICT r4): operators tracked_persist

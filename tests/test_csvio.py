@@ -1,7 +1,7 @@
-"""CSV corpus boundary (sources/csvio.py) — built round 11, driver
-registration queued r13. CSV_ROUNDTRIP_SQL verified here is the r13
-`o18_csv_roundtrip` oracle; `_csv_roundtrip_query` is the query shape that
-will move to the plans registry at registration.
+"""CSV corpus boundary (sources/csvio.py) — built round 11, REGISTERED
+round 13 as `o18_csv_roundtrip`. The canonical oracle SQL and query shape
+now live in plans/corpus9.py (the corpus7/corpus8 registration
+discipline); this suite imports them, so twin and oracle cannot drift.
 
 The injected suffixes make RFC-4180 quoting LOAD-BEARING: embedded commas,
 embedded doubled quotes and boundary spaces must survive the write/read
@@ -11,99 +11,16 @@ the CSV bytes exist only between Spark's writer and Spark's reader."""
 
 from pyspark.sql import functions as F
 
+from unravelsports_spark.plans.corpus9 import (
+    CSV_ROUNDTRIP_SQL,
+    o18_csv_roundtrip,
+)
+
 from .conftest import SF_CORRECT
-
-#: quoting-hazard suffixes keyed by (doc_id // 20) % 4 — source IS
-#: doc_id % 20, so plain %4 is constant per source (the boilerplate-test
-#: lesson); ASCII only, newlines deliberately absent so the certified
-#: path stays line-splittable (see the csvio module caveat)
-#: every class NON-EMPTY (r11 pass 5 finding #4): Spark reads an empty
-#: CSV field back as NULL (the documented lossy cell), so an empty base
-#: text + empty suffix would drop out of the Spark sums while DuckDB
-#: hashes md5('') — non-empty suffixes make empty fields impossible by
-#: construction at ANY scale factor
-_CSV_SUFFIXES = [
-    " plain tail",
-    ', "quoted, with commas",',
-    ' say ""twice"" done',
-    "  padded ends  ",
-]
-
-CSV_ROUNDTRIP_SQL = """
-    WITH aug AS (
-      SELECT doc_id, source,
-             text || (LIST_VALUE(' plain tail',
-               ', "quoted, with commas",',
-               ' say ""twice"" done',
-               '  padded ends  '
-             ))[CAST((doc_id // 20) % 4 AS INT) + 1] AS text
-      FROM documents)
-    SELECT source, COUNT(*) AS n_docs,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))
-             AS BIGINT) AS fp_sum,
-           CAST(1 AS BIGINT) AS n_quarantined
-    FROM aug GROUP BY source
-"""
-
-
-def _csv_roundtrip_query(spark, sf_dir):
-    """The r13 o18_csv_roundtrip query shape: quoting-hazard suffixes in
-    Catalyst, sharded RFC-4180 write, PERMISSIVE schema'd read with one
-    injected malformed line (unparseable doc_id), per-source rollup whose
-    fingerprint sum pins the exact round-tripped bytes and whose
-    n_quarantined pins the quarantine count. Per-invocation mkdtemp,
-    result materialized before cleanup (the o17 discipline)."""
-    import os
-    import shutil
-    import tempfile
-
-    from unravelsports_spark.session import read_table
-    from unravelsports_spark.sources.csvio import read_csv_checked, write_csv
-    from unravelsports_spark.sources.jsonl import quarantine_counts
-
-    tmp = tempfile.mkdtemp(prefix="spark_graft_csv_")
-    try:
-        path = os.path.join(tmp, "docs")
-        docs = read_table(spark, sf_dir, "documents")
-        sfx = F.element_at(
-            F.array(*[F.lit(s) for s in _CSV_SUFFIXES]),
-            F.expr("cast((doc_id div 20) % 4 as int) + 1"),
-        )
-        aug = docs.select(
-            "doc_id", "source", F.concat(F.col("text"), sfx).alias("text")
-        )
-        write_csv(aug, path)
-        # injected before the first read of the brand-new dir (no
-        # FileStatusCache refresh needed): doc_id is not a number ->
-        # PERMISSIVE quarantines the whole line
-        with open(os.path.join(path, "part-corrupt.csv"), "w") as fh:
-            fh.write("doc_id,source,text\nnotanumber,srcX,hello\n")
-        # CHECKED read, explicitly (r11 pass 5 finding #2): the rollup
-        # below prunes doc_id, and on a raw CSV frame the parser would
-        # then pass the corrupt row as clean (a 21st 'srcX' group). The
-        # correctness of this oracle must not hang on quarantine_counts'
-        # internal persist as a side effect.
-        back = read_csv_checked(spark, path)
-        fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
-        rollup = (
-            back.where(F.col("_corrupt_record").isNull())
-            .groupBy("source")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.length("text")).alias("total_chars"),
-                F.sum(fp).alias("fp_sum"),
-            )
-            .crossJoin(quarantine_counts(back).select("n_quarantined"))
-        )
-        rows = rollup.collect()
-        return spark.createDataFrame(rows, rollup.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_csv_roundtrip_matches_duckdb(spark, duck):
-    got = sorted(map(tuple, _csv_roundtrip_query(spark, SF_CORRECT).collect()))
+    got = sorted(map(tuple, o18_csv_roundtrip(spark, SF_CORRECT).collect()))
     want = sorted(map(tuple, duck.execute(CSV_ROUNDTRIP_SQL).fetchall()))
     assert got == want and len(got) == 20
 

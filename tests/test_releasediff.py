@@ -104,23 +104,33 @@ def test_release_diff_per_doc_contracts(spark):
     assert got[7]["status"] == "modified"  # '' → NULL is a change
 
 
-def test_release_diff_duplicate_id_fanout_is_visible(spark):
-    """The documented PRECONDITION (unique ids per release) and its
-    failure mode, pinned so the fan-out is at least visible: a duplicated
-    id in one release produces one output row per join pair — counts
-    inflate rather than rows silently vanishing. Callers audit uniqueness
-    first (the docstring's one-liner)."""
+def test_release_diff_duplicate_or_null_id_fails_loud(spark):
+    """The PRECONDITION (unique non-null ids per release) is SELF-ENFORCED
+    since r13 (VERDICT r12 #4): a duplicated id — which previously fanned
+    out through the full-outer join and silently inflated counts — and a
+    NULL id both fail the query loudly via the assert_true tripwire, with
+    the violating side named in the message. Clean inputs are unaffected
+    (every other test in this file)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
     from unravelsports_spark.operators.releasediff import release_diff
 
-    old = spark.createDataFrame(
+    clean = spark.createDataFrame(
         [(1, "a", "x")], "doc_id long, source string, text string"
     )
-    new = spark.createDataFrame(
+    dup = spark.createDataFrame(
         [(1, "a", "x"), (1, "a", "x")], "doc_id long, source string, text string"
     )
-    rows = release_diff(old, new).collect()
-    assert len(rows) == 2  # fan-out, not a silent collapse or drop
-    assert all(r["status"] == "unchanged" for r in rows)
+    with pytest.raises(PySparkException, match="new-release"):
+        release_diff(clean, dup).collect()
+    with pytest.raises(PySparkException, match="old-release"):
+        release_diff(dup, clean).collect()
+    nulled = spark.createDataFrame(
+        [(None, "a", "x")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(PySparkException, match="duplicate or NULL"):
+        release_diff(clean, nulled).collect()
 
 
 def test_release_diff_plan_shape(spark):

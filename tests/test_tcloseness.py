@@ -1,62 +1,15 @@
 """t-closeness audit (operators/privacy.py:t_closeness_report) — built
-round 12, driver registration queued r13 (`a25_t_closeness`). The
-T_CLOSENESS_SQL twin verified here moves to the plans registry at
-registration, per the corpus7/corpus8 discipline."""
+round 12, REGISTERED round 13 as `a25_t_closeness`. The canonical oracle
+SQL and query shape now live in plans/corpus9.py (the corpus7/corpus8
+registration discipline); this suite imports them, so twin and oracle
+cannot drift."""
 
-from pyspark.sql import functions as F
+from unravelsports_spark.plans.corpus9 import (
+    T_CLOSENESS_SQL,
+    a25_t_closeness as _report,
+)
 
 from .conftest import SF_CORRECT
-
-# the exact SQL twin for the r13 `a25_t_closeness` registration — same
-# quasi-identifiers and sensitive bucket as the certified a24_l_diversity,
-# so the three privacy audits (k-anon, l-div, t-closeness) read one
-# release surface. HUGEINT cross-products mirror the operator's
-# decimal(38,0); `//` and Spark's `div` agree on positive operands.
-T_CLOSENESS_SQL = """
-    WITH rows_ AS (
-      SELECT c_nationkey AS q1, c_mktsegment AS q2,
-             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS v
-      FROM customer WHERE c_acctbal IS NOT NULL),
-    pv AS (SELECT q1, q2, v, COUNT(*) AS c FROM rows_ GROUP BY 1, 2, 3),
-    per_class AS (SELECT q1, q2, SUM(c) AS cc FROM pv GROUP BY 1, 2),
-    gcnt AS (SELECT v, SUM(c) AS g FROM pv GROUP BY 1),
-    gdist AS (SELECT v, SUM(g) OVER (ORDER BY v) AS cumg FROM gcnt),
-    gtot AS (SELECT SUM(g) AS gg, COUNT(*) AS m FROM gcnt),
-    grid AS (
-      SELECT pc.q1, pc.q2, pc.cc, g.v, g.cumg, t.gg, t.m,
-             COALESCE(p.c, 0) AS c0
-      FROM per_class pc CROSS JOIN gdist g CROSS JOIN gtot t
-      LEFT JOIN pv p ON p.q1 IS NOT DISTINCT FROM pc.q1
-                    AND p.q2 IS NOT DISTINCT FROM pc.q2 AND p.v = g.v),
-    cum AS (SELECT *, SUM(c0) OVER (PARTITION BY q1, q2 ORDER BY v) AS cumc
-            FROM grid),
-    emd AS (
-      SELECT q1, q2, MAX(cc) AS cc, MAX(gg) AS gg, MAX(m) AS m,
-             SUM(ABS(CAST(cumc AS HUGEINT) * gg
-                     - CAST(cumg AS HUGEINT) * cc)) AS num
-      FROM cum GROUP BY 1, 2),
-    ppm AS (SELECT cc, CASE WHEN m <= 1 THEN 0
-              ELSE CAST((num * 1000000)
-                        // (CAST(m - 1 AS HUGEINT) * cc * gg) AS BIGINT)
-            END AS emd_ppm
-            FROM emd)
-    SELECT emd_ppm // 100000 AS emd_decile, emd_ppm > 150000 AS at_risk,
-           COUNT(*) AS n_classes, CAST(SUM(cc) AS BIGINT) AS n_rows
-    FROM ppm GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def _report(spark, sf_dir):
-    """The r13 a25_t_closeness query shape."""
-    from unravelsports_spark.operators.privacy import t_closeness_report
-    from unravelsports_spark.session import read_table
-
-    c = read_table(spark, sf_dir, "customer").withColumn(
-        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
-    )
-    return t_closeness_report(
-        c, ["c_nationkey", "c_mktsegment"], "bal_bucket", t_ppm=150_000
-    )
 
 
 def test_t_closeness_matches_duckdb(spark, duck):
@@ -168,3 +121,22 @@ def test_t_closeness_plan_shape(spark):
     assert "Expand" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t_closeness_internal_alias_collision_fails_loud(spark):
+    """ADVICE r12 #3 pin: a caller column named like one of the grid's
+    internal aliases (_c, _gv, _qb0, ...) must raise a clear ValueError at
+    call time — not an AnalysisException (or a silent misjoin) deep inside
+    the grid build."""
+    import pytest
+
+    from unravelsports_spark.operators.privacy import t_closeness_report
+
+    df = spark.createDataFrame([("x", 1, 2)], "_c string, _gv int, v int")
+    for quasi, sens in ([["_c"], "v"], [["_gv"], "v"], [["x"], "_c"]):
+        frame = df.withColumnRenamed("_c", "x") if quasi == ["x"] else df
+        with pytest.raises(ValueError, match="internal alias"):
+            t_closeness_report(frame, quasi, sens)
+    # a merely-underscored but non-reserved name still works
+    ok = spark.createDataFrame([("a", 1), ("a", 2)], "_klass string, v int")
+    assert t_closeness_report(ok, ["_klass"], "v").count() >= 1

@@ -1,25 +1,16 @@
-"""WARC source/sink (sources/warc.py) — built round 12, driver
-registration queued r13 (`o19_warc_roundtrip`). WARC_ROUNDTRIP_SQL
-verified here moves to the plans registry at registration, per the
-corpus7/corpus8 discipline."""
+"""WARC source/sink (sources/warc.py) — built round 12, REGISTERED round
+13 as `o19_warc_roundtrip`. The canonical oracle SQL and query shape now
+live in plans/corpus9.py (the corpus7/corpus8 registration discipline);
+this suite imports them, so twin and oracle cannot drift."""
 
 from pyspark.sql import functions as F
 
-from .conftest import SF_CORRECT
+from unravelsports_spark.plans.corpus9 import (
+    WARC_ROUNDTRIP_SQL,
+    warc_roundtrip_frame as _warc_roundtrip_query,
+)
 
-# the exact SQL twin for the r13 `o19_warc_roundtrip` registration: clean
-# rows must round-trip byte-exactly through the WARC container (headers,
-# CRLF framing, gzip members), the injected corrupt shard must be excluded
-# from the rollup AND counted exactly once — the o17 discipline at the
-# crawl-container boundary
-WARC_ROUNDTRIP_SQL = """
-    SELECT source || '.example' AS source, COUNT(*) AS n_docs,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))
-             AS BIGINT) AS fp_sum,
-           CAST(1 AS BIGINT) AS n_quarantined
-    FROM documents GROUP BY source
-"""
+from .conftest import SF_CORRECT
 
 
 def _records(n=3, payload=b"hello world"):
@@ -310,56 +301,26 @@ def test_codec_discarded_interpretation_work_is_charged():
     assert any(r["_corrupt_record"] is not None for r in rows)
 
 
-def _warc_roundtrip_query(spark, sf_dir, gzip_records=False):
-    """The r13 o19_warc_roundtrip query shape: documents → sharded WARC
-    export (uuid shards, one per Arrow batch) → binaryFile read + Arrow
-    decode with quarantine → per-source rollup equal to DuckDB on the
-    ORIGINAL parquet. One garbage shard is injected, so quarantine
-    semantics are load-bearing in the hash: excluded from the rollup AND
-    counted exactly once."""
+def test_write_warc_manifest_counts(spark):
+    """The manifest contract the old in-query assert pinned (kept when the
+    query shape moved to plans/corpus9 per the STATUS r12 plan): summed
+    n_records over the manifest equals the exported row count."""
+    df = spark.createDataFrame(
+        [(f"http://h.example/{i}", f"doc {i}".encode()) for i in range(17)],
+        "target_uri string, payload binary",
+    )
     import os
     import shutil
     import tempfile
 
-    from unravelsports_spark.session import read_table
-    from unravelsports_spark.sources.jsonl import quarantine_counts
-    from unravelsports_spark.sources.warc import (
-        read_warc,
-        warc_to_documents,
-        write_warc,
-    )
+    from unravelsports_spark.sources.warc import write_warc
 
-    tmp = tempfile.mkdtemp(prefix="spark_graft_warc_")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_warc_m_")
     try:
-        docs = read_table(spark, sf_dir, "documents").select(
-            F.concat(
-                F.lit("http://"), "source", F.lit(".example/"), F.col("doc_id")
-            ).alias("target_uri"),
-            F.encode("text", "UTF-8").alias("payload"),
-        )
-        manifest = write_warc(docs, tmp, gzip_records=gzip_records).collect()
-        assert sum(m["n_records"] for m in manifest) == docs.count()
-        with open(os.path.join(tmp, "part-corrupt.warc"), "wb") as fh:
-            fh.write(b"not a warc shard at all \x00\xff garbage")
-        back = read_warc(spark, tmp)
-        rollup = (
-            warc_to_documents(back)
-            .groupBy("source")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.length("text")).alias("total_chars"),
-                F.sum(
-                    F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
-                ).alias("fp_sum"),
-            )
-            .crossJoin(quarantine_counts(back).select("n_quarantined"))
-        )
-        rows = rollup.collect()
-        return spark.createDataFrame(rows, rollup.schema)
+        manifest = write_warc(df, tmp).collect()
+        assert sum(m["n_records"] for m in manifest) == 17
+        assert all(m["n_bytes"] > 0 for m in manifest)
     finally:
-        from unravelsports_spark.cache import release_tracked
-
-        release_tracked()  # quarantine_counts' tracked persist
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -509,3 +470,132 @@ def test_warc_stream_equals_batch(spark, tmp_path):
         key=repr,
     )
     assert stream == batch and len(stream) == 7  # 6 clean + 1 quarantine
+
+
+def test_iter_warc_records_equals_decode_everywhere():
+    """The lazy reader's equivalence contract (VERDICT r12 #3):
+    list(iter_warc_records(x)) == decode_warc_records(x) for every layout
+    and corruption shape the r12 battery pinned — clean plain, clean gzip,
+    garbage injections, leading garbage, truncation, ambiguity (both
+    magics), nesting, CRLF padding, negative lengths."""
+    import gzip as _gzip
+
+    from unravelsports_spark.sources.warc import (
+        decode_warc_records,
+        encode_warc_records,
+        iter_warc_records,
+    )
+
+    a, b = _records(2)
+    good_a, good_b = encode_warc_records([a]), encode_warc_records([b])
+    gz_a = encode_warc_records([a], gzip_records=True)
+    gz_b = encode_warc_records([b], gzip_records=True)
+    embedded = dict(a, payload=b"archive: " + gz_b)
+    shapes = [
+        good_a + good_b,                                  # clean plain
+        gz_a + gz_b,                                      # clean gzip
+        good_a + b"garbage, not a record\r\n" + good_b,   # plain resync
+        gz_a + b"garbage bytes" + gz_b,                   # gzip resync
+        b"leading junk" + gz_a + gz_b,                    # gzip w/ prefix
+        good_a + good_b[: len(good_b) // 2],              # truncated plain
+        gz_a + gz_b[: len(gz_b) // 2],                    # truncated gzip
+        b"\x01\x1f\x8b\x02 junk " + encode_warc_records([embedded]),  # vote
+        gz_a + b"\r\n" + gz_b + b"\r\n",                  # CRLF padding
+        gz_a + b"\n" + gz_b,                              # 1-byte padding
+        _gzip.compress(good_a, mtime=0),                  # 1 nesting level
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -1\r\n\r\nx"
+        b"\r\n\r\n" + good_a,                             # negative length
+        b"",                                              # empty shard
+    ]
+    for i, blob in enumerate(shapes):
+        assert list(iter_warc_records(blob)) == decode_warc_records(blob), i
+
+
+def test_iter_warc_records_streams_big_gzip_shard_bounded():
+    """The chunked-emission memory contract (VERDICT r12 #3): a shard
+    whose DECOMPRESSED content is >64 MB streams through
+    iter_warc_records with peak Python-heap allocation far below the
+    decompressed size — one member's rows at a time, never the whole
+    shard's. (decode_warc_records on the same shard would hold all 80 MB
+    of payloads live.)"""
+    import tracemalloc
+
+    import unravelsports_spark.sources.warc as W
+
+    recs = [
+        dict(_records(1)[0], record_id=f"<urn:uuid:{i}>",
+             payload=(b"%06d " % i) * (1 << 17))  # 896 KiB each
+        for i in range(96)
+    ]
+    blob = W.encode_warc_records(recs, gzip_records=True)  # ~84 MB decoded
+    decoded_size = 96 * len(recs[0]["payload"])
+    assert decoded_size > (64 << 20)
+    tracemalloc.start()
+    n, total = 0, 0
+    for row in W.iter_warc_records(blob):
+        assert row["_corrupt_record"] is None
+        n += 1
+        total += len(row["payload"])  # row dropped after this point
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 96 and total == decoded_size
+    # peak holds one ~1 MB member + bounded codec working set — far under
+    # the 84 MB a materializing decode would pin
+    assert peak < (16 << 20), f"peak {peak >> 20} MiB — streaming broke"
+
+
+def test_read_warc_chunked_batches_equal_whole_shard(spark, tmp_path):
+    """max_records_per_batch changes only the Arrow batch boundaries —
+    the row set is identical to whole-shard emission, quarantine rows
+    included."""
+    import os
+
+    from unravelsports_spark.sources.warc import read_warc, write_warc
+
+    df = spark.createDataFrame(
+        [(f"http://h.example/{i}", f"doc {i}".encode(), f"<urn:uuid:{i}>")
+         for i in range(30)],
+        "target_uri string, payload binary, record_id string",
+    ).coalesce(1)
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    write_warc(df, land).collect()
+    with open(os.path.join(land, "part-bad.warc"), "wb") as fh:
+        fh.write(b"garbage shard \x00")
+    whole = sorted(
+        map(tuple, read_warc(spark, land, max_records_per_batch=None).collect()),
+        key=repr,
+    )
+    chunked = sorted(
+        map(tuple, read_warc(spark, land, max_records_per_batch=7).collect()),
+        key=repr,
+    )
+    assert chunked == whole and len(whole) == 31
+
+
+def test_warc_to_documents_invalid_utf8_never_crashes(spark):
+    """ADVICE r12 #1 pin: a clean record whose payload is NOT valid UTF-8
+    (latin-1 page, mislabeled binary) must never abort the job — the old
+    F.decode(payload,'UTF-8') threw MALFORMED_CHARACTER_CODING under
+    Spark 4 ANSI. Default mode degrades to U+FFFD; invalid='skip' drops
+    the row; both stay pure Catalyst."""
+    import pytest
+
+    from unravelsports_spark.sources.warc import warc_to_documents
+
+    rows = [
+        ("response", "http://a.example/1", bytearray("clean café".encode()), None),
+        ("response", "http://b.example/2", bytearray(b"caf\xe9 latin-1"), None),
+        ("response", "http://c.example/3", bytearray(b"\xff\xfebinary\x00"), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "rec_type string, target_uri string, payload binary, _corrupt_record string"
+    )
+    got = {r["url"]: r["text"] for r in warc_to_documents(df).collect()}
+    assert got["http://a.example/1"] == "clean café"
+    assert got["http://b.example/2"] == "caf� latin-1"
+    assert "binary" in got["http://c.example/3"]  # degraded, not dropped
+    kept = {r["url"] for r in warc_to_documents(df, invalid="skip").collect()}
+    assert kept == {"http://a.example/1"}
+    with pytest.raises(ValueError):
+        warc_to_documents(df, invalid="drop tables")

@@ -127,6 +127,23 @@ def t_closeness_report(
 
     from pyspark.sql import Window
 
+    # internal-alias collision guard (ADVICE r12 #3): the grid build
+    # rejoins pv under fresh aliases; a caller column named like one of
+    # them (e.g. a quasi column literally called '_c' or '_gv') would
+    # raise AnalysisException — or worse, silently misjoin the grid.
+    # Fail loud at call time instead (the require_new_column discipline).
+    reserved = {
+        "_v", "_c", "_C", "_gv", "_gc", "_g", "_cumg", "_G", "_m",
+        "_vb", "_cback", "_c0", "_cumc", "_num", "_Cc", "_Gg", "_mm",
+        "_rows",
+    } | {f"_qb{i}" for i in range(len(quasi_cols))}
+    clashes = reserved & set(list(quasi_cols) + [sensitive_col])
+    if clashes:
+        raise ValueError(
+            "t_closeness_report: column name(s) collide with internal "
+            f"aliases: {sorted(clashes)} — rename the input column(s)"
+        )
+
     qs = [F.col(c) for c in quasi_cols]
     rows = df.where(F.col(sensitive_col).isNotNull())
     # phase 1: the ONE corpus-sized collapse; everything below reuses it

@@ -20,14 +20,16 @@ Spark-first shape (pure Catalyst, exactly SQL-certifiable):
 
 Contract notes:
 - PRECONDITION: the id is UNIQUE and NON-NULL within each release (the
-  documents-table invariant). A duplicated id fans out through the
-  full-outer join and inflates the counts; a NULL id never matches its
-  counterpart (SQL join semantics) and reports an unchanged doc as one
-  added + one removed. This operator AUDITS releases, it does not clean
-  them — run ``df.groupBy(id).count().where("count > 1")`` and a
-  ``id IS NULL`` check (or exact_dedup) first when the invariant is not
-  guaranteed upstream (r12 review findings; the dup fan-out is pinned in
-  tests so the failure mode is at least visible).
+  documents-table invariant). SELF-ENFORCED since r13 (VERDICT r12 #4):
+  a duplicated or NULL id fails the query LOUDLY via an assert_true
+  tripwire folded into each side's projection — it would otherwise fan
+  out through the full-outer join and silently inflate the counts (a
+  NULL id never matches its counterpart under SQL join semantics and
+  would report an unchanged doc as one added + one removed). The
+  tripwire is free at scale: its per-id count window needs exactly the
+  hashpartitioning+sort the join needs, so the exchange is reused
+  (plan-guarded). Clean releases first with exact_dedup / a
+  ``groupBy(id).count()`` audit when the invariant isn't guaranteed.
 - "modified" means the FINGERPRINT changed (byte-level). Pair with
   textnorm + extract_html_text upstream when semantic identity should
   survive cosmetic change — the same reasoning as the dedup keys.
@@ -43,7 +45,7 @@ Contract notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,11 +55,34 @@ def _keyed(df: DataFrame, id_col: str, source_col: str, text_col: str, tag: str)
     # md5 hex): distinct from md5('') so ''↔NULL is a modification, and
     # non-null so the join's added/removed detection stays sound
     fp = F.coalesce(F.md5(t), F.lit("null"))
-    return df.select(
+    keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(source_col).alias(f"_src_{tag}"),
         fp.alias(f"_fp_{tag}"),
         F.length(F.coalesce(t, F.lit(""))).alias(f"_chars_{tag}"),
+    )
+    # precondition tripwire (VERDICT r12 #4, the q1 assert_true shape): a
+    # duplicated or NULL id now fails LOUD instead of fanning out through
+    # the full-outer join and silently inflating the release note. FREE at
+    # scale: the per-id count window requires hashpartitioning(_id) + sort
+    # by _id — exactly the distribution and ordering the SortMergeJoin
+    # needs anyway, so EnsureRequirements reuses the one exchange/sort pair
+    # per side (plan-guarded in tests: still exactly 2 exchanges). The
+    # guard folds into the chars column via coalesce(assert_true…, 0) so
+    # column pruning can never drop it (assert_true yields NULL → +0 on
+    # the happy path).
+    guard = F.assert_true(
+        F.col("_id").isNotNull()
+        & (F.count("*").over(Window.partitionBy("_id")) == 1),
+        F.lit(
+            f"release_diff precondition: duplicate or NULL {tag}-release "
+            f"id — audit id uniqueness upstream (groupBy(id).count() or "
+            f"exact_dedup) before diffing"
+        ),
+    )
+    return keyed.withColumn(
+        f"_chars_{tag}",
+        F.col(f"_chars_{tag}") + F.coalesce(guard.cast("int"), F.lit(0)),
     )
 
 

@@ -119,6 +119,19 @@ def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
 #: the cap quarantines; SIZE SHARDS (the module scale caveat) or tune
 #: this to the executor's memory rather than raise it blindly. Tests
 #: monkeypatch it to exercise the bound without gigabytes of work.
+#:
+#: Per-executor arithmetic (ADVICE r12 #2 — the cap is PER TOP-LEVEL
+#: DECODE CALL, i.e. per shard per task): with N concurrent binaryFile
+#: tasks per executor the worst-case simultaneous decoded output is
+#: N × min(cap, shard's decompressed size), PLUS each task's compressed
+#: shard bytes. The cap is deliberately NOT scaled from the compressed
+#: size — this module's own writer emits legitimate 1000:1 members for
+#: repetitive payloads, so any k·len(data) default would false-quarantine
+#: clean data (the pass-10 lesson, twice). Budget executor memory as
+#: executor_cores × (expected decompressed shard size), and rely on
+#: ``read_warc(max_records_per_batch=...)`` (chunked emission) to keep the
+#: ROW materialization below that bound — the cap is then only the
+#: hostile-input backstop, not the working-set size.
 _MAX_DECODE_OUTPUT = 4 << 30
 
 
@@ -363,20 +376,30 @@ def decode_warc_records(
 
 def _decode_plain(data: bytes) -> list:
     """The plain-layout record loop (see :func:`decode_warc_records`)."""
-    rows, pos = [], 0
+    return list(_coalesce_rows(_iter_plain(data)))
+
+
+def _iter_plain(data: bytes):
+    """Generator core of :func:`_decode_plain` — yields UNCOALESCED rows
+    (``_coalesce_rows`` restores the consecutive-quarantine merge). Split
+    out for :func:`iter_warc_records` (VERDICT r12 #3): a plain multi-GB
+    shard streams its rows instead of materializing the whole list —
+    payload slices are copies, so the list form doubles the shard in
+    memory."""
+    pos = 0
     while pos < len(data):
         if data[pos:pos + len(_MAGIC)] != _MAGIC:
             nxt = data.find(_MAGIC, pos + 1)
             bad = data[pos:] if nxt < 0 else data[pos:nxt]
             if bad.strip(b"\r\n"):  # inter-record CRLF padding is legal
-                _append(rows, _corrupt_row(bad))
+                yield _corrupt_row(bad)
             if nxt < 0:
                 break
             pos = nxt
             continue
         hdr_end = data.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
-            _append(rows, _corrupt_row(data[pos:]))
+            yield _corrupt_row(data[pos:])
             break
         headers = {}
         for line in data[pos:hdr_end].split(b"\r\n")[1:]:
@@ -388,30 +411,94 @@ def _decode_plain(data: bytes) -> list:
                 # walked pos BACKWARD — an infinite loop on hostile input
                 raise ValueError("negative Content-Length")
         except (KeyError, ValueError):
-            _append(rows, _corrupt_row(data[pos:hdr_end]))
+            yield _corrupt_row(data[pos:hdr_end])
             pos = hdr_end + 4
             continue
         body_start = hdr_end + 4
         payload = data[body_start:body_start + length]
         if len(payload) < length:  # truncated record
-            _append(rows, _corrupt_row(data[pos:]))
+            yield _corrupt_row(data[pos:])
             break
         tu = headers.get(b"warc-target-uri")
-        rows.append(
-            {
-                "rec_type": headers.get(b"warc-type", b"").decode("utf-8", "replace"),
-                "record_id": headers.get(b"warc-record-id", b"").decode("utf-8", "replace"),
-                "warc_date": headers.get(b"warc-date", b"").decode("utf-8", "replace"),
-                # absent header → NULL; PRESENT-but-empty → '' (pass 4 #7:
-                # the old `or None` collapsed the two)
-                "target_uri": None if tu is None else tu.decode("utf-8", "replace"),
-                "content_type": headers.get(b"content-type", b"").decode("utf-8", "replace"),
-                "payload": payload,
-                "_corrupt_record": None,
-            }
-        )
+        yield {
+            "rec_type": headers.get(b"warc-type", b"").decode("utf-8", "replace"),
+            "record_id": headers.get(b"warc-record-id", b"").decode("utf-8", "replace"),
+            "warc_date": headers.get(b"warc-date", b"").decode("utf-8", "replace"),
+            # absent header → NULL; PRESENT-but-empty → '' (pass 4 #7:
+            # the old `or None` collapsed the two)
+            "target_uri": None if tu is None else tu.decode("utf-8", "replace"),
+            "content_type": headers.get(b"content-type", b"").decode("utf-8", "replace"),
+            "payload": payload,
+            "_corrupt_record": None,
+        }
         pos = body_start + length
-    return rows
+
+
+def _coalesce_rows(rows):
+    """Generator twin of :func:`_append`'s coalescing: consecutive
+    quarantine rows merge into one span, with one-row lookbehind so the
+    stream stays lazy. Byte-equivalent to building a list via _append."""
+    held = None
+    for row in rows:
+        if (
+            held is not None
+            and held["_corrupt_record"] is not None
+            and row["_corrupt_record"] is not None
+        ):
+            merged = held["_corrupt_record"] + row["_corrupt_record"]
+            held["_corrupt_record"] = merged[:256]
+            continue
+        if held is not None:
+            yield held
+        held = row
+    if held is not None:
+        yield held
+
+
+def iter_warc_records(data: bytes):
+    """LAZY twin of :func:`decode_warc_records` (VERDICT r12 #3 — the
+    chunked-emission path): yields the IDENTICAL row sequence without
+    materializing the whole shard's decoded rows. The valuable case is the
+    per-record-gzip layout, where decompressed content can be orders of
+    magnitude larger than the shard on disk — members decode one at a
+    time off the lazy :func:`_split_gzip_members` generator, so peak
+    memory is (compressed shard) + (one member's rows) + the consumer's
+    batch buffer, never the full decompressed shard.
+
+    The one case that still materializes is the gzip/plain AMBIGUITY vote
+    (both magics present — an already-corrupt shard by definition): the
+    vote needs both complete interpretations, so it delegates to the
+    materializing decoder. Clean shards of either layout never hit it.
+
+    Equivalence contract (tested): ``list(iter_warc_records(x)) ==
+    decode_warc_records(x)`` for every layout and corruption shape."""
+    gz_at = data.find(_GZ_MAGIC)
+    pl_at = data.find(_MAGIC)
+    if gz_at >= 0 and (pl_at < 0 or gz_at < pl_at):
+        if pl_at >= 0:
+            # ambiguous — the vote inherently needs both interpretations
+            yield from decode_warc_records(data)
+            return
+        budget = {
+            "failed": 32 * len(data) + (64 << 20),
+            "output": _MAX_DECODE_OUTPUT,
+        }
+
+        def raw():
+            if gz_at > 0 and data[:gz_at].strip(b"\r\n"):
+                yield _corrupt_row(data[:gz_at])
+            for kind, seg in _split_gzip_members(data[gz_at:], budget):
+                if kind == "member":
+                    # per-member recursion is list-sized BY the member —
+                    # bounded, and the shared ledger still sees charges
+                    # in stream order (the pass-13 generator contract)
+                    yield from decode_warc_records(seg, 1, budget)
+                else:
+                    yield _corrupt_row(seg)
+
+        yield from _coalesce_rows(raw())
+        return
+    yield from _coalesce_rows(_iter_plain(data))
 
 
 def _corrupt_row(bad: bytes) -> dict:
@@ -548,50 +635,95 @@ def write_warc(
     )
 
 
-def _decode_shard_batches(batches):
+def _decode_shard_batches(batches, max_records_per_batch: int | None = 4096):
     """The ONE Arrow decode stage shared by the batch and stream readers
     (r12 review: a copy in each would let the quarantine contract drift
     between them and silently break the advertised batch≡stream
-    equivalence)."""
+    equivalence).
+
+    ``max_records_per_batch`` (VERDICT r12 #3) flushes the row buffer to
+    a pandas batch every N records, so a multi-GB gzip shard never
+    materializes all its decoded rows at once — peak task memory is
+    (compressed shard bytes, binaryFile's unit) + one gzip member +
+    N buffered rows. ``None`` restores whole-shard emission. Rows are
+    IDENTICAL either way (mapInPandas concatenates batches)."""
     import pandas as pd
 
+    cols = [f.name for f in WARC_SCHEMA.fields]
     for pdf in batches:
         out = []
         for p, content in zip(pdf["path"], pdf["content"]):
-            for row in decode_warc_records(bytes(content)):
+            for row in iter_warc_records(bytes(content)):
                 row["shard"] = p
                 out.append(row)
-        yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA.fields])
+                if max_records_per_batch and len(out) >= max_records_per_batch:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
+        yield pd.DataFrame(out, columns=cols)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, max_records_per_batch: int | None = 4096
+) -> DataFrame:
     """Read WARC shards (plain or per-record-gzip) into WARC_SCHEMA rows
     with the shared quarantine contract — one Arrow decode pass per
-    shard; no pruned-parse hazard (see module note)."""
+    shard; no pruned-parse hazard (see module note).
+
+    ``max_records_per_batch`` bounds decoded-row materialization per task
+    (chunked emission off the lazy codec — see
+    :func:`_decode_shard_batches`); the default keeps even a multi-GB
+    decompressed shard within (shard bytes + one member + 4096 rows) of
+    peak task memory. ``None`` = whole-shard batches (the r12 behavior)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
         .select("path", "content")
     )
-    return files.mapInPandas(_decode_shard_batches, WARC_SCHEMA)
+    return files.mapInPandas(
+        lambda it: _decode_shard_batches(it, max_records_per_batch), WARC_SCHEMA
+    )
 
 
-def warc_to_documents(df: DataFrame) -> DataFrame:
+def warc_to_documents(df: DataFrame, invalid: str = "replace") -> DataFrame:
     """Clean WARC rows → the (source, url, text) document shape the text
     stages consume: utf-8 decoded payloads of clean ``response`` records,
     ``source`` = the lowercased URI host via the SAME
     :func:`~unravelsports_spark.operators.filtering.with_url_parts`
     extraction the t_url_domains pipeline uses (r12 review pass 3 #5 — a
     second hand-rolled host regex had already diverged on scheme case,
-    host case, and ``?#`` handling)."""
+    host case, and ``?#`` handling).
+
+    ``invalid`` governs non-UTF-8 payloads (ADVICE r12 #1: the original
+    ``F.decode(payload, 'UTF-8')`` threw MALFORMED_CHARACTER_CODING under
+    Spark 4 ANSI and aborted the whole job on the FIRST latin-1 page or
+    mislabeled binary response — near-certain on real crawl data, and a
+    violation of this module's never-crash quarantine contract):
+
+    - ``"replace"`` (default) — malformed byte sequences degrade to U+FFFD
+      replacement characters (``make_valid_utf8``; the Python
+      ``errors="replace"`` semantic, JVM-side). Every clean record stays a
+      document; mojibake is downstream quality-filtering's job (the
+      t_quality/langid stages already score it out).
+    - ``"skip"`` — drop records whose payload is not valid UTF-8
+      (``is_valid_utf8`` gate). Use when a lost latin-1 minority is
+      preferable to replacement-char noise.
+
+    The binary→string cast reinterprets bytes without validation (unlike
+    ``decode``), so both modes are pure Catalyst and never throw."""
     from ..operators.filtering import with_url_parts
 
+    if invalid not in ("replace", "skip"):
+        raise ValueError(f"invalid= must be 'replace' or 'skip', got {invalid!r}")
+    raw = F.col("payload").cast("string")
     clean = df.where(
         F.col("_corrupt_record").isNull() & (F.col("rec_type") == "response")
-    ).select(
+    )
+    if invalid == "skip":
+        clean = clean.where(F.is_valid_utf8(raw))
+    clean = clean.select(
         F.col("target_uri").alias("url"),
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.make_valid_utf8(raw).alias("text"),
     )
     return with_url_parts(clean, "url").select(
         F.col("domain").alias("source"), "url", "text"
@@ -599,7 +731,10 @@ def warc_to_documents(df: DataFrame) -> DataFrame:
 
 
 def read_warc_stream(
-    spark: SparkSession, path: str, options: dict | None = None
+    spark: SparkSession,
+    path: str,
+    options: dict | None = None,
+    max_records_per_batch: int | None = 4096,
 ) -> DataFrame:
     """STREAMING twin of :func:`read_warc` (engine §2.9 surface): a crawl
     drops shards into a landing directory continuously; this watches it
@@ -633,4 +768,6 @@ def read_warc_stream(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     files = reader.load(path).select("path", "content")
-    return files.mapInPandas(_decode_shard_batches, WARC_SCHEMA)
+    return files.mapInPandas(
+        lambda it: _decode_shard_batches(it, max_records_per_batch), WARC_SCHEMA
+    )
