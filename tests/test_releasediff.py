@@ -1,70 +1,17 @@
 """Corpus release diff (operators/releasediff.py) — built round 12,
-driver registration queued r13 (`d_release_diff`). RELEASE_DIFF_SQL
-verified here moves to the plans registry at registration, per the
-corpus7/corpus8 discipline."""
+REGISTERED round 13 as `d_release_diff`. The canonical oracle SQL and
+query shape now live in plans/corpus9.py (the corpus7/corpus8
+registration discipline); this suite imports them, so twin and oracle
+cannot drift (r13 review #6: this file initially kept a private copy)."""
 
 from pyspark.sql import functions as F
 
+from unravelsports_spark.plans.corpus9 import (
+    RELEASE_DIFF_SQL,
+    d_release_diff as _diff_query,
+)
+
 from .conftest import SF_CORRECT
-
-# the exact SQL twin for the r13 `d_release_diff` registration: release
-# N+1 is derived from the documents table in closed form — doc_id%7==0
-# removed, doc_id%5==0 (of the survivors) modified with a ' v2' suffix,
-# one added doc per doc_id%11==0 under id+1000000 — so the expected
-# (source, status) rollup is fully recomputable by DuckDB
-RELEASE_DIFF_SQL = """
-    WITH old AS (SELECT doc_id, source, text FROM documents),
-    survivors AS (SELECT * FROM old WHERE doc_id % 7 <> 0),
-    new_ AS (
-      SELECT doc_id, source,
-             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
-      FROM survivors
-      UNION ALL
-      SELECT doc_id + 1000000, source, 'new doc ' || CAST(doc_id AS VARCHAR)
-      FROM old WHERE doc_id % 11 = 0),
-    o AS (SELECT doc_id AS id, source AS src_o,
-                 CASE WHEN text IS NULL THEN 'null' ELSE md5(text) END AS fp_o,
-                 length(COALESCE(text, '')) AS ch_o FROM old),
-    n AS (SELECT doc_id AS id, source AS src_n,
-                 CASE WHEN text IS NULL THEN 'null' ELSE md5(text) END AS fp_n,
-                 length(COALESCE(text, '')) AS ch_n FROM new_),
-    j AS (SELECT COALESCE(o.id, n.id) AS id,
-                 COALESCE(n.src_n, o.src_o) AS source,
-                 CASE WHEN fp_o IS NULL THEN 'added'
-                      WHEN fp_n IS NULL THEN 'removed'
-                      WHEN fp_o = fp_n THEN 'unchanged'
-                      ELSE 'modified' END AS status,
-                 COALESCE(ch_o, 0) AS chars_old, COALESCE(ch_n, 0) AS chars_new
-          FROM o FULL OUTER JOIN n ON o.id = n.id)
-    SELECT source, status, COUNT(*) AS n_docs,
-           CAST(SUM(chars_old) AS BIGINT) AS chars_old,
-           CAST(SUM(chars_new) AS BIGINT) AS chars_new,
-           CAST(SUM(chars_new - chars_old) AS BIGINT) AS chars_delta
-    FROM j GROUP BY source, status ORDER BY source, status
-"""
-
-
-def _diff_query(spark, sf_dir):
-    """The r13 d_release_diff query shape."""
-    from unravelsports_spark.operators.releasediff import release_diff_report
-    from unravelsports_spark.session import read_table
-
-    old = read_table(spark, sf_dir, "documents")
-    survivors = old.where(F.col("doc_id") % 7 != 0)
-    modified = survivors.select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
-        ).otherwise(F.col("text")).alias("text"),
-    )
-    added = old.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        "source",
-        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
-    )
-    new = modified.unionByName(added)
-    return release_diff_report(old.select("doc_id", "source", "text"), new)
 
 
 def test_release_diff_matches_duckdb(spark, duck):
@@ -155,3 +102,24 @@ def test_release_diff_plan_shape(spark):
     # side once, the new side once per union branch), so raw text never
     # rides an exchange
     assert plan.count("md5(cast(text") == 3
+
+
+def test_tripwire_survives_column_pruning(spark):
+    """r13 review #2 pin: the dup-id tripwire rides a FILTER, so a caller
+    projecting only (doc_id, status) — which prunes the chars columns a
+    projected guard lived in — still fails loud."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from unravelsports_spark.operators.releasediff import release_diff
+
+    clean = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id long, source string, text string"
+    )
+    dup = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "x")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(PySparkException, match="new-release"):
+        release_diff(clean, dup).select("doc_id", "status").collect()
+    with pytest.raises(PySparkException, match="old-release"):
+        release_diff(dup, clean).groupBy("status").count().collect()

@@ -140,3 +140,16 @@ def test_t_closeness_internal_alias_collision_fails_loud(spark):
     # a merely-underscored but non-reserved name still works
     ok = spark.createDataFrame([("a", 1), ("a", 2)], "_klass string, v int")
     assert t_closeness_report(ok, ["_klass"], "v").count() >= 1
+
+
+def test_alias_collision_guard_is_case_insensitive(spark):
+    """r13 review #5 pin: Spark resolves column names case-insensitively
+    by default, so '_V' collides with the internal '_v' alias just as
+    surely — the guard folds case before comparing."""
+    import pytest
+
+    from unravelsports_spark.operators.privacy import t_closeness_report
+
+    df = spark.createDataFrame([("x", 1)], "_V string, v int")
+    with pytest.raises(ValueError, match="internal alias"):
+        t_closeness_report(df, ["_V"], "v")

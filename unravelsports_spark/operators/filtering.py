@@ -106,15 +106,25 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(text_col, scrubbed)
 
 
+#: the ONE URL-component regex set (r13 review #7 — robots.py briefly
+#: hand-rolled a copy of the host pattern, the exact duplication the r12
+#: review removed from warc.py; every URL consumer imports these).
+#: Portable Java/RE2 subset so DuckDB oracles run them verbatim.
+URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
+URL_PATHQ_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"  # path + query
+URL_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+
+
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """``domain`` (lowercased host) + ``url_norm`` (scheme+host lowercased,
     query/fragment stripped, trailing slash trimmed) — the canonical key for
     URL-level dedup. Regex-based so the DuckDB oracle is identical
     (Spark's parse_url has no DuckDB twin)."""
     c = F.col(url_col)
-    host = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-    path = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    scheme = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(c, URL_HOST_RE, 1))
+    path = F.regexp_extract(c, URL_PATH_RE, 1)
+    scheme = F.lower(F.regexp_extract(c, URL_SCHEME_RE, 1))
     norm = F.concat(
         scheme, F.lit("://"), host, F.regexp_replace(path, r"/+$", "")
     )

@@ -132,12 +132,17 @@ def t_closeness_report(
     # them (e.g. a quasi column literally called '_c' or '_gv') would
     # raise AnalysisException — or worse, silently misjoin the grid.
     # Fail loud at call time instead (the require_new_column discipline).
+    # casefolded compare (r13 review #5): Spark resolves column names
+    # case-insensitively by default, so '_V' collides with '_v' just as
+    # surely — note _c/_C and _g/_G etc. therefore fold to one entry each
     reserved = {
-        "_v", "_c", "_C", "_gv", "_gc", "_g", "_cumg", "_G", "_m",
-        "_vb", "_cback", "_c0", "_cumc", "_num", "_Cc", "_Gg", "_mm",
+        "_v", "_c", "_gv", "_gc", "_g", "_cumg", "_m",
+        "_vb", "_cback", "_c0", "_cumc", "_num", "_cc", "_gg", "_mm",
         "_rows",
     } | {f"_qb{i}" for i in range(len(quasi_cols))}
-    clashes = reserved & set(list(quasi_cols) + [sensitive_col])
+    clashes = {
+        c for c in list(quasi_cols) + [sensitive_col] if c.lower() in reserved
+    }
     if clashes:
         raise ValueError(
             "t_closeness_report: column name(s) collide with internal "

@@ -68,22 +68,26 @@ def _keyed(df: DataFrame, id_col: str, source_col: str, text_col: str, tag: str)
     # by _id — exactly the distribution and ordering the SortMergeJoin
     # needs anyway, so EnsureRequirements reuses the one exchange/sort pair
     # per side (plan-guarded in tests: still exactly 2 exchanges). The
-    # guard folds into the chars column via coalesce(assert_true…, 0) so
-    # column pruning can never drop it (assert_true yields NULL → +0 on
-    # the happy path).
+    # guard rides a FILTER, not a projected column (r13 review #2: a guard
+    # folded into _chars_{tag} vanished under column pruning the moment a
+    # caller selected only doc_id/status — a Filter predicate is evaluated
+    # for every row no matter what the caller projects). assert_true
+    # yields NULL on the happy path → coalesce(…, true) passes every row;
+    # a violation throws before the join ever fans out.
+    counted = keyed.withColumn(
+        "_dupcnt", F.count("*").over(Window.partitionBy("_id"))
+    )
     guard = F.assert_true(
-        F.col("_id").isNotNull()
-        & (F.count("*").over(Window.partitionBy("_id")) == 1),
+        F.col("_id").isNotNull() & (F.col("_dupcnt") == 1),
         F.lit(
             f"release_diff precondition: duplicate or NULL {tag}-release "
             f"id — audit id uniqueness upstream (groupBy(id).count() or "
             f"exact_dedup) before diffing"
         ),
     )
-    return keyed.withColumn(
-        f"_chars_{tag}",
-        F.col(f"_chars_{tag}") + F.coalesce(guard.cast("int"), F.lit(0)),
-    )
+    return counted.where(
+        F.coalesce(guard.cast("boolean"), F.lit(True))
+    ).drop("_dupcnt")
 
 
 def release_diff(

@@ -1,0 +1,218 @@
+"""Robots Exclusion Protocol filtering (engine addition §2.12; built round
+13, driver registration queued r14 as `t_robots_filter`) — the
+crawl-compliance stage VERDICT r12 named as the largest remaining
+crawl-adjacent gap: before a crawl's pages enter a training corpus, a
+pipeline drops URLs the site's robots.txt disallows for the crawling
+agent. RFC 9309 semantics:
+
+- a robots.txt body is a sequence of GROUPS: one or more ``User-agent:``
+  lines followed by ``Allow:`` / ``Disallow:`` rules; rules before the
+  first User-agent line belong to no group and are ignored; consecutive
+  User-agent lines (with no rules between) share the following rules;
+  multiple groups for the same agent MERGE (RFC 9309 §2.2.1).
+- group selection: if any group names the crawler's product token
+  (case-insensitive equality), exactly those groups apply and ``*``
+  groups are ignored; otherwise the ``*`` groups apply; a domain with
+  neither allows everything (RFC 9309 §2.2.1).
+- rule matching: the pattern matches from the START of the URL's
+  path-plus-query; ``*`` matches any run of characters, a trailing ``$``
+  anchors the end (RFC 9309 §2.2.3). The MOST-OCTETS matching rule wins;
+  on a tie allow wins (§2.2.2). An empty rule value matches nothing
+  (the conventional ``Disallow:`` = allow-all). No matching rule →
+  allowed.
+
+Spark-first shape (pure Catalyst end to end — certifiable):
+- :func:`parse_robots` — line explode + ONE domain-partitioned window
+  pass for group tracking (a running sum over group-boundary flags — the
+  sessionize idiom), domain-sized joins for agent→group selection. The
+  robots table is domain-sized (one body per host), so every frame here
+  is tiny next to the URL corpus.
+- rule patterns compile to a Java/RE2-PORTABLE regex subset (every
+  metachar escaped in one pass, then ``*`` → ``.*`` and a trailing
+  escaped ``$`` re-anchored — the scrub_pii portability discipline), so
+  the DuckDB oracle runs the IDENTICAL expressions.
+- :func:`robots_filter` — verdicts are computed per DISTINCT
+  (domain, path?query) key, NOT per corpus row: distinct keys join the
+  rule table on domain (fan-out bounded by rules-per-domain, typically
+  tens), one lexicographic ``max(struct(octets, allow))`` picks the
+  winning rule per key, and the tiny verdict frame joins back. At 100 TB
+  the corpus shuffles ONCE on the key join; everything rule-sided stays
+  domain-sized (broadcastable when the crawl covers few hosts).
+
+Deliberate simplifications (documented contract): agent matching is
+case-insensitive token EQUALITY (no prefix product-token matching);
+percent-encoding is NOT normalized (compare consistently-encoded URLs —
+pair with with_url_parts/textnorm upstream); only Allow/Disallow
+directives are consumed (Sitemap/Crawl-delay ignored, as RFC 9309 allows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: regex metacharacters escaped in ONE left-to-right pass — ``*`` is
+#: deliberately NOT in the class (it becomes ``.*``), ``$`` IS (a trailing
+#: escaped ``$`` is re-anchored afterwards). Portable: the same chain runs
+#: verbatim in DuckDB (RE2) and Spark (java.util.regex).
+_ESCAPE_CLASS = r"([.^$+?(){}\[\]|\\])"
+
+
+def pattern_to_regex(col):
+    """REP path pattern → anchored-later regex (portable subset): escape
+    every metachar once, ``*`` → ``.*``, trailing ``\\$`` → ``$``."""
+    esc = F.regexp_replace(col, _ESCAPE_CLASS, r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    # replacement '$' must itself be escaped — bare '$' in a Java
+    # replacement string is a group reference (found live: IllegalArgument
+    # "Illegal group reference")
+    return F.regexp_replace(star, r"\\\$$", r"\$")
+
+
+def parse_robots(
+    robots: DataFrame,
+    agent: str,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse one robots.txt body per domain into the rule table the
+    filter consumes: (domain, allow boolean, pattern, octets, rx).
+
+    Group tracking is ONE window pass per domain: a group starts at a
+    User-agent line whose predecessor is not one (lag), the running sum
+    of starts is the group id; rules before the first group get id 0 and
+    never join an agent row. Agent→group selection is two domain-sized
+    semi/anti joins (specific groups suppress ``*`` groups per RFC)."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    # strip comments + whitespace; directives are case-insensitive
+    body = F.trim(F.regexp_replace(F.col("_line"), "#.*$", ""))
+    parsed = lines.select(
+        "domain",
+        "_pos",
+        F.lower(F.trim(F.regexp_extract(body, r"^([A-Za-z-]+)\s*:", 1))).alias(
+            "_dir"
+        ),
+        F.trim(F.regexp_extract(body, r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("_val"),
+    )
+    # blank lines, comment-only lines, and unrecognized directives
+    # (Sitemap, Crawl-delay, …) are dropped BEFORE the adjacency window
+    # (r13 review #1): the RFC 9309 ABNF allows emptyline between
+    # consecutive startgrouplines, and crawlers MUST ignore unrecognized
+    # lines — keeping them in the frame made a blank line between two
+    # User-agent lines split the group, silently severing the first
+    # agent from its rules.
+    parsed = parsed.where(
+        F.col("_dir").isin("user-agent", "allow", "disallow")
+    )
+    w = Window.partitionBy("domain").orderBy("_pos")
+    is_ua = F.col("_dir") == "user-agent"
+    starts = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    grouped = parsed.withColumn(
+        "_grp", F.sum(starts.cast("int")).over(w)
+    )
+    agents = grouped.where(is_ua).select(
+        "domain", "_grp", F.lower(F.col("_val")).alias("_agent")
+    )
+    spec = agents.where(F.col("_agent") == agent.lower()).select(
+        "domain", "_grp"
+    ).distinct()
+    star = agents.where(F.col("_agent") == "*").select("domain", "_grp").distinct()
+    # RFC 9309 §2.2.1: specific-agent groups suppress the * groups
+    chosen = spec.unionByName(
+        star.join(spec.select("domain").distinct(), "domain", "left_anti")
+    )
+    rules = (
+        grouped.where(F.col("_dir").isin("allow", "disallow"))
+        .where(F.length("_val") > 0)  # empty value matches nothing
+        .join(chosen, ["domain", "_grp"])
+        .select(
+            "domain",
+            (F.col("_dir") == "allow").alias("allow"),
+            F.col("_val").alias("pattern"),
+            F.length("_val").alias("octets"),
+            F.concat(F.lit("^"), pattern_to_regex(F.col("_val"))).alias("rx"),
+        )
+    )
+    return rules
+
+
+def robots_verdicts(keys: DataFrame, rules: DataFrame) -> DataFrame:
+    """Per-(domain, pathq) verdict: longest matching rule wins, allow wins
+    octet ties, no match → allowed. ``keys`` must be DISTINCT (domain,
+    pathq) rows; the lexicographic max(struct(octets, allow)) IS the RFC
+    §2.2.2 precedence."""
+    j = keys.join(rules, "domain", "left")
+    hit = F.col("rx").isNotNull() & F.expr("pathq rlike rx")
+    best = F.max(
+        F.when(hit, F.struct(F.col("octets"), F.col("allow")))
+    ).alias("_best")
+    return (
+        j.groupBy("domain", "pathq")
+        .agg(best)
+        .select(
+            "domain",
+            "pathq",
+            F.coalesce(F.col("_best.allow"), F.lit(True)).alias("robots_allowed"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    mode: str = "annotate",
+) -> DataFrame:
+    """Annotate (or filter) a URL frame against per-domain robots.txt
+    bodies for ``agent``. ``robots`` columns: (domain, robots_txt).
+
+    ``mode="annotate"`` appends ``robots_allowed``; ``mode="filter"``
+    keeps only allowed rows (columns unchanged). Verdicts are computed
+    per DISTINCT (domain, path?query) and joined back, so the corpus
+    never fans out against the rule table.
+
+    NULL / malformed URL contract (r13 review #3): a NULL url row has no
+    domain to consult — annotate keeps the row with ``robots_allowed``
+    NULL (unknown, never silently dropped); filter drops it (compliance
+    cannot be verified). A non-URL string extracts an EMPTY host, which
+    matches no robots row → allowed (no robots to consult) — pair with a
+    URL-validity filter upstream when that matters."""
+    from . import require_new_column
+    from .filtering import URL_HOST_RE, URL_PATHQ_RE
+
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"mode must be 'annotate' or 'filter', got {mode!r}")
+    for col in ("robots_allowed", "_rb_domain", "_rb_pathq"):
+        require_new_column(urls, col)
+    c = F.col(url_col)
+    # the SHARED url-component regexes (filtering.py) — a second
+    # hand-rolled host pattern is exactly what the r12 review removed
+    # from warc.py, and it had already diverged once there
+    host = F.lower(F.regexp_extract(c, URL_HOST_RE, 1))
+    # REP matches path PLUS query (fragment never reaches the server);
+    # empty path normalizes to '/'
+    pathq = F.regexp_extract(c, URL_PATHQ_RE, 1)
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    u = urls.withColumn("_rb_domain", host).withColumn("_rb_pathq", pathq)
+    keys = u.select(
+        F.col("_rb_domain").alias("domain"), F.col("_rb_pathq").alias("pathq")
+    ).distinct()
+    rules = parse_robots(robots, agent=agent)
+    verd = robots_verdicts(keys, rules)
+    # LEFT join (r13 review #3): a NULL url yields NULL keys, which an
+    # inner join silently dropped even in annotate mode — NULL-key rows
+    # must survive with a NULL verdict
+    out = u.join(
+        verd,
+        (u["_rb_domain"] == verd["domain"]) & (u["_rb_pathq"] == verd["pathq"]),
+        "left",
+    ).drop("domain", "pathq")
+    if mode == "filter":
+        return out.where("robots_allowed").drop(
+            "robots_allowed", "_rb_domain", "_rb_pathq"
+        )
+    return out.drop("_rb_domain", "_rb_pathq")

@@ -264,9 +264,14 @@ def o19_warc_roundtrip(spark, sf_dir):
 #: canonical SQL twin (verified in tests/test_releasediff.py since r12):
 #: release N+1 is derived from the documents table in closed form —
 #: doc_id%7==0 removed, doc_id%5==0 (of the survivors) modified with a
-#: ' v2' suffix, one added doc per doc_id%11==0 under id+1000000 — so the
+#: ' v2' suffix, one added doc per doc_id%11==0 under -(id+1) — so the
 #: expected (source, status) rollup is fully recomputable by DuckDB and
-#: all four status classes land in the certified hash
+#: all four status classes land in the certified hash. Added ids live in
+#: the NEGATIVE namespace (r13 review #4: the original +1000000 offset
+#: collides with real doc_ids at sf where the table exceeds 1M rows —
+#: the tripwire would then abort the certified query at exactly the
+#: scales the sweep exists to probe; doc_id >= 0 by construction, so
+#: -(id+1) is collision-free at EVERY scale factor)
 RELEASE_DIFF_SQL = """
     WITH old AS (SELECT doc_id, source, text FROM documents),
     survivors AS (SELECT * FROM old WHERE doc_id % 7 <> 0),
@@ -275,7 +280,7 @@ RELEASE_DIFF_SQL = """
              CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
       FROM survivors
       UNION ALL
-      SELECT doc_id + 1000000, source, 'new doc ' || CAST(doc_id AS VARCHAR)
+      SELECT -(doc_id + 1), source, 'new doc ' || CAST(doc_id AS VARCHAR)
       FROM old WHERE doc_id % 11 = 0),
     o AS (SELECT doc_id AS id, source AS src_o,
                  CASE WHEN text IS NULL THEN 'null' ELSE md5(text) END AS fp_o,
@@ -319,7 +324,7 @@ def d_release_diff(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     )
     added = old.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         "source",
         F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
     )
