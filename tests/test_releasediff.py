@@ -59,6 +59,7 @@ def test_release_diff_duplicate_or_null_id_fails_loud(spark):
     the violating side named in the message. Clean inputs are unaffected
     (every other test in this file)."""
     import pytest
+    from py4j.protocol import Py4JJavaError
     from pyspark.errors import PySparkException
 
     from unravelsports_spark.operators.releasediff import release_diff
@@ -69,14 +70,14 @@ def test_release_diff_duplicate_or_null_id_fails_loud(spark):
     dup = spark.createDataFrame(
         [(1, "a", "x"), (1, "a", "x")], "doc_id long, source string, text string"
     )
-    with pytest.raises(PySparkException, match="new-release"):
+    with pytest.raises((PySparkException, Py4JJavaError), match="new-release"):
         release_diff(clean, dup).collect()
-    with pytest.raises(PySparkException, match="old-release"):
+    with pytest.raises((PySparkException, Py4JJavaError), match="old-release"):
         release_diff(dup, clean).collect()
     nulled = spark.createDataFrame(
         [(None, "a", "x")], "doc_id long, source string, text string"
     )
-    with pytest.raises(PySparkException, match="duplicate or NULL"):
+    with pytest.raises((PySparkException, Py4JJavaError), match="duplicate or NULL"):
         release_diff(clean, nulled).collect()
 
 
@@ -109,6 +110,7 @@ def test_tripwire_survives_column_pruning(spark):
     projecting only (doc_id, status) — which prunes the chars columns a
     projected guard lived in — still fails loud."""
     import pytest
+    from py4j.protocol import Py4JJavaError
     from pyspark.errors import PySparkException
 
     from unravelsports_spark.operators.releasediff import release_diff
@@ -119,7 +121,7 @@ def test_tripwire_survives_column_pruning(spark):
     dup = spark.createDataFrame(
         [(1, "a", "x"), (1, "a", "x")], "doc_id long, source string, text string"
     )
-    with pytest.raises(PySparkException, match="new-release"):
+    with pytest.raises((PySparkException, Py4JJavaError), match="new-release"):
         release_diff(clean, dup).select("doc_id", "status").collect()
-    with pytest.raises(PySparkException, match="old-release"):
+    with pytest.raises((PySparkException, Py4JJavaError), match="old-release"):
         release_diff(dup, clean).groupBy("status").count().collect()

@@ -270,3 +270,192 @@ def test_null_url_survives_annotate_mode(spark):
     assert got["http://d.example/ok"] is True and got[None] is None
     kept = robots_filter(df, robots, mode="filter").collect()
     assert [r["url"] for r in kept] == ["http://d.example/ok"]
+
+
+def test_caller_domain_column_survives_annotate(spark):
+    """r13 review pass 2 #1 pin: a caller frame already carrying a
+    'domain' column (e.g. with_url_parts output, which the module
+    docstring recommends upstream) keeps it — the verdict join's own keys
+    ride under _rbv_ aliases, so the post-join drop cannot delete caller
+    columns."""
+    from unravelsports_spark.operators.filtering import with_url_parts
+    from unravelsports_spark.operators.robots import robots_filter
+
+    df = with_url_parts(
+        spark.createDataFrame([("http://d.example/x/1",)], "url string")
+    )
+    robots = spark.createDataFrame(
+        [("d.example", "User-agent: *\nDisallow: /x\n")],
+        "domain string, robots_txt string",
+    )
+    row = robots_filter(df, robots).collect()[0]
+    assert row["domain"] == "d.example" and row["url_norm"] is not None
+    assert row["robots_allowed"] is False
+
+
+def test_empty_path_with_query_normalizes_to_slash(spark):
+    """r13 review pass 2 #2 pin: 'http://host?x=1' has an empty path but a
+    query — RFC matches against '/?x=1', so 'Disallow: /' must block it
+    (the empty-only normalization let it leak through)."""
+    from unravelsports_spark.operators.robots import robots_filter
+
+    df = spark.createDataFrame(
+        [("http://d.example?x=1",), ("http://d.example/?x=1",),
+         ("http://d.example",)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("d.example", "User-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    got = [r["robots_allowed"] for r in robots_filter(df, robots).collect()]
+    assert got == [False, False, False]
+
+
+def test_mixed_case_robots_domain_joins(spark):
+    """r13 review pass 2 #3 pin: a robots row keyed 'D.example' must still
+    govern http://D.example/ (hosts compare case-insensitively; both sides
+    now lowered)."""
+    from unravelsports_spark.operators.robots import robots_filter
+
+    df = spark.createDataFrame([("http://D.example/x",)], "url string")
+    robots = spark.createDataFrame(
+        [("D.example", "User-agent: *\nDisallow: /x\n")],
+        "domain string, robots_txt string",
+    )
+    assert robots_filter(df, robots).collect()[0]["robots_allowed"] is False
+
+
+def test_precedence_counts_octets_not_characters(spark):
+    """r13 review pass 2 #4 pin: RFC 9309 §2.2.2 precedence is
+    most-OCTETS. First the agreeing case ('Allow: /データ' 10 octets beats
+    'Disallow: /デー' 7 octets — char-length agrees), then the
+    DISAGREEMENT case where char- and octet-length pick opposite rules
+    ('/データ*' 5 chars / 11 octets vs '/*ータx$' 6 chars / 10 octets):
+    char-length would block, the RFC octet rule allows."""
+    from unravelsports_spark.operators.robots import robots_filter
+
+    body = "User-agent: *\nAllow: /データ\nDisallow: /デー\n"
+    df = spark.createDataFrame([("http://d.example/データx",)], "url string")
+    robots = spark.createDataFrame(
+        [("d.example", body)], "domain string, robots_txt string"
+    )
+    assert robots_filter(df, robots).collect()[0]["robots_allowed"] is True
+    # the DISAGREEMENT case — char- and octet-length pick opposite rules:
+    # Allow '/データ*' = 5 chars / 11 octets; Disallow '/*ータx$' = 6 chars /
+    # 10 octets. Char-length picks the Disallow (6 > 5) → blocked;
+    # RFC octet-length picks the Allow (11 > 10) → allowed.
+    body2 = "User-agent: *\nAllow: /データ*\nDisallow: /*ータx$\n"
+    df2 = spark.createDataFrame([("http://d.example/データx",)], "url string")
+    robots2 = spark.createDataFrame(
+        [("d.example", body2)], "domain string, robots_txt string"
+    )
+    assert robots_filter(df2, robots2).collect()[0]["robots_allowed"] is True
+
+
+def test_multi_at_userinfo_and_ipv6_hosts(spark):
+    """r13 review pass 6 pins: (1) userinfo strips to the LAST '@' — the
+    'http://trusted@evil/' obfuscation shape must resolve to the real
+    host, not 'pass@host'; (2) IPv6 authorities are bracket-aware — a
+    robots row keyed '2001:db8::1' governs 'http://[2001:db8::1]:8080/'
+    (a colon-blind port strip mangled the key to '2001:db8:' and made the
+    host allow-all, while colliding distinct IPv6 hosts)."""
+    from unravelsports_spark.operators.robots import robots_filter
+
+    df = spark.createDataFrame(
+        [("http://user@pass@d.example/private/x",),
+         ("http://[2001:db8::1]:8080/private/y",),
+         ("http://[2001:db8::1]/private/z",),
+         ("http://[2001:db8::2]/private/w",)],  # DIFFERENT host: no rules
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("d.example", "User-agent: *\nDisallow: /private\n"),
+         ("2001:db8::1", "User-agent: *\nDisallow: /private\n")],
+        "domain string, robots_txt string",
+    )
+    # keyed by url, NOT positional (r13 review pass 7 #1: join output
+    # order is nondeterministic and this test's expectations are
+    # heterogeneous — it flipped in 4 of the reviewer's 6 runs)
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_filter(df, robots).collect()
+    }
+    assert got == {
+        "http://user@pass@d.example/private/x": False,
+        "http://[2001:db8::1]:8080/private/y": False,
+        "http://[2001:db8::1]/private/z": False,
+        "http://[2001:db8::2]/private/w": True,  # DIFFERENT host: no rules
+    }
+
+
+def test_empty_canonical_robots_key_cannot_govern_non_urls(spark):
+    """r13 review pass 8 #2 pin: a robots row whose key canonicalizes to
+    the empty host ('.', 'user@', '[unclosed') is dropped — it would
+    otherwise join every malformed-URL row's empty-host sentinel and flip
+    the documented allow-by-default contract for non-URLs."""
+    from unravelsports_spark.operators.robots import robots_filter
+
+    df = spark.createDataFrame(
+        [("not a url at all",), ("http://d.example/x",)], "url string"
+    )
+    robots = spark.createDataFrame(
+        [(".", "User-agent: *\nDisallow: /\n"),
+         ("user@", "User-agent: *\nDisallow: /\n"),
+         ("d.example", "User-agent: *\nDisallow: /x\n")],
+        "domain string, robots_txt string",
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_filter(df, robots).collect()
+    }
+    assert got == {"not a url at all": True, "http://d.example/x": False}
+
+
+def test_contaminated_robots_keys_still_govern(spark):
+    """r13 review pass 9 pins: (1) a robots key contaminated with
+    surrounding whitespace or pasted as a full URL still governs its host
+    (canonical_host trims + strips scheme/path); (2) duplicate
+    UNGOVERNABLE keys (NULL, '.') are dropped as garbage BEFORE the
+    duplicate tripwire — explicitly ordered, not left to filter-pushdown
+    — so they neither govern nor raise the one-robots-per-host error."""
+    from unravelsports_spark.operators.robots import robots_filter
+
+    df = spark.createDataFrame(
+        [("http://a.example/private/x",), ("http://b.example/private/y",)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [(" a.example\n", "User-agent: *\nDisallow: /private\n"),
+         ("https://b.example/robots.txt", "User-agent: *\nDisallow: /private\n"),
+         (None, "User-agent: *\nDisallow: /\n"),
+         (None, "User-agent: *\nDisallow: /\n"),   # duplicate NULLs: dropped
+         (".", "User-agent: *\nDisallow: /\n"),
+         (".", "User-agent: *\nDisallow: /\n")],   # duplicate garbage: dropped
+        "domain string, robots_txt string",
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_filter(df, robots).collect()
+    }
+    assert got == {"http://a.example/private/x": False,
+                   "http://b.example/private/y": False}
+
+
+def test_whitespace_contaminated_url_still_governed(spark):
+    """r13 review pass 12 pin: ' http://d.example/x' (leading space — CSV
+    tail / concat artifact) must still resolve to d.example and be
+    governed by its robots; the ^-anchored extraction on the raw string
+    yielded an empty host and an allow-all leak."""
+    from unravelsports_spark.operators.robots import robots_filter
+
+    df = spark.createDataFrame(
+        [(" http://d.example/private/x",), ("http://d.example/private/y\n",)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("d.example", "User-agent: *\nDisallow: /private\n")],
+        "domain string, robots_txt string",
+    )
+    got = [r["robots_allowed"] for r in robots_filter(df, robots).collect()]
+    assert got == [False, False]

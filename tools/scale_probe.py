@@ -166,7 +166,33 @@ def main() -> None:
         + ", ".join(f"{f}x={p}" for f, p in zip(factors, pairs))
     )
     from unravelsports_spark.operators.htmltext import extract_html_text
+    from unravelsports_spark.operators.robots import robots_filter
     from unravelsports_spark.operators.textnorm import normalize_text
+
+    # r13: robots verdicts — the rule side stays DOMAIN-sized (20 sources,
+    # constant across decades) while the distinct URL-key frame grows
+    # ×10 per decade; ratio must stay ~linear (key distinct + rules join +
+    # per-key regex match + join-back, all corpus-linear)
+    _robots_rules = (
+        base.select("source").distinct().select(
+            F.concat("source", F.lit(".example")).alias("domain"),
+            F.lit(
+                "User-agent: trainbot\nDisallow: /private\n"
+                "Allow: /private/ok*\nDisallow: /*.pdf$\n"
+            ).alias("robots_txt"),
+        )
+    )
+
+    def _robots_urls(d):
+        path = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/private/doc"), F.col("doc_id")),
+        ).otherwise(F.concat(F.lit("/public/doc"), F.col("doc_id")))
+        return d.select(
+            F.concat(F.lit("http://"), "source", F.lit(".example"), path).alias(
+                "url"
+            )
+        )
 
     for name, mk in {
         "jaccard_pairs(dup-heavy)": lambda d: jaccard_pairs(doc_shingles(d)),
@@ -181,6 +207,9 @@ def main() -> None:
         # literal replace chain), the cheapest stage in the crawl chain;
         # decade ratio must stay ~linear with no Python/Arrow involvement
         "extract_html_text": lambda d: extract_html_text(d),
+        "robots_filter(trainbot)": lambda d: robots_filter(
+            _robots_urls(d), _robots_rules, agent="trainbot"
+        ),
     }.items():
         walls = [timed(lambda s=s: mk(doc_scales[s])) for s in factors]
         print(fmt_row(name, walls))

@@ -9,7 +9,7 @@ AnalysisException far from the cause.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def require_new_column(df: DataFrame, out_col: str) -> None:
@@ -18,3 +18,19 @@ def require_new_column(df: DataFrame, out_col: str) -> None:
         raise ValueError(
             f"out_col {out_col!r} is already a column of the input frame"
         )
+
+
+def precondition_filter(df: DataFrame, cond: Column, msg: str) -> DataFrame:
+    """Row-level precondition tripwire (the releasediff/robots shape,
+    single-sourced per r13 review pass 8 #3): passes every row unchanged
+    while ``cond`` holds, throws the query loudly at the first violating
+    row. The guard rides a FILTER — never a projected column — because a
+    Filter predicate is evaluated for every row no matter what the caller
+    projects, whereas a guarded column vanishes under column pruning (the
+    r13 review pass 1 #2 lesson). ``cond`` must not contain a bare window
+    expression (materialize it to a column first — windows are illegal in
+    WHERE); assert_true yields NULL on success → coalesce(…, true)."""
+    from pyspark.sql import functions as F
+
+    guard = F.assert_true(cond, F.lit(msg))
+    return df.where(F.coalesce(guard.cast("boolean"), F.lit(True)))

@@ -116,6 +116,45 @@ URL_PATHQ_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"  # path + query
 URL_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 
 
+def canonical_host(host_col):
+    """The DNS identity of an extracted URL authority: lowered, userinfo
+    and port stripped (INCLUDING the RFC 3986 empty port 'host:'), the
+    FQDN root dot removed — 'User@D.Example.:80' → 'd.example'. Shared so
+    every host-identity consumer canonicalizes identically (r13 review
+    pass 5 #3 — the divergence class the r12/r13 reviews removed twice).
+
+    Userinfo strips to the LAST '@' (pass 6 #1: WHATWG parsing puts the
+    host after the last '@', and '^[^@]*@' left 'pass@host' for the
+    classic 'http://trusted@evil/' obfuscation — an allow-all leak in the
+    robots filter). IPv6 literals are bracket-aware (pass 6 #2: a plain
+    ':\\d*$' strip turned '2001:db8::1' into '2001:db8:', which both
+    missed its bracketed URL-side twin and collided distinct IPv6 hosts):
+    a '[...]' authority reduces to the address inside the brackets, and
+    the port strip on non-bracketed hosts requires a colon-free prefix so
+    unbracketed IPv6 keys pass through intact.
+
+    NOTE: with_url_parts' certified ``domain`` column deliberately does
+    NOT use this (it predates it and its exact bytes are hash-pinned);
+    new consumers should."""
+    # trim + scheme strip first (pass 9 #1: a robots key contaminated
+    # with surrounding whitespace or pasted as a full URL —
+    # 'https://d.example' / ' d.example\n' — canonicalized to a string no
+    # URL host ever equals, the same silent allow-all class as the other
+    # five authority variants)
+    # regex trim, NOT F.trim — Spark's trim strips only 0x20 spaces, so a
+    # key carrying '\n'/'\t' (CSV tail) survived it (found live writing
+    # the pass-9 pin test)
+    h = F.lower(F.regexp_replace(host_col, r"^\s+|\s+$", ""))
+    h = F.regexp_replace(h, r"^[a-z][a-z0-9+.-]*://", "")
+    h = F.regexp_replace(h, r"[/?#].*$", "")  # full-URL key: cut at path
+    h = F.regexp_replace(h, r"^.*@", "")
+    bracketed = F.regexp_extract(h, r"^\[([^\]]*)\]", 1)
+    h = F.when(h.startswith("["), bracketed).otherwise(
+        F.regexp_replace(h, r"^([^:]*):\d*$", "$1")
+    )
+    return F.regexp_replace(h, r"\.$", "")
+
+
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """``domain`` (lowercased host) + ``url_norm`` (scheme+host lowercased,
     query/fragment stripped, trailing slash trimmed) — the canonical key for

@@ -74,19 +74,17 @@ def _keyed(df: DataFrame, id_col: str, source_col: str, text_col: str, tag: str)
     # for every row no matter what the caller projects). assert_true
     # yields NULL on the happy path → coalesce(…, true) passes every row;
     # a violation throws before the join ever fans out.
+    from . import precondition_filter
+
     counted = keyed.withColumn(
         "_dupcnt", F.count("*").over(Window.partitionBy("_id"))
     )
-    guard = F.assert_true(
+    return precondition_filter(
+        counted,
         F.col("_id").isNotNull() & (F.col("_dupcnt") == 1),
-        F.lit(
-            f"release_diff precondition: duplicate or NULL {tag}-release "
-            f"id — audit id uniqueness upstream (groupBy(id).count() or "
-            f"exact_dedup) before diffing"
-        ),
-    )
-    return counted.where(
-        F.coalesce(guard.cast("boolean"), F.lit(True))
+        f"release_diff precondition: duplicate or NULL {tag}-release "
+        f"id — audit id uniqueness upstream (groupBy(id).count() or "
+        f"exact_dedup) before diffing",
     ).drop("_dupcnt")
 
 

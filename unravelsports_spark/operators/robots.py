@@ -43,7 +43,18 @@ Deliberate simplifications (documented contract): agent matching is
 case-insensitive token EQUALITY (no prefix product-token matching);
 percent-encoding is NOT normalized (compare consistently-encoded URLs —
 pair with with_url_parts/textnorm upstream); only Allow/Disallow
-directives are consumed (Sitemap/Crawl-delay ignored, as RFC 9309 allows).
+directives are consumed (Sitemap/Crawl-delay ignored, as RFC 9309 allows);
+the host's robots govern every port of that host (userinfo/port stripped
+at matching — the conservative reading of per-authority compliance).
+
+PRECONDITION (enforced loud): at most one robots row per CANONICAL host —
+two rows resolving to the same host (identical spelling, case variants,
+CSV-tail whitespace, port variants) mean a broken fetch join, and their
+conflicting bodies must never silently merge into a rule set neither
+origin published (r13 review pass 10: a spelling-keyed tripwire let
+exactly the real-world duplicate shapes bypass it). A host has exactly
+one /robots.txt; dedupe upstream. Rows whose key canonicalizes to the
+EMPTY host are ungovernable garbage and are dropped before the check.
 """
 
 from __future__ import annotations
@@ -79,12 +90,57 @@ def parse_robots(
     filter consumes: (domain, allow boolean, pattern, octets, rx).
 
     Group tracking is ONE window pass per domain: a group starts at a
-    User-agent line whose predecessor is not one (lag), the running sum
-    of starts is the group id; rules before the first group get id 0 and
-    never join an agent row. Agent→group selection is two domain-sized
-    semi/anti joins (specific groups suppress ``*`` groups per RFC)."""
+    User-agent line whose predecessor is not one (lag) or at the body's
+    first line, the running sum of starts is the group id; rules before
+    the first User-agent line form an AGENTLESS group that never joins an
+    agent row — the RFC's ignore-orphan-rules behavior (pass 4 #1
+    reworked this from the earlier id-0 convention). Agent→group
+    selection is two domain-sized semi/anti joins (specific groups
+    suppress ``*`` groups per RFC).
+
+    The domain canonicalizes AT INGESTION (r13 review pass 3: lowering
+    only the output column applied the spec/star group selection per
+    spelling, so a '*' group from 'd.example' leaked into 'D.example'
+    even though its specific-agent group should suppress it); since pass
+    10 any two rows resolving to one canonical host fail the duplicate
+    tripwire loud instead of merging."""
+    from . import precondition_filter, require_new_column
+    from .filtering import canonical_host
+
+    for col in ("_canon", "_rbn"):
+        require_new_column(robots, col)
+    # rows whose key canonicalizes to the EMPTY host ('.', 'user@', an
+    # unclosed bracket, NULL) carry no governable host and are dropped
+    # FIRST — explicitly before the duplicate tripwire, not left to
+    # filter-pushdown ordering (r13 review pass 8 #2 + pass 9 #2): such a
+    # key would otherwise join every malformed-URL row's empty-host
+    # sentinel and flip the documented allow-by-default contract for
+    # non-URLs, and duplicate garbage keys must be dropped as
+    # ungovernable rather than trip the one-robots-per-host error.
+    # canonical host materialized ONCE (pass 12 #2: three independently
+    # constructed chains — filter, window key, select — had to stay
+    # identical by convention, the documented divergence class)
+    robots = robots.withColumn("_canon", canonical_host(F.col(domain_col)))
+    robots = robots.where(F.length("_canon") > 0)
+    # the one-row-per-HOST precondition is ENFORCED (r13 review pass 7 #2
+    # + pass 10: the package convention is fail LOUD at call time, and a
+    # spelling-keyed count let the real-world duplicate shapes — case
+    # variants, CSV-tail whitespace, port variants — silently merge
+    # conflicting bodies into a rule set neither origin published). The
+    # count window keys on the CANONICAL host; the shared filter-tripwire
+    # shape (precondition_filter); the robots frame is domain-sized, so
+    # the window is cheap.
+    robots = precondition_filter(
+        robots.withColumn(
+            "_rbn", F.count("*").over(Window.partitionBy("_canon"))
+        ),
+        F.col("_rbn") == 1,
+        "parse_robots precondition: multiple robots rows resolve to one "
+        "canonical host — a host has exactly ONE /robots.txt; dedupe "
+        "the fetch join upstream",
+    ).drop("_rbn")
     lines = robots.select(
-        F.col(domain_col).alias("domain"),
+        F.col("_canon").alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     )
     # strip comments + whitespace; directives are case-insensitive
@@ -109,7 +165,16 @@ def parse_robots(
     )
     w = Window.partitionBy("domain").orderBy("_pos")
     is_ua = F.col("_dir") == "user-agent"
-    starts = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    # the body's first surviving row always starts a fresh group (r13
+    # review pass 4 #1), so a body-LEADING rule gets its own agentless
+    # group, which never joins an agent row — exactly the RFC's
+    # ignore-orphan-rules behavior. One body per canonical host is
+    # tripwire-guaranteed since pass 10, so first-row detection is just
+    # a NULL lag (pass 11 removed the dead _rawdom plumbing).
+    boundary = F.lag("_pos").over(w).isNull()
+    # no NULL-lag coalesce needed (pass 13): lag is NULL only on the
+    # first row, where boundary is already True and the OR absorbs it
+    starts = boundary | (is_ua & ~F.lag(is_ua).over(w))
     grouped = parsed.withColumn(
         "_grp", F.sum(starts.cast("int")).over(w)
     )
@@ -129,10 +194,17 @@ def parse_robots(
         .where(F.length("_val") > 0)  # empty value matches nothing
         .join(chosen, ["domain", "_grp"])
         .select(
+            # domain already lowered at ingestion — matches the lowered
+            # URL host (r13 review pass 2 #3: a robots row keyed
+            # 'D.example' was silently ignored and its host became
+            # allow-all; pass 3 moved the lower() from here to the scan)
             "domain",
             (F.col("_dir") == "allow").alias("allow"),
             F.col("_val").alias("pattern"),
-            F.length("_val").alias("octets"),
+            # RFC 9309 §2.2.2 precedence counts OCTETS, not characters
+            # (pass 2 #4: F.length picked 'Disallow: /data12' (7 chars)
+            # over 'Allow: /データ' (10 UTF-8 octets, 4 chars))
+            F.octet_length("_val").alias("octets"),
             F.concat(F.lit("^"), pattern_to_regex(F.col("_val"))).alias("rx"),
         )
     )
@@ -182,35 +254,59 @@ def robots_filter(
     matches no robots row → allowed (no robots to consult) — pair with a
     URL-validity filter upstream when that matters."""
     from . import require_new_column
-    from .filtering import URL_HOST_RE, URL_PATHQ_RE
+    from .filtering import URL_HOST_RE, URL_PATHQ_RE, canonical_host
 
     if mode not in ("annotate", "filter"):
         raise ValueError(f"mode must be 'annotate' or 'filter', got {mode!r}")
-    for col in ("robots_allowed", "_rb_domain", "_rb_pathq"):
+    for col in ("robots_allowed", "_rb_domain", "_rb_pathq",
+                "_rbv_domain", "_rbv_pathq"):
         require_new_column(urls, col)
-    c = F.col(url_col)
+    # the URL side gets the same whitespace trim as robots keys (r13
+    # review pass 12: ' http://d.example/x' with a leading space failed
+    # the ^-anchored host extraction → empty host → allow-all, the exact
+    # contamination class pass 9 closed on the key side)
+    c = F.regexp_replace(F.col(url_col), r"^\s+|\s+$", "")
     # the SHARED url-component regexes (filtering.py) — a second
     # hand-rolled host pattern is exactly what the r12 review removed
-    # from warc.py, and it had already diverged once there
-    host = F.lower(F.regexp_extract(c, URL_HOST_RE, 1))
+    # from warc.py, and it had already diverged once there. The authority
+    # reduces to its DNS identity via the SHARED canonical_host (userinfo
+    # / port incl. the empty 'host:' / FQDN root dot stripped — r13
+    # review pass 4 #3 + pass 5 #1/#2: each unstripped variant made its
+    # URLs allow-all; RFC 9309 keys compliance to the host — we apply the
+    # host's robots to every port, the conservative reading). The
+    # certified with_url_parts 'domain' is deliberately untouched.
+    host = canonical_host(F.regexp_extract(c, URL_HOST_RE, 1))
     # REP matches path PLUS query (fragment never reaches the server);
-    # empty path normalizes to '/'
+    # an empty or missing path normalizes to '/' INCLUDING when a query
+    # follows directly (r13 review pass 2 #2: 'http://host?x=1' matched
+    # rules against '?x=1', so 'Disallow: /' leaked it through)
     pathq = F.regexp_extract(c, URL_PATHQ_RE, 1)
-    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    pathq = F.when(pathq.startswith("/"), pathq).otherwise(
+        F.concat(F.lit("/"), pathq)
+    )
     u = urls.withColumn("_rb_domain", host).withColumn("_rb_pathq", pathq)
     keys = u.select(
         F.col("_rb_domain").alias("domain"), F.col("_rb_pathq").alias("pathq")
     ).distinct()
     rules = parse_robots(robots, agent=agent)
-    verd = robots_verdicts(keys, rules)
+    # verdict keys ride under _rbv_ aliases so the post-join drop can
+    # never delete a CALLER column named 'domain'/'pathq' (pass 2 #1 —
+    # with_url_parts output, which the docstring recommends upstream,
+    # carries exactly such a 'domain' column)
+    verd = robots_verdicts(keys, rules).select(
+        F.col("domain").alias("_rbv_domain"),
+        F.col("pathq").alias("_rbv_pathq"),
+        "robots_allowed",
+    )
     # LEFT join (r13 review #3): a NULL url yields NULL keys, which an
     # inner join silently dropped even in annotate mode — NULL-key rows
     # must survive with a NULL verdict
     out = u.join(
         verd,
-        (u["_rb_domain"] == verd["domain"]) & (u["_rb_pathq"] == verd["pathq"]),
+        (F.col("_rb_domain") == F.col("_rbv_domain"))
+        & (F.col("_rb_pathq") == F.col("_rbv_pathq")),
         "left",
-    ).drop("domain", "pathq")
+    ).drop("_rbv_domain", "_rbv_pathq")
     if mode == "filter":
         return out.where("robots_allowed").drop(
             "robots_allowed", "_rb_domain", "_rb_pathq"
