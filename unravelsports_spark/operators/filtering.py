@@ -116,6 +116,26 @@ URL_PATHQ_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"  # path + query
 URL_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 
 
+def url_trim(url_col):
+    """Regex whitespace trim for URL columns (F.trim strips only 0x20 —
+    CSV-tail '\\n'/'\\t' survived it; r13 pass 9/12). EXPLICIT class, not
+    \\s (pass 15: Java's \\s includes U+000B, RE2's does not — the exact
+    cross-engine divergence htmltext.py pins; an oracle running this
+    chain verbatim must trim identically)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    ws = " \\t\\r\\n\\f\\x0b"
+    return F.regexp_replace(c, f"^[{ws}]+|[{ws}]+$", "")
+
+
+def url_canonical_host(url_col):
+    """Canonical DNS host of a URL column: trim → URL_HOST_RE extract →
+    :func:`canonical_host`. The ONE composition every host-identity
+    consumer (robots, frontier) shares — a third hand-rolled copy is the
+    divergence class the r12/r13 reviews removed twice (r13 pass 14 #4
+    hoisted this from robots/frontier duplicates)."""
+    return canonical_host(F.regexp_extract(url_trim(url_col), URL_HOST_RE, 1))
+
+
 def canonical_host(host_col):
     """The DNS identity of an extracted URL authority: lowered, userinfo
     and port stripped (INCLUDING the RFC 3986 empty port 'host:'), the
@@ -141,10 +161,9 @@ def canonical_host(host_col):
     # 'https://d.example' / ' d.example\n' — canonicalized to a string no
     # URL host ever equals, the same silent allow-all class as the other
     # five authority variants)
-    # regex trim, NOT F.trim — Spark's trim strips only 0x20 spaces, so a
-    # key carrying '\n'/'\t' (CSV tail) survived it (found live writing
-    # the pass-9 pin test)
-    h = F.lower(F.regexp_replace(host_col, r"^\s+|\s+$", ""))
+    # the SHARED url_trim (pass 15: a second inline trim regex is the
+    # divergence class this module keeps removing)
+    h = F.lower(url_trim(host_col))
     h = F.regexp_replace(h, r"^[a-z][a-z0-9+.-]*://", "")
     h = F.regexp_replace(h, r"[/?#].*$", "")  # full-URL key: cut at path
     h = F.regexp_replace(h, r"^.*@", "")

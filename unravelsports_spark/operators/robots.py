@@ -254,28 +254,26 @@ def robots_filter(
     matches no robots row → allowed (no robots to consult) — pair with a
     URL-validity filter upstream when that matters."""
     from . import require_new_column
-    from .filtering import URL_HOST_RE, URL_PATHQ_RE, canonical_host
+    from .filtering import URL_PATHQ_RE, url_canonical_host, url_trim
 
     if mode not in ("annotate", "filter"):
         raise ValueError(f"mode must be 'annotate' or 'filter', got {mode!r}")
     for col in ("robots_allowed", "_rb_domain", "_rb_pathq",
                 "_rbv_domain", "_rbv_pathq"):
         require_new_column(urls, col)
-    # the URL side gets the same whitespace trim as robots keys (r13
-    # review pass 12: ' http://d.example/x' with a leading space failed
-    # the ^-anchored host extraction → empty host → allow-all, the exact
-    # contamination class pass 9 closed on the key side)
-    c = F.regexp_replace(F.col(url_col), r"^\s+|\s+$", "")
-    # the SHARED url-component regexes (filtering.py) — a second
-    # hand-rolled host pattern is exactly what the r12 review removed
-    # from warc.py, and it had already diverged once there. The authority
-    # reduces to its DNS identity via the SHARED canonical_host (userinfo
-    # / port incl. the empty 'host:' / FQDN root dot stripped — r13
-    # review pass 4 #3 + pass 5 #1/#2: each unstripped variant made its
-    # URLs allow-all; RFC 9309 keys compliance to the host — we apply the
-    # host's robots to every port, the conservative reading). The
-    # certified with_url_parts 'domain' is deliberately untouched.
-    host = canonical_host(F.regexp_extract(c, URL_HOST_RE, 1))
+    # the SHARED trim + host-identity composition (filtering.py:
+    # url_trim / url_canonical_host — hoisted in pass 14 when frontier
+    # became the second consumer; a hand-rolled copy is the divergence
+    # class the r12/r13 reviews removed twice). It trims whitespace
+    # (pass 12: ' http://d.example/x' failed the ^-anchored extraction →
+    # empty host → allow-all) and reduces the authority to its DNS
+    # identity (userinfo / port incl. empty / FQDN root dot / IPv6
+    # brackets — pass 4 #3, pass 5 #1/#2, pass 6: each unstripped variant
+    # made its URLs allow-all; RFC 9309 keys compliance to the host — we
+    # apply the host's robots to every port, the conservative reading).
+    # The certified with_url_parts 'domain' is deliberately untouched.
+    c = url_trim(F.col(url_col))
+    host = url_canonical_host(F.col(url_col))
     # REP matches path PLUS query (fragment never reaches the server);
     # an empty or missing path normalizes to '/' INCLUDING when a query
     # follows directly (r13 review pass 2 #2: 'http://host?x=1' matched
