@@ -91,6 +91,14 @@ HEADLINE = [
     # against a near-zero denominator, like q1/w5 already do. Their scale
     # behavior is covered by the SCALING.md probes (extract_html_text is a
     # pure codegen'd projection; boilerplate's shape is plan-guarded).
+    # NOT headlined (r13): a25_t_closeness / d_release_diff — DuckDB runs
+    # their oracles in 28/26 ms at sf0.1 (class-sized collapses over one
+    # scan), the same near-zero-denominator class as boilerplate/html
+    # above; o18_csv_roundtrip / o19_warc_roundtrip round-trip through a
+    # per-invocation tmpdir, so a bench row would measure local-disk IO +
+    # mkdtemp, not plan quality. Scale behavior: t-closeness/release-diff
+    # plan shapes are guarded in tests; the WARC decode path is probed by
+    # the tracemalloc bound + hostile battery.
     # NOT headlined: d_kcore_peeling — its wall is ~7 sequential
     # materialization-job floors over a ~650-row edge list (profiled:
     # LSH edge build+checkpoint 1.6 s of 2.1 s total; the MATERIALIZED

@@ -165,6 +165,7 @@ def main() -> None:
         "  jaccard output pairs per scale: "
         + ", ".join(f"{f}x={p}" for f, p in zip(factors, pairs))
     )
+    from unravelsports_spark.operators.frontier import frontier_plan
     from unravelsports_spark.operators.htmltext import extract_html_text
     from unravelsports_spark.operators.robots import robots_filter
     from unravelsports_spark.operators.textnorm import normalize_text
@@ -209,6 +210,13 @@ def main() -> None:
         "extract_html_text": lambda d: extract_html_text(d),
         "robots_filter(trainbot)": lambda d: robots_filter(
             _robots_urls(d), _robots_rules, agent="trainbot"
+        ),
+        # r13: frontier planning — one host window + the exchange-reusing
+        # dup tripwire; ratio must stay ~linear (hosts constant at 20, so
+        # per-host partitions grow ×10 per decade — the window sort is
+        # the cost)
+        "frontier_plan(limit=8)": lambda d: frontier_plan(
+            _robots_urls(d), per_host_limit=8
         ),
     }.items():
         walls = [timed(lambda s=s: mk(doc_scales[s])) for s in factors]

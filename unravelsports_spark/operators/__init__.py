@@ -11,6 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 
+#: the portable whitespace class — Java's \\s includes U+000B, RE2's does
+#: not (the htmltext r12 finding), so every cross-engine regex spells the
+#: class explicitly. ONE copy (r13 review pass 19: filtering/sitemap/
+#: htmltext each carried a set-identical spelling with differing char
+#: order; a portability correction must reach all consumers at once).
+#: Character order matches htmltext's original certified spelling.
+PORTABLE_WS = " \\t\\n\\x0b\\f\\r"
+
 
 def require_new_column(df: DataFrame, out_col: str) -> None:
     """Raise ValueError when ``out_col`` is already a column of ``df``."""

@@ -122,9 +122,10 @@ def url_trim(url_col):
     \\s (pass 15: Java's \\s includes U+000B, RE2's does not — the exact
     cross-engine divergence htmltext.py pins; an oracle running this
     chain verbatim must trim identically)."""
+    from . import PORTABLE_WS
+
     c = F.col(url_col) if isinstance(url_col, str) else url_col
-    ws = " \\t\\r\\n\\f\\x0b"
-    return F.regexp_replace(c, f"^[{ws}]+|[{ws}]+$", "")
+    return F.regexp_replace(c, f"^[{PORTABLE_WS}]+|[{PORTABLE_WS}]+$", "")
 
 
 def url_canonical_host(url_col):

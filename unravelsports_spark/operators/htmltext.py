@@ -57,10 +57,16 @@ from pyspark.sql import functions as F
 #: tab), RE2's does not (r12 review pass 1 #1, confirmed live — a VT
 #: inside ``</script␋>`` made the engines extract different bytes). The
 #: class spells out Java's five-plus-VT set so both strip identically.
+from . import PORTABLE_WS
+
+#: comment removal runs FIRST and is shared with sitemap.py's classifier
+#: (r13 review pass 19 — single-sourced like entity_decode_expr)
+COMMENT_PATTERN = r"(?s)<!--.*?-->"
+
 _BLOCK_PATTERNS = (
-    r"(?s)<!--.*?-->",
-    "(?is)<script[^>]*>.*?</script[ \\t\\n\\x0b\\f\\r]*>",
-    "(?is)<style[^>]*>.*?</style[ \\t\\n\\x0b\\f\\r]*>",
+    COMMENT_PATTERN,
+    f"(?is)<script[^>]*>.*?</script[{PORTABLE_WS}]*>",
+    f"(?is)<style[^>]*>.*?</style[{PORTABLE_WS}]*>",
     r"(?s)<[^>]*>",
 )
 
@@ -90,6 +96,18 @@ ENTITIES = (
 _AMP_PATTERN = "&amp;|&#38;"
 
 
+def entity_decode_expr(col, entities=ENTITIES) -> F.Column:
+    """Single-level entity decode with the load-bearing ordering rule
+    (non-amp literals first, the amp family LAST in one alternation pass
+    — see the ENTITIES note). The ONE copy of that rule: sitemap.py's XML
+    decode passes its 8-entity subset here (r13 review: a verbatim copy
+    of this loop was the divergence class the reviews keep removing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for src, dst in entities:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return F.regexp_replace(c, _AMP_PATTERN, "&")
+
+
 def html_text_expr(col) -> F.Column:
     """The extraction chain as a single Catalyst column expression —
     usable inline in any projection (the 100 TB shape: fused into the
@@ -97,9 +115,7 @@ def html_text_expr(col) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     for pat in _BLOCK_PATTERNS:
         c = F.regexp_replace(c, pat, " ")
-    for src, dst in ENTITIES:
-        c = F.replace(c, F.lit(src), F.lit(dst))
-    return F.regexp_replace(c, _AMP_PATTERN, "&")
+    return entity_decode_expr(c)
 
 
 def extract_html_text(
