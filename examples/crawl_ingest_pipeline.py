@@ -1,21 +1,28 @@
-"""CRAWL-INGEST pipeline, container to content (round 12): the chain a
+"""CRAWL pipeline, plan → fetch → content (rounds 12-13): the chain a
 web-corpus team runs BEFORE corpus_pipeline.py's filter→dedup→select→pack
-— WARC shards in, clean deduplicatable text out.
+— sitemaps and robots.txt in, clean deduplicatable text out.
 
-    WARC (sources/warc.py, per-record-gzip — the Common Crawl layout)
-      → quarantine audit (shared _corrupt_record contract)
-      → warc_to_documents (host = the t_url_domains extraction)
-      → extract_html_text (operators/htmltext.py: blocks/tags/entities)
-      → normalize_text    (operators/textnorm.py: NFKC + Cc/Cf + ws)
-      → strip_boilerplate (operators/boilerplate.py: template lines)
-      → exact_dedup fingerprints, ready for the corpus pipeline
+    PLAN   (r13 triad): parse_sitemaps (discovery)
+             → robots_filter (RFC 9309 compliance — disallowed URLs
+               never enter the frontier)
+             → frontier_plan (per-host politeness waves)
+    FETCH  (synthetic): the planned URLs resolve to markup-wrapped pages
+    INGEST (r12 chain): WARC (per-record-gzip — the Common Crawl layout)
+             → quarantine audit (shared _corrupt_record contract)
+             → warc_to_documents (host = the t_url_domains extraction)
+             → extract_html_text (blocks/tags/entities)
+             → normalize_text    (NFKC + Cc/Cf + ws)
+             → strip_boilerplate (template lines)
+             → ready for the corpus pipeline
 
 Run: python examples/crawl_ingest_pipeline.py  [SPARK_GRAFT_SF_DIR
 overrides the default /root/testdata/sf0.001]. The synthetic documents
-table stands in for crawl payloads: each doc is wrapped in markup + a
-shared per-site footer, exported as a genuine WARC shard set (one corrupt
-shard injected), and must come out the far end byte-identical to the
-original text — the whole chain proves itself by round-trip.
+table stands in for the web: each site publishes a sitemap listing its
+pages PLUS one /private/admin page its robots.txt disallows; the planned
+(allowed) URLs are fetched as markup-wrapped pages, exported as a genuine
+WARC shard set (one corrupt shard injected), and must come out the far
+end byte-identical to the original text — the whole chain proves itself
+by round-trip, and the disallowed URL never appears anywhere downstream.
 """
 
 from __future__ import annotations
@@ -47,8 +54,50 @@ def main(spark, sf_dir: str) -> dict:
         write_warc,
     )
 
+    from unravelsports_spark.operators.frontier import frontier_plan
+    from unravelsports_spark.operators.robots import robots_filter
+    from unravelsports_spark.operators.sitemap import parse_sitemaps
+
     docs = read_table(spark, sf_dir, "documents")
 
+    # ---- PLAN: sitemap discovery → robots compliance → frontier -------
+    # each site publishes one urlset listing its pages + one /private
+    # page; its robots.txt disallows /private for everyone
+    url = F.concat(
+        F.lit("http://"), "source", F.lit(".example/"), F.col("doc_id")
+    )
+    entry = F.concat(F.lit("<url><loc>"), url, F.lit("</loc></url>"))
+    site_maps = (
+        docs.groupBy("source")
+        .agg(F.concat_ws("", F.collect_list(entry)).alias("_entries"))
+        .select(
+            F.concat("source", F.lit(".example")).alias("domain"),
+            F.concat(
+                F.lit("<urlset>"),
+                F.col("_entries"),
+                F.lit("<url><loc>http://"),
+                "source",
+                F.lit(".example/private/admin</loc></url></urlset>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    robots = site_maps.select(
+        "domain", F.lit("User-agent: *\nDisallow: /private\n").alias("robots_txt")
+    )
+    from unravelsports_spark.cache import tracked_persist
+
+    discovered = parse_sitemaps(site_maps).select(F.col("loc").alias("url"))
+    n_discovered = discovered.count()
+    allowed = robots_filter(discovered, robots, mode="filter")
+    # persisted: the plan feeds the wave audit AND the fetch join below —
+    # without it each action recomputes the sitemap/robots/frontier chain
+    # (the flags-persist discipline; released in the finally)
+    planned = tracked_persist(frontier_plan(allowed, per_host_limit=5))
+    plan_agg = planned.agg(
+        F.count("*").alias("n"), F.max("wave").alias("max_wave")
+    ).first()
+
+    # ---- FETCH (synthetic): the planned URLs resolve to pages ---------
     # Synthesize the crawl: markup-wrapped pages with a per-site footer
     # (one template line, CONSTANT per source — sites share a footer
     # across all their pages; the certified t_boilerplate_strip query
@@ -64,11 +113,14 @@ def main(spark, sf_dir: str) -> dict:
         F.col("source"),
         F.lit("</div></body></html>"),
     )
+    # fetch EXACTLY the planned frontier: pages join the plan on the url
+    # (a robots/frontier bug that dropped a legitimate URL would surface
+    # as a missing doc in the round-trip count below, not silently)
     pages = docs.select(
-        F.concat(
-            F.lit("http://"), "source", F.lit(".example/"), F.col("doc_id")
-        ).alias("target_uri"),
+        url.alias("target_uri"),
         F.encode(page, "UTF-8").alias("payload"),
+    ).join(
+        planned.select(F.col("url").alias("target_uri")), "target_uri"
     )
 
     tmp = tempfile.mkdtemp(prefix="spark_graft_crawl_")
@@ -117,6 +169,9 @@ def main(spark, sf_dir: str) -> dict:
         ).first()
 
         return {
+            "n_discovered": int(n_discovered),
+            "n_planned": int(plan_agg["n"]),
+            "max_wave": int(plan_agg["max_wave"]),
             "n_shards": len(manifest),
             "n_quarantined": int(qc["n_quarantined"]),
             "n_docs": int(agg["n"]),

@@ -70,17 +70,24 @@ def test_tokenizer_pipeline_example(spark):
 
 
 def test_crawl_ingest_pipeline_example(spark):
-    """The r12 container-to-content chain: WARC (gzip members) → html
-    extract → normalize → boilerplate must reproduce the ORIGINAL corpus
-    text byte-for-byte on every doc, with the injected corrupt shard
-    quarantined exactly once and the per-site footer flagged in every
+    """The full crawl chain (r13 adds the PLAN stage): sitemap discovery
+    → robots compliance → frontier → WARC (gzip members) → html extract
+    → normalize → boilerplate must reproduce the ORIGINAL corpus text
+    byte-for-byte on every doc, with the one robots-disallowed URL per
+    site never entering the frontier, the injected corrupt shard
+    quarantined exactly once, and the per-site footer flagged in every
     source."""
     from examples.crawl_ingest_pipeline import main
 
     out = main(spark, "/root/testdata/sf0.001")
+    # sitemaps list 500 pages + 20 disallowed /private URLs; the robots
+    # filter removes exactly the 20; 25 pages/site at limit 5 → waves 0-4
+    assert out["n_discovered"] == 520
+    assert out["n_planned"] == 500
+    assert out["max_wave"] == 4
     assert out["n_quarantined"] == 1
-    # EVERY source doc must survive the whole chain (a silent drop in the
-    # decoder/join would otherwise pass on the survivors alone) AND
+    # EVERY planned doc must survive the whole chain (a silent drop in
+    # the decoder/join would otherwise pass on the survivors alone) AND
     # round-trip byte-exactly
     assert out["n_docs"] == 500
     assert out["n_roundtrip_ok"] == out["n_docs"]
