@@ -560,14 +560,14 @@ def write_warc(
     supply a ``record_id`` column (pass 4 #5) — without one, fresh uuids
     are generated per attempt, so shards are structurally identical but
     not byte-identical across runs."""
-    import os
-
     import pandas as pd
 
     cols = df.columns
 
     def writer(batches):
         from pyspark import TaskContext
+
+        from .shardio import write_shard
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
@@ -612,16 +612,11 @@ def write_warc(
             ]
             blob = encode_warc_records(records, gzip_records)
             ext = ".warc.gz" if gzip_records else ".warc"
-            shard = os.path.join(path, f"part-{pid:05d}-{batch_idx:04d}{ext}")
-            # tmp + atomic rename (pass 4 #2): concurrent attempts on the
-            # deterministic name each publish a complete file. The tmp
-            # name is a DOTFILE without '.warc' in it, so neither the
-            # read_warc glob nor Spark's hidden-file filter can ever pick
-            # up a crash-leftover partial
-            tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "wb") as fh:
-                fh.write(blob)
-            os.replace(tmp, shard)
+            # deterministic name + dotfile tmp + atomic rename (pass 4
+            # #2) — the scaffold now lives in shardio.write_shard, shared
+            # with the TFRecord writer (r13 review pass 26 #4: two
+            # verbatim copies of the idempotency contract)
+            shard = write_shard(path, pid, batch_idx, ext, blob)
             yield pd.DataFrame(
                 {
                     "shard": [shard],
@@ -639,7 +634,9 @@ def _decode_shard_batches(batches, max_records_per_batch: int | None = 4096):
     """The ONE Arrow decode stage shared by the batch and stream readers
     (r12 review: a copy in each would let the quarantine contract drift
     between them and silently break the advertised batch≡stream
-    equivalence).
+    equivalence). Since r13 the loop itself lives in
+    :func:`~unravelsports_spark.sources.shardio.decode_shard_batches`,
+    shared with the TFRecord reader for the same reason.
 
     ``max_records_per_batch`` (VERDICT r12 #3) flushes the row buffer to
     a pandas batch every N records, so a multi-GB gzip shard never
@@ -647,19 +644,14 @@ def _decode_shard_batches(batches, max_records_per_batch: int | None = 4096):
     (compressed shard bytes, binaryFile's unit) + one gzip member +
     N buffered rows. ``None`` restores whole-shard emission. Rows are
     IDENTICAL either way (mapInPandas concatenates batches)."""
-    import pandas as pd
+    from .shardio import decode_shard_batches
 
-    cols = [f.name for f in WARC_SCHEMA.fields]
-    for pdf in batches:
-        out = []
-        for p, content in zip(pdf["path"], pdf["content"]):
-            for row in iter_warc_records(bytes(content)):
-                row["shard"] = p
-                out.append(row)
-                if max_records_per_batch and len(out) >= max_records_per_batch:
-                    yield pd.DataFrame(out, columns=cols)
-                    out = []
-        yield pd.DataFrame(out, columns=cols)
+    return decode_shard_batches(
+        batches,
+        iter_warc_records,
+        [f.name for f in WARC_SCHEMA.fields],
+        max_records_per_batch,
+    )
 
 
 def read_warc(
