@@ -180,3 +180,17 @@ def test_materialized_checked_read_survives_release(spark, tmp_path):
     # corrupt-only reference: raises on the raw csv datasource (pinned
     # above), works on the landed copy
     assert checked.where(F.col("_corrupt_record").isNotNull()).count() == 1
+
+
+def test_o18_releases_tracked_caches_in_finally(spark):
+    """ADVICE r13 #2 pin: o18_csv_roundtrip tracked-persists the checked
+    CSV frame via quarantine_counts; invoked outside the driver's
+    evicting wrapper it must release in its own finally (mirroring o19),
+    else the cached relation — backed by the just-deleted tmpdir —
+    lingers until some later query boundary."""
+    from unravelsports_spark.cache import _TRACKED, release_tracked
+    from unravelsports_spark.plans.corpus9 import o18_csv_roundtrip
+
+    release_tracked()
+    o18_csv_roundtrip(spark, SF_CORRECT).collect()
+    assert _TRACKED == []

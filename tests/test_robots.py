@@ -459,3 +459,26 @@ def test_whitespace_contaminated_url_still_governed(spark):
     )
     got = [r["robots_allowed"] for r in robots_filter(df, robots).collect()]
     assert got == [False, False]
+
+
+def test_vertical_tab_before_colon_portable(spark):
+    """ADVICE r13 #4 pin: a vertical tab (U+000B) between a directive
+    name and ':' — Java's \\s includes it but RE2's does not, so the
+    directive regexes now spell the class via PORTABLE_WS like the rest
+    of the crawl modules. The line must parse as its directive (not be
+    dropped as unrecognized, which would allow the URL)."""
+    from unravelsports_spark.operators.robots import robots_filter
+
+    body = "User-agent\x0b: trainbot\nDisallow\x0b: /vt\n"
+    df = spark.createDataFrame(
+        [("http://d.example/vt/x",), ("http://d.example/ok",)], "url string"
+    )
+    robots = spark.createDataFrame(
+        [("d.example", body)], "domain string, robots_txt string"
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_filter(df, robots, agent="trainbot").collect()
+    }
+    assert got == {"http://d.example/vt/x": False,
+                   "http://d.example/ok": True}

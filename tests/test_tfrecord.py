@@ -332,3 +332,32 @@ def test_encode_side_loud_failures_and_cardinality(spark, tmp_path):
     got = decode_example(encode_example({"a": near, "b": far}))
     assert got["a"][0] == struct.unpack("<f", struct.pack("<f", near))[0]
     assert got["b"][0] == float("inf")
+
+
+def test_write_shard_creates_missing_directory(tmp_path):
+    """ADVICE r13 #1 pin: write_shard must create the output directory
+    like Spark's native writers (open() on the dotfile tmp used to raise
+    FileNotFoundError for a not-yet-created nested path)."""
+    import os
+
+    from unravelsports_spark.sources.shardio import write_shard
+
+    path = str(tmp_path / "new" / "nested")
+    shard = write_shard(path, 0, 0, ".tfrecord", b"payload")
+    assert os.path.exists(shard)
+    with open(shard, "rb") as fh:
+        assert fh.read() == b"payload"
+
+
+def test_encode_example_bool_checked_per_element():
+    """ADVICE r13 #3 pin: [1, True] slipped past the vals[0]-only bool
+    guard and silently encoded True as 1 — the int64 branch now checks
+    per element like the bytes branch."""
+    import pytest
+
+    from unravelsports_spark.sources.tfrecord import encode_example
+
+    with pytest.raises(TypeError, match="bool features are ambiguous"):
+        encode_example({"x": [1, True]})
+    with pytest.raises(TypeError, match="bool features are ambiguous"):
+        encode_example({"x": [True, 1]})

@@ -143,15 +143,23 @@ def parse_robots(
         F.col("_canon").alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     )
-    # strip comments + whitespace; directives are case-insensitive
+    # strip comments + whitespace; directives are case-insensitive.
+    # The whitespace class is spelled via PORTABLE_WS, not \s (ADVICE r13
+    # #4): Java's \s includes U+000B but RE2's does not, and the r14 SQL
+    # certification runs this chain verbatim in DuckDB — the rest of the
+    # crawl modules single-source the class for exactly this identity.
+    from . import PORTABLE_WS as _WS
+
     body = F.trim(F.regexp_replace(F.col("_line"), "#.*$", ""))
     parsed = lines.select(
         "domain",
         "_pos",
-        F.lower(F.trim(F.regexp_extract(body, r"^([A-Za-z-]+)\s*:", 1))).alias(
-            "_dir"
-        ),
-        F.trim(F.regexp_extract(body, r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("_val"),
+        F.lower(
+            F.trim(F.regexp_extract(body, f"^([A-Za-z-]+)[{_WS}]*:", 1))
+        ).alias("_dir"),
+        F.trim(
+            F.regexp_extract(body, f"^[A-Za-z-]+[{_WS}]*:(.*)$", 1)
+        ).alias("_val"),
     )
     # blank lines, comment-only lines, and unrecognized directives
     # (Sitemap, Crawl-delay, …) are dropped BEFORE the adjacency window

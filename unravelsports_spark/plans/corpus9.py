@@ -79,6 +79,7 @@ def o18_csv_roundtrip(spark, sf_dir):
     import shutil
     import tempfile
 
+    from ..cache import release_tracked
     from ..sources.csvio import read_csv_checked, write_csv
     from ..sources.jsonl import quarantine_counts
 
@@ -114,6 +115,10 @@ def o18_csv_roundtrip(spark, sf_dir):
         rows = rollup.collect()
         return spark.createDataFrame(rows, rollup.schema)
     finally:
+        # mirror o19 (ADVICE r13 #2): quarantine_counts tracked-persists
+        # the checked CSV frame; outside the driver's evicting wrapper the
+        # cached relation (backed by the just-deleted tmpdir) would linger
+        release_tracked()
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -56,6 +56,10 @@ def write_shard(path: str, pid: int, batch_idx: int, ext: str, blob: bytes) -> s
     import os
     import uuid
 
+    # create the output dir like Spark's native writers do (ADVICE r13
+    # #1: open() on the dotfile tmp raised FileNotFoundError for a
+    # not-yet-created path); exist_ok makes it safe under concurrent tasks
+    os.makedirs(path, exist_ok=True)
     shard = os.path.join(path, f"part-{pid:05d}-{batch_idx:04d}{ext}")
     tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "wb") as fh:

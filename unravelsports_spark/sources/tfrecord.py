@@ -159,6 +159,13 @@ def encode_example(features: dict) -> bytes:
             raise TypeError("bool features are ambiguous — cast to int")
         elif isinstance(vals[0], int):
             for v in vals:
+                # per-element bool check (ADVICE r13 #3: [1, True] slipped
+                # past the vals[0]-only guard and silently encoded True
+                # as 1 — same per-element discipline the bytes branch got)
+                if isinstance(v, bool):
+                    raise TypeError(
+                        "bool features are ambiguous — cast to int"
+                    )
                 # loud on out-of-int64 (pass 28 #1: `& 0xFFFF…` silently
                 # WRAPPED 2^63 to -2^63 on the wire)
                 if not -(1 << 63) <= v < 1 << 63:
