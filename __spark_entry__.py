@@ -23,30 +23,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01..
-# r12). The driver checks a bounded prefix of this dict, so enumerate
+# r13). The driver checks a bounded prefix of this dict, so enumerate
 # never-certified queries first to widen certification breadth; no keys are
-# renamed. Round-13 ROTATION (VERDICT r12 action #1, executed with the slot
-# arithmetic STATUS r12 planned): all 47 hash-green r12 keys
-# (CORRECTNESS_r12.json, 47/47 exact + 3/3 rows-only) ENTER this set. The
-# leaving cohort is the 6-key r8 remainder (m_graph_cells, m_delaunay_cells,
-# m_af_cells, t_corpus_kl, d_bloom_decontamination,
-# d_semantic_contamination — last driver-hashed r8, held one extra round by
-# the STATUS r11 split) plus the OLDEST 37 of the r9 cohort
-# (p1_p2_project_filter .. w14_daily_anomalies, list order = the cohort's
-# registry order, last driver-hashed r9). Lineage note: the r9 cohort is 42
-# keys by the CORRECTNESS_r01..r12 union (STATUS r12 wrote "41" — recounted
-# mechanically this round), so the r9 REMAINDER is the 5 keys
-# q6_forecast_revenue, mm_audio_spectral, mm_image_phash, t_unigram_vocab,
-# t_unigram_tokens — they stay certified one more round and LEAD the r14
-# leaving cohort. Priority-0 lands EXACTLY on 47:
-#   6 r8 remainder + 37 r9 leavers + 4 new r13 registrations
-#   (o18_csv_roundtrip, a25_t_closeness, o19_warc_roundtrip,
-#   d_release_diff — VERDICT r12 #1, canonical SQL moved into
-#   plans/corpus9.py) = 47 p0,
-# leaving slots 48-50 for the three r12-skipped rows-only model checks
-# (m_efpi_possession, m_savgol_events, m_graph_convert_delaunay — last
-# driver-run r11, ordered first via _ROWS_ONLY_STALE below); with that,
-# every rows-only check has been driver-run within r11-r13.
+# renamed. Round-14 ROTATION (VERDICT r13 action #1, executed with the slot
+# arithmetic STATUS r13 planned, adapted for TEN new registrations — the
+# VERDICT offered trimming r10 re-certs to fold o20_tfrecord_roundtrip into
+# this window; the SIX model-fp twins of VERDICT r13 #2 trim six more): all
+# 47 hash-green r13 keys (CORRECTNESS_r13.json, 47/47 exact + 3/3
+# rows-only) ENTER this set. The leaving cohort is the 5-key r9 remainder
+# (q6_forecast_revenue, mm_audio_spectral, mm_image_phash, t_unigram_vocab,
+# t_unigram_tokens — last driver-hashed r9) plus the OLDEST 32 of the
+# 47-key r10 cohort (a5_conditional_sum .. s_ann_ivf, list order = the
+# cohort's registry order, last driver-hashed r10). Priority-0 lands
+# EXACTLY on 47:
+#   5 r9 remainder + 32 r10 leavers + 10 new r14 registrations
+#   (t_robots_filter, t_frontier_plan, t_sitemap_extract,
+#   o20_tfrecord_roundtrip — VERDICT r13 #1, canonical SQL moved into
+#   plans/corpus10.py — plus the SIX full-output assembly fingerprints of
+#   VERDICT r13 #2: m_pressing_intensity_fp, m_graph_convert_fp,
+#   m_graph_convert_delaunay_fp, m_af_graph_convert_fp,
+#   m_efpi_possession_fp, m_savgol_events_fp — with these, every
+#   rows-only model pipeline has a driver-hashable full-output twin) =
+#   47 p0,
+# leaving slots 48-50 for the three r13-skipped rows-only model checks
+# (m_pressing_intensity, m_graph_convert, m_af_graph_convert — last
+# driver-run r12, ordered first via _ROWS_ONLY_STALE below); with that,
+# every rows-only check has been driver-run within r12-r14. The r10
+# REMAINDER (15 keys: j8_asof_join, t_filter_funnel, d_semdedup_recall,
+# m_graph_custom_cells + s_ann_recall .. s_ann_from_index) stays certified
+# one more round and LEADS the r15 leaving cohort.
 # q1_pricing_summary keeps its documented rotation exemption (ADVICE r6
 # #2): smoke-run by entry() every round + fresh-process re-verified.
 _CERTIFIED = frozenset(
@@ -58,26 +63,12 @@ _CERTIFIED = frozenset(
         # r8/r10 fresh-process oracle compares re-verified it hash-exact
         # at sf0.01.
         "q1_pricing_summary",
-        # r9 green (CORRECTNESS_r09.json) REMAINDER: the youngest 5 of the
-        # 42-key r9 cohort (the other 37 left this round and re-certify in
-        # the r13 window — see the rotation note). These 5 LEAD the r14
-        # leaving cohort.
-        "q6_forecast_revenue", "mm_audio_spectral", "mm_image_phash",
-        "t_unigram_vocab", "t_unigram_tokens",
-        # r10 green (CORRECTNESS_r10.json, 47/47 hash-exact): the 37-key
-        # r6 cohort re-certs, the 3 plan-change re-certs (s_ann_recall,
-        # d_cdc_chunks, t_hybrid_rrf), and the 7 new corpus6 queries.
-        "a5_conditional_sum", "a7_global_distinct", "w1_lag_diff",
-        "w2_partitioned_min", "w3_rank_topk", "w4_sessionize",
-        "w5_tumbling_window", "o5_top_k_limit", "o6_union_all", "o8_unpivot",
-        "o9_explode_tokens", "o11_concat_key", "f1_string_ops",
-        "f2_temporal_trunc", "f3_math_ops", "w7_row_index", "f6_array_ops",
-        "f4_null_handling", "f5_casts", "t_token_stats",
-        "t_quality_by_source", "t_fingerprint", "d_exact_dedup_stats",
-        "d_minhash_signatures", "d_lsh_candidate_pairs", "d_dup_clusters",
-        "d_simhash", "s_ann_bruteforce", "s_ann_top_pairs",
-        "d_embedding_neardup", "s_ann_lsh", "s_ann_ivf", "j8_asof_join",
-        "t_filter_funnel", "d_semdedup_recall", "m_graph_custom_cells",
+        # r10 green (CORRECTNESS_r10.json) REMAINDER: the youngest 15 of
+        # the 47-key r10 cohort (the other 32 — a5_conditional_sum ..
+        # s_ann_ivf — leave this round and re-certify in the r14 window;
+        # see the rotation note). These 15 LEAD the r15 leaving cohort.
+        "j8_asof_join", "t_filter_funnel", "d_semdedup_recall",
+        "m_graph_custom_cells",
         "s_ann_recall", "d_lsh_recall", "t_hybrid_rrf", "d_cdc_chunks",
         "t_wordpiece_vocab", "t_wordpiece_tokens", "mm_audio_mfcc",
         "t_ppl_bucket_sample", "s_cluster_balanced_sample",
@@ -121,18 +112,37 @@ _CERTIFIED = frozenset(
         "a22_touch_attribution", "t_bm25_topk", "d_countmin_heavyhitters",
         "d_dup_spans", "t_mixture_temperature", "d_semdedup_lsh", "m_pi_cells",
         "t_boilerplate_strip", "d_simhash_neardup", "t_html_extract",
+        # r13 green (CORRECTNESS_r13.json, 47/47 hash-exact): the 6-key r8
+        # remainder re-certs, the 37-key r9-cohort re-certs, and the four
+        # r13 registrations (o18_csv_roundtrip, a25_t_closeness,
+        # o19_warc_roundtrip, d_release_diff).
+        "p1_p2_project_filter", "f7_f8_conditional_literals", "p3_filter_eq",
+        "p4_range_between", "p5_modulo_sample", "p6_conditional_cap",
+        "p7_sign_flip", "p8_bool_derive", "j1_dim_join", "j2_agg_back_join",
+        "j3_semi_join", "j4_anti_join", "j5_enrich_revenue",
+        "j7_distinct_join", "a2_distinct_count", "a3_group_stats",
+        "a4_argmin_in_group", "d_jaccard_top_pairs", "w6_savgol_oracle",
+        "t_repetition_stats", "t_sequence_packing", "a15_hll_sketch_union",
+        "w9_interpolate_gaps", "t_bigram_logprob", "t_bpe_merges",
+        "t_bpe_tokenized_stats", "d_semdedup_multitable", "m_graph_cells",
+        "m_delaunay_cells", "m_af_cells", "m_efpi_cells", "m_savgol_cells",
+        "t_dsir_scores", "t_corpus_kl", "t_dsir_resample", "t_nb_confusion",
+        "d_bloom_decontamination", "t_shard_manifest", "d_incremental_dedup",
+        "d_semantic_contamination", "o16_frequent_part_pairs",
+        "w13_event_transitions", "w14_daily_anomalies", "o18_csv_roundtrip",
+        "a25_t_closeness", "o19_warc_roundtrip", "d_release_diff",
     }
 )
 
 
 # The six rows-only model checks overflow one 50-slot window, so they
-# alternate rounds. These three were last driver-run in r11 (the other
-# three — m_pressing_intensity, m_graph_convert, m_af_graph_convert —
-# ran rows-green in r12), so they MUST lead the rows-only tail this round
-# (VERDICT r12 #1); with p0 = 47 they take slots 48-50, and every
-# rows-only check has then been driver-run within r11-r13.
-_ROWS_ONLY_STALE = ("m_efpi_possession", "m_savgol_events",
-                    "m_graph_convert_delaunay")
+# alternate rounds. These three were last driver-run in r12 (the other
+# three — m_efpi_possession, m_savgol_events, m_graph_convert_delaunay —
+# ran rows-green in r13), so they MUST lead the rows-only tail this round
+# (VERDICT r13 #1); with p0 = 47 they take slots 48-50, and every
+# rows-only check has then been driver-run within r12-r14.
+_ROWS_ONLY_STALE = ("m_pressing_intensity", "m_graph_convert",
+                    "m_af_graph_convert")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

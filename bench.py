@@ -264,34 +264,55 @@ def main() -> None:
         if oracle_total > 0
         else None
     )
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "floor": floor,
+        "n_jobs": n_jobs,
+        "oracle_sec": oracle_sec,
+        "ratio_floor_adj": ratio_floor_adj,
+        "ratio_jobs_adj": ratio_jobs_adj,
+        "oracle_total_sec": oracle_total,
+        "spark_oracle_subset_sec": spark_oracle_total,
+        "agg_ratio_floor_adj": agg_ratio,
+        "agg_ratio_jobs_adj": agg_ratio_jobs,
+    }
+    # The driver records only a 2000-char stdout TAIL; the full dict is
+    # ~5 KB, so every BENCH_r8..r13 artifact ended up "parsed": null
+    # (VERDICT r13 residual nit). Print a COMPACT line that fits the tail
+    # (per-query spark seconds at 3 decimals + the aggregates; the four
+    # per-query oracle-side dicts move to the detail files), and write the
+    # full dict both to the repo (BENCH_DETAIL.json, committed per round)
+    # and to $SPARK_GRAFT_BENCH_OUT.
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": {k: round(v, 3) for k, v in timings.items()},
             "sf": sf,
             "floor": floor,
-            "n_jobs": n_jobs,
-            "oracle_sec": oracle_sec,
-            "ratio_floor_adj": ratio_floor_adj,
-            "ratio_jobs_adj": ratio_jobs_adj,
             "oracle_total_sec": oracle_total,
             "spark_oracle_subset_sec": spark_oracle_total,
             "agg_ratio_floor_adj": agg_ratio,
             "agg_ratio_jobs_adj": agg_ratio_jobs,
-        }
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
     )
     print(line)
-    # the driver captures stdout with a bounded tail, which truncated the
-    # r8 artifact ("parsed": null) — also write the line to a file so the
-    # recorded BENCH_r*.json is self-contained (VERDICT r8 #7)
-    out = os.environ.get("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json")
-    try:
-        with open(out, "w") as f:
-            f.write(line + "\n")
-    except OSError:
-        pass  # a read-only target must never fail the bench itself
+    for out in (
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        os.environ.get("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json"),
+    ):
+        try:
+            with open(out, "w") as f:
+                f.write(json.dumps(detail) + "\n")
+        except OSError:
+            pass  # a read-only target must never fail the bench itself
     spark.stop()
 
 

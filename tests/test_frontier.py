@@ -1,66 +1,19 @@
 """URL-frontier politeness planning (operators/frontier.py) — built round
-13, driver registration queued r14 (`t_frontier_plan`). FRONTIER_SQL
-verified here is the r14 oracle; `_frontier_query` is the query shape
-that moves to the plans registry at registration (the corpus9
-discipline). The oracle re-derives the identical (wave, slot) assignment
-with the same window arithmetic — both engines sort by md5(url), which is
+13, REGISTERED round 14 as `t_frontier_plan`. The canonical oracle SQL and
+query shape now live in plans/corpus10.py (the corpus7/8/9 registration
+discipline); this suite imports them, so twin and oracle cannot drift.
+The oracle re-derives the identical (wave, slot) assignment with the same
+window arithmetic — both engines sort by md5(url), which is
 engine-independent."""
 
 from pyspark.sql import functions as F
 
+from unravelsports_spark.plans.corpus10 import (
+    FRONTIER_SQL,
+    t_frontier_plan as _frontier_query,
+)
+
 from .conftest import SF_CORRECT
-
-FRONTIER_SQL = """
-    WITH u AS (
-      SELECT doc_id, source,
-             'http://' || source || '.example/doc' || doc_id AS url
-      FROM documents),
-    r AS (
-      SELECT source, url,
-             ROW_NUMBER() OVER (PARTITION BY lower(source) || '.example'
-                                ORDER BY md5(url)) - 1 AS rk
-      FROM u),
-    p AS (SELECT source, url, rk // 3 AS wave, rk % 3 AS slot FROM r)
-    SELECT wave, COUNT(*) AS n_urls,
-           CAST(COUNT(DISTINCT lower(source)) AS BIGINT) AS n_hosts,
-           CAST(MAX(slot) AS BIGINT) AS max_slot,
-           CAST(SUM(CASE WHEN slot = 0
-             THEN CAST(('0x' || substring(md5(url), 1, 8)) AS BIGINT)
-             ELSE 0 END) AS BIGINT) AS fp_slot0
-    FROM p GROUP BY wave ORDER BY wave
-"""
-
-
-def _frontier_query(spark, sf_dir):
-    """The r14 t_frontier_plan query shape: URLs from the documents
-    table, per_host_limit=3, per-wave rollup. fp_slot0 pins the exact
-    slot-0 URL of every (host, wave) — the full deterministic order, not
-    just the counts."""
-    from unravelsports_spark.operators.frontier import frontier_plan
-    from unravelsports_spark.session import read_table
-
-    docs = read_table(spark, sf_dir, "documents")
-    urls = docs.select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.lit("http://"), "source", F.lit(".example/doc"), F.col("doc_id")
-        ).alias("url"),
-    )
-    planned = frontier_plan(urls, per_host_limit=3)
-    fp = F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long")
-    return (
-        planned.groupBy("wave")
-        .agg(
-            F.count("*").alias("n_urls"),
-            F.countDistinct("host").alias("n_hosts"),
-            F.max("slot").alias("max_slot"),
-            F.sum(F.when(F.col("slot") == 0, fp).otherwise(F.lit(0))).alias(
-                "fp_slot0"
-            ),
-        )
-        .orderBy("wave")
-    )
 
 
 def test_frontier_plan_matches_duckdb(spark, duck):

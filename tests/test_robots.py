@@ -1,7 +1,7 @@
 """Robots Exclusion Protocol filtering (operators/robots.py) — built round
-13, driver registration queued r14 (`t_robots_filter`). ROBOTS_FILTER_SQL
-verified here is the r14 oracle; `_robots_query` is the query shape that
-moves to the plans registry at registration (the corpus9 discipline).
+13, REGISTERED round 14 as `t_robots_filter`. The canonical oracle SQL and
+query shape now live in plans/corpus10.py (the corpus7/8/9 registration
+discipline); this suite imports them, so twin and oracle cannot drift.
 
 The oracle is CLOSED-FORM (the t_closeness hand-example style, certifiable
 at any scale): the robots bodies are synthesized per source in the query,
@@ -10,108 +10,12 @@ re-implementing the parser — a parser bug cannot hide in both engines."""
 
 from pyspark.sql import functions as F
 
+from unravelsports_spark.plans.corpus10 import (
+    ROBOTS_FILTER_SQL,
+    t_robots_filter as _robots_query,
+)
+
 from .conftest import SF_CORRECT
-
-#: per-source robots bodies: even-k sources carry a trainbot group (so the
-#: star group MUST be ignored — RFC 9309 §2.2.1 suppression), odd-k sources
-#: only a star group (longest-match Allow door); k % 5 == 0 sources have NO
-#: robots at all (everything allowed). k = doc_id % 20 = the source index.
-_EVEN_BODY = (
-    "# crawl policy\n"
-    "User-agent: trainbot\n"
-    "Disallow: /private\n"
-    "Allow: /private/ok*\n"
-    "Disallow: /*.pdf$\n"
-    "\n"
-    "User-agent: *\n"
-    "Disallow: /\n"
-)
-_ODD_BODY = (
-    "User-agent: *\n"
-    "Disallow: /blocked\n"
-    "Allow: /blocked/door\n"
-)
-
-#: hand-derived verdicts for agent=trainbot (path class = (doc_id//20)%6):
-#: even-k body: class1 /private/doc → Disallow /private (8 octets);
-#: class2 /private/okfile → Allow /private/ok* (12) beats Disallow (8);
-#: class3 *.pdf → Disallow /*.pdf$ ($-anchored); star group ignored.
-#: odd-k body: class4 /blocked/door → Allow (13) beats Disallow /blocked
-#: (8); class5 /blocked/room → Disallow. No-robots sources: all allowed.
-ROBOTS_FILTER_SQL = """
-    WITH u AS (
-      SELECT doc_id, source, doc_id % 20 AS k, (doc_id // 20) % 6 AS cls,
-             'http://' || source || '.example' ||
-             CASE (doc_id // 20) % 6
-               WHEN 0 THEN '/public/doc' || doc_id
-               WHEN 1 THEN '/private/doc' || doc_id
-               WHEN 2 THEN '/private/okfile' || doc_id
-               WHEN 3 THEN '/files/doc' || doc_id || '.pdf'
-               WHEN 4 THEN '/blocked/door' || doc_id
-               ELSE '/blocked/room' || doc_id END AS url
-      FROM documents),
-    v AS (
-      SELECT *, CASE WHEN k % 5 = 0 THEN TRUE
-                     WHEN k % 2 = 0 THEN cls NOT IN (1, 3)
-                     ELSE cls <> 5 END AS allowed
-      FROM u)
-    SELECT source, COUNT(*) AS n_urls,
-           CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_allowed,
-           CAST(SUM(CASE WHEN allowed
-             THEN CAST(('0x' || substring(md5(url), 1, 8)) AS BIGINT)
-             ELSE 0 END) AS BIGINT) AS fp_sum
-    FROM v GROUP BY source
-"""
-
-
-def _robots_query(spark, sf_dir):
-    """The r14 t_robots_filter query shape: URLs synthesized from the
-    documents table (6 path classes keyed (doc_id//20)%6 — independent of
-    source, the boilerplate-test lesson), per-source robots bodies (three
-    variants incl. a no-robots cohort), robots_filter for agent=trainbot,
-    per-source rollup whose fp_sum pins exactly which URLs survived."""
-    from unravelsports_spark.operators.robots import robots_filter
-    from unravelsports_spark.session import read_table
-
-    docs = read_table(spark, sf_dir, "documents")
-    cls = F.expr("cast((doc_id div 20) % 6 as int)")
-    path = (
-        F.when(cls == 0, F.concat(F.lit("/public/doc"), F.col("doc_id")))
-        .when(cls == 1, F.concat(F.lit("/private/doc"), F.col("doc_id")))
-        .when(cls == 2, F.concat(F.lit("/private/okfile"), F.col("doc_id")))
-        .when(cls == 3, F.concat(F.lit("/files/doc"), F.col("doc_id"), F.lit(".pdf")))
-        .when(cls == 4, F.concat(F.lit("/blocked/door"), F.col("doc_id")))
-        .otherwise(F.concat(F.lit("/blocked/room"), F.col("doc_id")))
-    )
-    urls = docs.select(
-        "doc_id",
-        "source",
-        F.concat(F.lit("http://"), "source", F.lit(".example"), path).alias("url"),
-    )
-    k = F.expr("cast(substring(source, 4) as int)")
-    robots = (
-        docs.select("source").distinct()
-        .where(k % 5 != 0)  # k%5==0 sources publish no robots.txt
-        .select(
-            F.concat("source", F.lit(".example")).alias("domain"),
-            F.when(k % 2 == 0, F.lit(_EVEN_BODY))
-            .otherwise(F.lit(_ODD_BODY))
-            .alias("robots_txt"),
-        )
-    )
-    fp = F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long")
-    return (
-        robots_filter(urls, robots, agent="trainbot")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_urls"),
-            F.sum(F.col("robots_allowed").cast("bigint")).alias("n_allowed"),
-            F.sum(F.when(F.col("robots_allowed"), fp).otherwise(F.lit(0))).alias(
-                "fp_sum"
-            ),
-        )
-    )
 
 
 def test_robots_filter_matches_duckdb(spark, duck):

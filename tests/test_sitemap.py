@@ -1,7 +1,7 @@
-"""Sitemap ingestion (operators/sitemap.py) — built round 13, driver
-registration queued r14 (`t_sitemap_extract`). SITEMAP_SQL verified here
-is the r14 oracle; `_sitemap_query` is the query shape that moves to the
-plans registry at registration (the corpus9 discipline). The oracle is
+"""Sitemap ingestion (operators/sitemap.py) — built round 13, REGISTERED
+round 14 as `t_sitemap_extract`. The canonical oracle SQL and query shape
+now live in plans/corpus10.py (the corpus7/8/9 registration discipline);
+this suite imports them, so twin and oracle cannot drift. The oracle is
 CLOSED-FORM (the robots style): it re-derives locs/lastmods from the same
 synthesis arithmetic rather than re-running the parser, so a parser bug
 cannot hide in both engines; engine behavior of the regex patterns
@@ -9,87 +9,12 @@ themselves is pinned by the hand-case battery below."""
 
 from pyspark.sql import functions as F
 
+from unravelsports_spark.plans.corpus10 import (
+    SITEMAP_SQL,
+    t_sitemap_extract as _sitemap_query,
+)
+
 from .conftest import SF_CORRECT
-
-# DuckDB twin of the synthesized-sitemap rollup: each source publishes one
-# urlset whose entries derive from its docs — loc carries an &amp; query
-# (entity decode load-bearing in the fingerprint), every third entry has a
-# lastmod. The oracle re-derives locs/lastmods in closed form rather than
-# re-running the parser (the robots closed-form style: a parser bug
-# cannot hide in both engines).
-SITEMAP_SQL = """
-    WITH e AS (
-      SELECT source, doc_id,
-             'http://' || source || '.example/p' || doc_id || '?a=1&b=2'
-               AS loc,
-             CASE WHEN doc_id % 3 = 0
-                  THEN '2026-0' || (1 + doc_id % 9 // 2) || '-01' END AS lastmod
-      FROM documents)
-    SELECT source, COUNT(*) AS n_locs,
-           CAST(SUM(CASE WHEN lastmod IS NOT NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_dated,
-           CAST(SUM(CAST(('0x' || substring(md5(loc), 1, 8)) AS BIGINT))
-             AS BIGINT) AS fp_loc,
-           CAST(SUM(CASE WHEN lastmod IS NOT NULL
-             THEN CAST(('0x' || substring(md5(lastmod), 1, 8)) AS BIGINT)
-             ELSE 0 END) AS BIGINT) AS fp_mod
-    FROM e GROUP BY source
-"""
-
-
-def _sitemap_query(spark, sf_dir):
-    """The r14 t_sitemap_extract query shape: one synthesized urlset
-    document per source (entries from its docs, '&amp;' in every loc so
-    entity decode lands in the fingerprint, lastmod on every third
-    entry), parse_sitemaps, per-source rollup."""
-    from unravelsports_spark.operators.sitemap import parse_sitemaps
-    from unravelsports_spark.session import read_table
-
-    docs = read_table(spark, sf_dir, "documents")
-    entry = F.concat(
-        F.lit("  <url>\n    <loc> http://"),
-        "source",
-        F.lit(".example/p"),
-        F.col("doc_id"),
-        F.lit("?a=1&amp;b=2 </loc>\n"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit("    <lastmod>2026-0"),
-                (1 + F.expr("doc_id % 9 div 2")).cast("string"),
-                F.lit("-01</lastmod>\n"),
-            ),
-        ).otherwise(F.lit("")),
-        F.lit("  </url>\n"),
-    )
-    sitemaps = (
-        docs.groupBy("source")
-        .agg(F.concat_ws("", F.collect_list(entry)).alias("_body"))
-        .select(
-            F.col("source").alias("domain"),
-            F.concat(
-                F.lit('<?xml version="1.0"?>\n<urlset xmlns="http://www.'
-                      'sitemaps.org/schemas/sitemap/0.9">\n'),
-                F.col("_body"),
-                F.lit("</urlset>\n"),
-            ).alias("sitemap_xml"),
-        )
-    )
-    parsed = parse_sitemaps(sitemaps)
-    fp = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
-    return (
-        parsed.groupBy(F.col("domain").alias("source"))
-        .agg(
-            F.count("*").alias("n_locs"),
-            F.sum(F.col("lastmod").isNotNull().cast("bigint")).alias("n_dated"),
-            F.sum(fp("loc")).alias("fp_loc"),
-            F.sum(
-                F.when(F.col("lastmod").isNotNull(), fp("lastmod")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("fp_mod"),
-        )
-    )
 
 
 def test_sitemap_extract_matches_duckdb(spark, duck):

@@ -42,6 +42,16 @@ PINS = {
     "m_graph_custom_cells": "f71b0a68dc4933233974bb500c6ecd4a",
     "m_pi_cells": "f1382c779dd93c1a18e3e6168f82187b",
     "m_savgol_cells": "3bd1dd66ec88467e09a5938a836accfd",
+    # plans/model_twins.py (r14 full-output fingerprint twins, VERDICT r13
+    # #2 — assembly ordering/padding certified, not just sampled cells;
+    # tools/gen_model_twin_oracles.py)
+    "m_pressing_intensity_fp": "32c9526a91447685bc4290be80fb56ad",
+    "m_graph_convert_fp": "2ae184f9c5ae452b97dd75a97d083f57",
+    "m_graph_convert_delaunay_fp": "9ca9265961521bef130f3df55a36ac90",
+    "m_af_graph_convert_fp": "d9651d9284dd5aead568537bb4a882c8",
+    "m_efpi_possession_fp": "ff85890c605efd32f115bfed14083a33",
+    # sf-scale input (events) — also in the sweep's EXPECTED_SNAPSHOT
+    "m_savgol_events_fp": "129cb2766004b062ff08fd9562a3249b",
 }
 
 

@@ -1,8 +1,8 @@
 """TFRecord / tf.Example boundary (sources/tfrecord.py) — built round 13,
-driver registration queued r14 (`o20_tfrecord_roundtrip`). TFRECORD_SQL
-verified here is the r14 oracle; `_tfrecord_roundtrip_query` is the query
-shape that moves to the plans registry at registration (the corpus9
-discipline). Documents round-trip byte-exactly through the real on-disk
+REGISTERED round 14 as `o20_tfrecord_roundtrip`. The canonical oracle SQL
+and query shape now live in plans/corpus10.py (the corpus7/8/9
+registration discipline); this suite imports them, so twin and oracle
+cannot drift. Documents round-trip byte-exactly through the real on-disk
 format (framing CRCs + tf.Example wire bytes); the injected corrupt shard
 is excluded from the rollup AND counted exactly once."""
 
@@ -10,67 +10,12 @@ import struct
 
 from pyspark.sql import functions as F
 
+from unravelsports_spark.plans.corpus10 import (
+    TFRECORD_SQL,
+    o20_tfrecord_roundtrip as _tfrecord_roundtrip_query,
+)
+
 from .conftest import SF_CORRECT
-
-TFRECORD_SQL = """
-    SELECT source, COUNT(*) AS n_docs,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-           CAST(SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))
-             AS BIGINT) AS fp_sum,
-           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-           CAST(1 AS BIGINT) AS n_quarantined
-    FROM documents GROUP BY source
-"""
-
-
-def _tfrecord_roundtrip_query(spark, sf_dir):
-    """The r14 o20_tfrecord_roundtrip query shape: documents → sharded
-    tf.Example TFRecord export → binaryFile read + framing decode +
-    feature projection → per-source rollup equal to DuckDB on the
-    ORIGINAL parquet. One garbage shard injected; id_sum certifies the
-    int64 feature leg alongside the text fingerprint."""
-    import os
-    import shutil
-    import tempfile
-
-    from unravelsports_spark.cache import release_tracked
-    from unravelsports_spark.session import read_table
-    from unravelsports_spark.sources.jsonl import quarantine_counts
-    from unravelsports_spark.sources.tfrecord import (
-        examples_to_columns,
-        read_tfrecords,
-        write_tfrecords,
-    )
-
-    tmp = tempfile.mkdtemp(prefix="spark_graft_tfr_")
-    try:
-        docs = read_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "text"
-        )
-        write_tfrecords(docs, tmp).collect()
-        with open(os.path.join(tmp, "part-corrupt.tfrecord"), "wb") as fh:
-            fh.write(b"definitely not a tfrecord \x00\xff")
-        back = read_tfrecords(spark, tmp)
-        cols = examples_to_columns(
-            back, {"doc_id": "int64", "source": "string", "text": "string"}
-        )
-        fp = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
-        rollup = (
-            cols.where(F.col("_corrupt_record").isNull())
-            .groupBy("source")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.length("text")).alias("total_chars"),
-                F.sum(fp).alias("fp_sum"),
-                F.sum("doc_id").alias("id_sum"),
-            )
-            .crossJoin(quarantine_counts(back).select("n_quarantined"))
-        )
-        rows = rollup.collect()
-        return spark.createDataFrame(rows, rollup.schema)
-    finally:
-        release_tracked()
-        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_tfrecord_roundtrip_matches_duckdb(spark, duck):

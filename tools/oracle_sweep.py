@@ -42,6 +42,10 @@ EXPECTED_SNAPSHOT = {
     "t_unigram_tokens",
     # r10: greedy WordPiece longest-match segmentation, same class
     "t_wordpiece_tokens",
+    # r14: grouped-map savgol over the SF-SCALE events table — the VALUES
+    # oracle pins the sf0.01 full-output fingerprint (the other five m_*_fp
+    # twins run on scale-independent fixtures and stay exact at any sf)
+    "m_savgol_events_fp",
 }
 
 #: LM scorers with a measured 1-ulp ln() rounding-boundary row at sf0.1

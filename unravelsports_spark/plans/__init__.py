@@ -15,3 +15,4 @@ from . import corpus6  # noqa: F401  (registers round-10 wordpiece/mfcc/sampling
 from . import corpus7  # noqa: F401  (registers round-11 privacy/splits/embstats/jsonl/video/audio queries)
 from . import corpus8  # noqa: F401  (registers round-12 boilerplate/hamming-neardup/html-extract queries)
 from . import corpus9  # noqa: F401  (registers round-13 csv/warc boundary, t-closeness, release-diff queries)
+from . import corpus10  # noqa: F401  (registers round-14 crawl triad + tfrecord boundary queries)

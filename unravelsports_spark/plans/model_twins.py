@@ -229,6 +229,191 @@ def m_savgol_cells(spark, sf_dir):
     return src.groupBy("g").applyInPandas(smooth, schema)
 
 
+def _fp32(col):
+    """32-bit md5-prefix fingerprint of a string column (the house fp_sum
+    shape): sums of these certify exact content, order-insensitively."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _r6join(col):
+    """Flatten a matrix column and join its cells rounded to 6 decimals —
+    row-major, so cell ORDER (the assembly surface) lands in the hash."""
+    return F.array_join(
+        F.transform(F.flatten(col), lambda v: F.round(v, 6).cast("string")),
+        ",",
+        "null",
+    )
+
+
+@query("m_pressing_intensity_fp")
+def m_pressing_intensity_fp(spark, sf_dir):
+    """FULL-output fingerprint of the pressing-intensity pipeline (VERDICT
+    r13 #2): m_pi_cells certifies kernel math on sampled cells; this twin
+    folds EVERY frame's complete assembly — ids, row/column object
+    orderings, and both matrices flattened row-major at 6 decimals — into
+    per-frame md5s whose 32-bit-prefix sum is hash-certified against a
+    literal VALUES oracle. Any change to matrix content, cell order, or
+    the rows/columns join flips the driver hash."""
+    from ..models.pressing_intensity import PressingIntensity
+
+    out = (
+        PressingIntensity(_tracking(spark), _settings())
+        .fit(method="teams", ball_method="max", orient="home_away", speed_threshold=2)
+        .output
+    )
+    frame_key = F.concat_ws(
+        "|",
+        F.col("game_id").cast("string"),
+        F.col("period_id").cast("string"),
+        F.col("frame_id").cast("string"),
+        F.col("timestamp").cast("string"),
+        F.array_join("rows", ",", "null"),
+        F.array_join("columns", ",", "null"),
+        _r6join("time_to_intercept"),
+        _r6join("probability_to_intercept"),
+    )
+    return out.agg(
+        F.count("*").alias("n_frames"),
+        F.sum(_fp32(F.md5(frame_key))).alias("fp_sum"),
+    )
+
+
+def _graph_frames_fp(out):
+    """Fold a graph-frames output into (n_graphs, fp_sum): per-graph md5
+    over the COMPLETE assembly — ids, label, shapes, object_ids order,
+    ball-owning team, and the a/e/x matrices flattened row-major at 6
+    decimals. Shared by the three graph-converter fp twins (plain,
+    delaunay, american-football)."""
+    graph_key = F.concat_ws(
+        "|",
+        F.col("game_id").cast("string"),
+        F.col("period_id").cast("string"),
+        F.col("frame_id").cast("string"),
+        F.col("graph_id").cast("string"),
+        F.col("label").cast("string"),
+        F.concat_ws(
+            ",",
+            "a_shape_0", "a_shape_1", "e_shape_0", "e_shape_1",
+            "x_shape_0", "x_shape_1",
+        ),
+        F.array_join("object_ids", ",", "null"),
+        F.col("ball_owning_team_id").cast("string"),
+        _r6join("a"),
+        _r6join("e"),
+        _r6join("x"),
+    )
+    return out.agg(
+        F.count("*").alias("n_graphs"),
+        F.sum(_fp32(F.md5(graph_key))).alias("fp_sum"),
+    )
+
+
+@query("m_graph_convert_fp")
+def m_graph_convert_fp(spark, sf_dir):
+    """FULL-output fingerprint of the soccer graph conversion (VERDICT r13
+    #2): m_graph_cells certifies sampled cells/shapes; this twin folds
+    EVERY graph frame's complete assembly — graph_id, label, shapes,
+    object_ids order, ball-owning team, and the a/e/x matrices flattened
+    row-major at 6 decimals — into per-graph md5s whose 32-bit-prefix sum
+    is hash-certified against a literal VALUES oracle. Padding, node
+    order, edge order, and feature order are all load-bearing here."""
+    from ..models.graph_converter import SoccerGraphConverter
+    from ..settings import GraphSettings
+
+    from .models_plans import AWAY, HOME
+
+    gs = GraphSettings(home_team_id=HOME, away_team_id=AWAY)
+    return _graph_frames_fp(
+        SoccerGraphConverter(_tracking(spark), gs).to_graph_frames()
+    )
+
+
+@query("m_graph_convert_delaunay_fp")
+def m_graph_convert_delaunay_fp(spark, sf_dir):
+    """FULL-output fingerprint of the Delaunay-adjacency graph pipeline
+    (K3 through K1/K4/K5/K8 assembly): m_delaunay_cells certifies edge
+    COUNTS (the triangulation signature); this twin makes every cell of
+    every matrix load-bearing — a changed triangle flips not just
+    e_shape_0 but the flattened a/e contents in the per-graph md5."""
+    from ..models.graph_converter import SoccerGraphConverter
+    from ..settings import GraphSettings
+
+    from .models_plans import AWAY, HOME
+
+    gs = GraphSettings(
+        home_team_id=HOME, away_team_id=AWAY,
+        adjacency_matrix_type="delaunay", adjacency_matrix_connect_type="ball",
+    )
+    return _graph_frames_fp(
+        SoccerGraphConverter(_tracking(spark), gs).to_graph_frames()
+    )
+
+
+@query("m_af_graph_convert_fp")
+def m_af_graph_convert_fp(spark, sf_dir):
+    """FULL-output fingerprint of the american-football graph conversion
+    (K2/K6/K7) over the public BDB sample: m_af_cells certifies shape
+    sums; this twin folds all 263 play-frame graphs' complete assemblies
+    (20-feature nodes, 9-channel edges, padding, node order) into the
+    order-insensitive fp_sum."""
+    from .models_plans import af_graph_frames
+
+    return _graph_frames_fp(af_graph_frames(spark))
+
+
+@query("m_efpi_possession_fp")
+def m_efpi_possession_fp(spark, sf_dir):
+    """FULL-output fingerprint of EFPI possession-level formation
+    detection (K12-K14): m_efpi_cells pins the first two possessions as
+    literal strings; this twin folds EVERY (possession, player) row —
+    detected position, formation string, team — into fp_sum, so a JV
+    assignment or template-matching change anywhere in the fixture flips
+    the driver hash."""
+    from ..models.efpi import EFPI
+
+    out = EFPI(_tracking(spark), _settings()).fit(every="possession").output
+    row_key = F.concat_ws(
+        "|",
+        F.col("game_id").cast("string"),
+        F.col("period_id").cast("string"),
+        F.col("possession_id").cast("string"),
+        F.col("id").cast("string"),
+        F.col("team_id").cast("string"),
+        # concat_ws SKIPS nulls (collapsing "a||b" to "a|b"), so the two
+        # legitimately-nullable strings get an explicit null token
+        F.coalesce(F.col("position").cast("string"), F.lit("null")),
+        F.coalesce(F.col("formation").cast("string"), F.lit("null")),
+    )
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_fp32(F.md5(row_key))).alias("fp_sum"),
+    )
+
+
+@query("m_savgol_events_fp")
+def m_savgol_events_fp(spark, sf_dir):
+    """FULL-output fingerprint of the grouped Savitzky-Golay kernel over
+    the sf-scale events table (W6): w6_savgol_oracle certifies the poly-1
+    closed form in SQL and m_savgol_cells the poly-2 pinv path on a tiny
+    series; this twin folds EVERY (user, event) smoothed value at sf0.01
+    into fp_sum. SNAPSHOT CLASS: the input is the sf-scale table, so the
+    VALUES oracle pins the sf0.01 rollup (listed in the sweep's
+    EXPECTED_SNAPSHOT, pinned in tests/test_snapshot_pins.py)."""
+    from .models_plans import m_savgol_events
+
+    out = m_savgol_events(spark, sf_dir)
+    row_key = F.concat_ws(
+        "|",
+        F.col("user_id").cast("string"),
+        F.col("event_id").cast("string"),
+        F.coalesce(F.col("value_smooth").cast("string"), F.lit("null")),
+    )
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_fp32(F.md5(row_key))).alias("fp_sum"),
+    )
+
+
 # Literal VALUES oracles snapshotted from the golden-verified kernel outputs
 # (regenerate with tools/gen_model_twin_oracles.py after any intended kernel
 # change; an unintended change flips the driver hash instead).
@@ -360,6 +545,36 @@ ORACLE_SQL.update(
       (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p09', 'home_team', 'LCB', '2431'),
       (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'h_p10', 'home_team', 'LCM1', '2431')
     ) AS t(period_id, possession_id, id, team_id, position, formation)
+    """,
+        "m_pressing_intensity_fp": """
+    SELECT * FROM (VALUES
+      (CAST(100 AS BIGINT), CAST(213708875032 AS BIGINT))
+    ) AS t(n_frames, fp_sum)
+    """,
+        "m_graph_convert_fp": """
+    SELECT * FROM (VALUES
+      (CAST(100 AS BIGINT), CAST(221137449204 AS BIGINT))
+    ) AS t(n_graphs, fp_sum)
+    """,
+        "m_graph_convert_delaunay_fp": """
+    SELECT * FROM (VALUES
+      (CAST(100 AS BIGINT), CAST(210720389250 AS BIGINT))
+    ) AS t(n_graphs, fp_sum)
+    """,
+        "m_af_graph_convert_fp": """
+    SELECT * FROM (VALUES
+      (CAST(263 AS BIGINT), CAST(563834439115 AS BIGINT))
+    ) AS t(n_graphs, fp_sum)
+    """,
+        "m_efpi_possession_fp": """
+    SELECT * FROM (VALUES
+      (CAST(69 AS BIGINT), CAST(141174590496 AS BIGINT))
+    ) AS t(n_rows, fp_sum)
+    """,
+        "m_savgol_events_fp": """
+    SELECT * FROM (VALUES
+      (CAST(10000 AS BIGINT), CAST(21678923849849 AS BIGINT))
+    ) AS t(n_rows, fp_sum)
     """,
     }
 )

@@ -106,13 +106,10 @@ def m_graph_convert(spark, sf_dir):
     )
 
 
-@query("m_af_graph_convert")
-def m_af_graph_convert(spark, sf_dir):
-    """American-football graph conversion (K2/K6/K7) on the public BDB
-    sample shipped with the reference checkout — 263 play-frame graphs with
-    20-feature nodes and 9-channel edges. Rows-only (grouped-map kernel);
-    shape/value parity is asserted against the reference's published
-    expectations in tests/test_american_football.py."""
+def af_graph_frames(spark):
+    """Raw AF graph frames on the public BDB sample — shared by
+    m_af_graph_convert, m_af_cells, and the r14 full-output fingerprint
+    twin (model_twins.m_af_graph_convert_fp)."""
     import os
 
     from ..datasets.bdb import BigDataBowlDataset
@@ -129,8 +126,17 @@ def m_af_graph_convert(spark, sf_dir):
     ds.load(spark)
     ds.add_dummy_labels()
     ds.add_graph_ids()
-    out = AmericanFootballGraphConverter(ds.data, ds.settings).to_graph_frames()
-    return out.select(
+    return AmericanFootballGraphConverter(ds.data, ds.settings).to_graph_frames()
+
+
+@query("m_af_graph_convert")
+def m_af_graph_convert(spark, sf_dir):
+    """American-football graph conversion (K2/K6/K7) on the public BDB
+    sample shipped with the reference checkout — 263 play-frame graphs with
+    20-feature nodes and 9-channel edges. Rows-only (grouped-map kernel);
+    shape/value parity is asserted against the reference's published
+    expectations in tests/test_american_football.py."""
+    return af_graph_frames(spark).select(
         "game_id", "frame_id", "graph_id", "label",
         "a_shape_0", "a_shape_1", "e_shape_0", "e_shape_1",
         "x_shape_0", "x_shape_1",
