@@ -167,8 +167,25 @@ def main() -> None:
     )
     from unravelsports_spark.operators.frontier import frontier_plan
     from unravelsports_spark.operators.htmltext import extract_html_text
+    from unravelsports_spark.operators.recrawl import recrawl_schedule
     from unravelsports_spark.operators.robots import robots_filter
     from unravelsports_spark.operators.textnorm import normalize_text
+    from unravelsports_spark.operators.urlnorm import with_canonical_url
+
+    def _fetch_history(d):
+        # ~1000 urls per source, fetches-per-url growing x10 per decade
+        # (the realistic recrawl shape: history depth grows, url set
+        # saturates); distinct doc_ids keep (url, fetch_ts) unique
+        return d.select(
+            F.concat(
+                F.lit("http://"), "source", F.lit(".example/u"),
+                (F.col("doc_id") % 1000).cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
+                "fetch_ts"
+            ),
+            (F.col("doc_id") % 3).cast("string").alias("content_fp"),
+        )
 
     # r13: robots verdicts — the rule side stays DOMAIN-sized (20 sources,
     # constant across decades) while the distinct URL-key frame grows
@@ -217,6 +234,20 @@ def main() -> None:
         # the cost)
         "frontier_plan(limit=8)": lambda d: frontier_plan(
             _robots_urls(d), per_host_limit=8
+        ),
+        # r14: URL canonicalization — a zero-shuffle codegen'd regex/array
+        # projection (the extract_html_text class); decade ratio must stay
+        # ~linear with no Exchange and no Python
+        "url_canonicalize": lambda d: with_canonical_url(
+            _robots_urls(d).withColumn(
+                "url", F.concat("url", F.lit("/../x?utm_source=s&b=2&a=1#f"))
+            )
+        ),
+        # r14: recrawl scheduling — ONE url exchange serving both windows
+        # and the per-url agg (plan-guarded); per-url history depth grows
+        # x10 per decade, so the window sort is the cost, like frontier
+        "recrawl_schedule": lambda d: recrawl_schedule(
+            _fetch_history(d), asof="2024-03-01 00:00:00"
         ),
     }.items():
         walls = [timed(lambda s=s: mk(doc_scales[s])) for s in factors]
