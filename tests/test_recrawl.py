@@ -166,6 +166,8 @@ def test_bad_params_raise(spark):
         recrawl_schedule(
             df.withColumn("n_changes", F.lit(1)), asof="2024-01-01 00:00:00"
         )
+    with pytest.raises(ValueError, match="not a timestamp"):
+        recrawl_schedule(df, asof="soon")
 
 
 def test_single_shuffle_plan(spark):

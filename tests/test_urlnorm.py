@@ -197,3 +197,61 @@ def test_custom_strip_params(spark):
         url_canonicalize(F.col("url"), strip_params=("sid",)).alias("c")
     ).collect()[0]["c"]
     assert got == "http://h.example/x?a=2"
+
+
+SURT_CASES = [
+    # canonicalization composes in: shouty spelling, default port, tracking
+    ("HTTP://News.Example.COM:80/a/b?b=2&a=1&utm_source=s",
+     "com,example,news)/a/b?a=1&b=2"),
+    # non-default port rides the reversed host (the Heritrix convention)
+    ("https://news.example.com:8443/x", "com,example,news:8443)/x"),
+    # empty path keys as ")/"
+    ("http://example.com", "com,example)/"),
+    # IPv6: bracketed authority is NOT label-reversed
+    ("http://[2001:db8::1]/x", "[2001:db8::1])/x"),
+    ("http://[2001:db8::1]:8080/x", "[2001:db8::1]:8080)/x"),
+    # non-URL -> NULL
+    ("no scheme here", None),
+]
+
+
+def test_surt_hand_cases(spark):
+    from unravelsports_spark.operators.urlnorm import with_surt_key
+
+    df = spark.createDataFrame([(u,) for u, _ in SURT_CASES], "url string")
+    got = {r["url"]: r["surt"] for r in with_surt_key(df).collect()}
+    for u, want in SURT_CASES:
+        assert got[u] == want, (u, want, got[u])
+
+
+def test_surt_prefix_locality(spark):
+    """The layout property the key exists for: every subdomain of one
+    registrable domain shares a byte prefix, so a byte-ordered range
+    partitioning co-locates the site subtree."""
+    from unravelsports_spark.operators.urlnorm import with_surt_key
+
+    urls = [
+        "http://a.example.com/1", "http://b.a.example.com/2",
+        "http://example.com/3", "http://example.org/x",
+        "http://other.net/y",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = sorted(r["surt"] for r in with_surt_key(df).collect())
+    com = [k for k in keys if k.startswith("com,example")]
+    assert len(com) == 3
+    # byte order clusters them contiguously
+    i = keys.index(com[0])
+    assert keys[i:i + 3] == com
+
+
+def test_surt_zero_shuffle_plan(spark):
+    from unravelsports_spark.operators.urlnorm import with_surt_key
+    from unravelsports_spark.session import read_table
+
+    docs = read_table(spark, SF_CORRECT, "documents")
+    urls = docs.select(
+        F.concat(F.lit("http://"), "source", F.lit(".example/d"), "doc_id").alias("url")
+    )
+    plan = with_surt_key(urls)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -82,6 +82,15 @@ def recrawl_schedule(
         raise ValueError(
             f"max_interval_sec {max_interval_sec} < min_interval_sec {min_interval_sec}"
         )
+    if isinstance(asof, str):
+        import datetime
+
+        # validate EAGERLY: a malformed string would otherwise flow
+        # through unix_timestamp as NULL and silently zero overdue_pct
+        try:
+            datetime.datetime.fromisoformat(asof)
+        except ValueError as e:
+            raise ValueError(f"asof is not a timestamp: {asof!r}") from e
     asof_sec = F.unix_timestamp(asof if not isinstance(asof, str) else F.lit(asof))
     ts_sec = F.unix_timestamp(F.col(ts_col))
 

@@ -180,6 +180,52 @@ def url_canonicalize(url_col, strip_params=DEFAULT_TRACKING_PARAMS) -> Column:
     return F.when((scheme != "") & (auth != ""), out)
 
 
+def surt_host(host_col: Column) -> Column:
+    """SURT form of a DNS host — dot components reversed onto commas:
+    ``news.bbc.co.uk`` → ``uk,co,bbc,news``. Sort-friendly URI
+    Reordering Transform (the web-archive convention: Heritrix/OpenWayback
+    CDX keys): every subdomain of a registrable domain shares a key
+    PREFIX, so a byte-ordered layout co-locates a site's whole subtree."""
+    return F.array_join(F.reverse(F.split(host_col, r"\.")), ",")
+
+
+def surt_key(url_col, strip_params=DEFAULT_TRACKING_PARAMS) -> Column:
+    """Canonical SURT key of a URL: ``scheme://news.example.com:8080/a?q``
+    → ``com,example,news:8080)/a?q`` (scheme dropped — one resource, one
+    key, whatever the fetch scheme). Built ON the canonical spelling
+    (:func:`url_canonicalize`), so every spelling variant keys
+    identically; non-URLs → NULL. A bracketed IPv6 authority is NOT
+    component-reversed (dots there are not DNS labels).
+
+    This is the 100 TB layout key: ``df.repartitionByRange(N,
+    F.col("surt"))`` (or a sorted bucketing on it) packs each host's —
+    and each registrable domain's — pages into contiguous ranges, so
+    host-scoped scans (robots re-checks, per-site exports, link-graph
+    locality) prune to a few partitions instead of shuffling the corpus."""
+    canon = url_canonicalize(url_col, strip_params)
+    auth = F.regexp_extract(canon, URL_HOST_RE, 1)
+    rest = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    host = F.regexp_replace(auth, r":\d+$", "")
+    port = F.regexp_extract(auth, r"(:\d+)$", 1)
+    rev = F.when(auth.startswith("["), auth).otherwise(
+        F.concat(surt_host(host), port)
+    )
+    return F.when(canon.isNotNull(), F.concat(rev, F.lit(")"), rest))
+
+
+def with_surt_key(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "surt",
+    strip_params=DEFAULT_TRACKING_PARAMS,
+) -> DataFrame:
+    """Append ``out_col`` = SURT key (see :func:`surt_key`)."""
+    from . import require_new_column
+
+    require_new_column(df, out_col)
+    return df.withColumn(out_col, surt_key(F.col(url_col), strip_params))
+
+
 def with_canonical_url(
     df: DataFrame,
     url_col: str = "url",
