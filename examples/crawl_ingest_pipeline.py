@@ -1,11 +1,16 @@
-"""CRAWL pipeline, plan → fetch → content (rounds 12-13): the chain a
-web-corpus team runs BEFORE corpus_pipeline.py's filter→dedup→select→pack
-— sitemaps and robots.txt in, clean deduplicatable text out.
+"""CRAWL pipeline, plan → fetch → content → refresh (rounds 12-14): the
+chain a web-corpus team runs BEFORE corpus_pipeline.py's
+filter→dedup→select→pack — sitemaps and robots.txt in, clean
+deduplicatable text out, plus the next crawl's priorities.
 
-    PLAN   (r13 triad): parse_sitemaps (discovery)
+    PLAN   (r13 triad + r14 identity): parse_sitemaps (discovery —
+             every page deliberately listed TWICE, clean + messy
+             spelling) → with_canonical_url + distinct (the r14
+             canonicalizer collapses the spelling variants 2→1)
              → robots_filter (RFC 9309 compliance — disallowed URLs
                never enter the frontier)
-             → frontier_plan (per-host politeness waves)
+             → frontier_plan (per-host politeness waves); surt_key
+               uniqueness audits one-resource-one-key
     FETCH  (synthetic): the planned URLs resolve to markup-wrapped pages
     INGEST (r12 chain): WARC (per-record-gzip — the Common Crawl layout)
              → quarantine audit (shared _corrupt_record contract)
@@ -14,6 +19,11 @@ web-corpus team runs BEFORE corpus_pipeline.py's filter→dedup→select→pack
              → normalize_text    (NFKC + Cc/Cf + ws)
              → strip_boilerplate (template lines)
              → ready for the corpus pipeline
+    REFRESH (r14): two fetch epochs' content fingerprints →
+             recrawl_schedule (every third page changed week-to-week →
+             7-day interval, exactly due at asof; the rest idle at the
+             30-day floor) → overdue_pct feeds frontier_plan as
+             priority — the due pages fill wave 0 of the next crawl
 
 Run: python examples/crawl_ingest_pipeline.py  [SPARK_GRAFT_SF_DIR
 overrides the default /root/testdata/sf0.001]. The synthetic documents
@@ -66,7 +76,15 @@ def main(spark, sf_dir: str) -> dict:
     url = F.concat(
         F.lit("http://"), "source", F.lit(".example/"), F.col("doc_id")
     )
-    entry = F.concat(F.lit("<url><loc>"), url, F.lit("</loc></url>"))
+    # every page listed twice — a clean loc and a messy spelling (shouty
+    # scheme/host, default port, a dot segment, a tracking param) that
+    # with_canonical_url must collapse onto the clean identity
+    entry = F.concat(
+        F.lit("<url><loc>"), url, F.lit("</loc></url>"),
+        F.lit("<url><loc>HTTP://"), F.upper("source"),
+        F.lit(".EXAMPLE:80/x/../"), F.col("doc_id"),
+        F.lit("?utm_source=sitemap</loc></url>"),
+    )
     site_maps = (
         docs.groupBy("source")
         .agg(F.concat_ws("", F.collect_list(entry)).alias("_entries"))
@@ -86,7 +104,19 @@ def main(spark, sf_dir: str) -> dict:
     )
     from unravelsports_spark.cache import tracked_persist
 
-    discovered = parse_sitemaps(site_maps).select(F.col("loc").alias("url"))
+    from unravelsports_spark.operators.urlnorm import (
+        surt_key,
+        with_canonical_url,
+    )
+
+    discovered_raw = parse_sitemaps(site_maps).select(F.col("loc").alias("url"))
+    n_discovered_raw = discovered_raw.count()
+    # canonical identity collapses the deliberate 2x spelling variants
+    discovered = (
+        with_canonical_url(discovered_raw)
+        .select(F.col("url_canonical").alias("url"))
+        .distinct()
+    )
     n_discovered = discovered.count()
     allowed = robots_filter(discovered, robots, mode="filter")
     # persisted: the plan feeds the wave audit AND the fetch join below —
@@ -94,7 +124,11 @@ def main(spark, sf_dir: str) -> dict:
     # (the flags-persist discipline; released in the finally)
     planned = tracked_persist(frontier_plan(allowed, per_host_limit=5))
     plan_agg = planned.agg(
-        F.count("*").alias("n"), F.max("wave").alias("max_wave")
+        F.count("*").alias("n"),
+        F.max("wave").alias("max_wave"),
+        # one resource, one SURT key: the layout key stays unique across
+        # the plan (a canonicalization bug would collide or split keys)
+        F.countDistinct(surt_key(F.col("url"))).alias("n_surt"),
     ).first()
 
     # ---- FETCH (synthetic): the planned URLs resolve to pages ---------
@@ -168,15 +202,63 @@ def main(spark, sf_dir: str) -> dict:
             F.sum(F.col("roundtrip_ok").cast("long")).alias("n_ok"),
         ).first()
 
+        # ---- REFRESH: change rates → next crawl's priorities ----------
+        # two fetch epochs a week apart; every third page changed between
+        # them (fingerprint = content hash, the d_release_diff identity)
+        from unravelsports_spark.operators.recrawl import recrawl_schedule
+
+        week0 = docs.select(
+            url.alias("url"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("fetch_ts"),
+            F.md5("text").alias("content_fp"),
+        )
+        week1 = docs.select(
+            url.alias("url"),
+            F.lit("2026-01-08 00:00:00").cast("timestamp").alias("fetch_ts"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.md5(F.concat(F.col("text"), F.lit("v2"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("content_fp"),
+        )
+        sched = tracked_persist(
+            recrawl_schedule(
+                week0.unionByName(week1), asof="2026-01-15 00:00:00"
+            )
+        )
+        due = sched.agg(
+            F.sum((F.col("n_changes") > 0).cast("long")).alias("n_changed"),
+            F.sum((F.col("overdue_pct") >= 100).cast("long")).alias("n_due"),
+        ).first()
+        # the loop closure: overdue priority orders the NEXT frontier —
+        # wave 0 of every host must be entirely due pages
+        refresh = frontier_plan(
+            sched.select("url", "overdue_pct"),
+            per_host_limit=5,
+            priority_col="overdue_pct",
+        )
+        wave0_min_overdue = (
+            refresh.where(F.col("wave") == 0)
+            .join(sched.select("url", F.col("overdue_pct").alias("o")), "url")
+            .agg(F.min("o"))
+            .first()[0]
+        )
+
         return {
+            "n_discovered_raw": int(n_discovered_raw),
             "n_discovered": int(n_discovered),
             "n_planned": int(plan_agg["n"]),
             "max_wave": int(plan_agg["max_wave"]),
+            "n_surt": int(plan_agg["n_surt"]),
             "n_shards": len(manifest),
             "n_quarantined": int(qc["n_quarantined"]),
             "n_docs": int(agg["n"]),
             "n_roundtrip_ok": int(agg["n_ok"]),
             "n_boilerplate_flagged": flags.count(),
+            "n_changed": int(due["n_changed"]),
+            "n_due": int(due["n_due"]),
+            "wave0_min_overdue": int(wave0_min_overdue),
         }
     finally:
         release_tracked()

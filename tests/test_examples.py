@@ -70,21 +70,27 @@ def test_tokenizer_pipeline_example(spark):
 
 
 def test_crawl_ingest_pipeline_example(spark):
-    """The full crawl chain (r13 adds the PLAN stage): sitemap discovery
-    → robots compliance → frontier → WARC (gzip members) → html extract
+    """The full crawl chain (r13 added PLAN, r14 adds IDENTITY+REFRESH):
+    sitemap discovery → canonicalize (2x spelling variants collapse) →
+    robots compliance → frontier → WARC (gzip members) → html extract
     → normalize → boilerplate must reproduce the ORIGINAL corpus text
     byte-for-byte on every doc, with the one robots-disallowed URL per
     site never entering the frontier, the injected corrupt shard
-    quarantined exactly once, and the per-site footer flagged in every
-    source."""
+    quarantined exactly once, the per-site footer flagged in every
+    source, and the change-rate refresh schedule putting exactly the
+    week-over-week-changed pages at the front of the next crawl."""
     from examples.crawl_ingest_pipeline import main
 
     out = main(spark, "/root/testdata/sf0.001")
-    # sitemaps list 500 pages + 20 disallowed /private URLs; the robots
-    # filter removes exactly the 20; 25 pages/site at limit 5 → waves 0-4
+    # sitemaps list 500 pages TWICE (clean + messy spelling) + 20
+    # disallowed /private URLs; canonicalization collapses 1020 -> 520;
+    # the robots filter removes exactly the 20; 25 pages/site at limit 5
+    # -> waves 0-4; SURT keys stay one-per-resource
+    assert out["n_discovered_raw"] == 1020
     assert out["n_discovered"] == 520
     assert out["n_planned"] == 500
     assert out["max_wave"] == 4
+    assert out["n_surt"] == 500
     assert out["n_quarantined"] == 1
     # EVERY planned doc must survive the whole chain (a silent drop in
     # the decoder/join would otherwise pass on the survivors alone) AND
@@ -92,6 +98,12 @@ def test_crawl_ingest_pipeline_example(spark):
     assert out["n_docs"] == 500
     assert out["n_roundtrip_ok"] == out["n_docs"]
     assert out["n_boilerplate_flagged"] == 20  # one footer per source
+    # REFRESH (r14): every third page changed week-to-week -> 7-day
+    # interval, exactly due at asof (overdue 100); the rest idle at the
+    # 30-day floor (23%); wave 0 of the refresh frontier is entirely due
+    # pages (every source has >= 5 changed pages at sf0.001)
+    assert out["n_changed"] == 167 and out["n_due"] == 167
+    assert out["wave0_min_overdue"] == 100
 
 
 def test_release_pipeline_example(spark):
