@@ -109,7 +109,13 @@ def main(spark, sf_dir: str) -> dict:
         with_canonical_url,
     )
 
-    discovered_raw = parse_sitemaps(site_maps).select(F.col("loc").alias("url"))
+    # persisted: the raw-count audit AND the canonical distinct both
+    # consume the sitemap synthesis + parse chain — the most expensive
+    # per-document regex pass must run once, not once per action
+    # (released in the finally with the other tracked persists)
+    discovered_raw = tracked_persist(
+        parse_sitemaps(site_maps).select(F.col("loc").alias("url"))
+    )
     n_discovered_raw = discovered_raw.count()
     # canonical identity collapses the deliberate 2x spelling variants
     discovered = (

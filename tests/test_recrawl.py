@@ -170,6 +170,31 @@ def test_bad_params_raise(spark):
         recrawl_schedule(df, asof="soon")
 
 
+def test_asof_spellings_agree(spark):
+    """Every eagerly-validated asof spelling must also EXECUTE to the
+    same instant (r14 review #2/#3: the first version validated ISO but
+    executed unix_timestamp's narrower format, so 'T'-separated input
+    passed the check then failed; datetime literals were rejected)."""
+    from unravelsports_spark.operators.recrawl import recrawl_schedule
+
+    rows = [
+        ("u1", _ts("2024-01-01 00:00:00"), "a"),
+        ("u1", _ts("2024-01-01 01:00:00"), "b"),
+    ]
+    df = spark.createDataFrame(rows, "url string, fetch_ts timestamp, content_fp string")
+    spellings = [
+        "2024-01-03 00:00:00",
+        "2024-01-03T00:00:00",
+        "2024-01-03",
+        _ts("2024-01-03 00:00:00"),
+    ]
+    got = {
+        str(a): recrawl_schedule(df, asof=a).collect()[0]["overdue_pct"]
+        for a in spellings
+    }
+    assert len(set(got.values())) == 1 and None not in got.values(), got
+
+
 def test_single_shuffle_plan(spark):
     """ONE url exchange end-to-end: the lag window, the dup-count window,
     and the per-url aggregate must all ride the same hash partitioning —

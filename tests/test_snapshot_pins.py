@@ -45,13 +45,15 @@ PINS = {
     # plans/model_twins.py (r14 full-output fingerprint twins, VERDICT r13
     # #2 — assembly ordering/padding certified, not just sampled cells;
     # tools/gen_model_twin_oracles.py)
-    "m_pressing_intensity_fp": "32c9526a91447685bc4290be80fb56ad",
-    "m_graph_convert_fp": "2ae184f9c5ae452b97dd75a97d083f57",
-    "m_graph_convert_delaunay_fp": "9ca9265961521bef130f3df55a36ac90",
-    "m_af_graph_convert_fp": "d9651d9284dd5aead568537bb4a882c8",
-    "m_efpi_possession_fp": "ff85890c605efd32f115bfed14083a33",
+    # (pins re-snapshotted once in-round: r14 review #4 removed the
+    # double md5 in the fp keys, which changes every fp_sum)
+    "m_pressing_intensity_fp": "4f66c385010d3420bb7071542999ad4e",
+    "m_graph_convert_fp": "31b9fdd96f3ac651dca762ec0ba3c49b",
+    "m_graph_convert_delaunay_fp": "20123e1cda3714b37c054121fe723fa4",
+    "m_af_graph_convert_fp": "099146622a2d4dcd8890d9e9ec09f0c5",
+    "m_efpi_possession_fp": "e60b61455488dad02ce8d356358ac66b",
     # sf-scale input (events) — also in the sweep's EXPECTED_SNAPSHOT
-    "m_savgol_events_fp": "129cb2766004b062ff08fd9562a3249b",
+    "m_savgol_events_fp": "a747ebb4aea8fa995944207f493ab2de",
 }
 
 

@@ -96,6 +96,11 @@ CASES = [
     # path machinery: dup slashes, ".", "x/..", root "..", empty path
     ("http://h.example//a///b", "http://h.example/a/b"),
     ("http://h.example/a/./b/.", "http://h.example/a/b/"),
+    # ADJACENT dot segments: replaceAll consumes the shared '/' of each
+    # pair, so a run must clear within the fixpoint loop, not a fixed
+    # prelude (r14 review #1 — this false-fired the depth tripwire)
+    ("http://h.example/a/././././b", "http://h.example/a/b"),
+    ("http://h.example/" + "./" * 16 + "b", "http://h.example/b"),
     ("http://h.example/a/b/../c", "http://h.example/a/c"),
     ("http://h.example/a/b/c/../../../d", "http://h.example/d"),
     ("http://h.example/../a", "http://h.example/a"),

@@ -175,16 +175,21 @@ def main() -> None:
     def _fetch_history(d):
         # ~1000 urls per source, fetches-per-url growing x10 per decade
         # (the realistic recrawl shape: history depth grows, url set
-        # saturates); distinct doc_ids keep (url, fetch_ts) unique
+        # saturates). Blown-up doc_ids carry the copy index in the high
+        # bits (i << 40, up to ~1e14) — feeding them to timestamp_seconds
+        # raw overflows the micros long; decompose into (copy, base) and
+        # rebuild a bounded-but-unique epoch second instead
+        base = F.expr(f"doc_id % {1 << 40}")
+        copy = F.expr(f"doc_id div {1 << 40}")
         return d.select(
             F.concat(
                 F.lit("http://"), "source", F.lit(".example/u"),
-                (F.col("doc_id") % 1000).cast("string"),
+                (base % 1000).cast("string"),
             ).alias("url"),
-            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
-                "fetch_ts"
-            ),
-            (F.col("doc_id") % 3).cast("string").alias("content_fp"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + base + copy * F.lit(100000)
+            ).alias("fetch_ts"),
+            (base % 3).cast("string").alias("content_fp"),
         )
 
     # r13: robots verdicts — the rule side stays DOMAIN-sized (20 sources,

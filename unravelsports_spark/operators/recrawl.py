@@ -82,16 +82,27 @@ def recrawl_schedule(
         raise ValueError(
             f"max_interval_sec {max_interval_sec} < min_interval_sec {min_interval_sec}"
         )
+    from pyspark.sql import Column
+
     if isinstance(asof, str):
         import datetime
 
         # validate EAGERLY: a malformed string would otherwise flow
-        # through unix_timestamp as NULL and silently zero overdue_pct
+        # through the timestamp cast as NULL and silently zero
+        # overdue_pct. fromisoformat accepts the same family the cast
+        # below does (space or 'T' separator, date-only) — r14 review #2:
+        # the first version validated ISO but EXECUTED unix_timestamp's
+        # narrower default format, so 'T'-separated input passed the
+        # check then died (ANSI) or silently nulled (non-ANSI)
         try:
             datetime.datetime.fromisoformat(asof)
         except ValueError as e:
             raise ValueError(f"asof is not a timestamp: {asof!r}") from e
-    asof_sec = F.unix_timestamp(asof if not isinstance(asof, str) else F.lit(asof))
+    # non-Column values (str, datetime.datetime) become literals; the
+    # timestamp CAST (not unix_timestamp's single format) does the string
+    # parse so every eagerly-validated spelling also executes
+    asof_ts = asof if isinstance(asof, Column) else F.lit(asof)
+    asof_sec = F.unix_timestamp(asof_ts.cast("timestamp"))
     ts_sec = F.unix_timestamp(F.col(ts_col))
 
     # full-precision fetch_ts order (unix_timestamp truncates to seconds —

@@ -129,13 +129,14 @@ def _remove_dot_segments(path: Column) -> Column:
     ``_DOT_ITERS`` rounds. Residual dot segments after the bound are the
     caller's tripwire (see :func:`with_canonical_url`)."""
     p = F.regexp_replace(path, r"/{2,}", "/")
-    # "." segments: interior "/./" (twice — adjacent "/././" overlap), a
-    # trailing "/." and a leading "./"
-    for _ in range(2):
-        p = F.regexp_replace(p, r"/\./", "/")
-    p = F.regexp_replace(p, r"/\.$", "/")
-    p = F.regexp_replace(p, r"^\./", "")
     for _ in range(_DOT_ITERS):
+        # "." segments FIRST, inside the loop (r14 review #1: a fixed
+        # 2-pass prelude left a residual '.' on 4+ ADJACENT '/./' — a
+        # messy-but-benign URL then false-fired the depth tripwire and
+        # aborted the job; replaceAll consumes the shared '/' of each
+        # adjacent pair, so one pass halves a run rather than clearing it)
+        p = F.regexp_replace(p, r"/\./", "/")
+        p = F.regexp_replace(p, r"/\.$", "/")
         # one "seg/../" resolution per round, leftmost-innermost; a root
         # "/../" (nothing left to pop) removes the orphan ".." (§5.2.4.C)
         p = F.regexp_replace(p, f"/{_SEG_NOT_DOTDOT}/\\.\\./", "/")

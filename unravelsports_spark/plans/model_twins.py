@@ -274,7 +274,7 @@ def m_pressing_intensity_fp(spark, sf_dir):
     )
     return out.agg(
         F.count("*").alias("n_frames"),
-        F.sum(_fp32(F.md5(frame_key))).alias("fp_sum"),
+        F.sum(_fp32(frame_key)).alias("fp_sum"),
     )
 
 
@@ -304,7 +304,7 @@ def _graph_frames_fp(out):
     )
     return out.agg(
         F.count("*").alias("n_graphs"),
-        F.sum(_fp32(F.md5(graph_key))).alias("fp_sum"),
+        F.sum(_fp32(graph_key)).alias("fp_sum"),
     )
 
 
@@ -386,7 +386,7 @@ def m_efpi_possession_fp(spark, sf_dir):
     )
     return out.agg(
         F.count("*").alias("n_rows"),
-        F.sum(_fp32(F.md5(row_key))).alias("fp_sum"),
+        F.sum(_fp32(row_key)).alias("fp_sum"),
     )
 
 
@@ -410,7 +410,7 @@ def m_savgol_events_fp(spark, sf_dir):
     )
     return out.agg(
         F.count("*").alias("n_rows"),
-        F.sum(_fp32(F.md5(row_key))).alias("fp_sum"),
+        F.sum(_fp32(row_key)).alias("fp_sum"),
     )
 
 
@@ -548,32 +548,32 @@ ORACLE_SQL.update(
     """,
         "m_pressing_intensity_fp": """
     SELECT * FROM (VALUES
-      (CAST(100 AS BIGINT), CAST(213708875032 AS BIGINT))
+      (CAST(100 AS BIGINT), CAST(206164821922 AS BIGINT))
     ) AS t(n_frames, fp_sum)
     """,
         "m_graph_convert_fp": """
     SELECT * FROM (VALUES
-      (CAST(100 AS BIGINT), CAST(221137449204 AS BIGINT))
+      (CAST(100 AS BIGINT), CAST(209704249036 AS BIGINT))
     ) AS t(n_graphs, fp_sum)
     """,
         "m_graph_convert_delaunay_fp": """
     SELECT * FROM (VALUES
-      (CAST(100 AS BIGINT), CAST(210720389250 AS BIGINT))
+      (CAST(100 AS BIGINT), CAST(204112402816 AS BIGINT))
     ) AS t(n_graphs, fp_sum)
     """,
         "m_af_graph_convert_fp": """
     SELECT * FROM (VALUES
-      (CAST(263 AS BIGINT), CAST(563834439115 AS BIGINT))
+      (CAST(263 AS BIGINT), CAST(576202963033 AS BIGINT))
     ) AS t(n_graphs, fp_sum)
     """,
         "m_efpi_possession_fp": """
     SELECT * FROM (VALUES
-      (CAST(69 AS BIGINT), CAST(141174590496 AS BIGINT))
+      (CAST(69 AS BIGINT), CAST(130911643095 AS BIGINT))
     ) AS t(n_rows, fp_sum)
     """,
         "m_savgol_events_fp": """
     SELECT * FROM (VALUES
-      (CAST(10000 AS BIGINT), CAST(21678923849849 AS BIGINT))
+      (CAST(10000 AS BIGINT), CAST(21431777249884 AS BIGINT))
     ) AS t(n_rows, fp_sum)
     """,
     }
