@@ -82,3 +82,57 @@ def test_compact_empty_dir_raises(spark, tmp_path):
     d.mkdir()
     with pytest.raises(ValueError):
         compact_parquet(spark, str(d))
+
+
+def test_surt_clustering_prunes_hosts(spark, tmp_path):
+    """The SURT layout proof, read straight from the parquet footers: with
+    range-partitioning on the SURT key, a single host's prefix intersects
+    few files' [min, max] ranges; a hash-shuffled write spans every file
+    with every host."""
+    from unravelsports_spark.sources.layout import write_surt_clustered
+
+    docs = read_table(spark, SF_CORRECT, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("http://"), "source", F.lit(".example/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "doc_id",
+    )
+
+    clustered = str(tmp_path / "clustered")
+    write_surt_clustered(urls, clustered, n_files=8)
+
+    def files_possibly_holding(path_dir, prefix):
+        n = 0
+        for f in parquet_files(path_dir):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                col = next(
+                    meta.row_group(rg).column(i)
+                    for i in range(meta.num_columns)
+                    if meta.row_group(rg).column(i).path_in_schema == "surt"
+                )
+                st = col.statistics
+                lo, hi = st.min, st.max
+                if lo <= prefix + "￿" and hi >= prefix:
+                    n += 1
+                    break
+        return n
+
+    # one host's subtree: SURT prefix 'example,src7)' (host src7.example)
+    prefix = "example,src7)"
+    n_clustered = files_possibly_holding(clustered, prefix)
+    assert 1 <= n_clustered <= 2  # range boundary may split one host
+
+    # control: a hash-shuffled write spans the host across every file
+    shuffled = str(tmp_path / "shuffled")
+    from unravelsports_spark.operators.urlnorm import surt_key
+
+    urls.withColumn("surt", surt_key(F.col("url"))).repartition(8).write.parquet(
+        shuffled
+    )
+    assert files_possibly_holding(shuffled, prefix) == 8
+
+    # lossless: every row survives, every key lands where stats claim
+    assert spark.read.parquet(clustered).count() == urls.count()

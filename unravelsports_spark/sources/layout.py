@@ -118,3 +118,33 @@ def read_probed_cells(spark, path: str, cells) -> "F.DataFrame":
     pairs with :func:`write_embeddings_by_cell`; the ``cell`` filter is a
     partition filter (directory pruning), never a data scan."""
     return spark.read.parquet(path).filter(F.col("cell").isin([int(c) for c in cells]))
+
+
+def write_surt_clustered(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    n_files: int = 8,
+    surt_col: str = "surt",
+) -> None:
+    """Write ``df`` clustered by the SURT key of ``url_col`` (r14): range-
+    partition on the key (each FILE owns a contiguous SURT range — and the
+    reversed-host form makes a domain's whole subtree contiguous), then
+    sort within partitions (tight per-row-group min/max). A host- or
+    domain-scoped read then prunes to the files whose [min, max] straddle
+    that prefix — the web-archive layout (CDX convention) expressed as
+    parquet data skipping. The key is WRITTEN as ``surt_col`` (skipping
+    needs the column present; StringStartsWith pushes to the parquet
+    footer stats); rows whose URL does not canonicalize (NULL key) sort
+    into the first range rather than vanishing."""
+    from ..operators.urlnorm import surt_key
+
+    if surt_col in df.columns:
+        raise ValueError(f"surt_col {surt_col!r} is already a column of the input")
+    (
+        df.withColumn(surt_col, surt_key(F.col(url_col)))
+        .repartitionByRange(n_files, surt_col)
+        .sortWithinPartitions(surt_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
