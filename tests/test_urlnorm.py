@@ -29,11 +29,21 @@ T_URL_CANONICALIZE_SQL = """
                WHEN 6 THEN 'http://' || source || '.example/'
                WHEN 7 THEN 'http://' || source || '.example:8080/doc' || doc_id
                ELSE 'http://' || source || '.example/doc' || doc_id
-             END AS canonical
+             END AS canonical,
+             CASE doc_id % 8
+               WHEN 4 THEN 'example,' || source || ')/doc'
+                           || doc_id || '?a=1&b=2'
+               WHEN 5 THEN 'example,' || source || ')/'
+               WHEN 6 THEN 'example,' || source || ')/'
+               WHEN 7 THEN 'example,' || source || ':8080)/doc' || doc_id
+               ELSE 'example,' || source || ')/doc' || doc_id
+             END AS surt
       FROM documents)
     SELECT k, COUNT(*) AS n_urls,
            CAST(SUM(CAST(('0x' || substring(md5(canonical), 1, 8)) AS BIGINT))
-             AS BIGINT) AS fp_sum
+             AS BIGINT) AS fp_sum,
+           CAST(SUM(CAST(('0x' || substring(md5(surt), 1, 8)) AS BIGINT))
+             AS BIGINT) AS fp_surt
     FROM c GROUP BY k ORDER BY k
 """
 
@@ -63,12 +73,18 @@ def _url_canonical_query(spark, sf_dir):
     )
     # class 5's fragment rides an empty-ish path on purpose: '/#frag'
     # canonicalizes to '/', same as class 6 — two spellings, one identity
+    from unravelsports_spark.operators.urlnorm import surt_key
+
     urls = docs.select("doc_id", messy.alias("url"))
-    out = with_canonical_url(urls)
-    fp = F.conv(F.substring(F.md5("url_canonical"), 1, 8), 16, 10).cast("long")
+    out = with_canonical_url(urls).withColumn("surt", surt_key(F.col("url")))
+    fp = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
     return (
         out.groupBy((F.col("doc_id") % 8).alias("k"))
-        .agg(F.count("*").alias("n_urls"), F.sum(fp).alias("fp_sum"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(fp("url_canonical")).alias("fp_sum"),
+            F.sum(fp("surt")).alias("fp_surt"),
+        )
         .orderBy("k")
     )
 
