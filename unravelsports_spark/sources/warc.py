@@ -73,14 +73,22 @@ def _hval(v) -> bytes:
     return str(v).replace("\r", " ").replace("\n", " ").encode()
 
 
-def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
+def encode_warc_records(
+    records: list, gzip_records: bool = False, spans: list | None = None
+) -> bytes:
     """Serialize records (dicts with rec_type, record_id, warc_date,
     target_uri, content_type, payload: bytes) to WARC/1.0 bytes —
     header block, CRLF-CRLF, payload, CRLF-CRLF; optionally one gzip
     member per record (the Common Crawl layout). Header values are
     CRLF-sanitized (:func:`_hval`); ``target_uri`` omits its header ONLY
     when None — an EMPTY STRING round-trips as '' (pass 4 #7: truthiness
-    here silently turned '' into NULL on read-back)."""
+    here silently turned '' into NULL on read-back).
+
+    ``spans`` (r14, the CDX leg): pass a list to receive one
+    ``(offset, length)`` per record — the byte span of the record's gzip
+    MEMBER (gzip_records) or plain record — measured in the returned
+    blob. Write time is where offsets are FREE; the archive convention
+    (CDX files generated alongside WARCs) for the same reason."""
     def hv(r, key, default):
         # an EXPLICIT None normalizes to the same default as an absent
         # key (pass 5 #5 — dict.get defaults only cover absence, so any
@@ -88,7 +96,7 @@ def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
         v = r.get(key)
         return _hval(default if v is None else v)
 
-    out = []
+    out, off = [], 0
     for r in records:
         payload = bytes(r.get("payload") or b"")
         headers = [
@@ -108,6 +116,9 @@ def encode_warc_records(records: list, gzip_records: bool = False) -> bytes:
         # make byte-identical inputs produce byte-different shards and
         # defeat reproducible exports (r12 review pass 3 #7)
         out.append(gzip.compress(rec, mtime=0) if gzip_records else rec)
+        if spans is not None:
+            spans.append((off, len(out[-1])))
+        off += len(out[-1])
     return b"".join(out)
 
 
@@ -531,6 +542,7 @@ def write_warc(
     path: str,
     gzip_records: bool = False,
     date: str = "2026-01-01T00:00:00Z",
+    index: bool = False,
 ) -> DataFrame:
     """Distributed sharded WARC export. ``df`` columns: ``target_uri``
     (string, nullable — a NULL simply omits the WARC-Target-URI header),
@@ -559,7 +571,18 @@ def write_warc(
     members are mtime-0. Byte-identical re-exports require the caller to
     supply a ``record_id`` column (pass 4 #5) — without one, fresh uuids
     are generated per attempt, so shards are structurally identical but
-    not byte-identical across runs."""
+    not byte-identical across runs.
+
+    ``index=True`` (r14, the CDX leg) writes a ``part-….cdx`` JSONL
+    sidecar per shard — one line per record: shard basename, uri, date,
+    rec_type, byte offset + length of the record's gzip member (or plain
+    record) — published through the same deterministic-name + atomic-
+    rename scaffold, so retries rewrite the same sidecar. Offsets are
+    captured DURING encoding (where they are free — the archive
+    convention); :func:`read_warc_index` turns the sidecars into the
+    SURT-keyed index table and :func:`fetch_warc_record` is the O(1)
+    seek they exist for. The manifest gains an ``index_shard`` column
+    (NULL when index=False)."""
     import pandas as pd
 
     cols = df.columns
@@ -610,23 +633,53 @@ def write_warc(
                     pdf["target_uri"], pdf["payload"], rid, wd, ct
                 )
             ]
-            blob = encode_warc_records(records, gzip_records)
+            spans: list | None = [] if index else None
+            blob = encode_warc_records(records, gzip_records, spans=spans)
             ext = ".warc.gz" if gzip_records else ".warc"
             # deterministic name + dotfile tmp + atomic rename (pass 4
             # #2) — the scaffold now lives in shardio.write_shard, shared
             # with the TFRecord writer (r13 review pass 26 #4: two
             # verbatim copies of the idempotency contract)
             shard = write_shard(path, pid, batch_idx, ext, blob)
+            index_shard = None
+            if index:
+                import json as _json
+                import os as _os
+
+                # JSONL, not whitespace-delimited text: a scraped URI can
+                # legally carry tabs/spaces; json.dumps is unambiguous.
+                # The shard BASENAME rides inside each line so the index
+                # table needs no filename arithmetic at read time.
+                base = _os.path.basename(shard)
+                lines = "".join(
+                    _json.dumps(
+                        {
+                            "shard": base,
+                            "uri": rec["target_uri"],
+                            "date": rec["warc_date"],
+                            "rec_type": rec["rec_type"],
+                            "offset": o,
+                            "length": n,
+                        }
+                    )
+                    + "\n"
+                    for rec, (o, n) in zip(records, spans)
+                ).encode()
+                # plain .cdx (NOT .warc.cdx): read_warc / read_warc_stream
+                # glob '*.warc*', which would sweep a .warc.cdx sidecar
+                # into the record decoder as a corrupt shard
+                index_shard = write_shard(path, pid, batch_idx, ".cdx", lines)
             yield pd.DataFrame(
                 {
                     "shard": [shard],
                     "n_records": [len(records)],
                     "n_bytes": [len(blob)],
+                    "index_shard": [index_shard],
                 }
             )
 
     return df.mapInPandas(
-        writer, "shard string, n_records long, n_bytes long"
+        writer, "shard string, n_records long, n_bytes long, index_shard string"
     )
 
 
@@ -762,4 +815,123 @@ def read_warc_stream(
     files = reader.load(path).select("path", "content")
     return files.mapInPandas(
         lambda it: _decode_shard_batches(it, max_records_per_batch), WARC_SCHEMA
+    )
+
+
+def read_warc_index(spark: SparkSession, path: str) -> DataFrame:
+    """The CDX index table from ``write_warc(…, index=True)`` sidecars:
+    one row per archived record — (surt, uri, date, rec_type, shard,
+    offset, length). ``surt`` is computed here via the single-source
+    :func:`~unravelsports_spark.operators.urlnorm.surt_key` column
+    function (the writer stays canonicalization-free: re-keying an
+    archive after a canonicalizer fix is a metadata re-read, not a
+    100 TB rewrite). Sort or range-partition on ``surt`` for the lookup
+    layout (`write_surt_clustered`); join ``(shard, offset, length)``
+    into :func:`fetch_warc_record` for the O(1) page fetch the index
+    exists for. A NULL/unparseable uri yields a NULL surt — still
+    fetchable by span, just not host-addressable."""
+    from ..operators.urlnorm import surt_key
+
+    idx = (
+        spark.read.schema(
+            "shard string, uri string, date string, rec_type string, "
+            "offset long, length long"
+        )
+        .option("pathGlobFilter", "*.cdx")
+        .json(path)
+    )
+    return idx.select(
+        surt_key(F.col("uri")).alias("surt"),
+        "uri", "date", "rec_type", "shard", "offset", "length",
+    )
+
+
+def fetch_warc_record(dir_path: str, shard: str, offset: int, length: int) -> dict:
+    """Random-access fetch of ONE archived record by its index span:
+    seek to ``offset`` in ``shard`` (basename under ``dir_path``), read
+    ``length`` bytes, decode through the SAME hardened codec as the bulk
+    reader (a tampered span quarantines — ``_corrupt_record`` set —
+    instead of crashing). This is the point of the CDX layout: serving
+    one page out of a 100 TB archive costs one seek + one member's
+    decode, not a shard scan. Driver/service-side helper by design (an
+    index-driven BULK re-read is a join + read_warc, not a fetch loop).
+
+    Raises ValueError on a span that leaves the shard's bounds (an index
+    /archive mismatch is caller error, loud); returns the decoded row
+    dict (WARC_SCHEMA minus ``shard``)."""
+    import os
+
+    fpath = os.path.join(dir_path, os.path.basename(shard))
+    size = os.path.getsize(fpath)
+    if offset < 0 or length < 1 or offset + length > size:
+        raise ValueError(
+            f"span ({offset}, {length}) outside shard {shard!r} ({size} bytes)"
+        )
+    with open(fpath, "rb") as fh:
+        fh.seek(offset)
+        span = fh.read(length)
+    rows = decode_warc_records(span)
+    if len(rows) != 1:
+        # a span that decodes to 0 or >1 rows is an index/archive
+        # mismatch (stale index after a rewrite) — loud, like the bounds
+        raise ValueError(
+            f"span ({offset}, {length}) in {shard!r} decoded to "
+            f"{len(rows)} records (expected exactly 1)"
+        )
+    return rows[0]
+
+
+def read_warc_by_index(index: DataFrame, dir_path: str) -> DataFrame:
+    """DISTRIBUTED random-access read: decode exactly the records an
+    index frame names — (shard, offset, length) rows from
+    :func:`read_warc_index` (filtered/joined down to the wanted set) —
+    into WARC_SCHEMA rows. Each task opens a shard at most once per
+    distinct shard in its partition (rows are pre-sorted per batch), then
+    seek+read+decode per span through the same hardened codec; an
+    out-of-bounds or mismatched span quarantines as a ``_corrupt_record``
+    row carrying the span text (the bulk reader's contract — a stale
+    index must not crash a 10k-page fetch job). At 100 TB this is the
+    "re-read 0.1 % of the archive" path: IO is sum(length) of the wanted
+    spans, not the archive scan read_warc would do.
+
+    Repartition the index by ``shard`` upstream when fetching a large
+    set, so each shard's spans land in few tasks."""
+    import os
+
+    import pandas as pd
+
+    def fetch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            pdf = pdf.sort_values(["shard", "offset"], kind="stable")
+            cur, fh = None, None
+            try:
+                for shard, off, length in zip(
+                    pdf["shard"], pdf["offset"], pdf["length"]
+                ):
+                    fpath = os.path.join(dir_path, os.path.basename(shard))
+                    if cur != fpath:
+                        if fh is not None:
+                            fh.close()
+                        fh, cur = open(fpath, "rb"), fpath
+                    fh.seek(int(off))
+                    span = fh.read(int(length))
+                    decoded = decode_warc_records(span)
+                    if len(decoded) == 1:
+                        row = decoded[0]
+                    else:  # 0 or >1: index/archive mismatch -> quarantine
+                        row = _corrupt_row(span)
+                    row["shard"] = shard
+                    rows.append(row)
+            finally:
+                if fh is not None:
+                    fh.close()
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_SCHEMA.fields]
+            )
+
+    return index.select("shard", "offset", "length").mapInPandas(
+        fetch, WARC_SCHEMA
     )
