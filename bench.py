@@ -99,17 +99,16 @@ HEADLINE = [
     # mkdtemp, not plan quality. Scale behavior: t-closeness/release-diff
     # plan shapes are guarded in tests; the WARC decode path is probed by
     # the tracemalloc bound + hostile battery.
-    # round-14 addition: frontier politeness planning — DuckDB re-derives
-    # the same host window + div/mod in 0.29 s at sf0.1 (a genuine
-    # computation, unlike the closed-form robots/sitemap oracles), so the
-    # ratio measures the window plan
-    "t_frontier_plan",
     # NOT headlined (r14): t_robots_filter / t_sitemap_extract — their
     # oracles are CLOSED-FORM (DuckDB states hand-derived verdicts/locs in
     # 14/28 ms rather than running the parser), so a bench row would
-    # measure job floors against a non-computation; o20_tfrecord_roundtrip
-    # round-trips through a per-invocation tmpdir like o18/o19. Scale
-    # behavior: robots/frontier probed in SCALING.md; sitemap is the
+    # measure job floors against a non-computation; t_frontier_plan's
+    # oracle runs in 16 ms uncontended (a 0.29 s reading taken while the
+    # scale probe had the box led to briefly headlining it — reverted:
+    # the md5 window over 5k rows is a near-zero denominator, the
+    # q1/w5 floor-bound class); o20_tfrecord_roundtrip round-trips
+    # through a per-invocation tmpdir like o18/o19. Scale behavior:
+    # robots/frontier probed in SCALING.md; sitemap is the
     # extract_html_text projection class.
     # NOT headlined: d_kcore_peeling — its wall is ~7 sequential
     # materialization-job floors over a ~650-row edge list (profiled:

@@ -208,3 +208,39 @@ def test_index_determinism(spark, tmp_path):
     m2 = _export(spark, tmp, True)
     for m in m2:
         assert open(m["index_shard"], "rb").read() == sidecars1[m["index_shard"]]
+
+
+def test_bulk_fetch_survives_missing_shard_and_bad_rows(spark, tmp_path):
+    """The r14 review contract: a stale index (deleted shard), a negative
+    offset, and a malformed sidecar line (all-NULL permissive-JSON row)
+    each quarantine; clean spans in the same run still decode."""
+    from unravelsports_spark.sources.warc import read_warc_by_index, read_warc_index
+
+    tmp = str(tmp_path / "arch")
+    _export(spark, tmp, True)
+    # malformed sidecar line -> all-NULL row from the permissive reader
+    cdx = [f for f in os.listdir(tmp) if f.endswith(".cdx")][0]
+    with open(os.path.join(tmp, cdx), "ab") as fh:
+        fh.write(b"this is not json\n")
+    idx = read_warc_index(spark, tmp)
+    assert idx.count() == 13  # 12 records + the malformed line
+    doctored = (
+        idx.withColumn(
+            "offset",
+            F.when(
+                F.col("uri") == "http://h0.example/p0", F.lit(-7)
+            ).otherwise(F.col("offset")),
+        )
+        .withColumn(
+            "shard",
+            F.when(
+                F.col("uri") == "http://h1.example/p1", F.lit("gone.warc.gz")
+            ).otherwise(F.col("shard")),
+        )
+    )
+    out = read_warc_by_index(doctored, tmp).collect()
+    bad = [r for r in out if r["_corrupt_record"] is not None]
+    good = [r for r in out if r["_corrupt_record"] is None]
+    assert len(good) == 10 and len(bad) == 3
+    reasons = " | ".join(r["_corrupt_record"] for r in bad)
+    assert "bad index row" in reasons and "missing shard" in reasons

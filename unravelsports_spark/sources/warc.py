@@ -582,7 +582,15 @@ def write_warc(
     convention); :func:`read_warc_index` turns the sidecars into the
     SURT-keyed index table and :func:`fetch_warc_record` is the O(1)
     seek they exist for. The manifest gains an ``index_shard`` column
-    (NULL when index=False)."""
+    (NULL when index=False).
+
+    Pair-consistency caveat (r14 review #3): shard and sidecar are each
+    published atomically but not AS A PAIR, so overlapping attempts with
+    non-identical bytes (no ``record_id`` column + gzip_records → fresh
+    uuids change member lengths per attempt) can interleave into B's
+    archive under A's offsets. Supply ``record_id`` with ``index=True``
+    — byte-identical attempts make any interleaving harmless (the same
+    contract byte-identical re-export already documents above)."""
     import pandas as pd
 
     cols = df.columns
@@ -650,14 +658,22 @@ def write_warc(
                 # legally carry tabs/spaces; json.dumps is unambiguous.
                 # The shard BASENAME rides inside each line so the index
                 # table needs no filename arithmetic at read time.
+                # String values pass through the SAME _hval CRLF fold the
+                # archive headers get (r14 review #4: the raw spelling
+                # diverged from the fetched record's target_uri, breaking
+                # index↔archive joins on uri for CR/LF-carrying inputs).
                 base = _os.path.basename(shard)
+
+                def clean(v):
+                    return None if v is None else _hval(v).decode()
+
                 lines = "".join(
                     _json.dumps(
                         {
                             "shard": base,
-                            "uri": rec["target_uri"],
-                            "date": rec["warc_date"],
-                            "rec_type": rec["rec_type"],
+                            "uri": clean(rec["target_uri"]),
+                            "date": clean(rec["warc_date"]),
+                            "rec_type": clean(rec["rec_type"]),
                             "offset": o,
                             "length": n,
                         }
@@ -850,15 +866,20 @@ def fetch_warc_record(dir_path: str, shard: str, offset: int, length: int) -> di
     """Random-access fetch of ONE archived record by its index span:
     seek to ``offset`` in ``shard`` (basename under ``dir_path``), read
     ``length`` bytes, decode through the SAME hardened codec as the bulk
-    reader (a tampered span quarantines — ``_corrupt_record`` set —
-    instead of crashing). This is the point of the CDX layout: serving
-    one page out of a 100 TB archive costs one seek + one member's
-    decode, not a shard scan. Driver/service-side helper by design (an
-    index-driven BULK re-read is a join + read_warc, not a fetch loop).
+    reader. This is the point of the CDX layout: serving one page out of
+    a 100 TB archive costs one seek + one member's decode, not a shard
+    scan. Driver/service-side helper by design — an index-driven BULK
+    re-read is :func:`read_warc_by_index`, not a fetch loop.
 
-    Raises ValueError on a span that leaves the shard's bounds (an index
-    /archive mismatch is caller error, loud); returns the decoded row
-    dict (WARC_SCHEMA minus ``shard``)."""
+    LOUD by contract (r14 review #6 aligned the docstring with the
+    behavior): a span outside the shard, or one that decodes to 0 or >1
+    records, raises ValueError — a single-page serving path wants the
+    exception, not a quarantine row to inspect. The tolerate-and-
+    quarantine contract belongs to the bulk path. A tamper can in
+    principle still decode to exactly one quarantine row (its
+    ``_corrupt_record`` is then set) — check it when the payload
+    matters. Returns the decoded row dict (WARC_SCHEMA minus
+    ``shard``)."""
     import os
 
     fpath = os.path.join(dir_path, os.path.basename(shard))
@@ -881,18 +902,28 @@ def fetch_warc_record(dir_path: str, shard: str, offset: int, length: int) -> di
     return rows[0]
 
 
-def read_warc_by_index(index: DataFrame, dir_path: str) -> DataFrame:
+def read_warc_by_index(
+    index: DataFrame, dir_path: str, max_records_per_batch: int | None = 4096
+) -> DataFrame:
     """DISTRIBUTED random-access read: decode exactly the records an
     index frame names — (shard, offset, length) rows from
     :func:`read_warc_index` (filtered/joined down to the wanted set) —
     into WARC_SCHEMA rows. Each task opens a shard at most once per
     distinct shard in its partition (rows are pre-sorted per batch), then
-    seek+read+decode per span through the same hardened codec; an
-    out-of-bounds or mismatched span quarantines as a ``_corrupt_record``
-    row carrying the span text (the bulk reader's contract — a stale
-    index must not crash a 10k-page fetch job). At 100 TB this is the
-    "re-read 0.1 % of the archive" path: IO is sum(length) of the wanted
-    spans, not the archive scan read_warc would do.
+    seek+read+decode per span through the same hardened codec. At 100 TB
+    this is the "re-read 0.1 % of the archive" path: IO is sum(length)
+    of the wanted spans, not the archive scan read_warc would do.
+
+    The bulk-reader QUARANTINE contract holds for every per-row failure
+    (r14 review #1/#2 — a stale index must not crash a 10k-page fetch
+    job): a missing/renamed shard, a NULL or non-numeric field (a
+    malformed sidecar line arrives from the permissive JSON read as
+    all-NULLs), a negative or out-of-bounds span, and a span decoding to
+    0 or >1 records ALL surface as ``_corrupt_record`` rows carrying the
+    reason, while clean spans in the same batch still decode.
+    ``max_records_per_batch`` flushes decoded rows every N spans (the
+    shardio chunked-emission discipline — review #5: payloads of a whole
+    Arrow batch of spans must not materialize at once).
 
     Repartition the index by ``shard`` upstream when fetching a large
     set, so each shard's spans land in few tasks."""
@@ -900,37 +931,74 @@ def read_warc_by_index(index: DataFrame, dir_path: str) -> DataFrame:
 
     import pandas as pd
 
+    cols = [f.name for f in WARC_SCHEMA.fields]
+
+    def _bad(shard, msg: str) -> dict:
+        row = _corrupt_row(msg.encode())
+        row["shard"] = None if shard is None or pd.isna(shard) else str(shard)
+        return row
+
     def fetch(batches):
+        rows = []
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows = []
-            pdf = pdf.sort_values(["shard", "offset"], kind="stable")
+            pdf = pdf.sort_values(
+                ["shard", "offset"], kind="stable", na_position="last"
+            )
             cur, fh = None, None
             try:
                 for shard, off, length in zip(
                     pdf["shard"], pdf["offset"], pdf["length"]
                 ):
-                    fpath = os.path.join(dir_path, os.path.basename(shard))
+                    if (
+                        shard is None
+                        or pd.isna(shard)
+                        or off is None
+                        or pd.isna(off)
+                        or length is None
+                        or pd.isna(length)
+                        or int(off) < 0
+                        or int(length) < 1
+                    ):
+                        rows.append(
+                            _bad(shard, f"bad index row: span ({off}, {length})")
+                        )
+                        continue
+                    fpath = os.path.join(dir_path, os.path.basename(str(shard)))
                     if cur != fpath:
                         if fh is not None:
                             fh.close()
-                        fh, cur = open(fpath, "rb"), fpath
-                    fh.seek(int(off))
-                    span = fh.read(int(length))
+                        fh, cur = None, fpath
+                        try:
+                            fh = open(fpath, "rb")
+                        except OSError:
+                            fh = None  # every span of this shard quarantines
+                    if fh is None:
+                        rows.append(_bad(shard, f"missing shard: {fpath}"))
+                        continue
+                    try:
+                        fh.seek(int(off))
+                        span = fh.read(int(length))
+                    except OSError as e:
+                        rows.append(_bad(shard, f"read failed: {e}"))
+                        continue
                     decoded = decode_warc_records(span)
                     if len(decoded) == 1:
                         row = decoded[0]
                     else:  # 0 or >1: index/archive mismatch -> quarantine
                         row = _corrupt_row(span)
-                    row["shard"] = shard
+                    row["shard"] = str(shard)
                     rows.append(row)
+                    if max_records_per_batch and len(rows) >= max_records_per_batch:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
             finally:
                 if fh is not None:
                     fh.close()
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_SCHEMA.fields]
-            )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
 
     return index.select("shard", "offset", "length").mapInPandas(
         fetch, WARC_SCHEMA
