@@ -136,3 +136,64 @@ def test_surt_clustering_prunes_hosts(spark, tmp_path):
 
     # lossless: every row survives, every key lands where stats claim
     assert spark.read.parquet(clustered).count() == urls.count()
+
+
+def test_bloom_indexed_write_and_membership(spark, tmp_path):
+    """Bloom layout proof, read from the same footer the scan consults
+    (parquet-java via the JVM): the filter exists only on the requested
+    column, answers present-key probes positively, and rejects absent
+    keys — the 'definitely not in this row group' point-lookup layout."""
+    from unravelsports_spark.sources.layout import (
+        parquet_bloom_offsets,
+        write_bloom_indexed,
+    )
+
+    docs = read_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("content_hash")
+    )
+    path = str(tmp_path / "bloomed")
+    write_bloom_indexed(
+        docs.coalesce(1), path, ["content_hash"], expected_ndv=1000
+    )
+    f = parquet_files(path)[0]
+    offsets = parquet_bloom_offsets(spark, f)
+    assert offsets["content_hash"] >= 0  # filter written
+    assert offsets["doc_id"] == -1  # only where asked
+
+    # membership through parquet-java — evidence the scan-side filter
+    # discriminates, not just that bytes were appended
+    jvm = spark._jvm
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(f), spark._jsc.hadoopConfiguration()
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        block = reader.getFooter().getBlocks().get(0)
+        cols = block.getColumns()
+        col = next(
+            cols.get(i)
+            for i in range(cols.size())
+            if cols.get(i).getPath().toDotString() == "content_hash"
+        )
+        bf = reader.getBloomFilterDataReader(block).readBloomFilter(col)
+        Binary = jvm.org.apache.parquet.io.api.Binary
+        present = docs.select("content_hash").limit(5).collect()
+        for r in present:
+            h = bf.hash(Binary.fromString(r["content_hash"]))
+            assert bf.findHash(h)
+        absent_hits = sum(
+            bool(bf.findHash(bf.hash(Binary.fromString(f"nope-{i}"))))
+            for i in range(200)
+        )
+        assert absent_hits <= 2  # FPP well under the default 1%-ish
+    finally:
+        reader.close()
+
+    # the layout never changes query RESULTS — equality probe identical
+    probe = docs.limit(1).collect()[0]["content_hash"]
+    got = (
+        spark.read.parquet(path)
+        .where(F.col("content_hash") == probe)
+        .collect()
+    )
+    assert len(got) >= 1 and all(r["content_hash"] == probe for r in got)

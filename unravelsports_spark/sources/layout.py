@@ -148,3 +148,61 @@ def write_surt_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bloom_indexed(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int | None = None,
+) -> None:
+    """Write parquet with a BLOOM FILTER per row group on ``bloom_cols``
+    (r14): the point-lookup complement to the range layouts above. Sorted
+    min/max stats (Z-order, SURT clustering) prune RANGE predicates; an
+    equality probe on a high-cardinality key (exact URL, doc_id, content
+    hash) still touches every row group whose [min, max] happens to
+    straddle the value — the bloom filter answers "definitely not in
+    this row group" from the footer, no column data read. Spark's
+    vectorized reader consumes them automatically for `=` / IN
+    predicates under the default parquet filter pushdown.
+
+    ``expected_ndv`` sizes the filter (distinct values per ROW GROUP —
+    overshooting wastes footer bytes, undershooting raises the false-
+    positive rate; parquet's default block size self-sizes when None).
+    Cost is footer-only: ~1.2 MB per 1M ndv per row group at the default
+    FPP. Audit the result with :func:`parquet_bloom_offsets`.
+
+    At 100 TB: a decontamination / takedown / targeted-refetch probe
+    ("is THIS url/hash in the corpus?") over bloom-indexed shards reads
+    footers + the rare candidate row groups, not the key column of every
+    shard — the same IO shape the CDX sidecars give the WARC archive,
+    expressed natively in parquet."""
+    w = df.write
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if expected_ndv is not None:
+            w = w.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(int(expected_ndv))
+            )
+    w.mode("overwrite").parquet(path)
+
+
+def parquet_bloom_offsets(spark: SparkSession, file_path: str) -> dict:
+    """Footer audit for :func:`write_bloom_indexed`: per-column bloom
+    filter offset of the FIRST row group of one parquet file (-1 = no
+    filter written), read through parquet-java via the session JVM — the
+    same footer the scan consults, so this is evidence, not inference."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(file_path), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        return {
+            cols.get(i).getPath().toDotString(): cols.get(i).getBloomFilterOffset()
+            for i in range(cols.size())
+        }
+    finally:
+        reader.close()
