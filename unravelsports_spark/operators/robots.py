@@ -80,30 +80,15 @@ def pattern_to_regex(col):
     return F.regexp_replace(star, r"\\\$$", r"\$")
 
 
-def parse_robots(
-    robots: DataFrame,
-    agent: str,
-    domain_col: str = "domain",
-    text_col: str = "robots_txt",
+def _robots_directives(
+    robots: DataFrame, domain_col: str, text_col: str
 ) -> DataFrame:
-    """Parse one robots.txt body per domain into the rule table the
-    filter consumes: (domain, allow boolean, pattern, octets, rx).
-
-    Group tracking is ONE window pass per domain: a group starts at a
-    User-agent line whose predecessor is not one (lag) or at the body's
-    first line, the running sum of starts is the group id; rules before
-    the first User-agent line form an AGENTLESS group that never joins an
-    agent row — the RFC's ignore-orphan-rules behavior (pass 4 #1
-    reworked this from the earlier id-0 convention). Agent→group
-    selection is two domain-sized semi/anti joins (specific groups
-    suppress ``*`` groups per RFC).
-
-    The domain canonicalizes AT INGESTION (r13 review pass 3: lowering
-    only the output column applied the spec/star group selection per
-    spelling, so a '*' group from 'd.example' leaked into 'D.example'
-    even though its specific-agent group should suppress it); since pass
-    10 any two rows resolving to one canonical host fail the duplicate
-    tripwire loud instead of merging."""
+    """Shared robots.txt ingestion (r14 code motion — byte-identical to
+    the chain parse_robots carried inline): canonical-host keying with
+    the empty-host drop + one-robots-per-host tripwire, line explode,
+    comment strip, and (directive, value) extraction. parse_robots
+    consumes the group/rule subset; :func:`robots_sitemaps` the
+    ``Sitemap:`` rows."""
     from . import precondition_filter, require_new_column
     from .filtering import canonical_host
 
@@ -151,7 +136,7 @@ def parse_robots(
     from . import PORTABLE_WS as _WS
 
     body = F.trim(F.regexp_replace(F.col("_line"), "#.*$", ""))
-    parsed = lines.select(
+    return lines.select(
         "domain",
         "_pos",
         F.lower(
@@ -161,6 +146,63 @@ def parse_robots(
             F.regexp_extract(body, f"^[A-Za-z-]+[{_WS}]*:(.*)$", 1)
         ).alias("_val"),
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directives per robots.txt (r14) — the discovery seed
+    real crawlers (and Common Crawl) take from robots bodies: RFC 9309
+    lets a parser ignore them, but §2.2.4's companion convention
+    (sitemaps.org) publishes them in robots.txt, OUTSIDE any User-agent
+    group and position-independent. Output: (domain, sitemap_url), one
+    row per directive in body order — duplicates preserved (caller
+    dedupes; a repeated directive is a publisher fact). Values are
+    absolute URLs by the convention; pass them straight to
+    parse_sitemaps' fetch join, closing robots → sitemap → frontier
+    discovery without a hand-maintained seed list. Same ingestion (and
+    the same loud one-robots-per-host tripwire) as parse_robots — the
+    two can never disagree about a body's lines."""
+    parsed = _robots_directives(robots, domain_col, text_col)
+    return (
+        parsed.where(F.col("_dir") == "sitemap")
+        .where(F.length("_val") > 0)
+        .select("domain", F.col("_val").alias("sitemap_url"))
+    )
+
+
+def parse_robots(
+    robots: DataFrame,
+    agent: str,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse one robots.txt body per domain into the rule table the
+    filter consumes: (domain, allow boolean, pattern, octets, rx).
+
+    Group tracking is ONE window pass per domain: a group starts at a
+    User-agent line whose predecessor is not one (lag) or at the body's
+    first line, the running sum of starts is the group id; rules before
+    the first User-agent line form an AGENTLESS group that never joins an
+    agent row — the RFC's ignore-orphan-rules behavior (pass 4 #1
+    reworked this from the earlier id-0 convention). Agent→group
+    selection is two domain-sized semi/anti joins (specific groups
+    suppress ``*`` groups per RFC).
+
+    The domain canonicalizes AT INGESTION (r13 review pass 3: lowering
+    only the output column applied the spec/star group selection per
+    spelling, so a '*' group from 'd.example' leaked into 'D.example'
+    even though its specific-agent group should suppress it); since pass
+    10 any two rows resolving to one canonical host fail the duplicate
+    tripwire loud instead of merging.
+
+    Ingestion (canonical host, empty-host drop, duplicate tripwire, line
+    explode, comment strip, directive extraction) lives in the shared
+    :func:`_robots_directives` since r14 — robots_sitemaps consumes the
+    same chain, so the two parsers can never disagree about a line."""
+    parsed = _robots_directives(robots, domain_col, text_col)
     # blank lines, comment-only lines, and unrecognized directives
     # (Sitemap, Crawl-delay, …) are dropped BEFORE the adjacency window
     # (r13 review #1): the RFC 9309 ABNF allows emptyline between
