@@ -88,6 +88,8 @@ NOTES = {
     "t_boilerplate_strip": "r12 boilerplate removal: explode -> distinct-then-count doc frequency (two-phase, no Expand), per-source totals and the template-sized flag table come back as broadcasts (the flag join adds no shuffle), in-order reassembly via collect_list(struct)+array_sort in ONE corpus-sized aggregate.",
     "d_simhash_neardup": "r12 Hamming-LSH mining: one projection fans each 64-bit code into 4 (band, key) rows; the hot-bucket cap is a LEFT ANTI join BEFORE the quadratic step; candidates meet only inside co-bucketed (band, key) partitions (shuffled equi-join, never cartesian), exact bit_count(xor) verifies post-join.",
     "t_html_extract": "r12 markup extraction: the whole strip/decode chain is JVM-side regexp_replace + literal replace inside whole-stage codegen - ZERO Python stages, ZERO shuffles in the extraction itself; one hash exchange carries source-sized md5/length partials; scan pruned to (doc_id, text, source).",
+    "t_robots_filter": "r13/r14 RFC 9309 compliance: verdicts per DISTINCT (canonical host, path?query) key - the corpus never fans out against the rule table (keys meet rules inside a domain-keyed join bounded by rules-per-domain, then ONE lexicographic max(struct(octets, allow)) per key); the domain-sized rule side (parse windows, agent-selection joins) broadcasts back onto the corpus join; the whole rule-pattern match chain is codegen'd regexp.",
+    "t_frontier_plan": "r13/r14 politeness planning: ONE host-partitioned row_number window + closed-form integer div/mod (no iteration, no driver state); the duplicate-url tripwire's (host, url) count window REUSES the host exchange (hash(host) satisfies the (host, url) clustering requirement - subset clustering, so zero extra shuffles); deterministic priority-then-md5(url) order makes the plan reproducible across retries and repartitionings.",
 }
 
 
