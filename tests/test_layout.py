@@ -197,3 +197,22 @@ def test_bloom_indexed_write_and_membership(spark, tmp_path):
         .collect()
     )
     assert len(got) >= 1 and all(r["content_hash"] == probe for r in got)
+
+
+def test_bloom_guards(spark, tmp_path):
+    """r14 review: a typo'd bloom column fails loud (parquet would
+    silently skip it); a zero-row-group shard audits to {}."""
+    import pytest
+
+    from unravelsports_spark.sources.layout import (
+        parquet_bloom_offsets,
+        write_bloom_indexed,
+    )
+
+    docs = read_table(spark, SF_CORRECT, "documents").select("doc_id")
+    with pytest.raises(ValueError, match="bloom_cols not in the frame"):
+        write_bloom_indexed(docs, str(tmp_path / "x"), ["doc_idd"])
+    empty = str(tmp_path / "empty")
+    docs.where(F.lit(False)).coalesce(1).write.parquet(empty)
+    f = parquet_files(empty)[0]
+    assert parquet_bloom_offsets(spark, f) == {}

@@ -409,7 +409,9 @@ def test_robots_sitemaps_extraction(spark):
         [("D.Example.:80", body), ("empty.example", "User-agent: *\nAllow: /\n")],
         "domain string, robots_txt string",
     )
-    got = robots_sitemaps(robots).collect()
+    # body order rides the pos column (a DataFrame has no implicit
+    # order) - sort on it, never on collect order
+    got = sorted(robots_sitemaps(robots).collect(), key=lambda r: r["pos"])
     by_domain = {}
     for r in got:
         by_domain.setdefault(r["domain"], []).append(r["sitemap_url"])

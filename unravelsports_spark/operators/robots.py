@@ -120,9 +120,11 @@ def _robots_directives(
             "_rbn", F.count("*").over(Window.partitionBy("_canon"))
         ),
         F.col("_rbn") == 1,
-        "parse_robots precondition: multiple robots rows resolve to one "
-        "canonical host — a host has exactly ONE /robots.txt; dedupe "
-        "the fetch join upstream",
+        # names the SHARED ingestion, not one caller (r14 review #4: a
+        # robots_sitemaps user got an error blaming parse_robots)
+        "robots ingestion precondition (parse_robots / robots_sitemaps): "
+        "multiple robots rows resolve to one canonical host — a host has "
+        "exactly ONE /robots.txt; dedupe the fetch join upstream",
     ).drop("_rbn")
     lines = robots.select(
         F.col("_canon").alias("domain"),
@@ -157,9 +159,12 @@ def robots_sitemaps(
     real crawlers (and Common Crawl) take from robots bodies: RFC 9309
     lets a parser ignore them, but §2.2.4's companion convention
     (sitemaps.org) publishes them in robots.txt, OUTSIDE any User-agent
-    group and position-independent. Output: (domain, sitemap_url), one
-    row per directive in body order — duplicates preserved (caller
-    dedupes; a repeated directive is a publisher fact). Values are
+    group and position-independent. Output: (domain, pos, sitemap_url),
+    one row per directive with its body line position — a DataFrame
+    carries no implicit order, so ``pos`` IS the body order (sort on it
+    for first-directive-wins policies; r14 review #1). Duplicates
+    preserved (caller dedupes; a repeated directive is a publisher
+    fact). Values are
     absolute URLs by the convention; pass them straight to
     parse_sitemaps' fetch join, closing robots → sitemap → frontier
     discovery without a hand-maintained seed list. Same ingestion (and
@@ -169,7 +174,7 @@ def robots_sitemaps(
     return (
         parsed.where(F.col("_dir") == "sitemap")
         .where(F.length("_val") > 0)
-        .select("domain", F.col("_val").alias("sitemap_url"))
+        .select("domain", F.col("_pos").alias("pos"), F.col("_val").alias("sitemap_url"))
     )
 
 

@@ -177,6 +177,12 @@ def write_bloom_indexed(
     footers + the rare candidate row groups, not the key column of every
     shard — the same IO shape the CDX sidecars give the WARC archive,
     expressed natively in parquet."""
+    # fail LOUD at call time (r14 review #2): parquet silently ignores a
+    # bloom option naming a column the schema lacks, so a typo would
+    # write a filterless table the advertised probe then full-scans
+    missing = [c for c in bloom_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom_cols not in the frame: {missing}")
     w = df.write
     for c in bloom_cols:
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
@@ -191,7 +197,9 @@ def parquet_bloom_offsets(spark: SparkSession, file_path: str) -> dict:
     """Footer audit for :func:`write_bloom_indexed`: per-column bloom
     filter offset of the FIRST row group of one parquet file (-1 = no
     filter written), read through parquet-java via the session JVM — the
-    same footer the scan consults, so this is evidence, not inference."""
+    same footer the scan consults, so this is evidence, not inference.
+    A zero-row-group file (an empty partition's shard) returns {} —
+    nothing to audit, not an error (r14 review #3)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -199,7 +207,10 @@ def parquet_bloom_offsets(spark: SparkSession, file_path: str) -> dict:
     )
     reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
     try:
-        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        blocks = reader.getFooter().getBlocks()
+        if blocks.size() == 0:
+            return {}
+        cols = blocks.get(0).getColumns()
         return {
             cols.get(i).getPath().toDotString(): cols.get(i).getBloomFilterOffset()
             for i in range(cols.size())
