@@ -124,3 +124,93 @@ def test_duplicate_urls_fail_loud(spark):
     with pytest.raises((PySparkException, Py4JJavaError),
                        match="nondeterministic"):
         frontier_plan(nulls, 3).collect()
+
+
+def _alloc(spark, rows, b, **kw):
+    from unravelsports_spark.operators.frontier import allocate_crawl_budget
+
+    df = spark.createDataFrame(rows, "host string, weight long")
+    got = allocate_crawl_budget(df, b, **kw).collect()
+    return {r["host"]: r["budget"] for r in got}
+
+
+def test_budget_hand_cases(spark):
+    """Hamilton apportionment: exact division, largest-remainder +1s,
+    host-name tie-break, zero-weight hosts provably get zero."""
+    # exact division - no leftover
+    assert _alloc(spark, [("a", 1), ("b", 1)], 4) == {"a": 2, "b": 2}
+    # B=7 over weights 2:3:5 -> exact shares 1.4/2.1/3.5, bases 1/2/3,
+    # leftover 1 goes to the largest remainder (a: .4 -> rem 4/10 vs
+    # c: .5) -> c
+    assert _alloc(spark, [("a", 2), ("b", 3), ("c", 5)], 7) == {
+        "a": 1, "b": 2, "c": 4,
+    }
+    # remainder tie: equal weights, B=1 -> host-name order wins
+    assert _alloc(spark, [("b", 1), ("a", 1)], 1) == {"a": 1, "b": 0}
+    # a zero-weight host never takes a leftover unit
+    got = _alloc(spark, [("a", 1), ("b", 1), ("z", 0)], 3)
+    assert got["z"] == 0 and got["a"] + got["b"] == 3
+
+
+def test_budget_caps_clip_without_redistribution(spark):
+    from unravelsports_spark.operators.frontier import allocate_crawl_budget
+
+    df = spark.createDataFrame(
+        [("a", 9, 2), ("b", 1, 100)], "host string, weight long, cap long"
+    )
+    got = {
+        r["host"]: r["budget"]
+        for r in allocate_crawl_budget(df, 10, cap_col="cap").collect()
+    }
+    # a deserves 9 but caps at 2; the surplus is NOT redistributed
+    assert got == {"a": 2, "b": 1}
+
+
+def test_budget_matches_reference_apportionment(spark):
+    """Property vs a naive Python largest-remainder reference on 500
+    hosts with pseudo-random weights: identical allocation, exact sum."""
+    from unravelsports_spark.operators.frontier import allocate_crawl_budget
+
+    rows = [(f"h{i:04d}", (i * 7919) % 97) for i in range(500)]
+    B = 12345
+    W = sum(w for _, w in rows)
+    base = {h: B * w // W for h, w in rows}
+    rem = {h: (B * w) % W for h, w in rows}
+    R = B - sum(base.values())
+    order = sorted(rows, key=lambda hw: (-rem[hw[0]], hw[0]))
+    want = dict(base)
+    for h, _ in order[:R]:
+        want[h] += 1
+    df = spark.createDataFrame(rows, "host string, weight long")
+    got = {
+        r["host"]: r["budget"] for r in allocate_crawl_budget(df, B).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == B
+
+
+def test_budget_preconditions(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from unravelsports_spark.operators.frontier import allocate_crawl_budget
+
+    df = spark.createDataFrame([("a", 1)], "host string, weight long")
+    with pytest.raises(ValueError, match="total_budget"):
+        allocate_crawl_budget(df, -1)
+    with pytest.raises(ValueError, match="total weight must be positive"):
+        allocate_crawl_budget(
+            spark.createDataFrame([("a", 0)], "host string, weight long"), 5
+        )
+    with pytest.raises((PySparkException, Py4JJavaError), match="non-negative"):
+        allocate_crawl_budget(
+            spark.createDataFrame([("a", -2), ("b", 5)], "host string, weight long"), 5
+        ).collect()
+    with pytest.raises((PySparkException, Py4JJavaError), match="one row per host"):
+        allocate_crawl_budget(
+            spark.createDataFrame(
+                [("a", 1), ("a", 2)], "host string, weight long"
+            ),
+            5,
+        ).collect()

@@ -105,3 +105,131 @@ def frontier_summary(planned: DataFrame) -> DataFrame:
         )
         .orderBy("wave")
     )
+
+
+def allocate_crawl_budget(
+    hosts: DataFrame,
+    total_budget: int,
+    weight_col: str = "weight",
+    cap_col: str | None = None,
+    host_col: str = "host",
+) -> DataFrame:
+    """Apportion a global per-cycle fetch budget across hosts (r14) — the
+    quota step between recrawl priorities and the frontier: a crawl cycle
+    has a total page budget; each host deserves a share proportional to
+    its WEIGHT (page count, overdue mass, quality score in ppm — any
+    non-negative integer measure), and the allocation must be exact
+    (sums to the budget), deterministic, and engine-portable.
+
+    Hamilton/largest-remainder apportionment in pure integer arithmetic:
+    base_h = (B·w_h) div W, and the R = B − Σ base leftover units go to
+    the R largest remainders ((B·w_h) mod W), ties broken by host name —
+    a closed-form method (no iteration, no floats, no divisor search),
+    so the DuckDB twin is hash-exact. With ``cap_col`` (per-host
+    ceiling, e.g. the host's actual URL count) the apportioned value
+    clips to the cap; clipped surplus is NOT redistributed in-pass
+    (re-run on the uncapped remainder when the surplus matters — one
+    pass stays closed-form, the documented trade).
+
+    Output: (host, weight, budget[, cap]); Σ budget = total_budget when
+    no cap clips (audit with one agg). PRECONDITIONS, loud: weights
+    non-negative with a positive total (apportioning zero mass is caller
+    error), one row per host, and B·w_h must fit int64 — enforced via
+    the shared tripwire on w_h ≤ 2⁶² div B (at the documented operating
+    sizes — budgets ≤ 10⁹ pages, ppm weights — the headroom is ×4000).
+
+    At 100 TB: a naive global row_number over remainders would
+    single-reduce the whole hosts table, so the leftover units land via
+    the t_shard_manifest two-level pattern — 256 fixed remainder
+    buckets counted with one combinable aggregate (256 rows to the
+    driver), the bucket holding the R-th boundary found there, and a
+    rank window over ONLY that boundary bucket's rows; buckets above the
+    boundary take their +1 with no window at all. Degenerate remainder
+    distributions (most hosts sharing one bucket) degrade the boundary
+    window toward the global sort — acceptable for the audit-sized
+    tables that shape implies, documented like the frontier's hot-host
+    caveat.
+    """
+    from . import precondition_filter, require_new_column
+
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    for col in ("budget", "_wsum", "_base", "_rem", "_rrk"):
+        require_new_column(hosts, col)
+    b = int(total_budget)
+    w = F.col(weight_col).cast("long")
+    guarded = precondition_filter(
+        hosts,
+        w.isNotNull() & (w >= 0) & ((b == 0) | (w <= (2**62) // max(b, 1))),
+        "allocate_crawl_budget precondition: weights must be non-negative "
+        f"integers with B*w inside int64 (B={b})",
+    )
+    guarded = precondition_filter(
+        guarded.withColumn(
+            "_hn", F.count("*").over(Window.partitionBy(host_col))
+        ),
+        F.col("_hn") == 1,
+        "allocate_crawl_budget precondition: one row per host — duplicate "
+        "host rows double-count their weight; aggregate upstream",
+    ).drop("_hn")
+    totals = guarded.agg(F.sum(w).alias("W")).first()
+    W = int(totals["W"] or 0)
+    if W <= 0:
+        raise ValueError(
+            "allocate_crawl_budget: total weight must be positive "
+            f"(got {W}) — apportioning zero mass is caller error"
+        )
+    base = F.expr(f"({b} * CAST({weight_col} AS BIGINT)) div {W}")
+    rem = F.expr(f"({b} * CAST({weight_col} AS BIGINT)) % {W}")
+    # 256 fixed remainder buckets (rem in [0, W)): the R-th-largest
+    # boundary is located from a 256-row combinable count, never a
+    # global sort (see docstring)
+    bucket = F.expr(f"(_rem * 256) div {W}")
+    with_parts = (
+        guarded.withColumn("_base", base)
+        .withColumn("_rem", rem)
+        .withColumn("_rbk", bucket)
+    )
+    agg = with_parts.agg(
+        F.sum("_base").alias("sb"), F.count("*").alias("n")
+    ).first()
+    leftover = b - int(agg["sb"] or 0)
+    out = with_parts
+    if leftover > 0:
+        counts = {
+            r["_rbk"]: r["c"]
+            for r in with_parts.groupBy("_rbk").agg(F.count("*").alias("c")).collect()
+        }
+        cum, q = 0, -1
+        for bk in sorted(counts, reverse=True):
+            if cum + counts[bk] >= leftover:
+                q = bk
+                break
+            cum += counts[bk]
+        # buckets above q: +1 outright (no rank consulted); bucket q:
+        # the PER-BUCKET rank (window partitioned by bucket — 256
+        # independent in-partition sorts, never one global reducer) is
+        # exactly the rank among bucket-q rows
+        in_q = F.col("_rbk") == q
+        rrk = F.row_number().over(
+            Window.partitionBy("_rbk").orderBy(
+                F.col("_rem").desc(), F.col(host_col).asc()
+            )
+        )
+        need = leftover - cum
+        out = out.withColumn("_rrk", rrk).withColumn(
+            "_plus",
+            F.when(F.col("_rbk") > q, F.lit(1))
+            .when(in_q & (F.col("_rrk") <= need), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    else:
+        out = out.withColumn("_plus", F.lit(0)).withColumn("_rrk", F.lit(None))
+    out = out.withColumn(
+        "budget", F.col("_base") + F.col("_plus").cast("long")
+    ).drop("_base", "_rem", "_rbk", "_rrk", "_plus")
+    if cap_col is not None:
+        out = out.withColumn(
+            "budget", F.least(F.col("budget"), F.col(cap_col).cast("long"))
+        )
+    return out
