@@ -214,3 +214,29 @@ def test_budget_preconditions(spark):
             ),
             5,
         ).collect()
+
+
+def test_budget_cap_validation_and_overflow_guard(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from unravelsports_spark.operators.frontier import allocate_crawl_budget
+
+    neg_cap = spark.createDataFrame(
+        [("a", 1, -3), ("b", 1, None)], "host string, weight long, cap long"
+    )
+    with pytest.raises((PySparkException, Py4JJavaError), match="caps must be"):
+        allocate_crawl_budget(neg_cap, 2, cap_col="cap").collect()
+    # NULL cap = uncapped, documented semantic
+    ok = spark.createDataFrame(
+        [("a", 1, None)], "host string, weight long, cap long"
+    )
+    got = allocate_crawl_budget(ok, 3, cap_col="cap").collect()
+    assert got[0]["budget"] == 3
+    # huge-but-individually-legal weights trip the W bound loudly
+    huge = spark.createDataFrame(
+        [("a", 2**60), ("b", 2**60)], "host string, weight long"
+    )
+    with pytest.raises(ValueError, match="rescale weights"):
+        allocate_crawl_budget(huge, 2)

@@ -142,19 +142,26 @@ def allocate_crawl_budget(
     single-reduce the whole hosts table, so the leftover units land via
     the t_shard_manifest two-level pattern — 256 fixed remainder
     buckets counted with one combinable aggregate (256 rows to the
-    driver), the bucket holding the R-th boundary found there, and a
-    rank window over ONLY that boundary bucket's rows; buckets above the
-    boundary take their +1 with no window at all. Degenerate remainder
-    distributions (most hosts sharing one bucket) degrade the boundary
-    window toward the global sort — acceptable for the audit-sized
-    tables that shape implies, documented like the frontier's hot-host
-    caveat.
+    driver), the bucket holding the R-th boundary found there, and the
+    rank read from a window PARTITIONED BY BUCKET (256 independent
+    in-partition sorts — every bucket still sorts its own rows, but no
+    single reducer ever sees the table); buckets above the boundary
+    take their +1 with no rank consulted. A degenerate remainder
+    distribution (most hosts in one bucket) concentrates that bucket's
+    sort in one partition — the frontier's hot-host caveat, documented
+    not hidden. Weight totals are bounded to 2⁵⁵ (loud) so the bucket
+    arithmetic stays inside int64.
     """
+    from ..cache import tracked_persist
     from . import precondition_filter, require_new_column
 
     if total_budget < 0:
         raise ValueError(f"total_budget must be >= 0, got {total_budget}")
-    for col in ("budget", "_wsum", "_base", "_rem", "_rrk"):
+    # every temp actually created below is guarded (r14 review-3 #1: the
+    # first list checked a never-created '_wsum' and missed three real
+    # temps, the exact silent-overwrite class require_new_column exists
+    # to make loud)
+    for col in ("budget", "_base", "_rem", "_rbk", "_rrk", "_plus", "_hn"):
         require_new_column(hosts, col)
     b = int(total_budget)
     w = F.col(weight_col).cast("long")
@@ -164,6 +171,16 @@ def allocate_crawl_budget(
         "allocate_crawl_budget precondition: weights must be non-negative "
         f"integers with B*w inside int64 (B={b})",
     )
+    if cap_col is not None:
+        # a negative cap would emit a negative fetch quota; NULL cap =
+        # uncapped is the DOCUMENTED semantic (least() skips NULLs), so
+        # only genuinely negative values trip (r14 review-3 #3)
+        guarded = precondition_filter(
+            guarded,
+            F.col(cap_col).isNull() | (F.col(cap_col) >= 0),
+            "allocate_crawl_budget precondition: caps must be "
+            "non-negative (NULL = uncapped)",
+        )
     guarded = precondition_filter(
         guarded.withColumn(
             "_hn", F.count("*").over(Window.partitionBy(host_col))
@@ -172,12 +189,28 @@ def allocate_crawl_budget(
         "allocate_crawl_budget precondition: one row per host — duplicate "
         "host rows double-count their weight; aggregate upstream",
     ).drop("_hn")
+    # persisted: the totals/bucket collects below AND the caller's
+    # consumption all read this frame — without it every action re-scans
+    # the input and re-runs the tripwire window, and a nondeterministic
+    # source could diverge between the driver's W snapshot and the final
+    # plan (r14 review-3 #4); released at the usual query boundary
+    guarded = tracked_persist(guarded)
     totals = guarded.agg(F.sum(w).alias("W")).first()
     W = int(totals["W"] or 0)
     if W <= 0:
         raise ValueError(
             "allocate_crawl_budget: total weight must be positive "
             f"(got {W}) — apportioning zero mass is caller error"
+        )
+    if W > (2**55):
+        # the bucket expression multiplies remainders (< W) by 256; the
+        # per-host tripwire bounds B*w but not the TOTAL (r14 review-3
+        # #2: three huge legal weights overflowed _rem*256 negative and
+        # silently misrouted the leftover units). Scale weights down —
+        # ppm-style measures keep W far below this.
+        raise ValueError(
+            f"allocate_crawl_budget: total weight {W} > 2^55 — the "
+            "remainder bucketing would overflow int64; rescale weights"
         )
     base = F.expr(f"({b} * CAST({weight_col} AS BIGINT)) div {W}")
     rem = F.expr(f"({b} * CAST({weight_col} AS BIGINT)) % {W}")
@@ -190,26 +223,26 @@ def allocate_crawl_budget(
         .withColumn("_rem", rem)
         .withColumn("_rbk", bucket)
     )
-    agg = with_parts.agg(
-        F.sum("_base").alias("sb"), F.count("*").alias("n")
-    ).first()
-    leftover = b - int(agg["sb"] or 0)
+    # ONE combinable pass yields both the leftover and the bucket counts
+    # (r14 review-3 #5: separate agg + groupBy actions scanned twice)
+    stats = with_parts.groupBy("_rbk").agg(
+        F.count("*").alias("c"), F.sum("_base").alias("sb")
+    ).collect()
+    leftover = b - sum(int(r["sb"] or 0) for r in stats)
     out = with_parts
     if leftover > 0:
-        counts = {
-            r["_rbk"]: r["c"]
-            for r in with_parts.groupBy("_rbk").agg(F.count("*").alias("c")).collect()
-        }
+        counts = {r["_rbk"]: r["c"] for r in stats}
         cum, q = 0, -1
         for bk in sorted(counts, reverse=True):
             if cum + counts[bk] >= leftover:
                 q = bk
                 break
             cum += counts[bk]
-        # buckets above q: +1 outright (no rank consulted); bucket q:
-        # the PER-BUCKET rank (window partitioned by bucket — 256
-        # independent in-partition sorts, never one global reducer) is
-        # exactly the rank among bucket-q rows
+        # buckets above q take their +1 with no rank consulted; bucket
+        # q's rank comes from a window PARTITIONED BY BUCKET — 256
+        # independent in-partition sorts (the point: no single global
+        # reducer), though every bucket's rows do sort within their
+        # partition; only bucket q's ranks are read
         in_q = F.col("_rbk") == q
         rrk = F.row_number().over(
             Window.partitionBy("_rbk").orderBy(
@@ -224,7 +257,7 @@ def allocate_crawl_budget(
             .otherwise(F.lit(0)),
         )
     else:
-        out = out.withColumn("_plus", F.lit(0)).withColumn("_rrk", F.lit(None))
+        out = out.withColumn("_plus", F.lit(0))
     out = out.withColumn(
         "budget", F.col("_base") + F.col("_plus").cast("long")
     ).drop("_base", "_rem", "_rbk", "_rrk", "_plus")
