@@ -222,3 +222,36 @@ def test_reliable_checkpoint_variants_match_default(spark, tmp_path):
     kc_default = [tuple(r) for r in kcore_peel(df, k=2, rounds=3).collect()]
     kc_reliable = [tuple(r) for r in kcore_peel(df, k=2, rounds=3, reliable=True).collect()]
     assert kc_reliable == kc_default
+
+
+@pytest.mark.parametrize("seed,n,m", [(11, 25, 20), (12, 40, 60), (13, 12, 40)])
+def test_star_round_equals_composed_stars(spark, seed, n, m):
+    """r14 optimization guard: the fused one-round kernel (_star_round over
+    the canonical edge form) is SET-identical to the composed
+    _small_star(_large_star(sym)) it replaced — per round, not just at the
+    fixed point."""
+    from unravelsports_spark.operators.components import (
+        _canon,
+        _large_star,
+        _small_star,
+        _star_round,
+        _sym,
+    )
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fused = _canon(df)
+    composed = _sym(df)
+    # materialize each round exactly as connected_components does — both
+    # star forms reference their input ~4x per round, so an unmaterialized
+    # 3-round chain grows the plan ~4^6-fold and measures the planner, not
+    # the kernel
+    for _ in range(3):
+        fused = _star_round(fused).localCheckpoint(eager=True)
+        composed = _small_star(_large_star(composed)).localCheckpoint(eager=True)
+        got = sorted(map(tuple, fused.collect()))
+        want = sorted(map(tuple, composed.collect()))
+        assert got == want
+        # the fused round's output keeps the canonical invariant it relies on
+        assert all(s > d for s, d in got)

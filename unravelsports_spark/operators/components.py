@@ -68,6 +68,87 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
+def _sym_partitioned(pairs: DataFrame, src: str, dst: str, key: str) -> DataFrame:
+    """Symmetric distinct edge set laid out for an iterated consumer:
+    hash-partitioned on ``key`` (src or dst) with a PINNED partition count
+    (spark.sql.shuffle.partitions — scale-adaptive config, not a constant).
+
+    The layout is free (guide §2.4): the symmetrize dedup needs one
+    exchange anyway, and hash(key) satisfies the (src, dst) dedup
+    clustering, so repartition + dropDuplicates replaces distinct's own
+    exchange instead of adding one. The count is pinned because an
+    AQE-coalescible exchange would cache the table at whatever width AQE
+    picked at build time, and a later iteration join against a
+    differently-numbered side would re-shuffle the EDGE side — exactly the
+    per-iteration full-edge shuffle this layout exists to remove; pinning
+    keeps the cached width equal to every aggregation's width so the
+    node-sized side is the only thing that can move (the
+    repartition_for_kernel trade, session.py)."""
+    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    raw = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        raw.unionByName(rev)
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(n, F.col(key))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical directed form: one distinct (src, dst) row per undirected
+    edge with src > dst, self-loops dropped. Half the rows of the symmetric
+    form — the loop invariant of :func:`_star_round`."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest(F.col("src"), F.col("dst")).alias("src"),
+            F.least(F.col("src"), F.col("dst")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round over a CANONICAL edge set
+    (src > dst, distinct) — set-identical to
+    ``_small_star(_large_star(sym))`` (property-tested head-to-head) with
+    the shuffles the composed form pays between the steps removed
+    (optimization guide §2.4):
+
+    - the symmetric neighbor table is ``E ∪ rev(E)`` with NO distinct: the
+      two branches are disjoint by the src>dst invariant (a shuffle saved);
+    - large-star output always has src > dst, so small-star's
+      re-symmetrize + filter + distinct is the identity on it and is
+      dropped entirely (two more shuffles saved); its duplicates are
+      harmless — min() is duplicate-insensitive and the round ends in the
+      distinct both stars previously paid separately;
+    - each star's neighbor table is hash-repartitioned on its key ONCE
+      (AQE-coalescible: no pinned partition count) and feeds both the
+      min-aggregation and the join from the same exchange, instead of
+      shuffling once for the partial-agg and again for the join side.
+
+    Net plan: 3 exchanges per round (nbr by src, large-star output by its
+    src, final distinct) vs 8 for the composed form."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nbr = edges.unionByName(rev).repartition(F.col("src"))
+    m = nbr.groupBy("src").agg(F.min(F.least(F.col("dst"), F.col("src"))).alias("m"))
+    large = (
+        nbr.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .repartition(F.col("src"))
+    )
+    m2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        large.join(m2, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(m2.select(F.col("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -82,13 +163,24 @@ def connected_components(
     :func:`_materialize`)."""
     edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # materialize each round: truncates the exponentially-growing lineage
-    # (the standard pattern for iterative DataFrame algorithms)
-    edges = _materialize(_sym(edges), reliable)
+    # (the standard pattern for iterative DataFrame algorithms). The loop
+    # carries the CANONICAL half-sized form; each round re-symmetrizes
+    # with a shuffle-free union (see _star_round).
+    edges = _materialize(_canon(edges), reliable)
     for _ in range(max_iter):
-        edges = _materialize(_small_star(_large_star(edges)), reliable)
-        # converged when the edge set is a star forest: no dst is also a src
-        heads = edges.select(F.col("dst").alias("src")).distinct()
-        if edges.join(heads, "src", "left_semi").isEmpty():
+        edges = _materialize(_star_round(edges), reliable)
+        # converged when the edge set is a star forest: no dst is also a
+        # src. One map-side-combinable aggregation over the materialized
+        # round (single exchange) instead of the distinct + semi-join form.
+        roles = edges.select(F.col("src").alias("n"), F.lit(1).alias("r")).unionByName(
+            edges.select(F.col("dst").alias("n"), F.lit(2).alias("r"))
+        )
+        both = (
+            roles.groupBy("n")
+            .agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
+            .filter((F.col("lo") == 1) & (F.col("hi") == 2))
+        )
+        if both.isEmpty():
             break
     return edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
 
@@ -123,9 +215,17 @@ def pagerank(
     # corpus scale) runs once — the n_nodes count below materializes them.
     # tracked_persist registers them for cache.release_tracked() cleanup
     # after the caller consumes the rank table.
-    edges = tracked_persist(
-        _sym(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    )
+    # The persisted edge table is hash-partitioned on src: every iteration's
+    # contribution join and the degree aggregation key on src, so the cached
+    # layout already satisfies their distributions and only the rank side
+    # (node-sized, not edge-sized) can ever move per iteration — previously
+    # the distinct left the cache partitioned on (src, dst) and a non-
+    # broadcast plan re-shuffled the full edge set each round. The layout is
+    # FREE: the symmetrize dedup itself needs one exchange anyway, and
+    # hash(src) satisfies the (src, dst) dedup clustering (guide §2.4: two
+    # operations keyed the same way share one exchange), so repartition +
+    # dropDuplicates replaces distinct's own exchange instead of adding one.
+    edges = tracked_persist(_sym_partitioned(pairs, src, dst, key="src"))
     deg = tracked_persist(edges.groupBy("src").agg(F.count("*").alias("deg")))
     n_nodes = deg.count()  # scalar; the node table itself never leaves executors
     ranks = deg.select(
@@ -252,16 +352,26 @@ def label_propagation(
     integers."""
     from ..cache import tracked_persist
 
-    edges = tracked_persist(
-        _sym(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    )
+    # Partition the persisted edge table on dst — the key every iteration's
+    # label join probes — so the cached layout satisfies the join
+    # distribution and only the node-sized label table can move per round.
+    # Free like the pagerank layout above: repartition + dropDuplicates
+    # share the one exchange the symmetrize dedup pays anyway (guide §2.4).
+    edges = tracked_persist(_sym_partitioned(pairs, src, dst, key="dst"))
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
     for _ in range(iters):
-        votes = edges.join(
-            labels, edges.dst == labels.id
-        ).select(edges.src.alias("id"), "label")
+        # one exchange per round: votes move to their node once; hash
+        # partitioning on id alone satisfies the (id, label) clustering of
+        # the vote count AND the (id) clustering of the argmax, so both
+        # aggregations run exchange-free on top of it (previously the
+        # (id, label) agg and the (id) agg each shuffled).
+        votes = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(edges.src.alias("id"), "label")
+            .repartition(F.col("id"))
+        )
         counted = votes.groupBy("id", "label").agg(F.count("*").alias("cnt"))
         labels = counted.groupBy("id").agg(
             F.max_by(
