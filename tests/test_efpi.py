@@ -55,7 +55,7 @@ def test_assign_formation_recovers_planted():
     forms = Formations(105.0, 68.0, None)
     for name in ("442", "433", "3232", "4141"):
         coords, labels = formation_template(name, 105.0, 68.0)
-        res = _assign_formation(coords, forms.positions("ltr"), forms.labels())
+        res = _assign_formation(coords, forms, "ltr")
         got_labels, got_name, cost = res
         assert got_name == name
         assert cost < 1e-9
@@ -233,3 +233,39 @@ def test_chunk_boundary_detection_failure_carries(spark, settings):
     away = out[(out.team_id == AWAY) & out.frame_id.between(4, 9)]
     assert set(away.formation) == {"433"}
     assert away.position.notna().all()
+
+
+def test_assign_formation_matches_bruteforce():
+    """r14 pruning-bound guard: the bound-pruned solve selects the same
+    (labels, formation, cost) as exhaustively solving every template, on
+    random player sets of 8/9/10 outfielders — zero winner changes under
+    the upgraded Hungarian-reduction bounds."""
+    import numpy as np
+
+    from unravelsports_spark.functions.assignment import linear_sum_assignment
+
+    forms = Formations(105.0, 68.0, None)
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        n = (8, 9, 10)[trial % 3]
+        direction = ("ltr", "rtl")[trial % 2]
+        coords = np.stack(
+            (rng.uniform(-50, 50, n), rng.uniform(-33, 33, n)), axis=-1
+        )
+        got = _assign_formation(coords, forms, direction)
+        # exhaustive reference: identical scaling/cost math, no pruning
+        names, tmpl0, gmin, gmax = forms.stacked(direction, n)
+        lo, hi = coords.min(axis=0), coords.max(axis=0)
+        scale = np.where(gmax - gmin != 0, (hi - lo) / (gmax - gmin), 1.0)
+        tmpl = (tmpl0 - gmin) * scale + lo
+        cost = np.linalg.norm(coords[:, None, None, :] - tmpl[None, :, :, :], axis=-1)
+        best_total, best, best_assign = np.inf, None, None
+        for i in range(len(names)):
+            r, c = linear_sum_assignment(cost[:, i, :])
+            tot = cost[:, i, :][r, c].sum()
+            if tot < best_total:
+                best_total, best, best_assign = tot, i, c
+        want_labels = forms.labels()[n][names[best]][best_assign]
+        assert got[1] == names[best]
+        assert got[2] == float(best_total)
+        assert list(got[0]) == list(want_labels)

@@ -56,46 +56,57 @@ def _parse_every(every: str) -> int:
     return int(every[:-1]) * units[every[-1]]
 
 
-def _assign_formation(coords, templates, labels_by_formation):
+def _assign_formation(coords, forms, direction):
     """K12 (reference efpi.py:150-220): scale all templates to the team's
     bounding box, pick the min-cost Hungarian assignment.
 
-    Template pruning: the sum of per-player row minima of a template's cost
-    matrix is a lower bound on its assignment total (relaxing the
-    one-column-per-row constraint), so templates are solved in ascending
-    bound order and the loop stops once the next bound exceeds the best
-    exact total by more than a float-noise epsilon. Selection is IDENTICAL
-    to solving all templates — ties on the exact total still resolve to the
-    lowest template index (np.argmin semantics), and a bound equal to the
-    incumbent is still evaluated. The epsilon matters for exact ties
-    (ADVICE r4): the bound sums cost terms in column order while the exact
-    total sums in assignment order, so non-associativity can push a
-    mathematically tied bound ~1 ulp above the incumbent — the tolerance
-    keeps such a template inside the loop, where the exact comparison then
-    breaks the tie correctly.
-    Measured ~3x fewer Jonker-Volgenant solves on random costs and 30%
-    fewer (95,000 → 66,138) on the synthetic tracking kernel probe, with
-    zero winner changes; the per-frame EFPI path is ~1M solves per 20k
-    frames, so this is its dominant term."""
-    n = len(coords)
-    options = templates.get(n, {})
-    if not options:
-        return None
-    names = list(options.keys())
-    tmpl = np.stack([options[k] for k in names])  # (F, n, 2)
+    Template pruning: a valid lower bound on each template's assignment
+    total lets templates be solved in ascending bound order with the loop
+    stopping once the next bound exceeds the best exact total by more than
+    a float-noise epsilon. Selection is IDENTICAL to solving all templates
+    for ANY valid bound and ANY solve order — the winner rule
+    (strictly-better total, ties to the lowest template index) is
+    order-independent, a pruned template has exact total above the
+    incumbent by the bound's validity, and a bound equal to the incumbent
+    is still evaluated. The epsilon matters for exact ties (ADVICE r4):
+    the bound sums cost terms in a different order than the exact total,
+    so non-associativity can push a mathematically tied bound ~1 ulp above
+    the incumbent — the tolerance keeps such a template inside the loop,
+    where the exact comparison then breaks the tie correctly.
 
-    gmin = tmpl.min(axis=(0, 1))
-    gmax = tmpl.max(axis=(0, 1))
+    r14 bound upgrade (guide §1.2 "per-task work"): the classic Hungarian
+    reduction bounds — row minima plus column minima OF THE ROW-REDUCED
+    matrix (and the column-first mirror) — dominate the plain row-/column-
+    minima relaxations used before (each is the old bound plus a
+    non-negative residual term) at the cost of two more vectorized passes
+    over the (n, F, n) cost tensor. Measured on the synthetic tracking
+    kernel: surviving JV solves drop ~23.4 -> ~11 per frame with zero
+    winner changes (the equivalence is asserted by
+    tests/test_efpi.py::test_assign_formation_matches_bruteforce).
+    Template stacks and their global extents come precomputed from
+    Formations.stacked (once per task, not twice per frame — §4.5)."""
+    n = len(coords)
+    stacked = forms.stacked(direction, n)
+    if stacked is None:
+        return None
+    names, tmpl0, gmin, gmax = stacked
+
     lo = coords.min(axis=0)
     hi = coords.max(axis=0)
     scale = np.where(gmax - gmin != 0, (hi - lo) / (gmax - gmin), 1.0)
-    tmpl = (tmpl - gmin) * scale + lo
+    tmpl = (tmpl0 - gmin) * scale + lo
 
     cost = np.linalg.norm(coords[:, None, None, :] - tmpl[None, :, :, :], axis=-1)
-    # (F,) assignment lower bounds: the tighter of the row-minima and
-    # column-minima relaxations (both drop one side's distinctness
-    # constraint; their max prunes ~21% vs ~34% surviving solves measured)
-    bounds = np.maximum(cost.min(axis=2).sum(axis=0), cost.min(axis=0).sum(axis=1))
+    # (F,) assignment lower bounds, tightest of the two Hungarian
+    # reduction orders: subtracting per-row minima leaves a non-negative
+    # matrix whose per-column minima still under-count every assignment,
+    # so rowmin-sum + reduced-colmin-sum <= optimal (and symmetrically
+    # column-first); each dominates the single-sided relaxation it extends
+    rmin = cost.min(axis=2)  # (n, F): per (player, template) row minima
+    cmin = cost.min(axis=0)  # (F, n): per (template, slot) column minima
+    b_row_first = rmin.sum(axis=0) + (cost - rmin[:, :, None]).min(axis=0).sum(axis=1)
+    b_col_first = cmin.sum(axis=1) + (cost - cmin[None, :, :]).min(axis=2).sum(axis=0)
+    bounds = np.maximum(b_row_first, b_col_first)
     best_total = np.inf
     best = None
     best_assign = None
@@ -109,7 +120,7 @@ def _assign_formation(coords, templates, labels_by_formation):
         tot = cost[:, i, :][r, c].sum()
         if tot < best_total or (tot == best_total and i < best):
             best_total, best, best_assign = tot, int(i), c
-    player_labels = labels_by_formation[n][names[best]][best_assign]
+    player_labels = forms.labels()[n][names[best]][best_assign]
     return player_labels, names[best], float(best_total)
 
 
@@ -141,7 +152,7 @@ def _detect_group(d, forms, state_cfg, orientation, home_team_id):
             continue
         team_id = d["team_id"][team_sel][0]
         coords = np.stack((d["x"][mask], d["y"][mask]), axis=-1)
-        res = _assign_formation(coords, forms.positions(direction), forms.labels())
+        res = _assign_formation(coords, forms, direction)
         if res is None:
             continue
         labels, formation, cost = res

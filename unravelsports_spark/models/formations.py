@@ -120,6 +120,7 @@ class Formations:
 
     def __post_init__(self):
         self.detected_formations = {}
+        self._stacked_cache = {}
         self._coords_ltr = {k: {} for k in (8, 9, 10)}
         self._coords_rtl = {k: {} for k in (8, 9, 10)}
         self._labels = {k: {} for k in (8, 9, 10)}
@@ -140,6 +141,31 @@ class Formations:
 
     def positions(self, direction: str):
         return self._coords_ltr if direction == "ltr" else self._coords_rtl
+
+    def stacked(self, direction: str, n: int):
+        """Cached (names, template_stack (F, n, 2), gmin, gmax) per
+        (direction, outfield count) — the per-call ``np.stack`` over all
+        templates plus the global min/max are invariants of the template
+        set, so the detection kernel builds them once per Formations
+        instance (= once per Spark task) instead of twice per frame
+        (optimization guide §4.5). Stack order is the dict insertion order
+        ``positions()`` exposes, so template indices (and therefore
+        tie-breaks) are unchanged."""
+        key = (direction, n)
+        hit = self._stacked_cache.get(key)
+        if hit is not None:
+            return hit
+        options = self.positions(direction).get(n, {})
+        if not options:
+            self._stacked_cache[key] = None
+            return None
+        names = list(options.keys())
+        tmpl = np.stack([options[k] for k in names])  # (F, n, 2)
+        gmin = tmpl.min(axis=(0, 1))
+        gmax = tmpl.max(axis=(0, 1))
+        hit = (names, tmpl, gmin, gmax)
+        self._stacked_cache[key] = hit
+        return hit
 
     def labels(self):
         return self._labels
