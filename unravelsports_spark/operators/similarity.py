@@ -316,7 +316,7 @@ def _sign_lsh_keys(e, planes, n_tables, bits_per_table, v_col="v", id_col="vec_i
                     p = P[t * bits_per_table + i]
                     acc = np.zeros(n)
                     for d in range(V.shape[1]):
-                        acc = acc + V[:, d] * p[d]
+                        acc += V[:, d] * p[d]
                     bucket |= (acc > 0).astype(np.int64) << i
                 frames.append(
                     pd.DataFrame(
@@ -361,7 +361,7 @@ def _sign_lsh_bev(e, planes, n_tables, bits_per_table, v_col="v", id_col="vec_id
             V = np.stack([np.asarray(v, dtype=float) for v in pdf[v_col]])
             n2 = np.zeros(n)
             for d in range(V.shape[1]):
-                n2 = n2 + V[:, d] * V[:, d]
+                n2 += V[:, d] * V[:, d]
             vlist = list(V)  # row views; reused across tables
             frames = []
             for t in range(n_tables):
@@ -370,7 +370,7 @@ def _sign_lsh_bev(e, planes, n_tables, bits_per_table, v_col="v", id_col="vec_id
                     p = P[t * bits_per_table + i]
                     acc = np.zeros(n)
                     for d in range(V.shape[1]):
-                        acc = acc + V[:, d] * p[d]
+                        acc += V[:, d] * p[d]
                     bucket |= (acc > 0).astype(np.int64) << i
                 frames.append(
                     pd.DataFrame(
@@ -421,13 +421,20 @@ def _cosine_vs_refs(e, refs, id_col="vec_id", v_col="v", ref_id_name="ref_id"):
             n = len(pdf)
             if n == 0:
                 continue
-            V = np.stack([np.asarray(v, dtype=float) for v in pdf[v_col]])
+            # C-level (n, dim) conversion; float32→float64 widening is
+            # exact, so values match the per-row np.asarray stack form
+            V = np.asarray(pdf[v_col].tolist(), dtype=float)
             n2v = np.zeros(n)
             acc = np.zeros((n, m))
+            tmp = np.empty((n, m))
             for d in range(dim):
                 col = V[:, d]
-                n2v = n2v + col * col
-                acc = acc + col[:, None] * R[:, d][None, :]
+                # in-place accumulate (r14): a + b elementwise in the same
+                # dim-ascending IEEE order as `acc = acc + ...`, without
+                # allocating a fresh (n, m) temporary per dimension
+                np.add(n2v, col * col, out=n2v)
+                np.multiply(col[:, None], R[:, d][None, :], out=tmp)
+                np.add(acc, tmp, out=acc)
             # Zero-norm guard (ADVICE r9 #3): a zero vector on either side
             # yields cosine 0.0, not NaN (NaN sorts ABOVE every real value
             # under Spark's DESC, polluting top-k). Non-zero pairs keep the
@@ -485,13 +492,17 @@ def _cosine_vs_queries_with_cell(e, queries, cents, id_col="vec_id", v_col="v"):
             n = len(pdf)
             if n == 0:
                 continue
-            V = np.stack([np.asarray(v, dtype=float) for v in pdf[v_col]])
+            # C-level conversion + in-place accumulation (r14): identical
+            # IEEE sequence as the allocating form — see _cosine_vs_refs
+            V = np.asarray(pdf[v_col].tolist(), dtype=float)
             n2v = np.zeros(n)
             acc = np.zeros((n, m))
+            tmp = np.empty((n, m))
             for d in range(dim):
                 col = V[:, d]
-                n2v = n2v + col * col
-                acc = acc + col[:, None] * R[:, d][None, :]
+                np.add(n2v, col * col, out=n2v)
+                np.multiply(col[:, None], R[:, d][None, :], out=tmp)
+                np.add(acc, tmp, out=acc)
             # Same zero-norm guard as _cosine_vs_refs (ADVICE r9 #3): a
             # zero-norm corpus vector gets cosine 0.0 against every ref and
             # a DETERMINISTIC lowest-id cell (argmax first-max over zeros)
@@ -581,7 +592,7 @@ def _allpairs_cosine_removed(ev, threshold, n_blocks=8):
             acc = np.zeros((e_ - s, n))
             for d in range(V.shape[1]):
                 col = V[:, d]
-                acc = acc + col[s:e_, None] * col[None, :]
+                acc += col[s:e_, None] * col[None, :]
             cos = acc / (sq[s:e_, None] * sq[None, :])
             mask = cos >= threshold
             if bi != bj:
@@ -659,7 +670,7 @@ def _bucket_cosine_removed(bev, threshold, group_cols=("tbl", "bucket"), new_col
             acc = np.zeros((e_ - s, n))
             for d in range(V.shape[1]):
                 col = V[:, d]
-                acc = acc + col[s:e_, None] * col[None, :]
+                acc += col[s:e_, None] * col[None, :]
             cos = acc / (sq[s:e_, None] * sq[None, :])
             mask = cos >= threshold
             bi, bj = np.where(mask)
