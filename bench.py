@@ -174,6 +174,8 @@ def main() -> None:
 
     n_jobs: dict[str, int] = {}
     for name in HEADLINE:
+        # label jobs per query (guide §1.5) so event logs / UI stay readable
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         timings[name] = round(time_df(lambda: QUERIES[name](spark, SF_DIR)), 4)
         release_tracked()  # drop per-query persisted intermediates
         # count the Spark jobs one timed run launches: broadcast-build chains
@@ -230,6 +232,7 @@ def main() -> None:
     settings = DefaultSettings(home_team_id=HOME, away_team_id=AWAY)
     gsettings = GraphSettings(home_team_id=HOME, away_team_id=AWAY)
 
+    spark.sparkContext.setJobDescription("bench:model_pressing_intensity")
     timings["model_pressing_intensity"] = round(
         time_df(
             lambda: PressingIntensity(tracking, settings)
@@ -238,10 +241,12 @@ def main() -> None:
         ),
         4,
     )
+    spark.sparkContext.setJobDescription("bench:model_graph_convert")
     timings["model_graph_convert"] = round(
         time_df(lambda: SoccerGraphConverter(tracking, gsettings).to_graph_frames()),
         4,
     )
+    spark.sparkContext.setJobDescription("bench:model_efpi_possession")
     timings["model_efpi_possession"] = round(
         time_df(lambda: QUERIES["m_efpi_possession"](spark, SF_DIR)), 4
     )
@@ -250,10 +255,12 @@ def main() -> None:
     # (template-bound pruning + list-based JV solver land here)
     from unravelsports_spark.models.efpi import EFPI
 
+    spark.sparkContext.setJobDescription("bench:model_efpi_frame")
     timings["model_efpi_frame"] = round(
         time_df(lambda: EFPI(tracking, settings).fit(every="frame").output), 4
     )
 
+    spark.sparkContext.setJobDescription(None)
     total = round(sum(timings.values()), 4)
     oracle_total = round(sum(oracle_sec.values()), 4)
     spark_oracle_total = round(sum(timings[n] for n in oracle_sec), 4)
