@@ -273,9 +273,12 @@ def kcore_peel(
     unrolled-iteration pagerank/LPA oracles).
 
     Scale shape: per round one map-side-combinable degree aggregation
-    plus two semi-joins of the edge list against the surviving node set
-    — all partitioned by node id, so a cluster co-partitions once and
-    reuses the exchange across rounds. Each round's edge set is
+    (which also yields the round's survivor-curve row: n_nodes = |deg|,
+    n_edges = sum(deg) div 2 on the symmetric set) plus two semi-joins of
+    the edge list against ONE shared surviving-node subtree — the second
+    filter reuses the first's exchange/broadcast because the symmetric
+    edge set lets the dst filter run as a src filter on the
+    column-swapped (set-identical) table. Each round's edge set is
     MATERIALIZED eagerly (localCheckpoint, the connected_components
     pattern): it feeds the next round AND its own count branch in the
     final union, and union children share no common subplan — with lazy
@@ -302,27 +305,39 @@ def kcore_peel(
     )
     counts = []
     for i in range(rounds + 1):
+        # One degree table per round serves BOTH the survivor curve and the
+        # peel (guide §2.4): on the symmetric self-loop-free edge set,
+        # n_nodes = |deg| and n_edges = sum(deg) div 2 exactly (every
+        # undirected edge contributes 2 to the degree total), replacing the
+        # old count_distinct + count(src < dst) full-edge aggregation with a
+        # rollup of the node-sized table the peel needs anyway.
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         counts.append(
-            edges.agg(
+            deg.agg(
                 F.lit(i).cast("int").alias("round"),
-                F.count_distinct("src").alias("n_nodes"),
-                F.count(F.when(F.col("src") < F.col("dst"), 1)).alias("n_edges"),
+                F.count("*").alias("n_nodes"),
+                # sum() is NULL on a fully-peeled (empty) round; the old
+                # count() form yielded 0 there — keep that contract.
+                F.coalesce(F.expr("sum(deg) div 2"), F.lit(0).cast("long")).alias(
+                    "n_edges"
+                ),
             ).select("round", "n_nodes", "n_edges")
         )
         if i == rounds:
             break
-        keep = (
-            edges.groupBy("src")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("src")
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        # Both endpoint filters run against the SAME keep subtree: filter on
+        # src, swap the columns (a free projection — the edge set is
+        # symmetric, so the swapped set is the same set), filter on src
+        # again. The old form joined keep once on src and a renamed copy on
+        # dst — two distinct broadcast subtrees, so keep was aggregated and
+        # broadcast twice per round; now the second join reuses the first
+        # exchange (ReusedExchange / one shuffle of the node set at scale).
+        keep_src = edges.join(keep, "src", "left_semi")
+        swapped = keep_src.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-        edges = _materialize(
-            edges.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .select("src", "dst"),
-            reliable,
-        )
+        edges = _materialize(swapped.join(keep, "src", "left_semi"), reliable)
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
