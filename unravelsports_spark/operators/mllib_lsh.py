@@ -85,6 +85,13 @@ def minhash_similarity_join(
     candidate blowup among empty docs at crawl scale (ADVICE r6)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    from ..session import widen_narrow_scan
+
+    # the gram transform + HashingTF + minhash UDF chain is CPU-bound per
+    # row; a single-split scan would serialize it on one task (no-op on a
+    # wide cluster scan)
+    df = widen_narrow_scan(df)
+
     t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     idx = F.when(
         F.size(t) >= shingle_n, F.sequence(F.lit(0), F.size(t) - shingle_n)

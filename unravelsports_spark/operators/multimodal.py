@@ -583,6 +583,12 @@ def audio_spectral_features(df: DataFrame, payload_col: str = "payload") -> Data
     return df.mapInPandas(run, schema)
 
 
+#: per-size DCT basis memo (same worker-process lifetime discipline as
+#: _MEL_FB_CACHE): image_phash calls _dct2 once per IMAGE — rebuilding the
+#: 32x32 cosine basis per call was ~40% of the DCT step
+_DCT_BASIS_CACHE: dict[int, "np.ndarray"] = {}
+
+
 def _dct2(block: np.ndarray) -> np.ndarray:
     """Orthonormal 2-D DCT-II via explicit cosine basis matmuls (numpy
     only — scipy.fft.dctn is not in this container). For an N-point DCT:
@@ -591,12 +597,15 @@ def _dct2(block: np.ndarray) -> np.ndarray:
     n, m = block.shape
 
     def basis(N: int) -> np.ndarray:
+        cached = _DCT_BASIS_CACHE.get(N)
+        if cached is not None:
+            return cached
         k = np.arange(N).reshape(-1, 1)
         x = np.arange(N).reshape(1, -1)
         c = np.cos(np.pi * (2 * x + 1) * k / (2 * N))
         c[0] *= np.sqrt(1.0 / N)
         c[1:] *= np.sqrt(2.0 / N)
-        return c
+        return _DCT_BASIS_CACHE.setdefault(N, c)
 
     return basis(n) @ block @ basis(m).T
 

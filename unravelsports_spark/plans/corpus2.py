@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..operators.sampling import PPM, mixture_rates, sample_mixture
 from ..operators.similarity import with_nearest_centroid
 from ..operators.vocab import tfidf_terms, vocab_topk
-from ..session import read_table
+from ..session import read_table, widen_narrow_scan
 from .relational import dec, dsum, query
 
 _TOK = r"regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -297,7 +297,13 @@ def mm_video_real(spark, sf_dir):
     from ..functions.jpegcodec import encode_jpeg
     from ..operators.multimodal import sample_avi_frames
 
-    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0).select("doc_id")
+    # the per-row AVI synth + frame resample below is CPU-bound Python; a
+    # sub-4MB documents scan is ONE split, which would serialize the whole
+    # kernel on a single task (guide §2: spread CPU-bound stages; no-op on
+    # a wide cluster scan)
+    d = widen_narrow_scan(
+        read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0).select("doc_id")
+    )
 
     def build(batches):
         import numpy as np

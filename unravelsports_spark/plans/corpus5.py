@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..session import read_table
+from ..session import read_table, widen_narrow_scan
 from .relational import ORACLE_SQL, query, scaled_units
 
 # ---------------------------------------------------------------------------
@@ -202,7 +202,9 @@ def mm_audio_spectral(spark, sf_dir):
     from ..functions.audiocodec import encode_wav
     from ..operators.multimodal import audio_spectral_features
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound codec/DSP kernel over a single-split scan: widen so the
+    # Arrow pass parallelizes (no-op on a wide cluster scan)
+    docs = widen_narrow_scan(read_table(spark, sf_dir, "documents").select("doc_id"))
     rate = 2000
 
     def synth(batches):
@@ -251,7 +253,9 @@ def mm_image_phash(spark, sf_dir):
     from ..functions.imagecodec import encode_png
     from ..operators.multimodal import image_phash
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound codec/DSP kernel over a single-split scan: widen so the
+    # Arrow pass parallelizes (no-op on a wide cluster scan)
+    docs = widen_narrow_scan(read_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..session import read_table
+from ..session import read_table, widen_narrow_scan
 from .relational import ORACLE_SQL, query
 
 # ---------------------------------------------------------------------------
@@ -142,7 +142,9 @@ def mm_audio_mfcc(spark, sf_dir):
     from ..functions.audiocodec import encode_wav
     from ..operators.multimodal import audio_mfcc
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound WAV+MFCC kernel over a single-split scan: widen so the
+    # Arrow pass parallelizes (no-op on a wide cluster scan)
+    docs = widen_narrow_scan(read_table(spark, sf_dir, "documents").select("doc_id"))
     rate = 4000
 
     def synth(batches):

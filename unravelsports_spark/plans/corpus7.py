@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..session import read_table
+from ..session import read_table, widen_narrow_scan
 from .relational import ORACLE_SQL, query
 
 # ---------------------------------------------------------------------------
@@ -276,7 +276,9 @@ def mm_video_scene_cuts(spark, sf_dir):
 
     from ..operators.videoscene import scene_cuts
 
-    d = (
+    # CPU-bound codec kernel over a single-split scan: widen so the
+    # Arrow pass parallelizes (no-op on a wide cluster scan)
+    d = widen_narrow_scan(
         read_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 25 == 0)
         .select("doc_id")

@@ -28,7 +28,7 @@ from ..operators.text import (
     with_quality,
     with_token_count,
 )
-from ..session import read_table
+from ..session import read_table, widen_narrow_scan
 from .relational import ORACLE_SQL, QUERIES, dec, dsum, ms, query
 
 # ---------------------------------------------------------------------------
@@ -771,7 +771,7 @@ def mm_image_dhash_dedup(spark, sf_dir):
     from ..functions.imagecodec import encode_png
     from ..operators.multimodal import image_dhash
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_narrow_scan(read_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         import pandas as pd
