@@ -323,6 +323,37 @@ def test_pack_sequences_semantics(spark):
         pack_sequences(df, budget=0)
 
 
+def test_pack_sequences_two_level_equals_single_window(spark):
+    """The r14 two-level prefix sum (per-range local cumsum + bucket-offset
+    join) must reproduce the naive single-window bins exactly — including
+    ids spread over a wide sparse range so several buckets are non-empty,
+    multiple groups, and n_ranges exceeding the row count."""
+    import random
+
+    from unravelsports_spark.operators.packing import pack_sequences
+
+    rng = random.Random(7)
+    ids = sorted(rng.sample(range(0, 10_000_000), 400))
+    rows = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "source": [f"s{i % 3}" for i in range(400)],
+            "n_tokens": [rng.randrange(1, 900) for _ in range(400)],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    naive = {
+        (r.source, r.doc_id): r.bin
+        for r in pack_sequences(df, budget=1000, n_ranges=None).collect()
+    }
+    for n_ranges in (1, 7, 64, 1000):
+        got = {
+            (r.source, r.doc_id): r.bin
+            for r in pack_sequences(df, budget=1000, n_ranges=n_ranges).collect()
+        }
+        assert got == naive, n_ranges
+
+
 def test_approx_distinct_within_rsd(spark):
     """a9: HLL++ estimate within 5x rsd of the exact distinct count."""
     from unravelsports_spark.plans import QUERIES

@@ -644,3 +644,54 @@ def test_html_extract_jvm_projection_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+
+
+def test_w8_rank_levels_never_shuffle_rows(spark):
+    """w8_rank_distributions (r14): rank/percent_rank/cume_dist are computed
+    on the (group, price) LEVEL table — the row-sized side reaches the
+    output through a broadcast join and is never exchanged; the only hash
+    exchanges carry level partials / levels. Before the rewrite ONE exchange
+    funnelled every row onto the 3 l_returnflag reducers."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "w8_rank_distributions")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combine of the level counts
+    # both hash exchanges sit on the level aggregation, not the row scan:
+    # each Exchange's input is (l_returnflag, l_extendedprice[, _c]) wide,
+    # never the 4-column row projection with l_orderkey
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "l_orderkey" not in m.group(1), m.group(1)
+
+
+def test_w7_row_index_level_decomposition(spark):
+    """w7_row_index (r14): the global row_number runs as per-acctbal-level
+    offsets (bounded-domain level table through the single-reducer window)
+    plus a PARALLEL per-level row_number — no partition-less Window over the
+    row table."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "w7_row_index")
+    import re
+
+    # the SinglePartition exchange (feeding the global level window) must
+    # carry only the 2-column level aggregate, never supplier rows
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+        plan,
+    ):
+        assert "s_name" not in m.group(1) and "s_suppkey" not in m.group(1), m.group(1)
+    # the row-sized window is keyed by the level value → parallel
+    assert "windowspecdefinition(s_acctbal" in plan
+
+
+def test_sequence_packing_two_level_prefix_sum(spark):
+    """t_sequence_packing (r14): the per-source cumsum runs as the two-level
+    prefix sum — the corpus window is clustered by (source, _pkb) range
+    buckets (n_ranges × sources parallel partitions), not by the handful of
+    sources alone; the offset join is broadcast."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "t_sequence_packing")
+    assert "hashpartitioning(source#" in plan
+    assert "_pkb" in plan
+    assert "BroadcastHashJoin" in plan

@@ -11,8 +11,20 @@ truncated/continued by the tokenizer downstream), not bin packing — the
 greedy first-fit variant is inherently sequential and belongs in the
 tokenizer, not the engine.
 
-Skew note: one giant group serializes its window; pack per (source,
-shard) — any deterministic sub-key — when a single group exceeds ~10^8 docs.
+Scale shape (r14, guide §2.4/§2.5): ``by`` is typically LOW-cardinality
+(a handful of sources), so the naive one-window-per-group form funnels the
+whole corpus through a handful of reducers. Like
+:mod:`~unravelsports_spark.operators.sharding`, the cumsum therefore runs
+as a two-level prefix sum: ``n_ranges`` fixed integer ranges over the
+order column (boundaries from an exact 1-row min/max collect — the
+stats-literal discipline; range membership is pure bigint arithmetic, so
+bucket order IS order-column order), a per-(group, range) local cumsum
+(groups × n_ranges parallel window partitions), per-range totals
+prefix-summed by a window over the ≤ ``n_ranges``-row-per-group bucket
+table, and a join-back that AQE broadcasts. The decomposition is
+algebraically the same long sum — bit-identical bins — at the cost of one
+extra narrow-column pass for the bounds. Non-integral or absent order
+columns, ``n_ranges=None``, and empty inputs keep the single-window form.
 """
 
 from __future__ import annotations
@@ -22,6 +34,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
 
 def pack_sequences(
     df: DataFrame,
@@ -30,9 +44,57 @@ def pack_sequences(
     order_col: str = "doc_id",
     by: Sequence[str] = ("source",),
     out: str = "bin",
+    n_ranges: int | None = 64,
 ) -> DataFrame:
     if budget <= 0:
         raise ValueError("budget must be positive")
-    w = Window.partitionBy(*by).orderBy(order_col)
-    start = F.sum(token_col).over(w) - F.col(token_col)
-    return df.withColumn(out, F.floor(start / budget).cast("long"))
+    if n_ranges is not None and n_ranges <= 0:
+        raise ValueError("n_ranges must be positive or None")
+    if n_ranges is None or dict(df.dtypes).get(order_col) not in _INTEGRAL:
+        w = Window.partitionBy(*by).orderBy(order_col)
+        start = F.sum(token_col).over(w) - F.col(token_col)
+        return df.withColumn(out, F.floor(start / budget).cast("long"))
+
+    from ..cache import tracked_persist
+
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # empty input: nothing to decompose
+        w = Window.partitionBy(*by).orderBy(order_col)
+        start = F.sum(token_col).over(w) - F.col(token_col)
+        return df.withColumn(out, F.floor(start / budget).cast("long"))
+    lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
+    # (x - lo) ≤ span − 1, so the product stays far under 2^63 for any
+    # realistic id domain; `div` keeps it exact bigint end to end
+    d = tracked_persist(
+        df.withColumn(
+            "_pkb",
+            F.expr(
+                f"(CAST({order_col} AS BIGINT) - {lo}L) * {int(n_ranges)}L"
+                f" div {span}L"
+            ),
+        )
+    )
+    w_local = (
+        Window.partitionBy(*by, "_pkb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_off = (
+        Window.partitionBy(*by)
+        .orderBy("_pkb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (
+        d.groupBy(*by, "_pkb")
+        .agg(F.sum(token_col).cast("long").alias("_pkt"))
+        .withColumn("_pkoff", F.sum("_pkt").over(w_off) - F.col("_pkt"))
+        .select(*by, "_pkb", "_pkoff")
+    )
+    start = F.col("_pkoff") + F.sum(token_col).over(w_local) - F.col(token_col)
+    return (
+        d.join(off, [*by, "_pkb"])
+        .withColumn(out, F.floor(start / budget).cast("long"))
+        .drop("_pkb", "_pkoff")
+    )

@@ -943,10 +943,38 @@ def f3_math_ops(spark, sf_dir):
     """,
 )
 def w7_row_index(spark, sf_dir):
-    """W7 row index (utils.py:59-65) with a deterministic global ordering."""
+    """W7 row index (utils.py:59-65) with a deterministic global ordering.
+
+    r14 (guide §2.4/§2.5): a ``Window.orderBy`` with no partition pulls the
+    whole table through ONE reducer. Since ``rn`` over the total order
+    (acctbal DESC, suppkey) decomposes as (# rows with a strictly larger
+    acctbal) + (rank by suppkey within the acctbal tie-group), compute it
+    as: a map-side-combinable per-acctbal count, a cumulative window over
+    the acctbal LEVELS only (s_acctbal is a 2-decimal value in
+    [-999.99, 9999.99] — ≤ 1.1M levels at ANY scale factor, so the
+    single-reducer pass is domain-bounded, not data-bounded), and a
+    per-level row_number window (acctbal-keyed → parallel) after joining
+    the level offsets back (AQE broadcasts the level table). Pure integer
+    arithmetic over the identical total order — bit-identical rn."""
     s = read_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
-    return s.select("s_suppkey", "s_name", F.row_number().over(w).cast("long").alias("rn"))
+    lvl = s.groupBy("s_acctbal").agg(F.count("*").alias("_c"))
+    w_lvl = (
+        Window.orderBy(F.col("s_acctbal").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl = lvl.select(
+        "s_acctbal", (F.sum("_c").over(w_lvl) - F.col("_c")).alias("_off")
+    )
+    w_in = Window.partitionBy("s_acctbal").orderBy("s_suppkey")
+    return (
+        s.select("s_suppkey", "s_name", "s_acctbal")
+        .join(lvl, "s_acctbal")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_off") + F.row_number().over(w_in)).cast("long").alias("rn"),
+        )
+    )
 
 
 @query(

@@ -34,7 +34,17 @@ def o13_reservoir_sample(spark, sf_dir):
     """Deterministic per-key reservoir sample (engine addition §2.12): k=5
     rows per group chosen by content hash — reproducible across runs and
     shards, unlike rand()-based sampling. At scale this is one shuffle on
-    the group key; the hash order is computed map-side."""
+    the group key; the hash order is computed map-side.
+
+    Scale note (examined r14, left alone): although ``l_returnflag`` has
+    only 3 values, the filtered row_number window is NOT a 3-reducer
+    bottleneck — Spark 4's InferWindowGroupLimit plans a map-side
+    ``WindowGroupLimit … Partial`` BEFORE the exchange (see
+    plans/r14/o13_reservoir_sample_before.txt), so each map partition
+    ships only its local top-5 per group and the 3 reducers rank
+    ~5·P·groups candidate rows. A hand-written two-phase top-k was built,
+    verified hash-exact, measured — and reverted: it duplicated what the
+    optimizer already does and added a second exchange."""
     li = read_table(spark, sf_dir, "lineitem")
     key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -184,17 +194,46 @@ def w8_rank_distributions(spark, sf_dir):
     """Rank-based window distributions (W-family addition): percent_rank /
     cume_dist / rank are functions of the rank only, so ties don't make them
     nondeterministic (ntile would be); the divisions (rank-1)/(n-1) are
-    exact IEEE in both engines."""
+    exact IEEE in both engines.
+
+    r14 (guide §2.4/§2.5): all three functions depend only on the VALUE
+    distribution per group — rank = 1 + #rows with a strictly smaller
+    price, cume_dist counts peers inclusively — so the whole-table window
+    over the 3-value ``l_returnflag`` key (3 reducers sort everything at
+    scale) collapses to: one map-side-combinable (group, price) count, a
+    window over the price LEVELS only (level-table-sized, not row-sized),
+    and an equi-join back on (group, price) that AQE broadcasts when the
+    level table is small. The arithmetic reproduces the window functions
+    bit-for-bit: both engines evaluate (rank−1)/(n−1) and cum/n as double
+    divisions of exact integers, and the same integers divide here."""
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 2.0)
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    return li.select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-        F.rank().over(w).alias("rnk"),
+    lvl = li.groupBy("l_returnflag", "l_extendedprice").agg(F.count("*").alias("_c"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_grp = Window.partitionBy("l_returnflag")
+    lvl = (
+        lvl.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_n", F.sum("_c").over(w_grp))
+        .withColumn("rnk", (F.col("_cum") - F.col("_c") + 1).cast("int"))
+    )
+    lvl = lvl.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.when(
+            F.col("_n") > 1,
+            (F.col("rnk") - 1).cast("double") / (F.col("_n") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+        (F.col("_cum").cast("double") / F.col("_n").cast("double")).alias("cd"),
+        "rnk",
+    )
+    return li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice").join(
+        lvl, ["l_returnflag", "l_extendedprice"]
+    ).select("l_returnflag", "l_orderkey", "l_linenumber", "pr", "cd", "rnk")
 
 
 @query(
