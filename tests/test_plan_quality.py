@@ -596,13 +596,17 @@ def test_media_detectors_zero_shuffle_pruned_scan(spark):
     spark.catalog.clearCache()
     for name in ("mm_video_scene_cuts", "mm_audio_segments"):
         plan = plan_of(spark, name)
-        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
-        assert n_ex <= 1, name
-        if n_ex:
-            ex_inputs = re.findall(r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]", plan)
-            assert ex_inputs and ex_inputs[0][1] == re.match(
-                r"doc_id#\d+L", ex_inputs[0][1]
-            ).group(0), (name, ex_inputs)
+        # plan_of yields the TREE format (executedPlan().toString()), where
+        # exchanges print inline as "Exchange <partitioning>(...)" — the
+        # earlier "(n) Exchange" block regex matched the EXPLAIN FORMATTED
+        # style and was silently vacuous (r14 review finding)
+        ex_lines = re.findall(r"\bExchange \w+[^\n]*\n[^\w\n]*([^\n]*)", plan)
+        assert len(ex_lines) <= 1, (name, ex_lines)
+        for child in ex_lines:
+            # the one allowed exchange is the widen_narrow_scan round-robin
+            # BELOW the synth stage: its child must be the pruned doc_id
+            # scan, never a synthesized payload
+            assert "payload" not in child and "doc_id#" in child, (name, child)
         assert "ReadSchema: struct<doc_id:bigint>" in plan, name
         assert plan.count("MapInPandas") == 2, name  # synth + detector
 
@@ -656,13 +660,20 @@ def test_w8_rank_levels_never_shuffle_rows(spark):
     plan = plan_of(spark, "w8_rank_distributions")
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan  # map-side combine of the level counts
-    # both hash exchanges sit on the level aggregation, not the row scan:
-    # each Exchange's input is (l_returnflag, l_extendedprice[, _c]) wide,
-    # never the 4-column row projection with l_orderkey
+    # every hash-partitioned exchange sits directly on the level
+    # aggregation (tree format: the exchange's child line is a
+    # HashAggregate over (l_returnflag, l_extendedprice)), never on the
+    # row projection carrying l_orderkey — the pre-r14 plan's one exchange
+    # funnelled every row onto the 3 l_returnflag reducers
     import re
 
-    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
-        assert "l_orderkey" not in m.group(1), m.group(1)
+    ex_children = re.findall(
+        r"Exchange hashpartitioning\([^\n]*\n[^\w\n]*([^\n]*)", plan
+    )
+    assert ex_children, "expected the level-aggregation exchanges in the plan"
+    for child in ex_children:
+        assert child.startswith("HashAggregate"), child
+        assert "l_orderkey" not in child, child
 
 
 def test_w7_row_index_level_decomposition(spark):
@@ -675,12 +686,15 @@ def test_w7_row_index_level_decomposition(spark):
     import re
 
     # the SinglePartition exchange (feeding the global level window) must
-    # carry only the 2-column level aggregate, never supplier rows
-    for m in re.finditer(
-        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
-        plan,
-    ):
-        assert "s_name" not in m.group(1) and "s_suppkey" not in m.group(1), m.group(1)
+    # exist AND sit on the per-acctbal count aggregate (tree format: its
+    # child line is the level HashAggregate), never on supplier rows
+    sp_children = re.findall(
+        r"Exchange SinglePartition[^\n]*\n[^\w\n]*([^\n]*)", plan
+    )
+    assert sp_children, "expected the SinglePartition level-window Exchange"
+    for child in sp_children:
+        assert child.startswith("HashAggregate"), child
+        assert "s_name" not in child and "s_suppkey" not in child, child
     # the row-sized window is keyed by the level value → parallel
     assert "windowspecdefinition(s_acctbal" in plan
 

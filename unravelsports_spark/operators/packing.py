@@ -50,10 +50,14 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     if n_ranges is not None and n_ranges <= 0:
         raise ValueError("n_ranges must be positive or None")
-    if n_ranges is None or dict(df.dtypes).get(order_col) not in _INTEGRAL:
+
+    def naive() -> DataFrame:
         w = Window.partitionBy(*by).orderBy(order_col)
         start = F.sum(token_col).over(w) - F.col(token_col)
         return df.withColumn(out, F.floor(start / budget).cast("long"))
+
+    if n_ranges is None or dict(df.dtypes).get(order_col) not in _INTEGRAL:
+        return naive()
 
     from ..cache import tracked_persist
 
@@ -61,40 +65,56 @@ def pack_sequences(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()
     if bounds["lo"] is None:  # empty input: nothing to decompose
-        w = Window.partitionBy(*by).orderBy(order_col)
-        start = F.sum(token_col).over(w) - F.col(token_col)
-        return df.withColumn(out, F.floor(start / budget).cast("long"))
-    lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
-    # (x - lo) ≤ span − 1, so the product stays far under 2^63 for any
-    # realistic id domain; `div` keeps it exact bigint end to end
+        return naive()
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    if span > (1 << 62) or abs(lo) > (1 << 62):
+        # a full-64-bit id domain would overflow (x − lo) itself; such ids
+        # are hashes, not the dense ordering key this path targets — keep
+        # the naive form rather than risk silent non-ANSI wraparound
+        # (review finding, r14)
+        return naive()
+    # fixed-width ranges: width is computed driver-side in exact Python
+    # ints, and the per-row arithmetic is one guarded subtraction + `div`
+    # — no multiplication that could wrap for wide domains (review
+    # finding, r14: the earlier (x−lo)·n_ranges form overflowed for
+    # hash-sized ids). (span−1) div width ≤ n_ranges−1, and a NULL
+    # order value yields a NULL bucket, which sorts first in the offset
+    # window exactly as NULL order values sort first in the naive window.
+    width = max(1, -(-span // int(n_ranges)))
     d = tracked_persist(
         df.withColumn(
             "_pkb",
-            F.expr(
-                f"(CAST({order_col} AS BIGINT) - {lo}L) * {int(n_ranges)}L"
-                f" div {span}L"
-            ),
+            F.expr(f"(CAST({order_col} AS BIGINT) - {lo}L) div {width}L"),
         )
     )
-    w_local = (
-        Window.partitionBy(*by, "_pkb")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_off = (
-        Window.partitionBy(*by)
-        .orderBy("_pkb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # default (RANGE, peers-inclusive) frames on BOTH windows, matching the
+    # naive form bit-for-bit when order_col has duplicates: peers share a
+    # bucket (the bucket is a function of the order value), so the
+    # peers-inclusive local sum + prior-bucket offset IS the naive
+    # peers-inclusive global sum (review finding, r14: an explicit ROWS
+    # frame here diverged on ties and was order-nondeterministic)
+    w_local = Window.partitionBy(*by, "_pkb").orderBy(order_col)
+    w_off = Window.partitionBy(*by).orderBy("_pkb")
     off = (
         d.groupBy(*by, "_pkb")
         .agg(F.sum(token_col).cast("long").alias("_pkt"))
         .withColumn("_pkoff", F.sum("_pkt").over(w_off) - F.col("_pkt"))
-        .select(*by, "_pkb", "_pkoff")
+        .select(
+            *[F.col(c).alias(f"_pkg{i}") for i, c in enumerate(by)],
+            F.col("_pkb").alias("_pkbr"),
+            "_pkoff",
+        )
     )
+    # null-SAFE join keys: a NULL group key or NULL bucket must still find
+    # its offset row — a plain equi-join would silently drop those rows
+    # while the naive window keeps them (review finding, r14)
+    cond = F.col("_pkb").eqNullSafe(F.col("_pkbr"))
+    for i, c in enumerate(by):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_pkg{i}"))
     start = F.col("_pkoff") + F.sum(token_col).over(w_local) - F.col(token_col)
     return (
-        d.join(off, [*by, "_pkb"])
+        d.join(off, cond)
         .withColumn(out, F.floor(start / budget).cast("long"))
-        .drop("_pkb", "_pkoff")
+        .drop("_pkb", "_pkbr", "_pkoff", *[f"_pkg{i}" for i in range(len(by))])
     )
