@@ -47,6 +47,12 @@ def main() -> int:
     for name in names:
         got = canon(QUERIES[name](spark, SF_DIR))
         release_tracked()
+        if name not in ref:
+            # a typo'd or later-added name must FAIL this query and keep
+            # checking the rest, not abort the whole run with a KeyError
+            rc = 1
+            print(f"FAIL {name}: not present in snapshot {path}", flush=True)
+            continue
         ok = got == ref[name]
         if not ok:
             rc = 1

@@ -43,7 +43,9 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 — a sweep reports, never dies
             out.append((float("nan"), -1, f"{name} ERROR {repr(ex)[:120]}"))
         print(f". {name} {out[-1][0]:.2f}s {out[-1][1]}j", flush=True)
-    out.sort(reverse=True)
+    # NaN (errored queries) breaks sort transitivity and can displace real
+    # outliers from the top-N — key errored rows to -inf so they sink
+    out.sort(key=lambda r: r[0] if r[0] == r[0] else float("-inf"), reverse=True)
     print(f"\n=== top {top_n} by wall (1 run, warm) @ {SF_DIR} ===")
     for dt, nj, name in out[:top_n]:
         print(f"{dt:7.2f}s {nj:3d}j  {name}")
