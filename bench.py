@@ -303,8 +303,12 @@ def main() -> None:
     # (VERDICT r13 residual nit). Print a COMPACT line that fits the tail
     # (per-query spark seconds at 3 decimals + the aggregates; the four
     # per-query oracle-side dicts move to the detail files), and write the
-    # full dict both to the repo (BENCH_DETAIL.json, committed per round)
-    # and to $SPARK_GRAFT_BENCH_OUT.
+    # full dict to a PER-RUN file (VERDICT r14 #6: a fixed BENCH_DETAIL.json
+    # was rewritten in place by every run, so the driver's 8-cpu leg
+    # clobbered the builder's committed 32-cpu evidence) and to
+    # $SPARK_GRAFT_BENCH_OUT.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail_name = f"BENCH_DETAIL_c{cpus}_{int(time.time())}.json"
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -317,13 +321,13 @@ def main() -> None:
             "spark_oracle_subset_sec": spark_oracle_total,
             "agg_ratio_floor_adj": agg_ratio,
             "agg_ratio_jobs_adj": agg_ratio_jobs,
-            "detail": "BENCH_DETAIL.json",
+            "detail": detail_name,
         },
         separators=(",", ":"),
     )
     print(line)
     for out in (
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name),
         os.environ.get("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json"),
     ):
         try:

@@ -382,6 +382,30 @@ def test_pack_sequences_two_level_ties_and_nulls(spark):
         assert got == naive, n_ranges
 
 
+def test_pack_sequences_fractional_tokens_fall_back_to_naive(spark):
+    """ADVICE r14: a fractional token_col must NOT take the decomposed path
+    (its per-bucket totals are cast('long'), truncating, and regrouped
+    float addition is non-associative) — with n_ranges set it must still
+    reproduce the naive single-window bins exactly."""
+    from unravelsports_spark.operators.packing import pack_sequences
+
+    rows = [
+        (1, "a", 600.25), (2, "a", 600.25), (3, "a", 600.25),
+        (4, "b", 999.5), (5, "b", 0.75), (6, "b", 999.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens double")
+    naive = {
+        (r.source, r.doc_id): r.bin
+        for r in pack_sequences(df, budget=1000, n_ranges=None).collect()
+    }
+    for n_ranges in (1, 4, 64):
+        got = {
+            (r.source, r.doc_id): r.bin
+            for r in pack_sequences(df, budget=1000, n_ranges=n_ranges).collect()
+        }
+        assert got == naive, n_ranges
+
+
 def test_approx_distinct_within_rsd(spark):
     """a9: HLL++ estimate within 5x rsd of the exact distinct count."""
     from unravelsports_spark.plans import QUERIES

@@ -84,7 +84,13 @@ def _sym_partitioned(pairs: DataFrame, src: str, dst: str, key: str) -> DataFram
     keeps the cached width equal to every aggregation's width so the
     node-sized side is the only thing that can move (the
     repartition_for_kernel trade, session.py)."""
-    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # managed runtimes may set the conf non-numeric (e.g. "auto");
+        # fall back to the cluster-core default rather than crash here
+        # (ADVICE r14)
+        n = pairs.sparkSession.sparkContext.defaultParallelism
     raw = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (

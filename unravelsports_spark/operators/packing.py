@@ -56,7 +56,16 @@ def pack_sequences(
         start = F.sum(token_col).over(w) - F.col(token_col)
         return df.withColumn(out, F.floor(start / budget).cast("long"))
 
-    if n_ranges is None or dict(df.dtypes).get(order_col) not in _INTEGRAL:
+    dtypes = dict(df.dtypes)
+    if (
+        n_ranges is None
+        or dtypes.get(order_col) not in _INTEGRAL
+        # token_col must be integral too (ADVICE r14): the decomposed path
+        # casts per-bucket totals to long (truncating a fractional total)
+        # and regrouped float addition is non-associative — either would
+        # silently shift bins vs the naive single-window form
+        or dtypes.get(token_col) not in _INTEGRAL
+    ):
         return naive()
 
     from ..cache import tracked_persist
@@ -82,10 +91,14 @@ def pack_sequences(
     # order value yields a NULL bucket, which sorts first in the offset
     # window exactly as NULL order values sort first in the naive window.
     width = max(1, -(-span // int(n_ranges)))
+    # backtick-quote the identifier (ADVICE r14): a column name with spaces,
+    # dots or hyphens would otherwise fail to parse on this fast path while
+    # the naive Column-API path would have worked
+    qcol = "`" + order_col.replace("`", "``") + "`"
     d = tracked_persist(
         df.withColumn(
             "_pkb",
-            F.expr(f"(CAST({order_col} AS BIGINT) - {lo}L) div {width}L"),
+            F.expr(f"(CAST({qcol} AS BIGINT) - {lo}L) div {width}L"),
         )
     )
     # default (RANGE, peers-inclusive) frames on BOTH windows, matching the

@@ -966,9 +966,16 @@ def w7_row_index(spark, sf_dir):
         "s_acctbal", (F.sum("_c").over(w_lvl) - F.col("_c")).alias("_off")
     )
     w_in = Window.partitionBy("s_acctbal").orderBy("s_suppkey")
+    # null-SAFE join-back (VERDICT r14 #5): s_acctbal is NOT NULL in TPC-H
+    # so this is the identity here, but the naive window KEEPS null-key
+    # rows — a plain equi-join would silently drop them if this level
+    # decomposition is ever copied onto nullable data. eqNullSafe keys are
+    # still hash-joinable, so the AQE broadcast of the level side survives
+    # (plan guard re-verified).
+    lvl = lvl.select(F.col("s_acctbal").alias("_lvl_bal"), "_off")
     return (
         s.select("s_suppkey", "s_name", "s_acctbal")
-        .join(lvl, "s_acctbal")
+        .join(lvl, F.col("s_acctbal").eqNullSafe(F.col("_lvl_bal")))
         .select(
             "s_suppkey",
             "s_name",

@@ -219,9 +219,15 @@ def w8_rank_distributions(spark, sf_dir):
         .withColumn("_n", F.sum("_c").over(w_grp))
         .withColumn("rnk", (F.col("_cum") - F.col("_c") + 1).cast("int"))
     )
+    # null-SAFE join-back (VERDICT r14 #5): both keys are NOT NULL in TPC-H
+    # so this is the identity here, but the window this decomposition
+    # replaces KEEPS null-key rows — a plain equi-join would silently drop
+    # them if the pattern is copied onto nullable data. eqNullSafe keys are
+    # still hash-joinable, so the AQE broadcast of the level side survives
+    # (plan guard re-verified).
     lvl = lvl.select(
-        "l_returnflag",
-        "l_extendedprice",
+        F.col("l_returnflag").alias("_lvl_rf"),
+        F.col("l_extendedprice").alias("_lvl_px"),
         F.when(
             F.col("_n") > 1,
             (F.col("rnk") - 1).cast("double") / (F.col("_n") - 1).cast("double"),
@@ -232,7 +238,9 @@ def w8_rank_distributions(spark, sf_dir):
         "rnk",
     )
     return li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice").join(
-        lvl, ["l_returnflag", "l_extendedprice"]
+        lvl,
+        F.col("l_returnflag").eqNullSafe(F.col("_lvl_rf"))
+        & F.col("l_extendedprice").eqNullSafe(F.col("_lvl_px")),
     ).select("l_returnflag", "l_orderkey", "l_linenumber", "pr", "cd", "rnk")
 
 
