@@ -98,6 +98,31 @@ def test_shard_two_level_prefix_sum_equals_naive(spark):
     assert a1 == a64
 
 
+def test_shard_precompute_equals_text_path(spark):
+    """r15: shard_precompute attaches the packer's (skey, n_tokens) as
+    per-row columns so upstream shuffles can drop text; shard_assignments
+    consuming those columns must reproduce the text-path assignments
+    exactly — including whitespace-heavy and duplicate-normalizing texts."""
+    from unravelsports_spark.operators.sharding import shard_precompute
+
+    rows = [
+        (1, "  alpha   beta\tgamma  "),
+        (2, "alpha beta gamma"),
+        (3, "one"),
+        (4, " x " * 50),
+        (5, ""),
+        (6, "alpha beta gamma delta epsilon " * 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_text = shard_assignments(df, budget=20, n_ranges=4).orderBy("doc_id").collect()
+    via_pre = (
+        shard_assignments(shard_precompute(df), budget=20, n_ranges=4)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert via_text == via_pre
+
+
 def test_shard_manifest_packs_to_budget(spark):
     docs = read_table(spark, SF, "documents")
     budget = 4096

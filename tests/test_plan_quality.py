@@ -150,13 +150,26 @@ def test_dsir_and_nb_single_tokenize_pass(spark):
     one persisted (doc, bucket, n) table feeds both the model-stats agg and
     the scoring join — no top-level Generate (tokenize runs only inside the
     cached subtree), model tables ship as broadcasts, corpus never
-    sort-merge-joins."""
+    sort-merge-joins.
+
+    r15: t_nb_confusion's model stats are now COLLECTED from the cache at
+    build time (two O(model) integer aggregates) and the grid broadcasts
+    from a local collection, so the final plan shows ONE cache scan (the
+    scoring pass) and the broadcast build side is a local-collection scan,
+    not a distributed range × crossJoin × left-join chain."""
     for name in ["t_dsir_scores", "t_nb_confusion"]:
         plan = plan_of(spark, name)
         assert plan.count("Generate(") == 0, name
-        assert plan.count("InMemoryTableScan") >= 2, name
+        assert plan.count("InMemoryTableScan") >= (
+            1 if name == "t_nb_confusion" else 2
+        ), name
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+    # the nb grid is an O(classes × buckets) local collection — its
+    # broadcast must not contain a distributed Range/cross-join subtree
+    nb = plan_of(spark, "t_nb_confusion")
+    assert "Scan ExistingRDD" in nb or "LocalTableScan" in nb
+    assert "Range (" not in nb and "CartesianProduct" not in nb
 
 
 def test_ann_lsh_broadcasts_planes_and_query(spark):

@@ -34,7 +34,7 @@ sort). The corpus never self-joins and never passes twice; the whole query is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
@@ -76,49 +76,57 @@ def nb_confusion(
     )
 
     # --- train: class stats + per-(class, bucket) token counts -------------
-    # one (label, bucket) aggregate feeds BOTH the class totals and the grid
-    # join; the class prior rides ON the grid rows (one tiny window over the
-    # <= classes-row stats frame computes the train total), so scoring needs
-    # exactly ONE broadcast exchange — the r4 chain of separate n_train /
-    # priors / grid broadcasts is gone.
+    # r15 (guide §2.3/§5 + the repo's stats-literal discipline): the model is
+    # O(classes × B) — collect the two INTEGER aggregates (per-(class,
+    # bucket) counts and per-class doc counts; exact BIGINTs, so the driver
+    # round-trip cannot perturb anything) and rebuild the dense grid as a
+    # LOCAL DataFrame. The float math (ln, micro-nat rounding) stays in the
+    # SAME Catalyst expressions, now evaluated over the tiny local
+    # collection when the broadcast is built — bit-identical values, but the
+    # r14 chain of distributed grid jobs (range × crossJoin × left-join,
+    # each a 32-task cache scan + broadcast build) collapses to two tiny
+    # collects and one O(model) broadcast build: 17 jobs / 327 tasks →
+    # 11 jobs / 166 tasks measured at sf0.1 (plans/r15).
     train = dbc.filter("is_train")
-    tb = tracked_persist(train.groupBy("label", "bucket").agg(F.sum("n").alias("c")))
-    class_docs = train.select("doc_id", "label").distinct().groupBy("label").agg(
-        F.count("*").alias("n_docs")
+    tb_rows = train.groupBy("label", "bucket").agg(F.sum("n").alias("c")).collect()
+    cd_rows = (
+        train.select("doc_id", "label")
+        .distinct()
+        .groupBy("label")
+        .agg(F.count("*").alias("n_docs"))
+        .collect()
     )
-    class_stats = (
-        tb.groupBy("label")
-        .agg(F.sum("c").alias("tot"))
-        .join(class_docs, "label")
-        .withColumn("n_train", F.sum("n_docs").over(Window.partitionBy()))
-        .withColumn(
-            "prior_micro",
-            F.round(F.log(F.col("n_docs") / F.col("n_train")) * MICRO).cast("bigint"),
-        )
+    counts: dict = {}
+    tots: dict = {}
+    for r in tb_rows:
+        counts[(r["label"], r["bucket"])] = r["c"]
+        tots[r["label"]] = tots.get(r["label"], 0) + r["c"]
+    n_docs = {r["label"]: r["n_docs"] for r in cd_rows}
+    # every dbc row holds >= 1 token, so the label sets of the two
+    # aggregates coincide (matching the r14 inner join's label set)
+    n_train = sum(n_docs[lab] for lab in tots)
+    grid_src = df.sparkSession.createDataFrame(
+        [
+            (lab, b, counts.get((lab, b), 0), tots[lab], n_docs[lab], n_train)
+            for lab in sorted(tots)
+            for b in range(n_buckets)
+        ],
+        "label string, bucket bigint, c bigint, tot bigint, n_docs bigint, n_train bigint",
     )
-    # grid over the full bucket range × every class (a superset of the
-    # observed buckets — unobserved grid rows never match a scoring row, so
-    # the result is identical to a distinct-scan of dbc, minus one shuffle)
-    buckets = df.sparkSession.range(n_buckets).select(
-        F.col("id").cast("bigint").alias("bucket")
-    )
-    grid = (
-        buckets.crossJoin(F.broadcast(class_stats))
-        .join(tb, ["label", "bucket"], "left")
-        .select(
-            "label",
-            "bucket",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("tot") + F.lit(float(n_buckets)))
-                )
-                * MICRO
+    grid = grid_src.select(
+        "label",
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(1.0)) / (F.col("tot") + F.lit(float(n_buckets)))
             )
-            .cast("bigint")
-            .alias("logp_micro"),
-            "prior_micro",
+            * MICRO
         )
+        .cast("bigint")
+        .alias("logp_micro"),
+        F.round(F.log(F.col("n_docs") / F.col("n_train")) * MICRO)
+        .cast("bigint")
+        .alias("prior_micro"),
     )
 
     # --- score the held-out half -------------------------------------------

@@ -416,15 +416,22 @@ def t_prep_to_shards_e2e(spark, sf_dir):
     user runs to turn a raw document dump into loader-ready shard
     accounting."""
     from ..operators.dedup import exact_dedup
+    from ..operators.sharding import NTOK_PRE, SKEY_PRE, shard_precompute
     from ..operators.text import with_lang_id, with_quality
 
     # scores before the dedup aggregate: identical survivor values, and the
     # agg barrier stops CollapseProject re-evaluating the heavy text
-    # expressions downstream (see t_corpus_prep_e2e); the payload keeps
-    # text because the shard packer re-keys and counts from it
+    # expressions downstream (see t_corpus_prep_e2e). r15 (guide §2.3): the
+    # packer's (skey, n_tokens) are per-row functions of text too, so
+    # precompute them here and DROP text from the dedup payload — the dedup
+    # exchange moves five scalars per doc instead of the document body, and
+    # the packer's post-agg text pass disappears (A/B at sf0.1: 3.24 →
+    # 2.22 s best-of-3 interleaved).
     d = exact_dedup(
-        with_lang_id(with_quality(read_table(spark, sf_dir, "documents"))),
-        payload_cols=["doc_id", "text", "quality_score", "predicted_lang"],
+        shard_precompute(
+            with_lang_id(with_quality(read_table(spark, sf_dir, "documents")))
+        ),
+        payload_cols=["doc_id", "quality_score", "predicted_lang", SKEY_PRE, NTOK_PRE],
     )
     kept = d.filter(
         (F.col("quality_score") >= 0.6) & (F.col("predicted_lang") == "en")
@@ -970,13 +977,20 @@ def t_full_pipeline_e2e(spark, sf_dir):
     broadcast itself when the set is actually small), and the two-level
     prefix-sum packer. No new shuffle shapes."""
     from ..operators.dedup import exact_dedup
+    from ..operators.sharding import NTOK_PRE, SKEY_PRE, shard_precompute
     from ..operators.text import with_lang_id, with_quality
     from .corpus3 import semdedup_multitable_stats  # noqa: F401 (family doc)
     from .pipeline import _bucket_cosine_removed, _emb, _sign_lsh_bev
 
-    d = with_lang_id(with_quality(read_table(spark, sf_dir, "documents")))
+    # r15 (guide §2.3): precompute the packer's (skey, n_tokens) before the
+    # dedup aggregate and the semantic anti-join so NEITHER shuffle moves
+    # document text — both are survivor filters, so the carried per-row
+    # values are identical on every surviving row.
+    d = shard_precompute(
+        with_lang_id(with_quality(read_table(spark, sf_dir, "documents")))
+    )
     kept = exact_dedup(
-        d, payload_cols=["doc_id", "text", "quality_score", "predicted_lang"]
+        d, payload_cols=["doc_id", "quality_score", "predicted_lang", SKEY_PRE, NTOK_PRE]
     ).filter((F.col("quality_score") >= 0.6) & (F.col("predicted_lang") == "en"))
 
     e = _emb(spark, sf_dir)
@@ -991,7 +1005,7 @@ def t_full_pipeline_e2e(spark, sf_dir):
         bev, threshold=0.4, partitions=max(4, e.rdd.getNumPartitions())
     ).distinct()
     kept2 = kept.join(removed, kept.doc_id == removed.b_id, "left_anti").select(
-        "doc_id", "text"
+        "doc_id", SKEY_PRE, NTOK_PRE
     )
     return shard_manifest(kept2, budget=SHARD_BUDGET, n_ranges=64)
 
