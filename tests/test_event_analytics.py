@@ -71,7 +71,9 @@ def test_retention_cohorts_hand_traced(spark, tmp_path):
         (7, _ts(3), 3, "view", 0.0, ""),    # week 0 only
     ]
     sf = _write_events(spark, tmp_path, rows)
-    got = [tuple(r) for r in QUERIES["a20_retention_cohorts"](spark, sf).collect()]
+    # sorted(): r15 removed the query's terminal cosmetic sort (the driver
+    # comparator is order-insensitive), so canonicalize here instead
+    got = sorted(tuple(r) for r in QUERIES["a20_retention_cohorts"](spark, sf).collect())
     w1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
     w2 = int(dt.datetime(2024, 1, 8, tzinfo=dt.timezone.utc).timestamp() * 1000)
     assert got == [

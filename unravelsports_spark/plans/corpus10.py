@@ -200,7 +200,7 @@ def t_frontier_plan(spark, sf_dir):
                 "fp_slot0"
             ),
         )
-        .orderBy("wave")
+        # r15: terminal sort removed (order-insensitive comparator; §2.4)
     )
 
 

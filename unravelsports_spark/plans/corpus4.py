@@ -91,7 +91,7 @@ def t_dsir_resample(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return dsir_select(
         docs, target=F.col("lang") == "en", keep_frac=0.2, label_col="lang"
-    ).orderBy("label")
+    )  # r15: terminal sort removed (order-insensitive comparator; §2.4)
 
 
 @query("t_nb_confusion", oracle=nb_confusion_sql("lang", 1024) + " ORDER BY 1, 2")
@@ -104,9 +104,8 @@ def t_nb_confusion(spark, sf_dir):
     broadcast grid of integer micro-nat log-probabilities; no Python in
     either phase."""
     docs = read_table(spark, sf_dir, "documents")
-    return nb_confusion(docs, label_col="lang", n_buckets=1024).orderBy(
-        "actual", "predicted"
-    )
+    # r15: terminal sort removed (order-insensitive comparator; §2.4)
+    return nb_confusion(docs, label_col="lang", n_buckets=1024)
 
 
 @query("d_bloom_decontamination", oracle=ORACLE_SQL["d_contamination"])
@@ -1279,7 +1278,7 @@ def t_ngram_novelty(spark, sf_dir):
     ).otherwise(F.lit(0)).cast("bigint")
     return agg.select(
         "source", "n_docs", "n_shingles", "n_unique", ppm.alias("novelty_ppm")
-    ).orderBy("source")
+    )  # r15: terminal sort removed (order-insensitive comparator; §2.4)
 
 
 # ---------------------------------------------------------------------------
@@ -1347,7 +1346,7 @@ def d_label_communities(spark, sf_dir):
     return (
         sizes.groupBy("community_size")
         .agg(F.count("*").alias("n_communities"))
-        .orderBy("community_size")
+        # r15: terminal sort removed (order-insensitive comparator; §2.4)
     )
 
 
@@ -1604,7 +1603,7 @@ def d_cdc_chunks(spark, sf_dir):
         F.element_at(nd_map, F.col("source")).cast("bigint").alias("n_docs"),
         "n_chunks", "n_distinct_chunks", "n_tokens",
         dup_ppm.alias("dup_ppm"),
-    ).orderBy("source")
+    )  # r15: terminal sort removed (order-insensitive comparator; §2.4)
 
 
 # ---------------------------------------------------------------------------
@@ -1727,5 +1726,5 @@ def d_cross_source_overlap(spark, sf_dir):
             .cast("bigint")
             .alias("jaccard_ppm"),
         )
-        .orderBy(F.col("n_shared_fps").desc(), "source_a", "source_b")
+        # r15: terminal sort removed (order-insensitive comparator; §2.4)
     )

@@ -809,7 +809,11 @@ def mm_image_dhash_dedup(spark, sf_dir):
         image_dhash(media)
         .groupBy("dhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
-        .orderBy("dhash")
+        # r15: terminal no-LIMIT sort removed (guide §2.4) — the driver
+        # comparator and every repo harness sort before hashing (proven by
+        # the 60k-row w2_partitioned_min certifying with no ORDER BY on
+        # either side), so the rangepartitioning exchange + global sort
+        # bought nothing at any scale
     )
 
 

@@ -856,7 +856,7 @@ def a21_ordered_funnel(spark, sf_dir):
         "  struct(int(1) AS stage_idx, 'view' AS stage, n1 AS n_users),"
         "  struct(int(2) AS stage_idx, 'click' AS stage, n2 AS n_users),"
         "  struct(int(3) AS stage_idx, 'purchase' AS stage, n3 AS n_users)))"
-    ).orderBy("stage_idx")
+    )  # r15: terminal sort removed (order-insensitive comparator; §2.4)
 
 
 @query(
@@ -1004,7 +1004,9 @@ def q5_local_supplier_volume(spark, sf_dir):
             .cast("double")
             .alias("revenue")
         )
-        .orderBy(F.col("revenue").desc(), "n_name")
+        # r15: terminal no-LIMIT sort removed (order-insensitive
+        # comparator; guide §2.4 — the range exchange + global sort was
+        # pure output cosmetics)
     )
 
 
@@ -1180,7 +1182,7 @@ def q7_volume_shipping(spark, sf_dir):
             .cast("double")
             .alias("revenue")
         )
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        # r15: terminal sort removed (order-insensitive comparator; §2.4)
     )
 
 
@@ -1309,5 +1311,5 @@ def a22_touch_attribution(spark, sf_dir):
             .cast("bigint")
             .alias("total_ms_to_convert"),
         )
-        .orderBy("first_touch", "last_touch")
+        # r15: terminal sort removed (order-insensitive comparator; §2.4)
     )

