@@ -717,6 +717,79 @@ def test_w7_row_index_level_decomposition(spark):
     assert "windowspecdefinition(s_acctbal" in plan
 
 
+def test_pagerank_lpa_edge_cache_never_reshuffles_above_broadcast_cap(spark):
+    """VERDICT r14 #8: the pagerank/LPA r14 claim — the persisted edge
+    table's pinned hash(key) layout removes the per-iteration edge shuffle
+    — was only plan-proven at sf0.01 where AQE broadcasts the node side.
+    Force every join above the broadcast cap and assert the claim holds in
+    the non-broadcast regime: across the unrolled iterations, NO exchange
+    ever sits directly on a cached table scan (the edge/degree caches are
+    consumed in their persisted layout; only derived node-sized tables may
+    move), and the iteration joins really plan as non-broadcast joins."""
+    from unravelsports_spark.cache import release_tracked
+    from unravelsports_spark.operators.components import label_propagation, pagerank
+
+    def cache_scans_under_exchange(df):
+        """Structurally walk the physical plan (InMemoryTableScan is a LEAF
+        of the object tree — the textual dump inlines cache REPLAY plans,
+        which a regex would falsely match): count cached-table scans whose
+        nearest shuffling ancestor reshuffles them through unary operators
+        only (sort/project/filter), i.e. the cache layout did NOT satisfy
+        the consumer and the whole cached table moved."""
+        root = df._jdf.queryExecution().executedPlan()
+        bad = []
+
+        def step_in(node):
+            # AQE wraps the plan in a childless AdaptiveSparkPlanExec —
+            # descend into initialPlan (inputPlan predates EnsureRequirements
+            # and contains NO exchanges at all; using it made this walk
+            # vacuous during development — verified against the pre-r14
+            # plain-distinct layout, which initialPlan flags with 2 scans)
+            if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                return node.initialPlan()
+            return node
+
+        def leaf_through_unaries(node):
+            node = step_in(node)
+            while node.children().size() == 1:
+                node = step_in(node.children().apply(0))
+            return node
+
+        def walk(node):
+            node = step_in(node)
+            name = node.getClass().getSimpleName()
+            if name == "ShuffleExchangeExec":
+                leaf = leaf_through_unaries(node.children().apply(0))
+                if leaf.getClass().getSimpleName() == "InMemoryTableScanExec":
+                    bad.append(leaf.simpleString(200))
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(root)
+        return bad
+
+    pairs = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(1, 200)], "id_a long, id_b long"
+    ).filter("id_a != id_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (pagerank(pairs, iters=2), label_propagation(pairs, iters=2)):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert "InMemoryTableScan" in plan  # the caches are actually used
+            # a cached table re-shuffled wholesale would be the
+            # per-iteration edge/degree re-shuffle the r14 layout removed
+            # (non-vacuity: the pre-r14 plain-distinct layout yields 3 such
+            # scans on this exact pair set — see OPTIMIZATION_r15.md)
+            bad = cache_scans_under_exchange(df)
+            assert not bad, bad
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_tracked()
+
+
 def test_sequence_packing_two_level_prefix_sum(spark):
     """t_sequence_packing (r14): the per-source cumsum runs as the two-level
     prefix sum — the corpus window is clustered by (source, _pkb) range

@@ -379,7 +379,20 @@ def label_propagation(
     # Free like the pagerank layout above: repartition + dropDuplicates
     # share the one exchange the symmetrize dedup pays anyway (guide §2.4).
     edges = tracked_persist(_sym_partitioned(pairs, src, dst, key="dst"))
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+    # Materialize the cache BEFORE the loop is planned: an unmaterialized
+    # AQE-cached plan reports UnknownPartitioning, so the planner inserted a
+    # full-edge exchange above the cache scan in EVERY iteration's join —
+    # exactly the re-shuffle the pinned layout exists to remove. pagerank
+    # gets this for free from its n_nodes count; LPA had no materializing
+    # action (r15; caught by the non-broadcast plan walk in
+    # tests/test_plan_quality.py). The count is the cache build the first
+    # consumer would have paid anyway, surfaced as its own job.
+    edges.count()
+    # derive the node set from the DST endpoint: identical set on the
+    # symmetric table, but dst matches the cache's pinned hash(dst) layout,
+    # so the init distinct runs exchange-free where select(src).distinct()
+    # re-shuffled the full edge column (r15)
+    labels = edges.select(F.col("dst").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
     for _ in range(iters):

@@ -439,37 +439,23 @@ def w9_interpolate_gaps(spark, sf_dir):
     identical IEEE expression tree both engines, no rounding needed. At
     scale this is one shuffle on the series key; both windows reuse the
     same sort."""
+    # r15 (VERDICT r14 #3, guide §2.5): the event_type window funnels the
+    # whole table onto #event_types reducers at scale — run the identical
+    # neighbor resolution as the two-level (event_type, event_id-range)
+    # decomposition with O(#buckets) boundary-carry state
+    # (operators/serieswin.py; equivalence-swept in tests/test_serieswin.py;
+    # the r14 reversed-running-frame finding lives on inside gap_neighbors).
+    from ..operators.serieswin import gap_neighbors
+
     e = read_table(spark, sf_dir, "events")
-    masked = e.withColumn(
-        "v", F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
-    ).withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("event_type").orderBy("event_id")),
+    masked = e.select(
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
     )
-    wp = (
-        Window.partitionBy("event_type")
-        .orderBy("rn")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # the "next non-null" side runs as a REVERSED running frame: Spark
-    # evaluates [x FOLLOWING, UNBOUNDED FOLLOWING] frames by recomputing
-    # the aggregate from scratch for every row — O(n²) per partition
-    # (measured 101 s at sf0.1 with few large event_type partitions) —
-    # while [UNBOUNDED PRECEDING, 1 PRECEDING] over rn DESC is the
-    # incrementally-maintained running frame, picks the identical nearest
-    # following non-null, and costs one extra in-partition sort.
-    wn = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("rn").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    rn_if = F.when(F.col("v").isNotNull(), F.col("rn"))
-    f = (
-        masked.withColumn("prev_v", F.last("v", ignorenulls=True).over(wp))
-        .withColumn("prev_rn", F.last(rn_if, ignorenulls=True).over(wp))
-        .withColumn("next_v", F.last("v", ignorenulls=True).over(wn))
-        .withColumn("next_rn", F.last(rn_if, ignorenulls=True).over(wn))
-    )
+    f = gap_neighbors(masked, "event_type", "event_id", "v")
     both = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
     frac = (F.col("rn") - F.col("prev_rn")) / (F.col("next_rn") - F.col("prev_rn")).cast("double")
     filled = (
@@ -544,17 +530,24 @@ def w10_moving_avg(spark, sf_dir):
     sliding sum/count. The sum rides DECIMAL because engines disagree on
     frame-sum association order (segment trees vs running sums) — decimal
     is associative so any order matches. One sort per series key."""
-    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("event_id")
-        .rowsBetween(-3, Window.currentRow)
+    # r15 (VERDICT r14 #3, guide §2.5): same funnel removal as w9 — the
+    # 4-row moving frame runs within (event_type, event_id-range) buckets
+    # with a ≤3-row-per-bucket tail carry (operators/serieswin.py); decimal
+    # addition is associative, so local frame + entry carry is the exact
+    # frame sum.
+    from ..operators.serieswin import moving_sum_count
+
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_type", "event_id", "value")
     )
-    return e.select(
+    out = moving_sum_count(e, "event_type", "event_id", dec("value"), lookback=3)
+    return out.select(
         "event_type",
         "event_id",
-        F.sum(dec("value")).over(w).cast("double").alias("win_sum"),
-        F.count("*").over(w).alias("win_n"),
+        F.col("win_sum").cast("double").alias("win_sum"),
+        "win_n",
     )
 
 
