@@ -23,35 +23,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Keys already driver-certified (green rows+schema+hash in CORRECTNESS_r01..
-# r13). The driver checks a bounded prefix of this dict, so enumerate
+# r14). The driver checks a bounded prefix of this dict, so enumerate
 # never-certified queries first to widen certification breadth; no keys are
-# renamed. Round-14 ROTATION (VERDICT r13 action #1, executed with the slot
-# arithmetic STATUS r13 planned, adapted for TEN new registrations — the
-# VERDICT offered trimming r10 re-certs to fold o20_tfrecord_roundtrip into
-# this window; the SIX model-fp twins of VERDICT r13 #2 trim six more): all
-# 47 hash-green r13 keys (CORRECTNESS_r13.json, 47/47 exact + 3/3
-# rows-only) ENTER this set. The leaving cohort is the 5-key r9 remainder
-# (q6_forecast_revenue, mm_audio_spectral, mm_image_phash, t_unigram_vocab,
-# t_unigram_tokens — last driver-hashed r9) plus the OLDEST 32 of the
-# 47-key r10 cohort (a5_conditional_sum .. s_ann_ivf, list order = the
-# cohort's registry order, last driver-hashed r10). Priority-0 lands
-# EXACTLY on 47:
-#   5 r9 remainder + 32 r10 leavers + 10 new r14 registrations
-#   (t_robots_filter, t_frontier_plan, t_sitemap_extract,
-#   o20_tfrecord_roundtrip — VERDICT r13 #1, canonical SQL moved into
-#   plans/corpus10.py — plus the SIX full-output assembly fingerprints of
-#   VERDICT r13 #2: m_pressing_intensity_fp, m_graph_convert_fp,
-#   m_graph_convert_delaunay_fp, m_af_graph_convert_fp,
-#   m_efpi_possession_fp, m_savgol_events_fp — with these, every
-#   rows-only model pipeline has a driver-hashable full-output twin) =
-#   47 p0,
-# leaving slots 48-50 for the three r13-skipped rows-only model checks
-# (m_pressing_intensity, m_graph_convert, m_af_graph_convert — last
-# driver-run r12, ordered first via _ROWS_ONLY_STALE below); with that,
-# every rows-only check has been driver-run within r12-r14. The r10
-# REMAINDER (15 keys: j8_asof_join, t_filter_funnel, d_semdedup_recall,
-# m_graph_custom_cells + s_ann_recall .. s_ann_from_index) stays certified
-# one more round and LEADS the r15 leaving cohort.
+# renamed. Round-15 ROTATION (VERDICT r14 action #7, the documented plan
+# executed verbatim): all 47 hash-green r14 keys (CORRECTNESS_r14.json,
+# 47/47 exact + 3/3 rows-only) ENTER this set. The leaving cohort is the
+# 15-key r10 remainder (j8_asof_join, t_filter_funnel, d_semdedup_recall,
+# m_graph_custom_cells + s_ann_recall .. s_ann_from_index — last
+# driver-hashed r10) plus the OLDEST 32 of the 47-key r11 cohort
+# (d_mllib_minhash_join .. s_ann_ivfpq, list order = the cohort's registry
+# order, last driver-hashed r11). Priority-0 lands EXACTLY on 47:
+#   15 r10 remainder + 32 r11 leavers = 47 p0 (no new registrations this
+#   round — r15 is an optimization round),
+# leaving slots 48-50 for the three rows-only model checks whose turn it
+# is (m_efpi_possession, m_savgol_events, m_graph_convert_delaunay — last
+# driver-run r13, ordered first via _ROWS_ONLY_STALE below); with that,
+# every rows-only check has been driver-run within r13-r15 and no
+# certified key is older than r12 after this round's gate.
 # q1_pricing_summary keeps its documented rotation exemption (ADVICE r6
 # #2): smoke-run by entry() every round + fresh-process re-verified.
 _CERTIFIED = frozenset(
@@ -63,32 +51,18 @@ _CERTIFIED = frozenset(
         # r8/r10 fresh-process oracle compares re-verified it hash-exact
         # at sf0.01.
         "q1_pricing_summary",
-        # r10 green (CORRECTNESS_r10.json) REMAINDER: the youngest 15 of
-        # the 47-key r10 cohort (the other 32 — a5_conditional_sum ..
-        # s_ann_ivf — leave this round and re-certify in the r14 window;
-        # see the rotation note). These 15 LEAD the r15 leaving cohort.
-        "j8_asof_join", "t_filter_funnel", "d_semdedup_recall",
-        "m_graph_custom_cells",
-        "s_ann_recall", "d_lsh_recall", "t_hybrid_rrf", "d_cdc_chunks",
-        "t_wordpiece_vocab", "t_wordpiece_tokens", "mm_audio_mfcc",
-        "t_ppl_bucket_sample", "s_cluster_balanced_sample",
-        "a23_k_anonymity", "s_ann_from_index",
-        # t_hybrid_rrf (r8 green) re-certifies in r10: its dense side
-        # consumes _cosine_vs_refs, which gained the zero-norm guard.
-        # r11 green (CORRECTNESS_r11.json, 47/47 hash-exact): the 40-key
-        # r7 cohort re-certs and the seven r11 registrations (the six
-        # corpus7 queries + t_text_normalize).
-        "d_mllib_minhash_join", "mm_image_dhash_dedup", "j6_label_join",
-        "t_bpe_token_stats", "t_pii_scrub", "t_url_domains",
-        "d_contamination", "k_salted_agg", "t_tfidf_terms", "t_vocab_top100",
-        "t_domain_mixture", "a10_quantiles", "s_kmeans_assign", "t_sentences",
-        "t_chunking", "d_pair_degrees", "w11_scd2_intervals",
-        "d_triangle_count", "t_bigram_pmi", "a20_retention_cohorts",
-        "a21_ordered_funnel", "q3_shipping_priority",
-        "q5_local_supplier_volume", "w12_sliding_distinct_users",
-        "q18_large_volume_customer", "t_unigram_logprob", "t_corpus_prep_e2e",
-        "d_cluster_keep_best", "d_pagerank", "s_ann_pq",
-        "s_ann_ivfpq_residual", "s_ann_ivfpq", "t_prep_to_shards_e2e",
+        # ROUND-15 ROTATION (VERDICT r14 #7, the documented plan): the
+        # 15-key r10 remainder (j8_asof_join .. s_ann_from_index, last
+        # driver-hashed r10) LEAVES this round, plus the OLDEST 32 of the
+        # 47-key r11 cohort (d_mllib_minhash_join .. s_ann_ivfpq, list
+        # order = registry order, last driver-hashed r11) — 15 + 32 = 47
+        # priority-0 slots, exactly filling the window ahead of the three
+        # rows-only model checks below. After this round no certified key
+        # is older than r12.
+        # r11 green (CORRECTNESS_r11.json) REMAINDER: the youngest 15 of
+        # the r11 cohort stay certified one more round and LEAD the r16
+        # leaving cohort.
+        "t_prep_to_shards_e2e",
         "s_kmeans_fit", "t_full_pipeline_e2e", "t_ngram_novelty",
         "d_label_communities", "d_kcore_peeling", "d_containment_top_pairs",
         "d_cross_source_overlap", "a24_l_diversity", "d_cluster_safe_split",
@@ -131,18 +105,37 @@ _CERTIFIED = frozenset(
         "d_semantic_contamination", "o16_frequent_part_pairs",
         "w13_event_transitions", "w14_daily_anomalies", "o18_csv_roundtrip",
         "a25_t_closeness", "o19_warc_roundtrip", "d_release_diff",
+        # r14 green (CORRECTNESS_r14.json, 47/47 hash-exact): the 5-key r9
+        # remainder re-certs, the 32-key r10 leavers re-cert, and the ten
+        # r14 registrations (crawl triad, TFRecord, six model-fp twins).
+        "a5_conditional_sum", "a7_global_distinct", "w1_lag_diff",
+        "w2_partitioned_min", "w3_rank_topk", "w4_sessionize",
+        "w5_tumbling_window", "o5_top_k_limit", "o6_union_all", "o8_unpivot",
+        "o9_explode_tokens", "o11_concat_key", "f1_string_ops",
+        "f2_temporal_trunc", "f3_math_ops", "w7_row_index", "f6_array_ops",
+        "f4_null_handling", "f5_casts", "t_token_stats",
+        "t_quality_by_source", "t_fingerprint", "d_exact_dedup_stats",
+        "d_minhash_signatures", "d_lsh_candidate_pairs", "d_dup_clusters",
+        "d_simhash", "s_ann_bruteforce", "s_ann_top_pairs",
+        "d_embedding_neardup", "s_ann_lsh", "s_ann_ivf",
+        "m_pressing_intensity_fp", "m_graph_convert_fp",
+        "m_graph_convert_delaunay_fp", "m_af_graph_convert_fp",
+        "m_efpi_possession_fp", "m_savgol_events_fp", "q6_forecast_revenue",
+        "mm_audio_spectral", "mm_image_phash", "t_unigram_vocab",
+        "t_unigram_tokens", "t_robots_filter", "t_frontier_plan",
+        "t_sitemap_extract", "o20_tfrecord_roundtrip",
     }
 )
 
 
 # The six rows-only model checks overflow one 50-slot window, so they
-# alternate rounds. These three were last driver-run in r12 (the other
-# three — m_efpi_possession, m_savgol_events, m_graph_convert_delaunay —
-# ran rows-green in r13), so they MUST lead the rows-only tail this round
-# (VERDICT r13 #1); with p0 = 47 they take slots 48-50, and every
-# rows-only check has then been driver-run within r12-r14.
-_ROWS_ONLY_STALE = ("m_pressing_intensity", "m_graph_convert",
-                    "m_af_graph_convert")
+# alternate rounds. These three last ran rows-green in r13 (the other
+# three — m_pressing_intensity, m_graph_convert, m_af_graph_convert — ran
+# in r14), so it is their turn (VERDICT r14 #7); with p0 = 47 they take
+# slots 48-50, and every rows-only check has then been driver-run within
+# r13-r15. Each also has a hash-certified full-output _fp twin (r14).
+_ROWS_ONLY_STALE = ("m_efpi_possession", "m_savgol_events",
+                    "m_graph_convert_delaunay")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

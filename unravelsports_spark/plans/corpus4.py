@@ -1000,9 +1000,13 @@ def t_full_pipeline_e2e(spark, sf_dir):
     bev = _sign_lsh_bev(
         e, [plane_rows[i + 1] for i in range(16)], n_tables=4, bits_per_table=4
     )
+    # r15 (guide §2.4): no .distinct() on the removal set — a LEFT ANTI
+    # join is insensitive to duplicate build-side rows, so the dedup
+    # exchange+aggregate bought nothing here (the semdedup queries that
+    # OUTPUT the removal set keep their distinct)
     removed = _bucket_cosine_removed(
         bev, threshold=0.4, partitions=max(4, e.rdd.getNumPartitions())
-    ).distinct()
+    )
     kept2 = kept.join(removed, kept.doc_id == removed.b_id, "left_anti").select(
         "doc_id", SKEY_PRE, NTOK_PRE
     )
